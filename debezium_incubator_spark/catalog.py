@@ -1,0 +1,56 @@
+"""Fixture-table catalog: schema-aware loaders for the test parquet tables.
+
+Mirrors Debezium's "captured table registry" (table.include.list,
+SURVEY.md §2 A5): the engine knows the set of source tables and their
+read-side normalizations. At 100 TB the same loaders point at partitioned
+parquet/object-store paths; nothing here materializes or collects.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .session import ensure_conf
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = "/root/testdata/sf0.001"
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one fixture table with engine normalizations applied.
+
+    ``events.ts`` arrives as parquet timestamp[ns] which Spark cannot read
+    natively; with ``nanosAsLong`` it reads as long epoch-nanos and is
+    converted here to microsecond TIMESTAMP_NTZ via integer division —
+    ``ts DIV 1000`` (NOT double division: epoch-nanos ~1.7e18 exceeds the
+    53-bit double mantissa, so ``ts/1000`` would be lossy). DuckDB reads
+    the same column as µs TIMESTAMP with identical truncation (verified).
+    """
+    ensure_conf(spark)
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn(
+            "ts", F.expr("CAST(timestamp_micros(ts DIV 1000) AS TIMESTAMP_NTZ)")
+        )
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str, names=TABLES) -> None:
+    """Register fixture tables as temp views for the SQL entry point."""
+    for name in names:
+        table(spark, sf_dir, name).createOrReplaceTempView(name)

@@ -1,0 +1,140 @@
+"""Debezium change-event envelope model (SURVEY.md §1.1).
+
+The envelope is the reference's core abstraction [/root/reference/
+README.md:13 — "data streaming platform for change data capture"]:
+a keyed record whose value is ``{before, after, source, op, ts_ms}``
+with ``op ∈ {c, u, d, r}`` (create / update / delete / snapshot-read),
+followed by a tombstone (null value) after each delete so log compaction
+can drop the key. Reconstructed per SURVEY.md §0 citation policy — no
+envelope source exists in the archived checkout.
+
+This module defines the envelope as Spark StructTypes and provides:
+- ``envelope_schema(row_schema)`` — typed envelope for any table schema.
+- ``to_envelope(events_df)`` — deterministic batch synthesis of a CDC
+  stream from the `events` fixture (the test stand-in for a Kafka topic).
+- ``parse_envelope(raw_df, row_schema)`` — A2: JSON bytes → typed struct.
+- ``unwrap(env_df)`` — B2 ExtractNewRecordState: envelope → flat row.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# Mapping from the fixture's event_type to envelope ops — deterministic
+# batch simulation of a CDC stream (SURVEY.md §7 M4).
+OP_CASE = (
+    "CASE event_type WHEN 'signup' THEN 'c' WHEN 'error' THEN 'd' "
+    "WHEN 'view' THEN 'r' ELSE 'u' END"
+)
+
+
+def source_schema() -> T.StructType:
+    """`source` block: connector metadata + total-order position (Oracle:
+    scn; Db2: commit_lsn; Cassandra: commitlog file+pos — SURVEY.md §1.1).
+    Here: a single monotonic `pos`."""
+    return T.StructType(
+        [
+            T.StructField("connector", T.StringType()),
+            T.StructField("db", T.StringType()),
+            T.StructField("table", T.StringType()),
+            T.StructField("snapshot", T.BooleanType()),
+            T.StructField("pos", T.LongType()),
+        ]
+    )
+
+
+def envelope_schema(row_schema: T.StructType) -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField("before", row_schema),
+            T.StructField("after", row_schema),
+            T.StructField("source", source_schema()),
+            T.StructField("op", T.StringType()),
+            T.StructField("ts_ms", T.LongType()),
+        ]
+    )
+
+
+EVENT_ROW_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("value", T.DoubleType()),
+    ]
+)
+
+
+def to_envelope(events: DataFrame, as_json: bool = False) -> DataFrame:
+    """Synthesize a Debezium-shaped change stream from the events fixture.
+
+    Output: (key struct, value envelope struct) — or JSON strings when
+    ``as_json`` (the Kafka wire shape). Deletes get ``after = NULL`` and
+    ``before`` carrying the last row image; inserts/reads get
+    ``before = NULL``. ts_ms is the event time in epoch-millis, pos the
+    event_id (monotonic per fixture construction).
+    """
+    row = F.struct(
+        F.col("event_id"), F.col("user_id"), F.col("value")
+    )
+    null_row = F.lit(None).cast(EVENT_ROW_SCHEMA)
+    op = F.expr(OP_CASE)
+    env = events.select(
+        F.struct(F.col("event_id").alias("id")).alias("key"),
+        F.struct(
+            F.when(op == "d", row).otherwise(null_row).alias("before"),
+            F.when(op != "d", row).otherwise(null_row).alias("after"),
+            F.struct(
+                F.lit("sim").alias("connector"),
+                F.lit("testdb").alias("db"),
+                F.lit("events").alias("table"),
+                (op == "r").alias("snapshot"),
+                F.col("event_id").alias("pos"),
+            ).alias("source"),
+            op.alias("op"),
+            F.expr("unix_micros(CAST(ts AS TIMESTAMP)) DIV 1000").alias("ts_ms"),
+        ).alias("value"),
+    )
+    if as_json:
+        env = env.select(
+            F.to_json("key").alias("key"), F.to_json("value").alias("value")
+        )
+    return env
+
+
+def parse_envelope(raw: DataFrame, row_schema: T.StructType) -> DataFrame:
+    """A2 envelope parse: JSON key/value strings → typed structs.
+
+    Tombstones (null value, emitted after deletes for log compaction)
+    survive as rows with ``value IS NULL`` — callers filter or route them.
+    On a real topic the input is ``spark.readStream.format("kafka")`` with
+    binary key/value; the cast + from_json chain is identical.
+    """
+    key_schema = T.StructType([T.StructField("id", T.LongType())])
+    return raw.select(
+        F.from_json(F.col("key").cast("string"), key_schema).alias("key"),
+        F.from_json(
+            F.col("value").cast("string"), envelope_schema(row_schema)
+        ).alias("value"),
+    )
+
+
+def unwrap(env: DataFrame, drop_deletes: bool = False) -> DataFrame:
+    """B2 ExtractNewRecordState: flatten envelope → row + __op/__ts_ms/
+    __deleted metadata columns; tombstones dropped; deletes keep the
+    before-image (rewrite-deletes mode) unless ``drop_deletes``."""
+    out = (
+        env.filter(F.col("value").isNotNull())
+        .select(
+            F.coalesce("value.after", "value.before").alias("row"),
+            F.col("value.op").alias("__op"),
+            F.col("value.ts_ms").alias("__ts_ms"),
+            (F.col("value.op") == "d").alias("__deleted"),
+            F.col("value.source.pos").alias("__pos"),
+        )
+        .select("row.*", "__op", "__ts_ms", "__deleted", "__pos")
+    )
+    if drop_deletes:
+        out = out.filter(~F.col("__deleted"))
+    return out

@@ -1,0 +1,162 @@
+"""CDC consumer-side materialization (SURVEY.md §2 B2/I5/I6, §7 M4).
+
+Debezium never materializes state — every consumer must fold the
+c/u/d stream in position order per key (SURVEY.md §1.1 "Materialized
+table"). These operators are that fold, batch form; the streaming twins
+live in ``streaming/pipeline.py``.
+
+Scale notes: materialize_latest is one shuffle on the key + per-key sort;
+with Spark 3.5+ WindowGroupLimit only the top row per key materializes.
+For continuous 100 TB CDC apply, the streaming path keeps per-key state
+in the state store instead of re-folding history each batch.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from ..catalog import table
+from ..registry import register
+from .envelope import EVENT_ROW_SCHEMA, OP_CASE, parse_envelope, to_envelope, unwrap
+
+
+def materialize_latest(
+    df: DataFrame, keys: list[str], position: list[str], op_col: str = "__op"
+) -> DataFrame:
+    """I6: fold a change stream to current state — latest row per key in
+    position order; keys whose latest op is a delete drop out."""
+    w = W.partitionBy(*keys).orderBy(*[F.desc(p) for p in position])
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter((F.col("__rn") == 1) & (F.col(op_col) != "d"))
+        .drop("__rn")
+    )
+
+
+# --- A2: envelope parse (JSON round-trip through the wire format) --------
+
+@register(
+    "cdc_envelope_parse",
+    oracle="""
+SELECT event_id, user_id, value,
+       CASE event_type WHEN 'signup' THEN 'c' WHEN 'error' THEN 'd'
+            WHEN 'view' THEN 'r' ELSE 'u' END AS op,
+       epoch_us(ts) // 1000 AS ts_ms
+FROM events
+ORDER BY event_id
+""",
+)
+def cdc_envelope_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full wire-format round trip: events → envelope structs → JSON
+    strings (Kafka shape) → from_json parse → field extraction. The
+    oracle computes the same projection directly; equality proves the
+    serialize/parse chain is lossless (doubles survive JSON via
+    shortest-roundtrip rendering)."""
+    ev = table(spark, sf_dir, "events")
+    wire = to_envelope(ev, as_json=True)  # key/value JSON strings
+    parsed = parse_envelope(wire, EVENT_ROW_SCHEMA)
+    return parsed.select(
+        F.col("value.after.event_id").alias("event_id_after"),
+        F.col("value.before.event_id").alias("event_id_before"),
+        F.coalesce("value.after.user_id", "value.before.user_id").alias("user_id"),
+        F.coalesce("value.after.value", "value.before.value").alias("value"),
+        F.col("value.op").alias("op"),
+        F.col("value.ts_ms").alias("ts_ms"),
+    ).select(
+        F.coalesce("event_id_after", "event_id_before").alias("event_id"),
+        "user_id",
+        "value",
+        "op",
+        "ts_ms",
+    ).orderBy("event_id")
+
+
+# --- B2: ExtractNewRecordState (unwrap) ----------------------------------
+
+@register(
+    "cdc_unwrap",
+    oracle="""
+SELECT event_id, user_id, value,
+       CASE event_type WHEN 'signup' THEN 'c' WHEN 'error' THEN 'd'
+            WHEN 'view' THEN 'r' ELSE 'u' END AS __op,
+       epoch_us(ts) // 1000 AS __ts_ms,
+       (event_type = 'error') AS __deleted
+FROM events
+ORDER BY event_id
+""",
+)
+def cdc_unwrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Envelope → flat row with __op/__ts_ms/__deleted (the standard
+    Debezium consumer flattening; delete events keep the before-image)."""
+    ev = table(spark, sf_dir, "events")
+    env = to_envelope(ev)
+    return unwrap(env).select(
+        "event_id", "user_id", "value", "__op", "__ts_ms", "__deleted"
+    ).orderBy("event_id")
+
+
+# --- I6: latest-state materialization ------------------------------------
+
+@register(
+    "cdc_materialize",
+    oracle="""
+WITH mapped AS (
+  SELECT user_id, event_id, value, ts,
+         CASE event_type WHEN 'signup' THEN 'c' WHEN 'error' THEN 'd'
+              WHEN 'view' THEN 'r' ELSE 'u' END AS op
+  FROM events
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY user_id
+                               ORDER BY ts DESC, event_id DESC) AS rn
+  FROM mapped
+)
+SELECT user_id, value AS current_value, event_id AS last_event_id
+FROM ranked
+WHERE rn = 1 AND op <> 'd'
+ORDER BY user_id
+""",
+)
+def cdc_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Current-state table from the change stream: latest event per
+    user_id in (ts, event_id) position order; users whose latest op is a
+    delete are absent — the log-compaction view of the world."""
+    ev = table(spark, sf_dir, "events").withColumn("__op", F.expr(OP_CASE))
+    state = materialize_latest(
+        ev.select("user_id", "event_id", "value", "ts", "__op"),
+        keys=["user_id"],
+        position=["ts", "event_id"],
+    )
+    return state.select(
+        "user_id",
+        F.col("value").alias("current_value"),
+        F.col("event_id").alias("last_event_id"),
+    ).orderBy("user_id")
+
+
+# --- I5 batch analog: exact dedup of an at-least-once stream -------------
+
+@register(
+    "cdc_dedup_stream",
+    oracle="""
+WITH doubled AS (
+  SELECT event_id, user_id, event_type, ts FROM events
+  UNION ALL
+  SELECT event_id, user_id, event_type, ts FROM events WHERE event_id % 10 = 0
+)
+SELECT event_id, user_id, event_type, ts
+FROM doubled
+GROUP BY event_id, user_id, event_type, ts
+ORDER BY event_id
+""",
+)
+def cdc_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """At-least-once → effectively-once: re-deliver 10% of events (the
+    retry simulation), then dropDuplicates on the event key — the batch
+    analog of dropDuplicatesWithinWatermark (I5)."""
+    ev = table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "ts"
+    )
+    doubled = ev.unionAll(ev.filter(F.col("event_id") % 10 == 0))
+    return doubled.dropDuplicates(["event_id"]).orderBy("event_id")

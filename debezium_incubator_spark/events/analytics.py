@@ -1,0 +1,196 @@
+"""Event-time analytics over the `events` stream stand-in (SURVEY.md §2I
+batch-checkable analogs: tumbling/sliding/session windows, latest-state).
+
+These are the batch twins of the Structured Streaming operators in
+``streaming/pipeline.py`` — identical window semantics (epoch-aligned
+buckets, gap-based sessions), verified against the DuckDB oracle here and
+reused by the streaming paths.
+
+Scale notes: tumbling/sliding aggs group on (bucket, type) — bounded
+cardinality, map-side combine collapses everything before the shuffle.
+Sessionization shuffles once on user_id; a 100 TB events table with ~1e9
+users distributes evenly (no skew: per-user history is small).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from ..catalog import table
+from ..exprs import dec_sum, round4
+from ..registry import register
+
+SESSION_GAP_US = 1_800_000_000  # 30 minutes
+
+
+# --- I2: tumbling window --------------------------------------------------
+
+@register(
+    "e1_tumbling_window",
+    oracle="""
+SELECT date_trunc('hour', ts) AS bucket, event_type,
+       COUNT(*) AS n,
+       SUM(CAST(value AS DECIMAL(38,10))) AS sum_value
+FROM events
+GROUP BY 1, 2
+ORDER BY bucket, event_type
+""",
+)
+def e1_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly tumbling buckets via F.window — the same operator the
+    streaming path uses; window.start of an epoch-aligned 1h window ==
+    date_trunc('hour') in the oracle."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), dec_sum("value", "sum_value"))
+        .select(
+            F.col("w.start").alias("bucket"), "event_type", "n", "sum_value"
+        )
+        .orderBy("bucket", "event_type")
+    )
+
+
+# --- D6/I6: latest state per key (arg-max) -------------------------------
+
+@register(
+    "e2_latest_per_user",
+    oracle="""
+SELECT user_id,
+       max(ts) AS last_ts,
+       max_by(event_type, ts) AS last_type,
+       max_by(value, ts) AS last_value,
+       COUNT(*) AS n_events
+FROM events
+GROUP BY user_id
+ORDER BY user_id
+""",
+)
+def e2_latest_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CDC "current state" primitive as a single hash-agg (max_by) —
+    cheaper than window+filter: one shuffle, no sort, partial-aggregable.
+    ts is unique per user in the fixtures, so max_by is deterministic."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.max("ts").alias("last_ts"),
+            F.expr("max_by(event_type, ts)").alias("last_type"),
+            F.expr("max_by(value, ts)").alias("last_value"),
+            F.count("*").alias("n_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
+# --- I3: sliding window ---------------------------------------------------
+
+@register(
+    "e3_sliding_window",
+    oracle="""
+WITH x AS (
+  SELECT e.event_type, e.value,
+         make_timestamp(((epoch_us(e.ts) // 1800000000) - s.i) * 1800000000) AS wstart
+  FROM events e, (VALUES (0), (1)) s(i)
+)
+SELECT wstart, event_type, COUNT(*) AS n,
+       SUM(CAST(value AS DECIMAL(38,10))) AS sum_value
+FROM x
+GROUP BY 1, 2
+ORDER BY wstart, event_type
+""",
+)
+def e3_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour windows sliding every 30 min: each event lands in exactly 2
+    epoch-aligned windows; the oracle materializes both bucket starts
+    explicitly (SURVEY.md §2I: explode bucket offsets)."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), dec_sum("value", "sum_value"))
+        .select(F.col("w.start").alias("wstart"), "event_type", "n", "sum_value")
+        .orderBy("wstart", "event_type")
+    )
+
+
+# --- I4: session window (batch analog: lag-gap + running sum) ------------
+
+def sessionize(df: DataFrame, key: str, ts: str, gap_us: int) -> DataFrame:
+    """Assign gap-based session ids per key (batch twin of
+    F.session_window). New session when the gap to the previous event
+    exceeds ``gap_us``."""
+    w = W.partitionBy(key).orderBy(ts, "event_id")
+    us = F.unix_micros(F.col(ts).cast("timestamp"))
+    prev = F.lag(us).over(w)
+    is_new = F.when(prev.isNull() | ((us - prev) > gap_us), 1).otherwise(0)
+    return df.withColumn(
+        "session_id",
+        F.sum(is_new).over(w.rowsBetween(W.unboundedPreceding, W.currentRow)),
+    )
+
+
+@register(
+    "e4_session_window",
+    oracle="""
+WITH g AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT user_id, ts,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM g
+)
+SELECT user_id, session_id,
+       min(ts) AS session_start, max(ts) AS session_end,
+       COUNT(*) AS n_events
+FROM s
+GROUP BY user_id, session_id
+ORDER BY user_id, session_id
+""",
+)
+def e4_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    s = sessionize(ev, "user_id", "ts", SESSION_GAP_US)
+    return (
+        s.groupBy("user_id", "session_id")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count("*").alias("n_events"),
+        )
+        .orderBy("user_id", "session_id")
+    )
+
+
+# --- bonus: per-type daily value profile (H2 date functions in anger) ----
+
+@register(
+    "e5_daily_type_profile",
+    oracle="""
+SELECT date_trunc('day', ts) AS day, event_type,
+       COUNT(*) AS n,
+       ROUND(AVG(value), 4) AS avg_value,
+       ROUND(quantile_cont(value, 0.5), 4) AS p50_value
+FROM events
+GROUP BY 1, 2
+ORDER BY day, event_type
+""",
+)
+def e5_daily_type_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.date_trunc("day", "ts").alias("day"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            round4("AVG(value)", "avg_value"),
+            round4("percentile(value, 0.5)", "p50_value"),
+        )
+        .orderBy("day", "event_type")
+    )

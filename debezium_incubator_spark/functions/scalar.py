@@ -1,0 +1,330 @@
+"""Scalar-function surface (SURVEY.md §2H) — one oracle-checked query per
+family. All JVM-side built-ins (whole-stage codegen; no Python UDFs).
+
+Cross-engine parity notes are inline per query; the general rules:
+- regexp_replace: Spark replaces ALL matches by default, DuckDB only the
+  first → the oracle passes the 'g' flag.
+- dayofweek: Spark is 1=Sunday, DuckDB 0=Sunday → oracle adds 1.
+- Integer results of floor/ceil are cast to BIGINT on both sides
+  (Spark returns BIGINT natively, DuckDB DOUBLE).
+- No float→string rendering anywhere (engine-specific formatting).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..registry import register
+
+
+# --- H1: strings ----------------------------------------------------------
+
+@register(
+    "fn_string",
+    oracle="""
+SELECT p_partkey,
+       upper(p_name) AS uname,
+       lower(p_brand) AS lbrand,
+       length(p_name) AS name_len,
+       substring(p_type, 1, 4) AS type4,
+       concat(p_brand, ':', p_type) AS brand_type,
+       lpad(p_brand, 12, '.') AS padded,
+       trim(concat(' ', p_name, ' ')) AS trimmed,
+       regexp_extract(p_brand, '([0-9]+)', 1) AS brand_num,
+       regexp_replace(p_type, '[AEIOU]', '_', 'g') AS devowel,
+       replace(p_brand, 'Brand#', 'B') AS brand_short,
+       instr(p_type, 'O') AS o_pos,
+       translate(p_brand, '#', '-') AS brand_dash,
+       (p_brand LIKE 'Brand#1%') AS is_b1,
+       reverse(p_brand) AS rev,
+       split_part(p_brand, '#', 2) AS brand_id_str
+FROM part
+ORDER BY p_partkey
+""",
+)
+def fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("uname"),
+        F.lower("p_brand").alias("lbrand"),
+        F.length("p_name").alias("name_len"),
+        F.substring("p_type", 1, 4).alias("type4"),
+        F.concat("p_brand", F.lit(":"), "p_type").alias("brand_type"),
+        F.lpad("p_brand", 12, ".").alias("padded"),
+        F.trim(F.concat(F.lit(" "), "p_name", F.lit(" "))).alias("trimmed"),
+        F.regexp_extract("p_brand", "([0-9]+)", 1).alias("brand_num"),
+        F.regexp_replace("p_type", "[AEIOU]", "_").alias("devowel"),
+        F.expr("replace(p_brand, 'Brand#', 'B')").alias("brand_short"),
+        F.expr("instr(p_type, 'O')").alias("o_pos"),
+        F.translate("p_brand", "#", "-").alias("brand_dash"),
+        F.col("p_brand").like("Brand#1%").alias("is_b1"),
+        F.reverse("p_brand").alias("rev"),
+        F.expr("split_part(p_brand, '#', 2)").alias("brand_id_str"),
+    ).orderBy("p_partkey")
+
+
+# --- H2: date / time ------------------------------------------------------
+
+@register(
+    "fn_datetime",
+    oracle="""
+SELECT o_orderkey,
+       CAST(CAST(o_orderdate AS DATE) AS TIMESTAMP) AS d,
+       year(o_orderdate) AS y,
+       month(o_orderdate) AS m,
+       day(o_orderdate) AS dom,
+       quarter(o_orderdate) AS q,
+       dayofweek(CAST(o_orderdate AS DATE)) + 1 AS dow,
+       date_trunc('month', o_orderdate) AS month_start,
+       CAST(CAST(o_orderdate AS DATE) + 30 AS TIMESTAMP) AS plus30,
+       date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS days_since,
+       CAST(last_day(CAST(o_orderdate AS DATE)) AS TIMESTAMP) AS month_end,
+       CAST(make_date(2024, month(o_orderdate), 1) AS TIMESTAMP) AS anchor
+FROM orders
+ORDER BY o_orderkey
+""",
+)
+def fn_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parity: Spark dayofweek is 1=Sunday, DuckDB 0=Sunday (oracle +1);
+    datediff(end, start) ≡ date_diff('day', start, end)."""
+    o = table(spark, sf_dir, "orders")
+    ts = "timestamp_ntz"  # DATE outputs rendered as midnight timestamps
+    return o.select(
+        "o_orderkey",
+        F.col("o_orderdate").cast("date").cast(ts).alias("d"),
+        F.year("o_orderdate").alias("y"),
+        F.month("o_orderdate").alias("m"),
+        F.dayofmonth("o_orderdate").alias("dom"),
+        F.quarter("o_orderdate").alias("q"),
+        F.dayofweek(F.col("o_orderdate").cast("date")).alias("dow"),
+        F.date_trunc("month", "o_orderdate").alias("month_start"),
+        F.date_add(F.col("o_orderdate").cast("date"), 30).cast(ts).alias("plus30"),
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date")).alias(
+            "days_since"
+        ),
+        F.last_day(F.col("o_orderdate").cast("date")).cast(ts).alias("month_end"),
+        F.make_date(F.lit(2024), F.month("o_orderdate"), F.lit(1)).cast(ts).alias("anchor"),
+    ).orderBy("o_orderkey")
+
+
+# --- H3: math -------------------------------------------------------------
+
+@register(
+    "fn_math",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       ROUND(l_extendedprice, 1) AS price_r1,
+       CAST(floor(l_extendedprice) AS BIGINT) AS price_floor,
+       CAST(ceil(l_extendedprice) AS BIGINT) AS price_ceil,
+       abs(l_discount - 0.05) AS disc_dev,
+       ROUND(power(l_quantity, 2), 4) AS qty_sq,
+       ROUND(sqrt(l_quantity), 4) AS qty_sqrt,
+       ROUND(exp(l_discount), 4) AS disc_exp,
+       ROUND(ln(l_quantity + 1), 4) AS qty_ln,
+       ROUND(log10(l_extendedprice), 4) AS price_log10,
+       CAST(sign(l_discount - 0.05) AS INT) AS disc_sign,
+       greatest(l_quantity, 25.0) AS qty_hi,
+       least(l_quantity, 25.0) AS qty_lo,
+       l_linenumber % 3 AS ln_mod3
+FROM lineitem
+ORDER BY l_orderkey, l_linenumber
+""",
+)
+def fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transcendentals (exp/ln/log10) differ across libm implementations
+    only in the last ulp at these magnitudes — far inside ROUND(,4).
+    abs/greatest/least/% are exact."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round("l_extendedprice", 1).alias("price_r1"),
+        F.floor("l_extendedprice").cast("bigint").alias("price_floor"),
+        F.ceil("l_extendedprice").cast("bigint").alias("price_ceil"),
+        F.abs(F.col("l_discount") - 0.05).alias("disc_dev"),
+        F.round(F.pow("l_quantity", F.lit(2)), 4).alias("qty_sq"),
+        F.round(F.sqrt("l_quantity"), 4).alias("qty_sqrt"),
+        F.round(F.exp("l_discount"), 4).alias("disc_exp"),
+        F.round(F.log(F.col("l_quantity") + 1), 4).alias("qty_ln"),
+        F.round(F.log10("l_extendedprice"), 4).alias("price_log10"),
+        F.signum(F.col("l_discount") - 0.05).cast("int").alias("disc_sign"),
+        F.greatest("l_quantity", F.lit(25.0)).alias("qty_hi"),
+        F.least("l_quantity", F.lit(25.0)).alias("qty_lo"),
+        (F.col("l_linenumber") % 3).alias("ln_mod3"),
+    ).orderBy("l_orderkey", "l_linenumber")
+
+
+# --- H4: conditional / null handling -------------------------------------
+
+@register(
+    "fn_conditional",
+    oracle="""
+SELECT c_custkey,
+       CASE WHEN c_acctbal < 0 THEN 'neg'
+            WHEN c_acctbal < 5000 THEN 'mid'
+            ELSE 'high' END AS bal_band,
+       coalesce(NULLIF(c_mktsegment, 'BUILDING'), 'OTHER') AS seg_or_other,
+       (c_acctbal IS NULL) AS bal_is_null,
+       CASE WHEN c_nationkey IS NOT NULL THEN 'known' ELSE 'unknown' END AS nation_known,
+       coalesce(NULLIF(c_nationkey % 5, 0), -1) AS mod_or_neg
+FROM customer
+ORDER BY c_custkey
+""",
+)
+def fn_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.when(F.col("c_acctbal") < 0, "neg")
+        .when(F.col("c_acctbal") < 5000, "mid")
+        .otherwise("high")
+        .alias("bal_band"),
+        F.coalesce(F.nullif("c_mktsegment", F.lit("BUILDING")), F.lit("OTHER")).alias(
+            "seg_or_other"
+        ),
+        F.col("c_acctbal").isNull().alias("bal_is_null"),
+        F.when(F.col("c_nationkey").isNotNull(), "known")
+        .otherwise("unknown")
+        .alias("nation_known"),
+        F.coalesce(
+            F.nullif(F.col("c_nationkey") % 5, F.lit(0)), F.lit(-1)
+        ).alias("mod_or_neg"),
+    ).orderBy("c_custkey")
+
+
+# --- H5: arrays (incl. higher-order functions) ---------------------------
+
+@register(
+    "fn_array",
+    oracle="""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT vec_id,
+       len(v) AS dim,
+       ROUND(v[1], 6) AS first_elem,
+       ROUND(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), v), (s, x) -> s + x), 6) AS elem_sum,
+       ROUND(list_aggregate(v, 'max'), 6) AS elem_max,
+       ROUND(list_aggregate(v, 'min'), 6) AS elem_min,
+       len(list_filter(v, x -> x > 0.1)) AS n_big,
+       (len(list_filter(v, x -> x > 0.5)) > 0) AS has_huge,
+       ROUND(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             list_transform(v, x -> x * x)), (s, x) -> s + x), 6) AS norm_sq
+FROM e
+ORDER BY vec_id
+""",
+)
+def fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions over embedding vectors. Parity: both
+    sides fold left-to-right over the same element order, so double sums
+    are bit-identical (ROUND(,6) is belt-and-braces)."""
+    em = table(spark, sf_dir, "embeddings").withColumn(
+        "v", F.col("embedding").cast("array<double>")
+    )
+    return em.select(
+        "vec_id",
+        F.size("v").alias("dim"),
+        F.round(F.element_at("v", 1), 6).alias("first_elem"),
+        F.round(
+            F.aggregate("v", F.lit(0.0), lambda s, x: s + x), 6
+        ).alias("elem_sum"),
+        F.round(F.array_max("v"), 6).alias("elem_max"),
+        F.round(F.array_min("v"), 6).alias("elem_min"),
+        F.size(F.filter("v", lambda x: x > 0.1)).alias("n_big"),
+        F.exists("v", lambda x: x > 0.5).alias("has_huge"),
+        F.round(
+            F.aggregate(
+                F.transform("v", lambda x: x * x), F.lit(0.0), lambda s, x: s + x
+            ),
+            6,
+        ).alias("norm_sq"),
+    ).orderBy("vec_id")
+
+
+# --- H6: maps -------------------------------------------------------------
+
+@register(
+    "fn_map",
+    oracle="""
+SELECT event_id,
+       event_type AS mtype,
+       CAST(user_id AS VARCHAR) AS muid,
+       CAST(2 AS INT) AS msize,
+       'type,uid' AS mkeys
+FROM events
+ORDER BY event_id
+""",
+)
+def fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build a map, then read everything back out via map functions —
+    the oracle states the expected scalars directly (maps are engine-
+    internal; DuckDB's MAP accessors return lists, so scalar extraction
+    is the portable contract)."""
+    ev = table(spark, sf_dir, "events")
+    m = F.create_map(
+        F.lit("type"), F.col("event_type"),
+        F.lit("uid"), F.col("user_id").cast("string"),
+    )
+    return ev.select(
+        "event_id",
+        F.element_at(m, "type").alias("mtype"),
+        F.element_at(m, "uid").alias("muid"),
+        F.size(m).alias("msize"),
+        F.array_join(F.array_sort(F.map_keys(m)), ",").alias("mkeys"),
+    ).orderBy("event_id")
+
+
+# --- H7: JSON -------------------------------------------------------------
+
+@register(
+    "fn_json",
+    oracle="""
+SELECT event_id,
+       json_extract_string(props, '$.k') AS k_str,
+       CAST(json_extract_string(props, '$.k') AS INT) AS k_int,
+       (json_extract_string(props, '$.k') IS NOT NULL) AS has_k,
+       json_extract_string(props, '$.missing') AS missing_val
+FROM events
+ORDER BY event_id
+""",
+)
+def fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON extraction over events.props ('{"k": 87}'): path extraction,
+    typed parse via from_json, null on missing path."""
+    ev = table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").alias("k_str"),
+        F.from_json("props", "k INT").getField("k").alias("k_int"),
+        F.get_json_object("props", "$.k").isNotNull().alias("has_k"),
+        F.get_json_object("props", "$.missing").alias("missing_val"),
+    ).orderBy("event_id")
+
+
+# --- H9: hashing / encoding ----------------------------------------------
+
+@register(
+    "fn_hash",
+    oracle="""
+SELECT n_nationkey,
+       md5(n_name) AS h_md5,
+       sha256(n_name) AS h_sha256,
+       base64(n_name::BLOB) AS b64,
+       length(md5(n_name)) AS md5_len
+FROM nation
+ORDER BY n_nationkey
+""",
+)
+def fn_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content hashing (also the B7 hash-mask primitive). xxhash64/crc32
+    exist only Spark-side (no DuckDB twin) — exercised in the MinHash
+    operators instead."""
+    n = table(spark, sf_dir, "nation")
+    return n.select(
+        "n_nationkey",
+        F.md5("n_name").alias("h_md5"),
+        F.sha2("n_name", 256).alias("h_sha256"),
+        F.base64(F.col("n_name").cast("binary")).alias("b64"),
+        F.length(F.md5("n_name")).alias("md5_len"),
+    ).orderBy("n_nationkey")

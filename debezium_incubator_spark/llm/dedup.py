@@ -1,0 +1,281 @@
+"""Deduplication operators for training-data pipelines (SURVEY.md §2J).
+
+Four dedup tiers, cheapest-first — the standard LLM-corpus pipeline:
+exact (hash groupBy) → near-dup candidates (MinHash-LSH bands) →
+SimHash (hamming buckets) → exact n-gram Jaccard verification.
+
+Scale notes (100 TB): everything here is pure DataFrame ops — no Python
+in the hot path. Exact dedup is one shuffle on the text hash. MinHash:
+the signature computation is a single groupBy over exploded shingles
+(num_perm aggregate columns, map-side combined); LSH banding turns the
+O(n²) pair space into |bucket|² within bands — the only quadratic step
+is inside buckets, which stay small when bands/rows are tuned. SimHash
+pairs are bucketed by signature prefix for the same reason.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..registry import register
+
+NUM_PERM = 16
+BANDS = 4  # 4 bands × 4 rows
+ROWS_PER_BAND = NUM_PERM // BANDS
+SHINGLE_K = 3
+
+
+def normalized_text(col: str = "text") -> Column:
+    return F.lower(F.trim(F.col(col)))
+
+
+def dedup_exact_op(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """J1: drop exact duplicates by normalized-text hash; deterministic
+    winner = min doc_id. Returns the surviving rows."""
+    from pyspark.sql.window import Window as W
+
+    w = W.partitionBy(F.xxhash64(normalized_text(text_col)))
+    return (
+        df.withColumn("__keep", F.min("doc_id").over(w) == F.col("doc_id"))
+        .filter("__keep")
+        .drop("__keep")
+    )
+
+
+def shingles(text_col: str, k: int = SHINGLE_K) -> Column:
+    """k-token shingles as an array column (empty-safe)."""
+    toks = F.split(F.lower(F.col(text_col)), " ")
+    n = F.size(toks)
+    return F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(1), n - (k - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+        ),
+    ).otherwise(F.array(F.concat_ws(" ", toks)))
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    num_perm: int = NUM_PERM,
+) -> DataFrame:
+    """MinHash signature per doc: num_perm seeded xxhash64 permutations
+    over the distinct shingle set, all computed in ONE aggregation pass
+    (each permutation is an agg column → single shuffle)."""
+    sh = df.select(
+        F.col(id_col), F.explode(F.array_distinct(shingles(text_col))).alias("sh")
+    )
+    aggs = [
+        F.min(F.xxhash64(F.concat(F.lit(f"p{p}|"), F.col("sh")))).alias(f"mh{p}")
+        for p in range(num_perm)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidates(
+    sigs: DataFrame, id_col: str = "doc_id",
+    bands: int = BANDS, rows_per_band: int = ROWS_PER_BAND,
+) -> DataFrame:
+    """Band the signatures and emit candidate pairs (docs sharing any
+    band). Self-join per (band_id, band_hash) bucket — quadratic only
+    within buckets."""
+    sig_arr = F.array(*[F.col(f"mh{p}") for p in range(bands * rows_per_band)])
+    banded = sigs.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.xxhash64(
+                    F.concat_ws(
+                        ",",
+                        F.transform(
+                            F.slice(sig_arr, b * rows_per_band + 1, rows_per_band),
+                            lambda x: x.cast("string"),
+                        ),
+                    )
+                ),
+            )
+        ).alias("band_id", "band_hash"),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+# --- J1: exact dedup ------------------------------------------------------
+
+@register(
+    "dedup_exact",
+    oracle="""
+SELECT min(doc_id) AS doc_id, COUNT(*) AS n_copies
+FROM documents
+GROUP BY lower(trim(text))
+ORDER BY doc_id
+""",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup groups: winner doc_id + multiplicity per normalized
+    text. (The engine API form — surviving full rows — is
+    :func:`dedup_exact_op`; the group view is what the oracle can state
+    portably, since xxhash64 has no DuckDB twin.)"""
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.groupBy(normalized_text())
+        .agg(F.min("doc_id").alias("doc_id"), F.count("*").alias("n_copies"))
+        .select("doc_id", "n_copies")
+        .orderBy("doc_id")
+    )
+
+
+# --- J2: MinHash-LSH near-dup candidates — rows-only (seeded xxhash64) ---
+
+@register("dedup_minhash")
+def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup candidate pairs via MinHash-LSH, with the estimated
+    Jaccard (fraction of matching signature positions). Deterministic
+    (seeded hash family) but engine-specific → rows-only check."""
+    d = table(spark, sf_dir, "documents")
+    sigs = minhash_signatures(d)
+    cands = lsh_candidates(sigs)
+    sig_arr = F.array(*[F.col(f"mh{p}") for p in range(NUM_PERM)])
+    sa = sigs.select(F.col("doc_id").alias("doc_a"), sig_arr.alias("sig_a"))
+    sb = sigs.select(F.col("doc_id").alias("doc_b"), sig_arr.alias("sig_b"))
+    return (
+        cands.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.size(
+                    F.filter(
+                        F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+                        lambda eq: eq,
+                    )
+                )
+                / F.lit(float(NUM_PERM))
+            ).alias("est_jaccard"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# --- J2-exact: n-gram Jaccard similarity (oracle-checked) ----------------
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS ts FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, sh FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, greatest(len(ts) - 1, 1)),
+                  i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS sh
+    FROM toks WHERE len(ts) >= 3
+  )
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT i.doc_a, i.doc_b,
+       ROUND(i.i / (sa.n + sb.n - i.i), 4) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.doc_a
+JOIN sizes sb ON sb.doc_id = i.doc_b
+WHERE i.i / (sa.n + sb.n - i.i) >= 0.1
+ORDER BY doc_a, doc_b
+""",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard over shingle SETS, computed relationally:
+    explode distinct shingles → self-equi-join on shingle → |A∩B| /
+    (|A|+|B|−|A∩B|). This is the verification stage after LSH candidate
+    generation; at 100 TB you run it only on candidate pairs, never
+    all-pairs (the equi-join here IS the bounded version: docs sharing
+    no shingle never meet)."""
+    d = table(spark, sf_dir, "documents")
+    sh = (
+        d.filter(F.size(F.split(F.lower("text"), " ")) >= 3)
+        .select("doc_id", F.explode(F.array_distinct(shingles("text"))).alias("sh"))
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("i"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = F.col("i") / (F.col("na") + F.col("nb") - F.col("i"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(jac >= 0.1)
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# --- J2-alt: SimHash — rows-only (xxhash64 bit algebra) ------------------
+
+@register("dedup_simhash")
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash per doc + near-dup pairs at hamming distance ≤ 8.
+
+    Per token: xxhash64 → ±1 vote per bit position; signature bit i set
+    iff the summed vote is positive. All expression-level (explode over
+    64 bit positions is a 64× row expansion over tokens — bounded and
+    JVM-side). Pairing is all-pairs here (5k docs); at scale, bucket on
+    signature prefix bands first (same trick as LSH)."""
+    d = table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(F.array_distinct(F.split(F.lower("text"), " "))).alias("t")
+    ).withColumn("h", F.xxhash64("t"))
+    bits = tok.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(63))).alias("bit"),
+        F.col("h"),
+    ).withColumn(
+        "vote",
+        F.when(F.expr("(shiftright(h, bit) & 1) = 1"), 1).otherwise(-1),
+    )
+    sig = (
+        bits.groupBy("doc_id", "bit")
+        .agg(F.sum("vote").alias("v"))
+        .withColumn("bitval", F.when(F.col("v") > 0, 1).otherwise(0))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.expr("CAST(bitval AS BIGINT) * shiftleft(CAST(1 AS BIGINT), bit)")
+            ).alias("simhash")
+        )
+    )
+    a = sig.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("ha"))
+    b = sig.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("hb"))
+    return (
+        a.join(b, F.col("doc_a") < F.col("doc_b"))
+        .withColumn("hamming", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))))
+        .filter(F.col("hamming") <= 8)
+        .select("doc_a", "doc_b", "hamming")
+        .orderBy("doc_a", "doc_b")
+    )

@@ -1,0 +1,272 @@
+"""Similarity search over embedding vectors (SURVEY.md §2J J3/J4/J9).
+
+Brute-force cosine is the correctness baseline (expression-level: zip_with
+dot products inside whole-stage codegen — no Python). The scale path is
+LSH bucketing (random-hyperplane signs) which cuts the pair space from
+O(n²) to within-bucket; both are implemented below.
+
+Parity: the oracle folds dot products left-to-right exactly like Spark's
+F.aggregate, so doubles are bit-identical — ordering by raw cosine is
+engine-stable, ROUND(,6) on output is belt-and-braces.
+
+Scale notes (100 TB of embeddings): brute-force top-k against a QUERY
+vector is a broadcast + single pass (fine at any scale). ALL-PAIRS must
+go through LSH/IVF bucketing — the crossJoin baseline exists for
+verification only. For batched matrix kernels, swap the expression dot
+product for a numpy pandas_udf over mapInPandas (Arrow-vectorized); at
+fixture scale the JVM expression path is faster than Python round-trips.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..registry import register
+
+
+def dot(a, b) -> Column:
+    """Left-fold dot product (bit-reproducible across engines)."""
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda s, x: s + x)
+
+
+def norm_sq(v) -> Column:
+    return F.aggregate(F.transform(v, lambda x: x * x), F.lit(0.0),
+                       lambda s, x: s + x)
+
+
+def l2_normalize(v) -> Column:
+    """J9: x / ||x|| (expression-level)."""
+    n = F.sqrt(norm_sq(v))
+    return F.transform(v, lambda x: x / n)
+
+
+def _vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+
+
+_PAIR_ORACLE = """
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), n AS (
+  SELECT vec_id, v,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             list_transform(v, x -> x * x)), (s, x) -> s + x) AS nsq
+  FROM e
+), p AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i])),
+             (s, x) -> s + x) / (sqrt(a.nsq) * sqrt(b.nsq)) AS cos_raw
+  FROM n a JOIN n b ON a.vec_id < b.vec_id
+)
+"""
+
+
+# --- J3: all-pairs cosine top-k ------------------------------------------
+
+@register(
+    "s1_cosine_topk",
+    oracle=_PAIR_ORACLE
+    + """
+SELECT vec_a, vec_b, ROUND(cos_raw, 6) AS cos_sim
+FROM p
+ORDER BY cos_raw DESC, vec_a, vec_b
+LIMIT 20
+""",
+)
+def s1_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 most-similar pairs, brute force. Norms are precomputed per
+    row BEFORE the crossJoin (n·cost, not n²·cost)."""
+    e = _vectors(spark, sf_dir).withColumn("nsq", norm_sq("v"))
+    a = e.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"),
+                 F.col("nsq").alias("na"))
+    b = e.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"),
+                 F.col("nsq").alias("nb"))
+    cos_raw = dot("va", "vb") / (F.sqrt("na") * F.sqrt("nb"))
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cos_raw", cos_raw)
+        .orderBy(F.desc("cos_raw"), "vec_a", "vec_b")
+        .limit(20)
+        .select("vec_a", "vec_b", F.round("cos_raw", 6).alias("cos_sim"))
+    )
+
+
+# --- J4: KNN for one query vector ----------------------------------------
+
+@register(
+    "sim_knn",
+    oracle="""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), n AS (
+  SELECT vec_id, v,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             list_transform(v, x -> x * x)), (s, x) -> s + x) AS nsq
+  FROM e
+), q AS (SELECT v AS qv, nsq AS qn FROM n WHERE vec_id = 0),
+s AS (
+  SELECT n.vec_id,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             list_transform(range(1, len(n.v) + 1), i -> n.v[i] * q.qv[i])),
+             (s, x) -> s + x) / (sqrt(n.nsq) * sqrt(q.qn)) AS cos_raw
+  FROM n, q
+  WHERE n.vec_id <> 0
+)
+SELECT vec_id, ROUND(cos_raw, 6) AS cos_sim
+FROM s
+ORDER BY cos_raw DESC, vec_id
+LIMIT 10
+""",
+)
+def sim_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10 nearest neighbors of vec_id=0: broadcast the 1-row query side,
+    single scan of the corpus, TakeOrderedAndProject for the top-k —
+    this shape is 100 TB-safe as-is."""
+    e = _vectors(spark, sf_dir).withColumn("nsq", norm_sq("v"))
+    q = e.filter(F.col("vec_id") == 0).select(
+        F.col("v").alias("qv"), F.col("nsq").alias("qn")
+    )
+    cos_raw = dot("v", "qv") / (F.sqrt("nsq") * F.sqrt("qn"))
+    return (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .withColumn("cos_raw", cos_raw)
+        .orderBy(F.desc("cos_raw"), "vec_id")
+        .limit(10)
+        .select("vec_id", F.round("cos_raw", 6).alias("cos_sim"))
+    )
+
+
+# --- J2/J3: embedding-cosine near-duplicate pairs ------------------------
+
+@register(
+    "sim_neardup_cosine",
+    oracle=_PAIR_ORACLE
+    + """
+SELECT vec_a, vec_b, ROUND(cos_raw, 6) AS cos_sim
+FROM p
+WHERE cos_raw >= 0.9
+ORDER BY vec_a, vec_b
+""",
+)
+def sim_neardup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup detection in embedding space (threshold 0.9)."""
+    e = _vectors(spark, sf_dir).withColumn("nsq", norm_sq("v"))
+    a = e.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"),
+                 F.col("nsq").alias("na"))
+    b = e.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"),
+                 F.col("nsq").alias("nb"))
+    cos_raw = dot("va", "vb") / (F.sqrt("na") * F.sqrt("nb"))
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cos_raw", cos_raw)
+        .filter(F.col("cos_raw") >= 0.9)
+        .select("vec_a", "vec_b", F.round("cos_raw", 6).alias("cos_sim"))
+        .orderBy("vec_a", "vec_b")
+    )
+
+
+# --- J3 scale path: random-hyperplane LSH bucketing — rows-only ----------
+
+N_PLANES = 12
+
+
+def _hyperplanes(dim: int, n_planes: int = N_PLANES) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes from SHA-256 (seeded; no
+    runtime RNG — resumable and engine-independent)."""
+    planes = []
+    for p in range(n_planes):
+        row = []
+        for i in range(dim):
+            h = hashlib.sha256(f"plane{p}:{i}".encode()).digest()
+            row.append(int.from_bytes(h[:4], "big") / 2**31 - 1.0)
+        planes.append(row)
+    return planes
+
+
+def lsh_bucket(v, planes: list[list[float]]) -> Column:
+    """Signature = sign bits of plane dot products, packed into a long."""
+    sig = F.lit(0).cast("bigint")
+    for idx, plane in enumerate(planes):
+        d = F.aggregate(
+            F.zip_with(v, F.array(*[F.lit(x) for x in plane]), lambda a, b: a * b),
+            F.lit(0.0),
+            lambda s, x: s + x,
+        )
+        sig = sig + F.when(d > 0, F.lit(2**idx).cast("bigint")).otherwise(0)
+    return sig
+
+
+@register("sim_lsh_topk")
+def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate all-pairs top-20 via hyperplane LSH: pairs are only
+    formed within a signature bucket, collapsing the O(n²) pair space.
+    Recall is tunable by n_planes / multi-probe; this is the 100 TB path
+    for which s1_cosine_topk is the exact baseline. Deterministic
+    (seeded planes) → rows-only check."""
+    e = _vectors(spark, sf_dir).withColumn("nsq", norm_sq("v"))
+    planes = _hyperplanes(64)
+    e = e.withColumn("bucket", lsh_bucket(F.col("v"), planes))
+    a = e.select(F.col("bucket").alias("ba"), F.col("vec_id").alias("vec_a"),
+                 F.col("v").alias("va"), F.col("nsq").alias("na"))
+    b = e.select(F.col("bucket").alias("bb"), F.col("vec_id").alias("vec_b"),
+                 F.col("v").alias("vb"), F.col("nsq").alias("nb"))
+    cos_raw = dot("va", "vb") / (F.sqrt("na") * F.sqrt("nb"))
+    return (
+        a.join(b, (F.col("ba") == F.col("bb")) & (F.col("vec_a") < F.col("vec_b")))
+        .withColumn("cos_raw", cos_raw)
+        .orderBy(F.desc("cos_raw"), "vec_a", "vec_b")
+        .limit(20)
+        .select("vec_a", "vec_b", F.round("cos_raw", 6).alias("cos_sim"))
+    )
+
+
+# --- label centroids (grouped vector aggregation) ------------------------
+
+@register(
+    "sim_label_centroid",
+    oracle="""
+WITH e AS (
+  SELECT label, embedding::DOUBLE[] AS v FROM embeddings
+), x AS (
+  SELECT label, unnest(v) AS val,
+         generate_subscripts(v, 1) AS dim
+  FROM e
+)
+SELECT label, COUNT(DISTINCT dim) AS dims,
+       SUM(CASE WHEN dim = 1 THEN CAST(val AS DECIMAL(38,10)) END) AS centroid_d1,
+       SUM(CASE WHEN dim = 2 THEN CAST(val AS DECIMAL(38,10)) END) AS centroid_d2
+FROM x
+GROUP BY label
+ORDER BY label
+""",
+)
+def sim_label_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label vector sums (centroid numerators) for the first two
+    dimensions, in exact decimal — grouped vector aggregation via
+    posexplode (the relational form of a vector reduce)."""
+    e = _vectors(spark, sf_dir)
+    x = e.select(
+        "label", F.posexplode("v").alias("pos", "val")
+    ).withColumn("dim", F.col("pos") + 1)
+    return (
+        x.groupBy("label")
+        .agg(
+            F.countDistinct("dim").alias("dims"),
+            F.sum(F.when(F.col("dim") == 1, F.col("val").cast("decimal(38,10)"))).alias(
+                "centroid_d1"
+            ),
+            F.sum(F.when(F.col("dim") == 2, F.col("val").cast("decimal(38,10)"))).alias(
+                "centroid_d2"
+            ),
+        )
+        .orderBy("label")
+    )

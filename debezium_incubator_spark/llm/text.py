@@ -1,0 +1,267 @@
+"""Text-analysis operators for training-data pipelines (SURVEY.md §2J
+J5/J6/J7 + language-ID, quality scoring, fingerprinting).
+
+All expression-level (split / explode / higher-order array functions) —
+no Python in the hot path. Scale notes: token explosion multiplies rows
+by ~tokens/doc before the term aggregation; map-side combine collapses
+it to |vocab|·|partitions|. Per-doc scores are embarrassingly parallel
+(no shuffle at all).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..exprs import dec_sum, round4
+from ..registry import register
+
+EN_MARKERS = ("the", "a", "an", "of", "and", "is")
+
+
+def tokens(text_col: str = "text") -> Column:
+    return F.split(F.lower(F.col(text_col)), " ")
+
+
+# --- J5/J7: token stats per language slice -------------------------------
+
+@register(
+    "t1_token_stats",
+    oracle="""
+SELECT lang,
+       COUNT(*) AS n_docs,
+       SUM(len(string_split(lower(text), ' '))) AS total_tokens,
+       ROUND(AVG(len(string_split(lower(text), ' '))), 4) AS avg_tokens,
+       SUM(n_chars) AS total_chars,
+       COUNT(DISTINCT source) AS n_sources
+FROM documents
+GROUP BY lang
+ORDER BY lang
+""",
+)
+def t1_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    ntok = F.size(tokens())
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(ntok.cast("bigint")).alias("total_tokens"),
+            F.round(F.avg(ntok), 4).alias("avg_tokens"),
+            F.sum("n_chars").alias("total_chars"),
+            F.countDistinct("source").alias("n_sources"),
+        )
+        .orderBy("lang")
+    )
+
+
+# --- J6: term frequencies -------------------------------------------------
+
+@register(
+    "t2_term_freq",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents
+)
+SELECT term, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df
+FROM t
+GROUP BY term
+ORDER BY tf DESC, term
+LIMIT 20
+""",
+)
+def t2_term_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus term/document frequencies (the TF and DF halves of TF-IDF),
+    top-20 terms."""
+    d = table(spark, sf_dir, "documents")
+    t = d.select("doc_id", F.explode(tokens()).alias("term"))
+    return (
+        t.groupBy("term")
+        .agg(F.count("*").alias("tf"), F.countDistinct("doc_id").alias("df"))
+        .orderBy(F.desc("tf"), F.asc("term"))
+        .limit(20)
+    )
+
+
+# --- J6 full: TF-IDF (top term per doc) ----------------------------------
+
+@register(
+    "t6_tfidf_top_term",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents
+), tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM t GROUP BY 1, 2
+), df AS (
+  SELECT term, COUNT(DISTINCT doc_id) AS df FROM t GROUP BY 1
+), nd AS (SELECT COUNT(*) AS n FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+         tf.tf * ln(nd.n / df.df) AS tfidf
+  FROM tf JOIN df USING (term), nd
+), ranked AS (
+  SELECT doc_id, term, tfidf,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY tfidf DESC, term) AS rn
+  FROM scored
+)
+SELECT doc_id, term AS top_term, ROUND(tfidf, 4) AS tfidf
+FROM ranked WHERE rn = 1
+ORDER BY doc_id
+""",
+)
+def t6_tfidf_top_term(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF: tf(term,doc) · ln(N/df(term)); highest-scoring term per
+    doc. The doc-frequency side is a small broadcast join against the
+    exploded term table. Parity: ln(n/df) is one libm call on identical
+    int ratios → identical doubles; tf multiplier integer."""
+    d = table(spark, sf_dir, "documents")
+    t = d.select("doc_id", F.explode(tokens()).alias("term"))
+    tf = t.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df = t.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n = d.count()  # scalar: corpus size (driver-side constant is fine)
+    scored = tf.join(F.broadcast(df), "term").withColumn(
+        "tfidf", F.col("tf") * F.log(F.lit(n) / F.col("df"))
+    )
+    from pyspark.sql.window import Window as W
+
+    w = W.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("term").alias("top_term"),
+                F.round("tfidf", 4).alias("tfidf"))
+        .orderBy("doc_id")
+    )
+
+
+# --- quality scoring ------------------------------------------------------
+
+@register(
+    "t3_quality_score",
+    oracle="""
+WITH x AS (
+  SELECT doc_id, n_chars,
+         len(string_split(lower(text), ' ')) AS n_tokens,
+         len(list_distinct(string_split(lower(text), ' '))) AS n_distinct
+  FROM documents
+)
+SELECT doc_id, n_tokens, n_distinct,
+       ROUND(n_distinct / n_tokens, 4) AS ttr,
+       ROUND(0.5 * (n_distinct / n_tokens)
+             + 0.5 * least(n_tokens / 100.0, 1.0), 4) AS quality
+FROM x
+ORDER BY doc_id
+""",
+)
+def t3_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc quality: type-token ratio blended with a length factor —
+    the classic cheap quality gate before expensive pipeline stages."""
+    d = table(spark, sf_dir, "documents")
+    toks = tokens()
+    n_tokens = F.size(toks)
+    n_distinct = F.size(F.array_distinct(toks))
+    ttr = n_distinct / n_tokens
+    quality = 0.5 * ttr + 0.5 * F.least(n_tokens / F.lit(100.0), F.lit(1.0))
+    return d.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        n_distinct.alias("n_distinct"),
+        F.round(ttr, 4).alias("ttr"),
+        F.round(quality, 4).alias("quality"),
+    ).orderBy("doc_id")
+
+
+# --- language-ID heuristic ------------------------------------------------
+
+@register(
+    "t4_lang_id",
+    oracle="""
+WITH x AS (
+  SELECT doc_id, lang,
+         string_split(lower(text), ' ') AS ts
+  FROM documents
+), s AS (
+  SELECT doc_id, lang,
+         len(list_filter(ts, t -> t IN ('the', 'a', 'an', 'of', 'and', 'is'))) AS hits,
+         len(ts) AS n
+  FROM x
+)
+SELECT doc_id, lang, ROUND(hits / n, 4) AS en_ratio,
+       CASE WHEN hits / n >= 0.03 THEN 'en' ELSE 'other' END AS guessed
+FROM s
+ORDER BY doc_id
+""",
+)
+def t4_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language heuristic (n-gram/stopword family): ratio of
+    English marker tokens. On the synthetic shared-vocabulary fixture the
+    guess is degenerate by construction — the operator shape (profile
+    match → argmax/threshold) is what scales to real corpora."""
+    d = table(spark, sf_dir, "documents")
+    toks = tokens()
+    hits = F.size(F.filter(toks, lambda t: t.isin(*EN_MARKERS)))
+    ratio = hits / F.size(toks)
+    return d.select(
+        "doc_id",
+        "lang",
+        F.round(ratio, 4).alias("en_ratio"),
+        F.when(ratio >= 0.03, "en").otherwise("other").alias("guessed"),
+    ).orderBy("doc_id")
+
+
+# --- document fingerprinting (rolling hash) ------------------------------
+
+@register(
+    "t5_fingerprint",
+    oracle="""
+SELECT doc_id,
+       list_reduce(
+         list_prepend(CAST(0 AS BIGINT),
+           list_transform(string_split(lower(text), ' '),
+                          t -> CAST(length(t) * 7 + ascii(t) AS BIGINT))),
+         (h, v) -> (h * 31 + v) % 1000000007) AS fingerprint
+FROM documents
+ORDER BY doc_id
+""",
+)
+def t5_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive rolling-hash fingerprint (h = h·31 + f(token) mod
+    p) — detects exact reorder-free duplication; cheap enough to run on
+    every doc. Fold is left-to-right on both engines."""
+    d = table(spark, sf_dir, "documents")
+    fp = F.aggregate(
+        F.transform(
+            tokens(), lambda t: (F.length(t) * 7 + F.ascii(t)).cast("bigint")
+        ),
+        F.lit(0).cast("bigint"),
+        lambda h, v: (h * 31 + v) % 1000000007,
+    )
+    return d.select("doc_id", fp.alias("fingerprint")).orderBy("doc_id")
+
+
+# --- source-slice metrics (J7) -------------------------------------------
+
+@register(
+    "t7_source_slices",
+    oracle="""
+SELECT source, lang, COUNT(*) AS n_docs,
+       SUM(n_chars) AS total_chars,
+       ROUND(AVG(n_chars), 4) AS avg_chars
+FROM documents
+GROUP BY source, lang
+ORDER BY source, lang
+""",
+)
+def t7_source_slices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.groupBy("source", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            round4("AVG(n_chars)", "avg_chars"),
+        )
+        .orderBy("source", "lang")
+    )

@@ -1,0 +1,284 @@
+"""Aggregation operators (SURVEY.md §2D).
+
+Reference basis: Debezium performs no aggregation (per-record pipeline,
+/root/reference/README.md:13); this is the consumer-side query surface
+every Debezium deployment delegates to a downstream engine.
+
+Scale notes (100 TB): every groupBy here compiles to Catalyst's
+partial→shuffle→final HashAggregate, so the map-side combine bounds
+shuffle volume by |groups|·|partitions|, not |rows|. Low-cardinality
+group keys (returnflag×linestatus = 6 groups) shuffle kilobytes even at
+100 TB. High-cardinality keys (user_id) hash-distribute evenly; skewed
+keys are handled by AQE skew splitting (enabled in session.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..exprs import dec_sum, round4
+from ..registry import register
+
+
+# --- D1: hash aggregate (flagship; TPC-H Q1 shape) -----------------------
+
+@register(
+    "q1_pricing_summary",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       SUM(CAST(l_quantity AS DECIMAL(38,10))) AS sum_qty,
+       SUM(CAST(l_extendedprice AS DECIMAL(38,10))) AS sum_base_price,
+       SUM(CAST((l_extendedprice * (1 - l_discount)) AS DECIMAL(38,10))) AS sum_disc_price,
+       SUM(CAST((l_extendedprice * (1 - l_discount) * (1 + l_tax)) AS DECIMAL(38,10))) AS sum_charge,
+       ROUND(AVG(l_quantity), 4) AS avg_qty,
+       ROUND(AVG(l_extendedprice), 4) AS avg_price,
+       ROUND(AVG(l_discount), 4) AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+""",
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan → filter → hash-agg → sort. The flagship end-to-end slice.
+
+    Plan check: filter + 8-column projection push into the parquet scan;
+    6 output groups → partial aggregation collapses before the shuffle.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.expr("l_shipdate <= TIMESTAMP_NTZ '1998-09-02'"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dec_sum("l_quantity", "sum_qty"),
+            dec_sum("l_extendedprice", "sum_base_price"),
+            dec_sum("l_extendedprice * (1 - l_discount)", "sum_disc_price"),
+            dec_sum("l_extendedprice * (1 - l_discount) * (1 + l_tax)", "sum_charge"),
+            round4("AVG(l_quantity)", "avg_qty"),
+            round4("AVG(l_extendedprice)", "avg_price"),
+            round4("AVG(l_discount)", "avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+# --- D2: distinct aggregates ---------------------------------------------
+
+@register(
+    "agg_distinct",
+    oracle="""
+SELECT l_returnflag,
+       COUNT(DISTINCT l_partkey) AS n_parts,
+       COUNT(DISTINCT l_suppkey) AS n_supps,
+       SUM(DISTINCT CAST(l_quantity AS DECIMAL(38,10))) AS sum_distinct_qty
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+)
+def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """count(distinct)/sum(distinct). Catalyst expands multi-distinct via
+    Expand + two-phase agg; at scale the expand multiplies rows by the
+    number of distinct clauses — acceptable for 3, not 30."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_partkey").alias("n_parts"),
+            F.countDistinct("l_suppkey").alias("n_supps"),
+            F.expr("SUM(DISTINCT CAST(l_quantity AS DECIMAL(38,10)))").alias(
+                "sum_distinct_qty"
+            ),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# --- D3: approximate count-distinct (HLL) — rows-only (engine-specific) --
+
+@register("agg_approx_distinct")
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ cardinality. No oracle: DuckDB's approx_count_distinct uses a
+    different sketch, so results legitimately diverge (SURVEY.md §5.2).
+    At 100 TB this is THE distinct-count: fixed-size sketch per group,
+    mergeable map-side, no expand."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(F.approx_count_distinct("l_orderkey", 0.01).alias("approx_orders"))
+        .orderBy("l_returnflag")
+    )
+
+
+# --- D4: rollup / cube / grouping sets -----------------------------------
+
+@register(
+    "agg_rollup",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       SUM(CAST(l_quantity AS DECIMAL(38,10))) AS sum_qty,
+       COUNT(*) AS n
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+ORDER BY l_returnflag NULLS LAST, l_linestatus NULLS LAST
+""",
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-granularity totals via ROLLUP (Expand → single agg pass)."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(dec_sum("l_quantity", "sum_qty"), F.count("*").alias("n"))
+        .orderBy(
+            F.asc_nulls_last("l_returnflag"), F.asc_nulls_last("l_linestatus")
+        )
+    )
+
+
+@register(
+    "agg_cube",
+    oracle="""
+SELECT o_orderstatus, o_orderpriority,
+       SUM(CAST(o_totalprice AS DECIMAL(38,10))) AS sum_price,
+       COUNT(*) AS n
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+ORDER BY o_orderstatus NULLS LAST, o_orderpriority NULLS LAST
+""",
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(dec_sum("o_totalprice", "sum_price"), F.count("*").alias("n"))
+        .orderBy(
+            F.asc_nulls_last("o_orderstatus"), F.asc_nulls_last("o_orderpriority")
+        )
+    )
+
+
+# --- D5: collect / list-agg ----------------------------------------------
+
+@register(
+    "agg_collect",
+    oracle="""
+SELECT n_regionkey,
+       STRING_AGG(DISTINCT n_name, ',' ORDER BY n_name) AS nations,
+       COUNT(*) AS n
+FROM nation
+GROUP BY n_regionkey
+ORDER BY n_regionkey
+""",
+)
+def agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect_set → sort → join: deterministic list-agg (collect order is
+    partition-dependent, so sort before serializing)."""
+    nation = table(spark, sf_dir, "nation")
+    return (
+        nation.groupBy("n_regionkey")
+        .agg(
+            F.array_join(F.array_sort(F.collect_set("n_name")), ",").alias("nations"),
+            F.count("*").alias("n"),
+        )
+        .orderBy("n_regionkey")
+    )
+
+
+# --- D8: pivot ------------------------------------------------------------
+
+_EVENT_TYPES = ["click", "view", "purchase", "signup", "error"]
+
+
+@register(
+    "agg_pivot",
+    oracle="""
+SELECT user_id,
+       COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+       COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS view,
+       COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+       COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+       COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS error
+FROM events
+GROUP BY user_id
+ORDER BY user_id
+""",
+)
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows→columns. Explicit pivot values keep the plan single-pass (no
+    extra distinct-values job) — mandatory at scale."""
+    ev = table(spark, sf_dir, "events")
+    out = (
+        ev.groupBy("user_id")
+        .pivot("event_type", _EVENT_TYPES)
+        .count()
+        .na.fill(0, _EVENT_TYPES)  # pivot yields null for empty cells
+        .orderBy("user_id")
+    )
+    return out
+
+
+# --- D9: percentiles / median --------------------------------------------
+
+@register(
+    "agg_percentile",
+    oracle="""
+SELECT l_returnflag,
+       ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+       ROUND(quantile_cont(l_extendedprice, 0.95), 4) AS p95,
+       ROUND(quantile_cont(l_quantity, 0.5), 4) AS qty_median
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+)
+def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (both engines: linear interpolation
+    on the sorted column). At 100 TB prefer approx_percentile — exact
+    percentile materializes per-group sorted buffers."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            round4("percentile(l_extendedprice, 0.5)", "p50"),
+            round4("percentile(l_extendedprice, 0.95)", "p95"),
+            round4("percentile(l_quantity, 0.5)", "qty_median"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# --- D10: second-moment statistics ---------------------------------------
+
+@register(
+    "agg_stats",
+    oracle="""
+SELECT l_returnflag,
+       ROUND(stddev_samp(l_quantity), 4) AS sd_qty,
+       ROUND(var_samp(l_discount), 4) AS var_disc,
+       ROUND(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+       ROUND(covar_samp(l_discount, l_tax), 4) AS covar_disc_tax
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+)
+def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second moments. Parity note: both engines use single-pass stable
+    algorithms whose float drift is ~1e-12 at these magnitudes (|x|≲50),
+    far inside the ROUND(,4) resolution; large-magnitude columns (price
+    ~4e4) would risk boundary flips and are deliberately avoided."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            round4("stddev_samp(l_quantity)", "sd_qty"),
+            round4("var_samp(l_discount)", "var_disc"),
+            round4("corr(l_quantity, l_extendedprice)", "corr_qty_price"),
+            round4("covar_samp(l_discount, l_tax)", "covar_disc_tax"),
+        )
+        .orderBy("l_returnflag")
+    )

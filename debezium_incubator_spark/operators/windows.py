@@ -1,0 +1,191 @@
+"""Window-function operators (SURVEY.md §2E).
+
+Scale notes (100 TB): window functions shuffle once on partitionBy keys
+and sort within partitions. High-cardinality keys (custkey, user_id)
+distribute well. Rank-filter patterns (rn <= k) benefit from Spark 3.5+
+WindowGroupLimit pushdown — the full rank never materializes. The one
+anti-pattern is an un-partitioned window (E7): single partition, driver
+OOM at scale — only valid post-aggregation on small results.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from ..catalog import table
+from ..registry import register
+
+
+def topk_per_group(
+    df: DataFrame, keys: list[str], order_by, k: int, rank_col: str = "rn"
+) -> DataFrame:
+    """E1 as a reusable operator: deterministic top-k per group."""
+    w = W.partitionBy(*keys).orderBy(*order_by)
+    return df.withColumn(rank_col, F.row_number().over(w)).filter(
+        F.col(rank_col) <= k
+    )
+
+
+# --- E1: top-k per group --------------------------------------------------
+
+@register(
+    "w1_topk_per_group",
+    oracle="""
+SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders) t
+WHERE rn <= 3
+""",
+)
+def w1_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer. Check plan for WindowGroupLimit — ranks
+    beyond k are pruned before the full sort output materializes."""
+    o = table(spark, sf_dir, "orders")
+    return topk_per_group(
+        o.select("o_custkey", "o_orderkey", "o_totalprice"),
+        ["o_custkey"],
+        [F.desc("o_totalprice"), F.asc("o_orderkey")],
+        3,
+    )
+
+
+# --- E2: rank family ------------------------------------------------------
+
+@register(
+    "w_rank_family",
+    oracle="""
+SELECT s_nationkey, s_suppkey, s_acctbal,
+       rank()         OVER w AS rnk,
+       dense_rank()   OVER w AS drnk,
+       ntile(4)       OVER w AS quartile,
+       ROUND(percent_rank() OVER w, 4) AS prank,
+       ROUND(cume_dist()    OVER w, 4) AS cdist
+FROM supplier
+WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal DESC, s_suppkey)
+""",
+)
+def w_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = table(spark, sf_dir, "supplier")
+    w = W.partitionBy("s_nationkey").orderBy(F.desc("s_acctbal"), F.asc("s_suppkey"))
+    return s.select(
+        "s_nationkey",
+        "s_suppkey",
+        "s_acctbal",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 4).alias("prank"),
+        F.round(F.cume_dist().over(w), 4).alias("cdist"),
+    )
+
+
+# --- E3: lag / lead (inter-event deltas — CDC diffing primitive) ---------
+
+@register(
+    "w_lag_delta",
+    oracle="""
+SELECT event_id, user_id,
+       epoch_us(ts) - lag(epoch_us(ts)) OVER w AS gap_us,
+       lead(event_type) OVER w AS next_type
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+""",
+)
+def w_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user inter-event gap in integer microseconds (exact parity —
+    no float time math)."""
+    ev = table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    return ev.select(
+        "event_id",
+        "user_id",
+        (us - F.lag(us).over(w)).alias("gap_us"),
+        F.lead("event_type").over(w).alias("next_type"),
+    )
+
+
+# --- E4: first / last in frame -------------------------------------------
+
+@register(
+    "w_first_last",
+    oracle="""
+SELECT event_id, user_id,
+       first_value(event_type) OVER w AS first_type,
+       last_value(event_type)  OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND UNBOUNDED FOLLOWING) AS last_type
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+""",
+)
+def w_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    wfull = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.first("event_type").over(w).alias("first_type"),
+        F.last("event_type").over(wfull).alias("last_type"),
+    )
+
+
+# --- E5: running / cumulative aggregate ----------------------------------
+
+@register(
+    "w_running_sum",
+    oracle="""
+SELECT event_id, user_id,
+       SUM(CAST(value AS DECIMAL(38,10))) OVER (PARTITION BY user_id
+            ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_value,
+       COUNT(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS event_seq
+FROM events
+""",
+)
+def w_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running totals in exact decimal — frame accumulation order is
+    deterministic, but decimal keeps parity bit-exact anyway."""
+    ev = table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.sum(F.col("value").cast("decimal(38,10)")).over(w).alias("running_value"),
+        F.count("*").over(w).alias("event_seq"),
+    )
+
+
+# --- E6: sliding frame (moving average) ----------------------------------
+
+@register(
+    "w_moving_avg",
+    oracle="""
+SELECT event_id, user_id,
+       ROUND(AVG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 4) AS mavg5
+FROM events
+""",
+)
+def w_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-4, W.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.avg("value").over(w), 4).alias("mavg5"),
+    )

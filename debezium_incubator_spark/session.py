@@ -1,0 +1,57 @@
+"""SparkSession construction with engine defaults.
+
+Scale posture: these defaults are tuned so the same declarative plans
+survive a 1000-executor / 100 TB deployment — AQE on (runtime coalesce +
+skew-join splitting), partition sizing left to
+``spark.sql.files.maxPartitionBytes`` (128 MB default → ~800k input
+splits at 100 TB, a healthy task count), Arrow enabled for the few
+Pandas-UDF paths. Locally we run ``local[N]``.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# SQL confs that are runtime-settable — applied defensively to any session
+# handed to us (the verify driver builds its own session; see ensure_conf).
+_RUNTIME_CONFS = {
+    # events.ts is parquet timestamp[ns]; Spark refuses it by default
+    # (PARQUET_TYPE_ILLEGAL). Read as long epoch-nanos instead (FIXTURES.md).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # DuckDB oracle timestamps are UTC-naive; pin the session zone.
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+}
+
+
+def ensure_conf(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable engine confs to an existing session."""
+    for k, v in _RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # immutable in this deployment; builder path sets it
+    return spark
+
+
+def get_spark(app_name: str = "debezium_incubator_spark") -> SparkSession:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        # ~cores for local; on a real cluster this scales with AQE
+        # (coalescePartitions) so over-provisioning is cheap.
+        .config("spark.sql.shuffle.partitions", str(max(int(cpus), 8)))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+    )
+    for k, v in _RUNTIME_CONFS.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return ensure_conf(spark)
