@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from ..catalog import table
-from ..exprs import dec_sum, round4
+from ..exprs import money_sum, round4
 from ..registry import register
 
 SESSION_GAP_US = 1_800_000_000  # 30 minutes
@@ -32,7 +32,7 @@ SESSION_GAP_US = 1_800_000_000  # 30 minutes
     oracle="""
 SELECT date_trunc('hour', ts) AS bucket, event_type,
        COUNT(*) AS n,
-       SUM(CAST(value AS DECIMAL(38,10))) AS sum_value
+       SUM(CAST(floor((value) * 10000 + 0.5) AS BIGINT)) / CAST(10000 AS DOUBLE) AS sum_value
 FROM events
 GROUP BY 1, 2
 ORDER BY bucket, event_type
@@ -45,7 +45,7 @@ def e1_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events")
     return (
         ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
-        .agg(F.count("*").alias("n"), dec_sum("value", "sum_value"))
+        .agg(F.count("*").alias("n"), money_sum("value", "sum_value"))
         .select(
             F.col("w.start").alias("bucket"), "event_type", "n", "sum_value"
         )
@@ -96,7 +96,7 @@ WITH x AS (
   FROM events e, (VALUES (0), (1)) s(i)
 )
 SELECT wstart, event_type, COUNT(*) AS n,
-       SUM(CAST(value AS DECIMAL(38,10))) AS sum_value
+       SUM(CAST(floor((value) * 10000 + 0.5) AS BIGINT)) / CAST(10000 AS DOUBLE) AS sum_value
 FROM x
 GROUP BY 1, 2
 ORDER BY wstart, event_type
@@ -109,7 +109,7 @@ def e3_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events")
     return (
         ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
-        .agg(F.count("*").alias("n"), dec_sum("value", "sum_value"))
+        .agg(F.count("*").alias("n"), money_sum("value", "sum_value"))
         .select(F.col("w.start").alias("wstart"), "event_type", "n", "sum_value")
         .orderBy("wstart", "event_type")
     )

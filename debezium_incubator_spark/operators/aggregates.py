@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import table
-from ..exprs import dec_sum, round4
+from ..exprs import money_sum, round4
 from ..registry import register
 
 
@@ -28,10 +28,10 @@ from ..registry import register
     "q1_pricing_summary",
     oracle="""
 SELECT l_returnflag, l_linestatus,
-       SUM(CAST(l_quantity AS DECIMAL(38,10))) AS sum_qty,
-       SUM(CAST(l_extendedprice AS DECIMAL(38,10))) AS sum_base_price,
-       SUM(CAST((l_extendedprice * (1 - l_discount)) AS DECIMAL(38,10))) AS sum_disc_price,
-       SUM(CAST((l_extendedprice * (1 - l_discount) * (1 + l_tax)) AS DECIMAL(38,10))) AS sum_charge,
+       SUM(CAST(floor((l_quantity) * 10000 + 0.5) AS BIGINT)) / CAST(10000 AS DOUBLE) AS sum_qty,
+       SUM(CAST(floor((l_extendedprice) * 10000 + 0.5) AS BIGINT)) / CAST(10000 AS DOUBLE) AS sum_base_price,
+       SUM(CAST(floor(((l_extendedprice * (1 - l_discount))) * 10000 + 0.5) AS BIGINT)) / CAST(10000 AS DOUBLE) AS sum_disc_price,
+       SUM(CAST(floor(((l_extendedprice * (1 - l_discount) * (1 + l_tax))) * 10000 + 0.5) AS BIGINT)) / CAST(10000 AS DOUBLE) AS sum_charge,
        ROUND(AVG(l_quantity), 4) AS avg_qty,
        ROUND(AVG(l_extendedprice), 4) AS avg_price,
        ROUND(AVG(l_discount), 4) AS avg_disc,
@@ -53,10 +53,10 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(F.expr("l_shipdate <= TIMESTAMP_NTZ '1998-09-02'"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            dec_sum("l_quantity", "sum_qty"),
-            dec_sum("l_extendedprice", "sum_base_price"),
-            dec_sum("l_extendedprice * (1 - l_discount)", "sum_disc_price"),
-            dec_sum("l_extendedprice * (1 - l_discount) * (1 + l_tax)", "sum_charge"),
+            money_sum("l_quantity", "sum_qty"),
+            money_sum("l_extendedprice", "sum_base_price"),
+            money_sum("l_extendedprice * (1 - l_discount)", "sum_disc_price"),
+            money_sum("l_extendedprice * (1 - l_discount) * (1 + l_tax)", "sum_charge"),
             round4("AVG(l_quantity)", "avg_qty"),
             round4("AVG(l_extendedprice)", "avg_price"),
             round4("AVG(l_discount)", "avg_disc"),
@@ -120,7 +120,7 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_rollup",
     oracle="""
 SELECT l_returnflag, l_linestatus,
-       SUM(CAST(l_quantity AS DECIMAL(38,10))) AS sum_qty,
+       SUM(CAST(floor((l_quantity) * 10000 + 0.5) AS BIGINT)) / CAST(10000 AS DOUBLE) AS sum_qty,
        COUNT(*) AS n
 FROM lineitem
 GROUP BY ROLLUP (l_returnflag, l_linestatus)
@@ -132,7 +132,7 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem")
     return (
         li.rollup("l_returnflag", "l_linestatus")
-        .agg(dec_sum("l_quantity", "sum_qty"), F.count("*").alias("n"))
+        .agg(money_sum("l_quantity", "sum_qty"), F.count("*").alias("n"))
         .orderBy(
             F.asc_nulls_last("l_returnflag"), F.asc_nulls_last("l_linestatus")
         )
@@ -143,7 +143,7 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_cube",
     oracle="""
 SELECT o_orderstatus, o_orderpriority,
-       SUM(CAST(o_totalprice AS DECIMAL(38,10))) AS sum_price,
+       SUM(CAST(floor((o_totalprice) * 10000 + 0.5) AS BIGINT)) / CAST(10000 AS DOUBLE) AS sum_price,
        COUNT(*) AS n
 FROM orders
 GROUP BY CUBE (o_orderstatus, o_orderpriority)
@@ -154,7 +154,7 @@ def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = table(spark, sf_dir, "orders")
     return (
         orders.cube("o_orderstatus", "o_orderpriority")
-        .agg(dec_sum("o_totalprice", "sum_price"), F.count("*").alias("n"))
+        .agg(money_sum("o_totalprice", "sum_price"), F.count("*").alias("n"))
         .orderBy(
             F.asc_nulls_last("o_orderstatus"), F.asc_nulls_last("o_orderpriority")
         )

@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from ..catalog import table
-from ..exprs import dec_sum
+from ..exprs import money_sum
 from ..registry import register
 
 
@@ -96,7 +96,7 @@ def join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q3_shipping_priority",
     oracle="""
 SELECT l.l_orderkey,
-       SUM(CAST((l.l_extendedprice * (1 - l.l_discount)) AS DECIMAL(38,10))) AS revenue,
+       SUM(CAST(floor(((l.l_extendedprice * (1 - l.l_discount))) * 10000 + 0.5) AS BIGINT)) / CAST(10000 AS DOUBLE) AS revenue,
        o.o_orderdate, o.o_orderpriority
 FROM customer c
 JOIN orders o ON c.c_custkey = o.o_custkey
@@ -110,8 +110,8 @@ LIMIT 10
 """,
 )
 def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """3-way join + agg + top-10. Revenue sums are exact decimals, so the
-    ORDER BY boundary is bit-stable across engines; l_orderkey breaks
+    """3-way join + agg + top-10. Revenue sums are exact fixed-point, so
+    the ORDER BY boundary is bit-stable across engines; l_orderkey breaks
     ties deterministically."""
     c = table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     o = table(spark, sf_dir, "orders").filter(
@@ -124,7 +124,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         l.join(o, l.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(dec_sum("l_extendedprice * (1 - l_discount)", "revenue"))
+        .agg(money_sum("l_extendedprice * (1 - l_discount)", "revenue"))
         .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
         .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
         .limit(10)
@@ -137,7 +137,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q5_local_supplier",
     oracle="""
 SELECT n.n_name,
-       SUM(CAST((l.l_extendedprice * (1 - l.l_discount)) AS DECIMAL(38,10))) AS revenue
+       SUM(CAST(floor(((l.l_extendedprice * (1 - l.l_discount))) * 10000 + 0.5) AS BIGINT)) / CAST(10000 AS DOUBLE) AS revenue
 FROM customer c
 JOIN orders o ON c.c_custkey = o.o_custkey
 JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -176,7 +176,7 @@ def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("n_name")
-        .agg(dec_sum("l_extendedprice * (1 - l_discount)", "revenue"))
+        .agg(money_sum("l_extendedprice * (1 - l_discount)", "revenue"))
         .orderBy(F.desc("revenue"), F.asc("n_name"))
     )
 
@@ -302,7 +302,7 @@ WITH bands(band_id, lo, hi) AS (VALUES (0, 0.0, 10.0), (1, 10.0, 25.0),
                                        (2, 25.0, 40.0), (3, 40.0, 100.0))
 SELECT b.band_id,
        COUNT(*) AS n_items,
-       SUM(CAST(l.l_extendedprice AS DECIMAL(38,10))) AS sum_price
+       SUM(CAST(floor((l.l_extendedprice) * 10000 + 0.5) AS BIGINT)) / CAST(10000 AS DOUBLE) AS sum_price
 FROM lineitem l JOIN bands b ON l.l_quantity >= b.lo AND l.l_quantity < b.hi
 GROUP BY b.band_id
 ORDER BY b.band_id
@@ -323,7 +323,7 @@ def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("band_id")
         .agg(
             F.count("*").alias("n_items"),
-            dec_sum("l_extendedprice", "sum_price"),
+            money_sum("l_extendedprice", "sum_price"),
         )
         .orderBy("band_id")
     )
