@@ -1,0 +1,136 @@
+"""Multimodal column plumbing (SURVEY.md §2J J8): image/audio/video as
+opaque binary columns with typed metadata, processed via Arrow-batched
+mapInPandas.
+
+The actual media codecs (PIL/ffmpeg/torchaudio) are NOT in this
+container — the decode kernel is stubbed behind ``decode_image`` (raises
+NotImplementedError) with a deterministic fake
+(``fake_decode_features``) standing in so the Spark-side plumbing —
+schema, batch iteration, partitioning, UDF signatures — is real and
+tested end-to-end.
+
+Scale notes (100 TB of media): binary payloads ride Parquet binary
+columns; mapInPandas streams Arrow batches so one task never holds more
+than spark.sql.execution.arrow.maxRecordsPerBatch payloads; decode is
+embarrassingly parallel (no shuffle). Co-locate bytes with metadata at
+write time (same row) to avoid a payload join. For very large assets,
+store object-store URIs in the column instead and fetch inside the
+kernel — same operator shape.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..catalog import table
+from ..registry import register
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("mime", T.StringType()),
+                    T.StructField("n_bytes", T.LongType()),
+                    T.StructField("source", T.StringType()),
+                ]
+            ),
+        ),
+    ]
+)
+
+
+def decode_image(payload: bytes) -> dict:
+    """Real media decode — requires an image codec library.
+
+    STUB: PIL/opencv are not installed in this environment. Swap this
+    for e.g. ``PIL.Image.open(io.BytesIO(payload))`` in a deployment
+    with codecs; the surrounding Spark plumbing is unchanged.
+    """
+    raise NotImplementedError(
+        "media codecs not available in this environment; "
+        "use fake_decode_features for plumbing tests"
+    )
+
+
+def fake_decode_features(payload: bytes) -> dict:
+    """Deterministic stand-in for decode: derives pseudo 'dimensions' and
+    a content checksum from the bytes alone."""
+    n = len(payload)
+    return {
+        "width": (payload[0] % 64) + 1 if n else 0,
+        "height": (payload[-1] % 64) + 1 if n else 0,
+        "checksum": sum(payload[:256]) % 65536,
+        "n_bytes": n,
+    }
+
+
+def to_media_table(docs: DataFrame) -> DataFrame:
+    """Synthesize a media table from the documents fixture: payload =
+    UTF-8 bytes of the text (a deterministic opaque blob), metadata
+    struct alongside — the J8 storage shape."""
+    return docs.select(
+        "doc_id",
+        F.encode("text", "UTF-8").alias("payload"),
+        F.struct(
+            F.lit("application/octet-stream").alias("mime"),
+            F.length(F.encode("text", "UTF-8")).cast("long").alias("n_bytes"),
+            F.col("source").alias("source"),
+        ).alias("meta"),
+    )
+
+
+DECODED_SCHEMA = (
+    "doc_id LONG, source STRING, width INT, height INT, checksum INT, n_bytes LONG"
+)
+
+
+def decode_features(media: DataFrame, kernel=fake_decode_features) -> DataFrame:
+    """J8 decode / feature-extract over Arrow batches (mapInPandas).
+
+    ``kernel`` is the per-payload decoder — ``fake_decode_features`` in
+    this environment, a real codec in production."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [kernel(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "source": [m["source"] for m in pdf["meta"]],
+                    "width": [f["width"] for f in feats],
+                    "height": [f["height"] for f in feats],
+                    "checksum": [f["checksum"] for f in feats],
+                    "n_bytes": [f["n_bytes"] for f in feats],
+                }
+            )
+
+    return media.mapInPandas(run, DECODED_SCHEMA)
+
+
+@register("mm_decode_stats")
+def mm_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: full multimodal pipeline — binary payload column +
+    metadata struct → Arrow-batched decode kernel → per-source feature
+    stats. Deterministic (fake decoder is byte-derived)."""
+    docs = table(spark, sf_dir, "documents")
+    decoded = decode_features(to_media_table(docs))
+    return (
+        decoded.groupBy("source")
+        .agg(
+            F.count("*").alias("n_assets"),
+            F.sum("n_bytes").alias("total_bytes"),
+            F.avg("width").alias("avg_width"),
+            F.max("checksum").alias("max_checksum"),
+        )
+        .orderBy("source")
+    )

@@ -56,7 +56,7 @@ def load_all() -> None:
     from .functions import scalar  # noqa: F401
     from .events import analytics  # noqa: F401
     from .cdc import materialize  # noqa: F401
-    from .llm import dedup, similarity, text  # noqa: F401
+    from .llm import dedup, multimodal, similarity, text  # noqa: F401
 
     _LOADED = True
 

@@ -35,7 +35,37 @@ def ensure_conf(spark: SparkSession) -> SparkSession:
             spark.conf.set(k, v)
         except Exception:
             pass  # immutable in this deployment; builder path sets it
+    _ship_package(spark)
     return spark
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Ship this package to the Python workers (addPyFile).
+
+    The Pandas-UDF operators (mapInPandas kernels, stateful folds)
+    reference module-level functions, which cloudpickle serializes by
+    module name — so executors must be able to import
+    ``debezium_incubator_spark``. A caller-provided session (the verify
+    driver, a real cluster) has no reason to have the repo on the
+    workers' PYTHONPATH; zipping the package and addPyFile-ing it is the
+    standard deployment pattern and works identically on local and
+    cluster masters. Idempotent per SparkContext.
+    """
+    sc = spark.sparkContext
+    if getattr(sc, "_dis_pkg_shipped", False):
+        return
+    import pathlib
+    import tempfile
+    import zipfile
+
+    pkg_dir = pathlib.Path(__file__).parent
+    fd, zpath = tempfile.mkstemp(suffix=".zip", prefix="dis_pkg_")
+    os.close(fd)
+    with zipfile.ZipFile(zpath, "w") as z:
+        for f in sorted(pkg_dir.rglob("*.py")):
+            z.write(f, arcname=str(f.relative_to(pkg_dir.parent)))
+    sc.addPyFile(zpath)
+    sc._dis_pkg_shipped = True
 
 
 def get_spark(app_name: str = "debezium_incubator_spark") -> SparkSession:

@@ -1,0 +1,109 @@
+"""Streaming sources (SURVEY.md §2A).
+
+Debezium's architecture is "tail a log, publish change events to Kafka,
+one topic per table" [/root/reference/README.md:13]. On the Spark side a
+consumer's source surface is:
+
+- A1 Kafka CDC source — ``spark.readStream.format("kafka")``. The Kafka
+  connector jars are not bundled in this environment, so the builder
+  raises a clear error if Kafka classes are absent (import-gated per the
+  environment contract); the downstream pipeline is identical for any
+  source, which is how the tests exercise it (file/memory sources).
+- A6 heartbeat — the rate source (Debezium emits heartbeats to advance
+  offsets on quiet tables; a rate stream unioned into the pipeline plays
+  the same role).
+- A3/A10 file + in-memory test sources.
+
+Scale: Kafka source parallelism = topic partitions; maxOffsetsPerTrigger
+bounds per-micro-batch intake (Debezium's max.batch.size analog).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def kafka_cdc_source(
+    spark: SparkSession,
+    topic: str,
+    brokers: str,
+    starting_offsets: str = "earliest",
+    max_offsets_per_trigger: int | None = 100_000,
+) -> DataFrame:
+    """A1: unbounded DataFrame over a per-table CDC topic.
+
+    Mirrors the Debezium consumer contract: key/value binary columns plus
+    Kafka metadata; pair with ``cdc.envelope.parse_envelope`` to get typed
+    envelopes. ``startingOffsets=earliest`` replays the snapshot phase
+    (Debezium ``snapshot.mode=initial`` analog — SURVEY.md §2A A3).
+    """
+    reader = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", brokers)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+        .option("failOnDataLoss", "false")
+    )
+    if max_offsets_per_trigger:
+        reader = reader.option("maxOffsetsPerTrigger", str(max_offsets_per_trigger))
+    try:
+        return reader.load()
+    except Exception as exc:  # pragma: no cover - no kafka jars in test env
+        raise RuntimeError(
+            "Kafka connector jars not on the classpath; add "
+            "spark-sql-kafka-0-10 to use the Kafka CDC source"
+        ) from exc
+
+
+def heartbeat_source(spark: SparkSession, rows_per_second: int = 1) -> DataFrame:
+    """A6: periodic liveness events (rate source) — union into a quiet
+    CDC stream so watermarks/offsets keep advancing."""
+    return (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", str(rows_per_second))
+        .load()
+        .select(
+            F.col("timestamp").alias("ts"),
+            F.lit("__heartbeat").alias("event_type"),
+            F.col("value").alias("seq"),
+        )
+    )
+
+
+EVENTS_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # epoch-nanos (nanosAsLong read)
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def events_file_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3/A10: stream the events fixture as if it were arriving — the
+    deterministic test source. Streaming parquet reads need an explicit
+    schema; ts arrives as epoch-nanos and is converted exactly like the
+    batch catalog loader (integer division to µs)."""
+    import os
+    import tempfile
+
+    from ..session import ensure_conf
+
+    ensure_conf(spark)
+    # The file stream source requires a directory; expose the single
+    # fixture file through a symlinked temp dir (fixtures are read-only).
+    stage = tempfile.mkdtemp(prefix="events_stream_")
+    os.symlink(
+        os.path.join(sf_dir, "events.parquet"),
+        os.path.join(stage, "events.parquet"),
+    )
+    raw = spark.readStream.schema(EVENTS_RAW_SCHEMA).parquet(stage)
+    # Event time must be TIMESTAMP (with zone) — watermarks reject NTZ.
+    # Session zone is pinned UTC, so wall-clock values match the batch
+    # loader's NTZ column; windowed outputs cast back to NTZ for parity.
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
