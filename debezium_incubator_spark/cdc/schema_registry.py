@@ -1,0 +1,66 @@
+"""Schema-history / versioned schema registry (SURVEY.md §2A A9, §1.1).
+
+Debezium keeps a schema-history Kafka topic of DDL events so old log
+entries decode against the schema current at their position; consumers
+see per-record schema versions. The Spark-side analog: a versioned
+StructType registry + a normalizing reader that upgrades any historical
+version to the latest (add columns as nulls, drop removed ones, widen
+types) — the consumer half of schema evolution, with Parquet
+``mergeSchema`` covering storage-side drift.
+
+Scale: normalization is a projection per version — no shuffle; unioning
+N historical versions is unionByName(allowMissingColumns), zero-copy
+per partition.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+@dataclass
+class SchemaRegistry:
+    """Monotonic per-table schema versions (the schema-history topic)."""
+
+    versions: dict[str, list[T.StructType]] = field(default_factory=dict)
+
+    def register(self, table: str, schema: T.StructType) -> int:
+        self.versions.setdefault(table, []).append(schema)
+        return len(self.versions[table]) - 1
+
+    def latest(self, table: str) -> T.StructType:
+        return self.versions[table][-1]
+
+    def version(self, table: str, v: int) -> T.StructType:
+        return self.versions[table][v]
+
+    def upgrade(self, df: DataFrame, table: str) -> DataFrame:
+        """Project a DataFrame of ANY historical version to the latest
+        schema: missing columns → typed nulls; extra columns → dropped;
+        common columns → cast to the latest type (widening only in
+        practice; Spark cast semantics otherwise)."""
+        target = self.latest(table)
+        cols = []
+        have = {f.name: f for f in df.schema.fields}
+        for f in target.fields:
+            if f.name in have:
+                col = F.col(f.name)
+                if have[f.name].dataType != f.dataType:
+                    col = col.cast(f.dataType)
+                cols.append(col.alias(f.name))
+            else:
+                cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+        return df.select(*cols)
+
+    def union_versions(self, dfs: list[tuple[DataFrame, str]]) -> DataFrame:
+        """Union snapshots captured under different schema versions into
+        one latest-schema DataFrame (the replay-old-log-entries path)."""
+        out = None
+        for df, table in dfs:
+            up = self.upgrade(df, table)
+            out = up if out is None else out.unionByName(up)
+        return out

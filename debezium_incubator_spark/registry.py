@@ -55,7 +55,7 @@ def load_all() -> None:
     from .operators import aggregates, joins, scans, setops, sorts, windows  # noqa: F401
     from .functions import scalar  # noqa: F401
     from .events import analytics  # noqa: F401
-    from .cdc import materialize  # noqa: F401
+    from .cdc import materialize, routing  # noqa: F401
     from .llm import dedup, multimodal, similarity, text  # noqa: F401
 
     _LOADED = True

@@ -1,0 +1,73 @@
+"""Streaming joins (SURVEY.md §2C C10/C11) and transaction-metadata
+reassembly (§1.1).
+
+Debezium optionally emits a transaction-metadata topic (BEGIN/END with
+id + event_count); consumers reassemble transaction boundaries by
+joining the data stream to it — the canonical stream-stream join, bound
+by watermarks on both sides so state stays finite.
+
+Scale: stream-stream joins keep both sides' unmatched rows in the state
+store until the watermark passes the join-condition time bound — the
+tighter the interval, the smaller the state. Stream-static joins keep NO
+state (the static side is a broadcast/lookup per micro-batch).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def stream_static_enrich(stream: DataFrame, dim: DataFrame,
+                         on, how: str = "left") -> DataFrame:
+    """C11: enrich a CDC stream with a dimension table. The static side
+    re-resolves per micro-batch (picks up dim updates between batches);
+    broadcast it when small."""
+    return stream.join(F.broadcast(dim), on, how)
+
+
+def stream_stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    delay: str = "10 minutes",
+    interval: str = "INTERVAL 1 HOUR",
+) -> DataFrame:
+    """C10: join two streams on a key within a time interval. Both sides
+    watermarked; the interval bound lets Spark GC matched/expired state."""
+    l = left.withWatermark(left_ts, delay).alias("l")
+    r = right.withWatermark(right_ts, delay).alias("r")
+    cond = (
+        (F.col(f"l.{key}") == F.col(f"r.{key}"))
+        & (F.col(f"r.{right_ts}") >= F.col(f"l.{left_ts}"))
+        & (
+            F.col(f"r.{right_ts}")
+            <= F.expr(f"l.{left_ts} + {interval}")
+        )
+    )
+    return l.join(r, cond, "inner")
+
+
+def transaction_reassembly(
+    data: DataFrame,
+    tx_meta: DataFrame,
+    tx_col: str = "tx_id",
+    delay: str = "10 minutes",
+    max_tx_span: str = "INTERVAL 1 HOUR",
+) -> DataFrame:
+    """§1.1 transaction-metadata pattern: attach BEGIN/END metadata to
+    each data event of the same transaction id within the watermark,
+    enabling downstream consumers to emit transactionally-complete
+    groups. tx_meta columns: (tx_id, tx_ts, event_count)."""
+    d = data.withWatermark("ts", delay).alias("d")
+    m = tx_meta.withWatermark("tx_ts", delay).alias("m")
+    cond = (
+        (F.col(f"d.{tx_col}") == F.col(f"m.{tx_col}"))
+        & (F.col("d.ts") >= F.col("m.tx_ts"))
+        & (F.col("d.ts") <= F.expr(f"m.tx_ts + {max_tx_span}"))
+    )
+    return d.join(m, cond, "inner").select(
+        "d.*", F.col("m.event_count").alias("tx_event_count")
+    )

@@ -1,0 +1,156 @@
+"""Tests for routing SMTs, schema registry, sinks, and streaming joins."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import pandas as pd
+import pytest
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from debezium_incubator_spark.catalog import table
+from debezium_incubator_spark.cdc.routing import rekey
+from debezium_incubator_spark.cdc.schema_registry import SchemaRegistry
+from debezium_incubator_spark.cdc.sinks import materialized_parquet_sink
+from debezium_incubator_spark.streaming.joins import (
+    stream_static_enrich,
+    stream_stream_interval_join,
+    transaction_reassembly,
+)
+from debezium_incubator_spark.streaming.pipeline import run_available_now
+from debezium_incubator_spark.streaming.sources import events_file_stream
+
+from .conftest import SF_SMOKE
+
+
+def test_schema_registry_upgrade(spark):
+    reg = SchemaRegistry()
+    v0 = T.StructType([T.StructField("id", T.IntegerType()), T.StructField("name", T.StringType())])
+    v1 = T.StructType(
+        [
+            T.StructField("id", T.LongType()),          # widened
+            T.StructField("name", T.StringType()),
+            T.StructField("email", T.StringType()),     # added
+        ]
+    )
+    reg.register("t", v0)
+    reg.register("t", v1)
+    old = spark.createDataFrame([(1, "a")], v0)
+    up = reg.upgrade(old, "t")
+    assert up.schema == v1
+    row = up.first()
+    assert (row.id, row.name, row.email) == (1, "a", None)
+    # union across versions
+    new = spark.createDataFrame([(2, "b", "b@x")], v1)
+    merged = reg.union_versions([(old, "t"), (new, "t")]).toPandas()
+    assert len(merged) == 2 and set(merged.columns) == {"id", "name", "email"}
+
+
+def test_rekey(spark):
+    ev = table(spark, SF_SMOKE, "events").limit(5)
+    out = rekey(ev, ["user_id", "event_type"]).select("key").toPandas()
+    # struct column arrives as dict (Arrow) or Row (non-Arrow)
+    assert all(
+        ("user_id" in k) if isinstance(k, dict) else hasattr(k, "user_id")
+        for k in out.key
+    )
+
+
+def test_materialized_parquet_sink_partitions(spark):
+    ev = table(spark, SF_SMOKE, "events").limit(500)
+    with tempfile.TemporaryDirectory() as td:
+        out = os.path.join(td, "state")
+        materialized_parquet_sink(
+            ev, out, partition_by_day_of="ts", cluster_by="user_id"
+        )
+        dirs = [d for d in os.listdir(out) if d.startswith("__dt=")]
+        assert len(dirs) >= 1  # day-partitioned layout
+        back = spark.read.parquet(out)
+        assert back.count() == 500
+        # partition pruning applies on __dt
+        one_day = dirs[0].split("=", 1)[1]
+        pruned = back.filter(F.col("__dt") == one_day)
+        assert 0 < pruned.count() <= 500
+
+
+def test_stream_static_enrich(spark):
+    stream = events_file_stream(spark, SF_SMOKE)
+    dim = spark.createDataFrame(
+        [("click", "interaction"), ("view", "interaction"), ("purchase", "commerce"),
+         ("signup", "lifecycle"), ("error", "ops")],
+        "event_type STRING, category STRING",
+    )
+    enriched = stream_static_enrich(stream, dim, "event_type")
+    run_available_now(enriched, "t_enrich")
+    got = spark.sql(
+        "SELECT count(*) AS n, count(category) AS with_cat FROM t_enrich"
+    ).first()
+    assert got.n == got.with_cat == 1000
+
+
+def test_stream_stream_interval_join(spark):
+    purchases = events_file_stream(spark, SF_SMOKE).filter(
+        F.col("event_type") == "purchase"
+    ).select("user_id", "ts", F.col("event_id").alias("purchase_id"))
+    clicks = events_file_stream(spark, SF_SMOKE).filter(
+        F.col("event_type") == "click"
+    ).select(
+        F.col("user_id").alias("c_user_id"),
+        F.col("ts").alias("c_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    j = stream_stream_interval_join(
+        purchases.withColumnRenamed("user_id", "k"),
+        clicks.withColumnRenamed("c_user_id", "k"),
+        "k",
+        left_ts="ts",
+        right_ts="c_ts",
+    )
+    run_available_now(j, "t_ssj")
+    n_stream = spark.sql("SELECT count(*) n FROM t_ssj").first().n
+    # batch twin: same interval join on static frames
+    ev = table(spark, SF_SMOKE, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("k"), "ts"
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("ck"), F.col("ts").alias("c_ts")
+    )
+    n_batch = p.join(
+        c,
+        (p.k == c.ck)
+        & (c.c_ts >= p.ts)
+        & (c.c_ts <= F.expr("ts + INTERVAL 1 HOUR")),
+    ).count()
+    assert n_stream == n_batch > 0
+
+
+def test_transaction_reassembly(spark):
+    # synthesize: tx boundaries = one per user per day; data = events
+    stream = events_file_stream(spark, SF_SMOKE).withColumn(
+        "tx_id", F.concat_ws("-", "user_id", F.date_trunc("day", "ts").cast("date"))
+    )
+    tx_meta = (
+        table(spark, SF_SMOKE, "events")
+        .groupBy(
+            F.concat_ws("-", "user_id", F.date_trunc("day", "ts").cast("date")).alias("tx_id")
+        )
+        .agg(F.min("ts").cast("timestamp").alias("tx_ts"), F.count("*").alias("event_count"))
+    )
+    # static meta side via a broadcast-like join is C11; full C10 needs
+    # two true streams — reuse the file stream for meta as well:
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        tx_meta.write.parquet(f"{td}/meta")
+        meta_stream = spark.readStream.schema(tx_meta.schema).parquet(f"{td}/meta")
+        # tx here spans a whole user-day → widen the join interval bound
+        out = transaction_reassembly(stream, meta_stream, max_tx_span="INTERVAL 25 HOURS")
+        run_available_now(out, "t_tx")
+        got = spark.sql(
+            "SELECT count(*) n, min(tx_event_count) mn FROM t_tx"
+        ).first()
+        assert got.n == 1000 and got.mn >= 1
