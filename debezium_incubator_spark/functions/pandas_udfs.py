@@ -1,0 +1,165 @@
+"""Pandas-UDF surface (SURVEY.md §2K): the Arrow-vectorized escape hatch,
+each kind demonstrated with an oracle-checked query.
+
+K1 (row-at-a-time Python UDF) is deliberately absent — it is never the
+right tool (serde per row, no vectorization); everything here moves
+whole Arrow batches.
+
+Scale: pandas UDFs stream Arrow batches through worker processes —
+constant memory, no driver involvement; applyInPandas shuffles once on
+the group key and requires each GROUP to fit in a worker's memory (per
+user histories here: fine; unbounded groups must pre-bucket).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..registry import register
+
+
+# --- K2: scalar (vectorized) pandas UDF ----------------------------------
+# NOTE: @pandas_udf parses its return type through the active session, so
+# UDFs are constructed lazily inside the query functions (module import
+# must not require a SparkContext — the driver imports the registry
+# before building its session).
+
+def token_count_udf():
+    @F.pandas_udf("int")
+    def _udf(text: pd.Series) -> pd.Series:
+        return text.str.split(" ").str.len().astype("int32")
+
+    return _udf
+
+
+@register(
+    "k2_pandas_scalar",
+    oracle="""
+SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
+FROM documents
+ORDER BY doc_id
+""",
+)
+def k2_pandas_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar pandas UDF vs the expression twin: identical results, but
+    the expression (size(split(...))) stays in codegen — the UDF exists
+    to prove the Arrow path, not to replace built-ins (SURVEY.md §2K)."""
+    d = table(spark, sf_dir, "documents")
+    return d.select("doc_id", token_count_udf()("text").alias("n_tokens")).orderBy(
+        "doc_id"
+    )
+
+
+# --- K3: grouped-map applyInPandas (as-of join via merge_asof) -----------
+
+@register(
+    "k3_asof_grouped_map",
+    oracle="""
+WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+     c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+     j AS (
+       SELECT p.event_id AS purchase_id, p.user_id,
+              c.event_id AS click_id,
+              row_number() OVER (PARTITION BY p.event_id
+                                 ORDER BY c.ts DESC, c.event_id DESC) AS rn
+       FROM p JOIN c ON c.user_id = p.user_id AND c.ts <= p.ts
+     )
+SELECT purchase_id, user_id, click_id
+FROM j WHERE rn = 1
+ORDER BY purchase_id
+""",
+)
+def k3_asof_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join as applyInPandas + pd.merge_asof per user group — the
+    SURVEY.md §4.3 alternative to the relational rank formulation
+    (join_asof), sharing its oracle semantics. Preferable at scale when
+    per-key histories are long (merge_asof is O(n log n) per group vs
+    the join's row expansion)."""
+    ev = table(spark, sf_dir, "events")
+    both = ev.filter(F.col("event_type").isin("purchase", "click")).select(
+        "user_id", "event_id", "ts", "event_type"
+    )
+
+    def asof(pdf: pd.DataFrame) -> pd.DataFrame:
+        p = (
+            pdf[pdf.event_type == "purchase"]
+            .sort_values(["ts", "event_id"])
+            .rename(columns={"event_id": "purchase_id"})
+        )
+        # merge_asof picks the last row ≤ ts; sort clicks by (ts, event_id)
+        # so ties resolve to the max event_id, matching the rank oracle.
+        c = (
+            pdf[pdf.event_type == "click"]
+            .sort_values(["ts", "event_id"])
+            .rename(columns={"event_id": "click_id", "ts": "c_ts"})
+        )
+        if p.empty or c.empty:
+            return pd.DataFrame(columns=["purchase_id", "user_id", "click_id"])
+        m = pd.merge_asof(
+            p[["purchase_id", "user_id", "ts"]],
+            c[["click_id", "c_ts"]],
+            left_on="ts",
+            right_on="c_ts",
+            direction="backward",
+        )
+        m = m.dropna(subset=["click_id"])
+        return pd.DataFrame(
+            {
+                "purchase_id": m.purchase_id.astype("int64"),
+                "user_id": m.user_id.astype("int64"),
+                "click_id": m.click_id.astype("int64"),
+            }
+        )
+
+    return (
+        both.groupBy("user_id")
+        .applyInPandas(asof, "purchase_id LONG, user_id LONG, click_id LONG")
+        .orderBy("purchase_id")
+    )
+
+
+# --- K4: grouped-aggregate pandas UDF ------------------------------------
+
+def mean_udf():
+    @F.pandas_udf("double")
+    def _mean(v: pd.Series) -> float:
+        return float(v.mean())
+
+    return _mean
+
+
+def count_udf():
+    @F.pandas_udf("long")
+    def _count(v: pd.Series) -> int:
+        return int(len(v))
+
+    return _count
+
+
+@register(
+    "k4_grouped_agg",
+    oracle="""
+SELECT user_id, ROUND(AVG(value), 4) AS avg_value, COUNT(*) AS n
+FROM events
+GROUP BY user_id
+ORDER BY user_id
+""",
+)
+def k4_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-agg pandas UDFs (mean + count per group) vs AVG/COUNT
+    oracle — parity via round(4); per-group values ≤500 keep drift
+    ~1e-13. Note: grouped-agg pandas UDFs cannot mix with JVM aggregates
+    in one agg(), so count is a pandas UDF here too."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.round(mean_udf()("value"), 4).alias("avg_value"),
+            count_udf()("value").alias("n"),
+        )
+        .orderBy("user_id")
+    )

@@ -1,0 +1,114 @@
+"""SQL entry point (SURVEY.md §3.4): the engine's second API.
+
+``spark.sql`` over registered fixture views goes through the same
+analyze→optimize→plan→execute path as the DataFrame API, so every
+DataFrame operator has a SQL twin for free. The queries below are
+implemented *via SQL strings* to pin that path explicitly — including a
+correlated subquery (Catalyst decorrelation → join rewrite, SURVEY.md
+§4.2) that the DataFrame API cannot express directly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .catalog import register_views
+from .registry import register
+
+
+def run_sql(spark: SparkSession, sf_dir: str, query: str,
+            tables=None) -> DataFrame:
+    """Register fixture views and run a SQL query (the spark.sql path)."""
+    register_views(spark, sf_dir, tables or ("lineitem", "orders", "customer",
+                                             "supplier", "nation", "region",
+                                             "part", "events"))
+    return spark.sql(query)
+
+
+@register(
+    "sql_q6_forecast_revenue",
+    oracle="""
+SELECT SUM(CAST(floor((l_extendedprice * l_discount) * 10000 + 0.5) AS BIGINT))
+       / CAST(10000 AS DOUBLE) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.03 AND 0.07
+  AND l_quantity < 24
+""",
+)
+def sql_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape via the SQL API (scan + multi-predicate filter +
+    global agg; every predicate reaches PushedFilters)."""
+    return run_sql(
+        spark,
+        sf_dir,
+        """
+        SELECT SUM(CAST(floor((l_extendedprice * l_discount) * 10000 + 0.5) AS BIGINT))
+               / CAST(10000 AS DOUBLE) AS revenue,
+               COUNT(*) AS n_items
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP_NTZ '1996-01-01'
+          AND l_shipdate < TIMESTAMP_NTZ '1997-01-01'
+          AND l_discount BETWEEN 0.03 AND 0.07
+          AND l_quantity < 24
+        """,
+        tables=("lineitem",),
+    )
+
+
+@register(
+    "sql_correlated_subquery",
+    oracle="""
+SELECT c_custkey, c_nationkey, c_acctbal
+FROM customer c
+WHERE c_acctbal > (SELECT 2 * AVG(c2.c_acctbal)
+                   FROM customer c2
+                   WHERE c2.c_nationkey = c.c_nationkey)
+ORDER BY c_custkey
+""",
+)
+def sql_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery — Catalyst decorrelates it into an
+    aggregate + join (RewriteCorrelatedScalarSubquery); parity note: the
+    AVG comparison is strict inequality against a 2x-scaled average, so
+    cross-engine float drift at the boundary is not a practical risk
+    (drift ~1e-12 relative vs value gaps ~1e0)."""
+    return run_sql(
+        spark,
+        sf_dir,
+        """
+        SELECT c_custkey, c_nationkey, c_acctbal
+        FROM customer c
+        WHERE c_acctbal > (SELECT 2 * AVG(c2.c_acctbal)
+                           FROM customer c2
+                           WHERE c2.c_nationkey = c.c_nationkey)
+        ORDER BY c_custkey
+        """,
+        tables=("customer",),
+    )
+
+
+@register(
+    "sql_in_subquery",
+    oracle="""
+SELECT s_suppkey, s_name
+FROM supplier
+WHERE s_nationkey IN (SELECT n_nationkey FROM nation WHERE n_regionkey = 2)
+ORDER BY s_suppkey
+""",
+)
+def sql_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN-subquery → RewritePredicateSubquery → left-semi join (§4.2)."""
+    return run_sql(
+        spark,
+        sf_dir,
+        """
+        SELECT s_suppkey, s_name
+        FROM supplier
+        WHERE s_nationkey IN (SELECT n_nationkey FROM nation WHERE n_regionkey = 2)
+        ORDER BY s_suppkey
+        """,
+        tables=("supplier", "nation"),
+    )
