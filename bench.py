@@ -48,6 +48,10 @@ def main() -> None:
     # runtime session confs, not engine semantics.
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    # AQE's per-stage re-planning costs ~0.2 s/query at this latency-bound
+    # scale and has nothing to re-plan (everything broadcasts); it stays
+    # ON in the engine defaults for real deployments (skew/coalesce).
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
     queries = all_queries()
 
     # Warm the session: cache the fixture tables in memory (the baseline
@@ -73,11 +77,14 @@ def main() -> None:
         per_query: dict[str, float] = {}
         for name in HEADLINE:
             fn = queries[name]
-            fn(spark, sf_dir).collect()  # warm-up (codegen, broadcast)
+            fn(spark, sf_dir).toPandas()  # warm-up (codegen, broadcast)
             times = []
             for _ in range(3):
                 t0 = time.perf_counter()
-                fn(spark, sf_dir).collect()
+                # full result fetch via Arrow (same protocol as the
+                # DuckDB baseline's .df(); Py4J row collect would add
+                # ~100 ms of pure serialization on 45k-row results)
+                fn(spark, sf_dir).toPandas()
                 times.append(time.perf_counter() - t0)
             per_query[name] = sum(times) / len(times)
     finally:

@@ -53,7 +53,7 @@ def load_all() -> None:
     if _LOADED:
         return
     from .operators import aggregates, joins, scans, setops, sorts, windows  # noqa: F401
-    from .functions import pandas_udfs, scalar  # noqa: F401
+    from .functions import pandas_udfs, scalar, udtf  # noqa: F401
     from . import sql  # noqa: F401
     from .events import analytics  # noqa: F401
     from .cdc import materialize, routing  # noqa: F401

@@ -1,0 +1,114 @@
+"""Tests for the 100 TB posture tools: salting, two-phase agg, bucketed
+writes, late-data and update-mode streaming semantics."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import pandas as pd
+
+from pyspark.sql import functions as F
+
+from debezium_incubator_spark.catalog import table
+from debezium_incubator_spark.operators.skew import salted_join, two_phase_agg
+from debezium_incubator_spark.streaming.pipeline import run_available_now
+from debezium_incubator_spark.streaming.sources import events_file_stream
+
+from .conftest import SF_SMOKE
+
+
+def test_salted_join_equals_plain_join(spark):
+    """Salting must not change the result set — only the distribution."""
+    li = table(spark, SF_SMOKE, "lineitem").select("l_orderkey", "l_quantity")
+    o = table(spark, SF_SMOKE, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_totalprice"
+    )
+    plain = li.join(o, "l_orderkey").agg(
+        F.count("*").alias("n"), F.sum("l_quantity").alias("q")
+    ).first()
+    salted = salted_join(li, o, "l_orderkey").agg(
+        F.count("*").alias("n"), F.sum("l_quantity").alias("q")
+    ).first()
+    assert plain.n == salted.n
+    assert abs(plain.q - salted.q) < 1e-6
+
+
+def test_salted_join_spreads_hot_key(spark):
+    """The hot key's rows land in multiple salt partitions."""
+    hot = spark.range(10000).select(F.lit(1).alias("k"), F.col("id"))
+    dim = spark.createDataFrame([(1, "x")], "k LONG, v STRING")
+    out = salted_join(hot, dim, "k")
+    assert out.count() == 10000
+    # distribution check: recompute the salts the helper assigns
+    salts = hot.withColumn(
+        "__salt", F.pmod(F.xxhash64(*[F.col(c) for c in hot.columns]), F.lit(8))
+    ).select("__salt").distinct().count()
+    assert salts == 8  # hot key spread across all salt buckets
+
+
+def test_two_phase_agg_matches_direct(spark):
+    ev = table(spark, SF_SMOKE, "events")
+    direct = (
+        ev.groupBy("event_type").agg(F.count("*").alias("n")).toPandas()
+        .sort_values("event_type").reset_index(drop=True)
+    )
+    salted = (
+        two_phase_agg(ev, "event_type", [("event_id", "count", "sum", "n")])
+        .toPandas().sort_values("event_type").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(direct, salted, check_dtype=False)
+
+
+def test_bucketed_write_coLocates_join(spark):
+    """bucketBy pre-co-locates future joins on the bucket key (scale:
+    repeated joins on the same key skip their shuffle)."""
+    try:
+        o = table(spark, SF_SMOKE, "orders")
+        (
+            o.write.mode("overwrite")
+            .bucketBy(4, "o_custkey")
+            .sortBy("o_custkey")
+            .saveAsTable("orders_bucketed")
+        )
+        b = spark.table("orders_bucketed")
+        assert b.count() == o.count()
+        # self-join on the bucket key: plan must have NO shuffle exchange
+        j = b.join(b.withColumnRenamed("o_orderkey", "k2"), "o_custkey")
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange hashpartitioning" not in plan
+    finally:
+        spark.sql("DROP TABLE IF EXISTS orders_bucketed")
+
+
+def test_late_data_dropped_past_watermark(spark):
+    """I7: with availableNow over one file batch the watermark starts at
+    -inf, so a second run is needed to observe dropping; here we verify
+    the aggregate state contract instead: windows older than the final
+    watermark are emitted exactly once (append) and the trailing window
+    is withheld — the mechanism that makes late data droppable."""
+    from debezium_incubator_spark.streaming.pipeline import tumbling_counts
+
+    stream = events_file_stream(spark, SF_SMOKE)
+    run_available_now(tumbling_counts(stream), "t_late")
+    emitted = spark.sql("SELECT max(bucket) b FROM t_late").first().b
+    max_ts = table(spark, SF_SMOKE, "events").agg(F.max("ts")).first()[0]
+    # the bucket containing max_ts must NOT be emitted (not yet final)
+    assert emitted < max_ts.replace(minute=0, second=0, microsecond=0)
+
+
+def test_update_mode_running_aggregate(spark):
+    """D7/I8: update-mode streaming aggregate — running per-type counts
+    (no watermark needed; state is the running total)."""
+    stream = events_file_stream(spark, SF_SMOKE)
+    agg = stream.groupBy("event_type").agg(F.count("*").alias("n"))
+    run_available_now(agg, "t_update", output_mode="update")
+    got = spark.sql(
+        "SELECT event_type, max(n) AS n FROM t_update GROUP BY event_type"
+    ).toPandas().sort_values("event_type").reset_index(drop=True)
+    want = (
+        table(spark, SF_SMOKE, "events")
+        .groupBy("event_type").agg(F.count("*").alias("n"))
+        .toPandas().sort_values("event_type").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
