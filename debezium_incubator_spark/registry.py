@@ -52,7 +52,15 @@ def load_all() -> None:
     global _LOADED
     if _LOADED:
         return
-    from .operators import aggregates, joins, scans, setops, sorts, windows  # noqa: F401
+    from .operators import (  # noqa: F401
+        aggregates,
+        joins,
+        scans,
+        setops,
+        sorts,
+        tpch_extra,
+        windows,
+    )
     from .functions import pandas_udfs, scalar, udtf  # noqa: F401
     from . import sql  # noqa: F401
     from .events import analytics  # noqa: F401
