@@ -64,7 +64,8 @@ def load_all() -> None:
     from .functions import pandas_udfs, scalar, udtf  # noqa: F401
     from . import sql  # noqa: F401
     from .events import analytics  # noqa: F401
-    from .cdc import materialize, routing  # noqa: F401
+    from .cdc import materialize, routing, scd2  # noqa: F401
+    from .llm import clustering  # noqa: F401
     from .llm import dedup, multimodal, similarity, text  # noqa: F401
 
     _LOADED = True

@@ -1,0 +1,101 @@
+"""foreachBatch CDC apply: incremental MERGE-style upsert into a parquet
+state table (SURVEY.md §2 I6 production path; the pyspark_guide "CDC /
+SCD2 → emulate with anti-join + union" pattern — no Delta/Iceberg jars
+in this environment).
+
+Versioned-directory protocol: each micro-batch writes a full new state
+version ``state_dir/v{epoch}`` (read-modify-write of parquet in place is
+unsafe — Spark reads lazily), then updates ``_LATEST``. At 100 TB you
+would partition state by key range and rewrite only partitions touched
+by the batch (or use a table format with row-level MERGE); the operator
+shape — dedupe batch, anti-join current state, union, write — is
+identical.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+
+def _latest_path(state_dir: str) -> str | None:
+    marker = os.path.join(state_dir, "_LATEST")
+    if os.path.exists(marker):
+        with open(marker) as f:
+            v = f.read().strip()
+        p = os.path.join(state_dir, v)
+        return p if os.path.exists(p) else None
+    return None
+
+
+def read_state(
+    spark: SparkSession, state_dir: str, include_tombstones: bool = False,
+    op_col: str = "__op",
+) -> DataFrame | None:
+    """Current materialized state. Tombstones (op='d') are retained in
+    storage so out-of-order batches cannot resurrect deleted keys with
+    stale updates; consumers filter them out (default)."""
+    p = _latest_path(state_dir)
+    if not p:
+        return None
+    df = spark.read.parquet(p)
+    if not include_tombstones:
+        df = df.filter(F.col(op_col) != "d").drop(op_col)
+    return df
+
+
+def apply_changes_batch(
+    spark: SparkSession,
+    batch: DataFrame,
+    epoch: int,
+    state_dir: str,
+    keys: list[str],
+    position: list[str],
+    op_col: str = "__op",
+) -> None:
+    """One micro-batch of the CDC apply: merge the batch into state by
+    POSITION comparison — for each key, the row with the greatest
+    position wins, whether it came from state or this batch. This makes
+    the apply correct under out-of-order batch arrival (a batch carrying
+    an older change never overwrites newer state), which a naive
+    "batch replaces state" anti-join would get wrong. Tombstones stay in
+    state (see read_state); GC them past a retention horizon at scale."""
+    current = read_state(spark, state_dir, include_tombstones=True)
+    merged = batch if current is None else current.unionByName(batch)
+    w = W.partitionBy(*keys).orderBy(*[F.desc(p) for p in position])
+    new_state = (
+        merged.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    out = os.path.join(state_dir, f"v{epoch}")
+    new_state.write.mode("overwrite").parquet(out)
+    with open(os.path.join(state_dir, "_LATEST"), "w") as f:
+        f.write(f"v{epoch}")
+
+
+def start_upsert_stream(
+    changes: DataFrame,
+    state_dir: str,
+    keys: list[str],
+    position: list[str],
+    op_col: str = "__op",
+    checkpoint: str | None = None,
+):
+    """Continuous CDC apply via foreachBatch (exactly-once per epoch via
+    the versioned write + checkpointed offsets)."""
+    os.makedirs(state_dir, exist_ok=True)
+    spark = changes.sparkSession
+
+    def handle(batch: DataFrame, epoch: int) -> None:
+        apply_changes_batch(
+            spark, batch, epoch, state_dir, keys, position, op_col
+        )
+
+    writer = changes.writeStream.foreachBatch(handle).trigger(availableNow=True)
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer.start()

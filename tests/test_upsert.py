@@ -1,0 +1,121 @@
+"""foreachBatch CDC upsert: multi-batch incremental apply must converge
+to the same state as the one-shot batch materialization."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import pandas as pd
+
+from pyspark.sql import functions as F
+
+from debezium_incubator_spark.catalog import table
+from debezium_incubator_spark.cdc.envelope import OP_CASE
+from debezium_incubator_spark.cdc.materialize import materialize_latest
+from debezium_incubator_spark.streaming.upsert import (
+    read_state,
+    start_upsert_stream,
+)
+
+from .conftest import SF_SMOKE
+
+
+def _write_single_file(df, dest_file: str) -> None:
+    """Write a DataFrame as ONE parquet file directly inside the stream
+    source dir (df.write creates a directory; file streams don't
+    recurse into subdirectories)."""
+    import glob
+    import shutil
+    import tempfile as tf
+
+    d = tf.mkdtemp()
+    df.coalesce(1).write.mode("overwrite").parquet(d)
+    shutil.copy(glob.glob(os.path.join(d, "part-*.parquet"))[0], dest_file)
+    shutil.rmtree(d)
+
+
+def _changes(spark):
+    return (
+        table(spark, SF_SMOKE, "events")
+        .withColumn("__op", F.expr(OP_CASE))
+        .select("user_id", "event_id", "value", "ts", "__op")
+    )
+
+
+def test_foreachbatch_upsert_matches_batch_materialize(spark):
+    ev = _changes(spark)
+    with tempfile.TemporaryDirectory() as td:
+        src = os.path.join(td, "incoming")
+        os.makedirs(src)
+        # two arrival files → maxFilesPerTrigger=1 forces 2 micro-batches
+        _write_single_file(
+            ev.filter(F.col("event_id") % 2 == 0), os.path.join(src, "chunk_a.parquet")
+        )
+        _write_single_file(
+            ev.filter(F.col("event_id") % 2 == 1), os.path.join(src, "chunk_b.parquet")
+        )
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        state_dir = os.path.join(td, "state")
+        q = start_upsert_stream(
+            stream,
+            state_dir,
+            keys=["user_id"],
+            position=["ts", "event_id"],
+            checkpoint=os.path.join(td, "cp"),
+        )
+        q.awaitTermination()
+        assert q.lastProgress is not None
+        got = (
+            read_state(spark, state_dir)
+            .select("user_id", "value")
+            .toPandas()
+            .sort_values("user_id")
+            .reset_index(drop=True)
+        )
+    # NOTE: incremental upsert applies deletes per batch; a key whose
+    # LAST change overall is a delete is absent, matching the batch fold.
+    # But a delete followed (in a later batch) by an update re-appears —
+    # also matching. The batch twin is the same fold over all changes.
+    want = (
+        materialize_latest(ev, ["user_id"], ["ts", "event_id"])
+        .select("user_id", "value")
+        .toPandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_upsert_delete_removes_key(spark):
+    with tempfile.TemporaryDirectory() as td:
+        src = os.path.join(td, "in")
+        os.makedirs(src)
+        df1 = spark.createDataFrame(
+            [(1, 1, 10.0, "c"), (2, 2, 20.0, "c")],
+            "k LONG, pos LONG, v DOUBLE, __op STRING",
+        )
+        df2 = spark.createDataFrame(
+            [(1, 3, None, "d"), (2, 4, 25.0, "u")],
+            "k LONG, pos LONG, v DOUBLE, __op STRING",
+        )
+        _write_single_file(df1, os.path.join(src, "b1.parquet"))
+        _write_single_file(df2, os.path.join(src, "b2.parquet"))
+        stream = (
+            spark.readStream.schema(df1.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        state = os.path.join(td, "state")
+        q = start_upsert_stream(
+            stream, state, keys=["k"], position=["pos"],
+            checkpoint=os.path.join(td, "cp"),
+        )
+        q.awaitTermination()
+        got = read_state(spark, state).toPandas().sort_values("k")
+        assert list(got.k) == [2]
+        assert list(got.v) == [25.0]
