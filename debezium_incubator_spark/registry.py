@@ -59,6 +59,7 @@ def load_all() -> None:
         setops,
         sorts,
         tpch_extra,
+        tpch_more,
         windows,
     )
     from .functions import pandas_udfs, scalar, udtf  # noqa: F401
