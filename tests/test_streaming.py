@@ -115,3 +115,43 @@ def test_latest_state_stream_matches_batch(spark):
         .toPandas()
     )
     pd.testing.assert_frame_equal(got, batch, check_dtype=False)
+
+
+def test_latest_state_tws_gated(spark):
+    """TWS (Spark 4 transformWithStateInPandas) path: runs the full
+    stream==batch check when protobuf exists; otherwise asserts the
+    clear environment-gate error (this container has no protobuf)."""
+    from debezium_incubator_spark.streaming.tws import (
+        latest_state_tws,
+        tws_available,
+    )
+
+    ev = table(spark, SF_SMOKE, "events").select(
+        "user_id",
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        "value",
+        F.expr(OP_CASE).alias("op"),
+    )
+    if not tws_available():
+        with pytest.raises(ImportError, match="protobuf"):
+            latest_state_tws(ev)
+        return
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        ev.write.mode("overwrite").parquet(f"{td}/changes")
+        stream = spark.readStream.schema(ev.schema).parquet(f"{td}/changes")
+        run_available_now(latest_state_tws(stream), "t_tws", output_mode="update")
+        got = _sorted(
+            spark.sql("SELECT user_id, current_value, ts FROM t_tws").toPandas()
+        )
+    batch = _sorted(
+        ev.groupBy("user_id")
+        .agg(
+            F.expr("max_by(value, struct(ts_us, event_id))").alias("current_value"),
+            F.max("ts_us").alias("ts"),
+        )
+        .toPandas()
+    )
+    pd.testing.assert_frame_equal(got, batch, check_dtype=False)
