@@ -120,10 +120,14 @@ def parse_envelope(raw: DataFrame, row_schema: T.StructType) -> DataFrame:
     )
 
 
-def unwrap(env: DataFrame, drop_deletes: bool = False) -> DataFrame:
+def unwrap(env: DataFrame, drop_deletes: bool = False,
+           passthrough: list[str] | None = None) -> DataFrame:
     """B2 ExtractNewRecordState: flatten envelope → row + __op/__ts_ms/
     __deleted metadata columns; tombstones dropped; deletes keep the
-    before-image (rewrite-deletes mode) unless ``drop_deletes``."""
+    before-image (rewrite-deletes mode) unless ``drop_deletes``.
+    ``passthrough`` carries record-metadata columns (e.g. ``topic``)
+    through the flatten, as Kafka Connect does."""
+    extra = passthrough or []
     out = (
         env.filter(F.col("value").isNotNull())
         .select(
@@ -132,8 +136,9 @@ def unwrap(env: DataFrame, drop_deletes: bool = False) -> DataFrame:
             F.col("value.ts_ms").alias("__ts_ms"),
             (F.col("value.op") == "d").alias("__deleted"),
             F.col("value.source.pos").alias("__pos"),
+            *extra,
         )
-        .select("row.*", "__op", "__ts_ms", "__deleted", "__pos")
+        .select("row.*", "__op", "__ts_ms", "__deleted", "__pos", *extra)
     )
     if drop_deletes:
         out = out.filter(~F.col("__deleted"))

@@ -1,0 +1,222 @@
+"""Debezium connector-properties front end (SURVEY.md §2A A4/A5, §2B):
+accept the SAME configuration keys a Debezium user writes in their
+connector properties file and drive this engine's operators with them —
+the switch-over surface for an existing Debezium deployment.
+
+Supported keys (semantics per public Debezium connector docs; the
+archived checkout contains no code — SURVEY.md §0):
+
+- ``table.include.list`` / ``table.exclude.list`` — comma-separated
+  regexes, fullmatched against the table identifier; include wins when
+  both are set (Debezium forbids both; we follow include).
+- ``column.include.list`` / ``column.exclude.list`` — regexes matched
+  against ``table.column``.
+- ``column.mask.with.<n>.chars`` — star-mask listed columns to n chars.
+- ``column.mask.hash.v2.with.salt.<salt>`` — salted SHA-256 hash-mask.
+- ``column.truncate.to.<n>.chars`` — truncate listed string columns.
+- ``snapshot.select.statement.overrides.<table>`` — full SELECT the
+  snapshot runs instead of the bare scan (predicate/projection reach
+  the parquet scan via Catalyst pushdown).
+- ``message.key.columns`` — ``table:col1,col2;...`` → ``__key`` struct
+  (B9 re-key; also the repartition key for co-located downstream joins).
+- ``transforms`` + ``transforms.<name>.type``/``.<prop>`` — SMT chain:
+  ExtractNewRecordState (unwrap), Filter (condition), RegexRouter
+  (topic rewrite), applied in declared order.
+
+Scale: everything here compiles to stateless projections/filters that
+Catalyst pushes into the scan — config parsing adds zero runtime cost
+and no shuffles.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .catalog import TABLES, table
+from .operators.scans import mask_columns, project, truncate_columns
+
+
+@dataclass
+class ConnectorConfig:
+    """Parsed connector properties."""
+
+    table_include: list[str] = field(default_factory=list)
+    table_exclude: list[str] = field(default_factory=list)
+    column_include: list[str] = field(default_factory=list)
+    column_exclude: list[str] = field(default_factory=list)
+    mask_chars: dict[int, list[str]] = field(default_factory=dict)
+    hash_mask: dict[str, list[str]] = field(default_factory=dict)  # salt -> cols
+    truncate_chars: dict[int, list[str]] = field(default_factory=dict)
+    snapshot_overrides: dict[str, str] = field(default_factory=dict)
+    message_key_columns: dict[str, list[str]] = field(default_factory=dict)
+    transforms: list[tuple[str, dict[str, str]]] = field(default_factory=list)
+
+
+_MASK = re.compile(r"^column\.mask\.with\.(\d+)\.chars$")
+_HASH = re.compile(r"^column\.mask\.hash(?:\.v2)?\.with\.salt\.(.*)$")
+_TRUNC = re.compile(r"^column\.truncate\.to\.(\d+)\.chars$")
+_OVERRIDE = re.compile(r"^snapshot\.select\.statement\.overrides\.(.+)$")
+
+
+def _csv(v: str) -> list[str]:
+    return [s.strip() for s in v.split(",") if s.strip()]
+
+
+def parse_config(props: dict[str, str]) -> ConnectorConfig:
+    cfg = ConnectorConfig()
+    cfg.table_include = _csv(props.get("table.include.list", ""))
+    cfg.table_exclude = _csv(props.get("table.exclude.list", ""))
+    cfg.column_include = _csv(props.get("column.include.list", ""))
+    cfg.column_exclude = _csv(props.get("column.exclude.list", ""))
+    for k, v in props.items():
+        if m := _MASK.match(k):
+            cfg.mask_chars[int(m.group(1))] = _csv(v)
+        elif m := _HASH.match(k):
+            cfg.hash_mask[m.group(1)] = _csv(v)
+        elif m := _TRUNC.match(k):
+            cfg.truncate_chars[int(m.group(1))] = _csv(v)
+        elif m := _OVERRIDE.match(k):
+            cfg.snapshot_overrides[m.group(1)] = v
+    for spec in props.get("message.key.columns", "").split(";"):
+        if ":" in spec:
+            t, cols = spec.split(":", 1)
+            cfg.message_key_columns[t.strip()] = _csv(cols)
+    for name in _csv(props.get("transforms", "")):
+        prefix = f"transforms.{name}."
+        t_props = {
+            k[len(prefix):]: v for k, v in props.items() if k.startswith(prefix)
+        }
+        cfg.transforms.append((name, t_props))
+    return cfg
+
+
+def _any_fullmatch(patterns: list[str], ident: str) -> bool:
+    return any(re.fullmatch(p, ident) for p in patterns)
+
+
+def captured_tables(cfg: ConnectorConfig,
+                    available: list[str] | None = None) -> list[str]:
+    """A5: resolve include/exclude regexes against the table registry."""
+    names = available if available is not None else list(TABLES)
+    if cfg.table_include:
+        return [t for t in names if _any_fullmatch(cfg.table_include, t)]
+    if cfg.table_exclude:
+        return [t for t in names if not _any_fullmatch(cfg.table_exclude, t)]
+    return list(names)
+
+
+def apply_column_policies(df: DataFrame, table_name: str,
+                          cfg: ConnectorConfig) -> DataFrame:
+    """B1/B7/B8 per-table: column lists, masks, truncation, re-key."""
+    cols = df.columns
+    if cfg.column_include:
+        keep = [c for c in cols
+                if _any_fullmatch(cfg.column_include, f"{table_name}.{c}")]
+        df = project(df, include=keep)
+    elif cfg.column_exclude:
+        drop = [c for c in cols
+                if _any_fullmatch(cfg.column_exclude, f"{table_name}.{c}")]
+        df = project(df, exclude=drop)
+    for n, patterns in cfg.mask_chars.items():
+        hits = {c: n for c in df.columns
+                if _any_fullmatch(patterns, f"{table_name}.{c}")}
+        if hits:
+            df = mask_columns(df, mask_with_length=hits)
+    for salt, patterns in cfg.hash_mask.items():
+        for c in df.columns:
+            if _any_fullmatch(patterns, f"{table_name}.{c}"):
+                df = df.withColumn(
+                    c, F.sha2(F.concat(F.lit(salt), F.col(c).cast("string")), 256)
+                )
+    for n, patterns in cfg.truncate_chars.items():
+        hits = {c: n for c in df.columns
+                if _any_fullmatch(patterns, f"{table_name}.{c}")}
+        if hits:
+            df = truncate_columns(df, hits)
+    if key_cols := cfg.message_key_columns.get(table_name):
+        df = df.withColumn("__key", F.struct(*key_cols))
+    return df
+
+
+def snapshot(spark: SparkSession, sf_dir: str,
+             props: dict[str, str]) -> dict[str, DataFrame]:
+    """A3/A4: config-driven initial snapshot — one DataFrame per captured
+    table, with statement overrides and column policies applied (rows
+    are the ``op='r'`` image; envelope wrapping is cdc.envelope's job)."""
+    cfg = parse_config(props)
+    out: dict[str, DataFrame] = {}
+    for t in captured_tables(cfg):
+        if sql := cfg.snapshot_overrides.get(t):
+            table(spark, sf_dir, t).createOrReplaceTempView(t)
+            df = spark.sql(sql)
+        else:
+            df = table(spark, sf_dir, t)
+        out[t] = apply_column_policies(df, t, cfg)
+    return out
+
+
+def transform_chain(df: DataFrame, props: dict[str, str]) -> DataFrame:
+    """B2/B3/B5 SMT chain over an envelope/event DataFrame, applied in
+    the order declared by ``transforms``."""
+    from .cdc.envelope import unwrap
+
+    cfg = parse_config(props) if not isinstance(props, ConnectorConfig) else props
+    for name, t in cfg.transforms:
+        ttype = t.get("type", "")
+        if ttype.endswith("ExtractNewRecordState"):
+            meta = [c for c in df.columns if c not in ("key", "value")]
+            df = unwrap(
+                df,
+                drop_deletes=t.get("delete.handling.mode", "drop") == "drop"
+                and t.get("drop.tombstones", "true") == "true",
+                passthrough=meta,
+            )
+        elif ttype.endswith("Filter"):
+            df = df.filter(F.expr(t["condition"]))
+        elif ttype.endswith("RegexRouter"):
+            df = df.withColumn(
+                "topic",
+                F.regexp_replace(
+                    F.col("topic"), t["regex"], t["replacement"]
+                ),
+            )
+        else:
+            raise ValueError(f"unsupported transform type for '{name}': {ttype}")
+    return df
+
+
+# --- Oracle-checked demo: a Debezium properties file drives the engine ---
+
+from .registry import register  # noqa: E402
+
+
+@register(
+    "connector_snapshot",
+    oracle="""
+SELECT c_custkey,
+       '********' AS c_name,
+       sha256('pepper' || c_mktsegment) AS c_mktsegment
+FROM customer
+WHERE c_acctbal > 1000
+""",
+)
+def connector_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A filtered, masked snapshot configured ENTIRELY by Debezium
+    connector properties — the literal keys a Debezium user already has
+    in their connector config."""
+    props = {
+        "table.include.list": "customer",
+        "column.include.list": (
+            r"customer\.c_custkey,customer\.c_name,customer\.c_mktsegment"
+        ),
+        "column.mask.with.8.chars": r"customer\.c_name",
+        "column.mask.hash.v2.with.salt.pepper": r"customer\.c_mktsegment",
+        "snapshot.select.statement.overrides.customer": (
+            "SELECT * FROM customer WHERE c_acctbal > 1000"
+        ),
+    }
+    return snapshot(spark, sf_dir, props)["customer"]

@@ -63,7 +63,7 @@ def load_all() -> None:
         windows,
     )
     from .functions import pandas_udfs, scalar, udtf  # noqa: F401
-    from . import sql  # noqa: F401
+    from . import connector, sql  # noqa: F401
     from .events import analytics  # noqa: F401
     from .cdc import materialize, routing, scd2  # noqa: F401
     from .llm import clustering  # noqa: F401

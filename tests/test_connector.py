@@ -1,0 +1,90 @@
+"""Connector-properties front end: Debezium config keys must drive the
+engine's operators with Debezium's semantics (include-wins, regex
+fullmatch on table.column, ordered SMT chain)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from debezium_incubator_spark.catalog import table
+from debezium_incubator_spark.cdc.envelope import to_envelope, unwrap
+from debezium_incubator_spark.connector import (
+    captured_tables,
+    parse_config,
+    snapshot,
+    transform_chain,
+)
+
+from .conftest import SF_SMOKE
+
+
+def test_table_include_exclude_regexes():
+    inc = parse_config({"table.include.list": "order.*, nation"})
+    assert captured_tables(inc, ["orders", "nation", "customer"]) == [
+        "orders", "nation",
+    ]
+    exc = parse_config({"table.exclude.list": "events|documents|embeddings"})
+    got = captured_tables(exc, ["orders", "events", "documents"])
+    assert got == ["orders"]
+    # include wins over exclude (Debezium forbids both; include governs)
+    both = parse_config(
+        {"table.include.list": "nation", "table.exclude.list": "nation"}
+    )
+    assert captured_tables(both, ["nation", "region"]) == ["nation"]
+
+
+def test_snapshot_column_policies(spark):
+    props = {
+        "table.include.list": "nation",
+        "column.exclude.list": r"nation\.n_regionkey",
+        "column.truncate.to.3.chars": r"nation\.n_name",
+    }
+    out = snapshot(spark, SF_SMOKE, props)
+    assert list(out) == ["nation"]
+    df = out["nation"]
+    assert df.columns == ["n_nationkey", "n_name"]
+    assert df.filter(F.length("n_name") > 3).count() == 0
+
+
+def test_message_key_columns(spark):
+    props = {
+        "table.include.list": "orders",
+        "message.key.columns": "orders:o_orderkey,o_custkey",
+    }
+    df = snapshot(spark, SF_SMOKE, props)["orders"]
+    assert "__key" in df.columns
+    row = df.select("__key").first()
+    assert row["__key"]["o_orderkey"] is not None
+
+
+def test_transform_chain_matches_direct_composition(spark):
+    env = to_envelope(table(spark, SF_SMOKE, "events")).withColumn(
+        "topic", F.lit("srv1.testdb.events")
+    )
+    props = {
+        "transforms": "unwrap,keep,route",
+        "transforms.unwrap.type": "io.debezium.transforms.ExtractNewRecordState",
+        "transforms.unwrap.drop.tombstones": "true",
+        "transforms.keep.type": "io.debezium.transforms.Filter",
+        "transforms.keep.condition": "value > 50.0",
+        "transforms.route.type": "org.apache.kafka.connect.transforms.RegexRouter",
+        "transforms.route.regex": r"srv1\.testdb\.(.*)",
+        "transforms.route.replacement": "cdc.$1",
+    }
+    got = transform_chain(env, props)
+    assert got.select("topic").distinct().collect()[0].topic == "cdc.events"
+    want = unwrap(env, drop_deletes=True).filter(F.col("value") > 50.0)
+    assert got.count() == want.count() > 0
+
+
+def test_unknown_transform_type_raises(spark):
+    env = to_envelope(table(spark, SF_SMOKE, "events"))
+    props = {
+        "transforms": "x",
+        "transforms.x.type": "com.example.Unknown",
+    }
+    try:
+        transform_chain(env, props)
+        raise AssertionError("expected ValueError")
+    except ValueError as e:
+        assert "Unknown" in str(e)
