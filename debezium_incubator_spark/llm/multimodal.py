@@ -117,6 +117,87 @@ def decode_features(media: DataFrame, kernel=fake_decode_features) -> DataFrame:
     return media.mapInPandas(run, DECODED_SCHEMA)
 
 
+RESIZED_SCHEMA = "doc_id LONG, payload BINARY, width INT, height INT"
+
+
+def resize_media(media: DataFrame, width: int = 32, height: int = 32,
+                 kernel=None) -> DataFrame:
+    """J8 resize: payload → payload' at (width, height), 1 row in → 1 row
+    out. STUB kernel: a real deployment passes e.g.
+    ``lambda p, w, h: pil_resize(p, w, h)``; the deterministic default
+    resamples the byte stream to w*h bytes by striding — preserving the
+    operator contract (binary in, binary out, fixed target dims) so the
+    Spark plumbing (Arrow batches, schema, no shuffle) is real."""
+
+    def fake_resize(payload: bytes, w: int, h: int) -> bytes:
+        n = w * h
+        if not payload:
+            return b"\x00" * n
+        step = max(1, len(payload) // n)
+        out = payload[::step][:n]
+        return out + b"\x00" * (n - len(out))
+
+    k = kernel or fake_resize
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "payload": [k(p, width, height) for p in pdf["payload"]],
+                    "width": width,
+                    "height": height,
+                }
+            )
+
+    return media.mapInPandas(run, RESIZED_SCHEMA)
+
+
+FRAME_SCHEMA = "doc_id LONG, frame_idx INT, frame BINARY"
+
+
+def sample_frames(media: DataFrame, frame_bytes: int = 64,
+                  every_n: int = 4) -> DataFrame:
+    """J8 frame-sample: video payload → every-nth frame, 1 row in → N
+    rows out (the mapInPandas fan-out shape). STUB codec: frames are
+    fixed-size byte windows; a real deployment decodes containers
+    (ffmpeg) inside the same batch loop. No shuffle — expansion is
+    partition-local; at 100 TB cap output row width via frame_bytes and
+    let AQE coalesce the (larger) output partitions downstream."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                n_frames = max(1, len(payload) // frame_bytes)
+                for i in range(0, n_frames, every_n):
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    frames.append(payload[i * frame_bytes:(i + 1) * frame_bytes])
+            yield pd.DataFrame(
+                {"doc_id": ids, "frame_idx": idxs, "frame": frames}
+            )
+
+    return media.mapInPandas(run, FRAME_SCHEMA)
+
+
+@register("mm_frame_sample")
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: frame-sampling fan-out + per-doc frame stats
+    (deterministic: byte-window frames of the synthesized payload)."""
+    media = to_media_table(table(spark, sf_dir, "documents"))
+    frames = sample_frames(media)
+    return (
+        frames.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_frames"),
+            F.max("frame_idx").alias("last_idx"),
+            F.sum(F.length("frame")).alias("sampled_bytes"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 @register("mm_decode_stats")
 def mm_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rows-only: full multimodal pipeline — binary payload column +

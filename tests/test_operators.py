@@ -156,3 +156,28 @@ def test_decode_image_is_stubbed():
 
     with pytest.raises(NotImplementedError):
         decode_image(b"\x89PNG")
+
+
+def test_multimodal_resize_plumbing(spark):
+    from debezium_incubator_spark.llm.multimodal import resize_media
+
+    docs = table(spark, SF_SMOKE, "documents").limit(10)
+    out = resize_media(to_media_table(docs), width=8, height=4).toPandas()
+    assert len(out) == 10
+    assert (out.width == 8).all() and (out.height == 4).all()
+    # contract: every output payload is exactly w*h bytes
+    assert all(len(p) == 32 for p in out.payload)
+
+
+def test_multimodal_frame_sample_fanout(spark):
+    from debezium_incubator_spark.llm.multimodal import sample_frames
+
+    docs = table(spark, SF_SMOKE, "documents").limit(10)
+    media = to_media_table(docs)
+    frames = sample_frames(media, frame_bytes=16, every_n=2).toPandas()
+    # 1 → N expansion: more frame rows than assets, stride honored
+    assert len(frames) > 10
+    assert set(frames.frame_idx % 2) == {0}
+    n0 = len(media.first().payload) // 16
+    got0 = frames[frames.doc_id == frames.doc_id.iloc[0]]
+    assert len(got0) == (max(1, n0) + 1) // 2
