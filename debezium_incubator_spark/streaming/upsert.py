@@ -99,3 +99,68 @@ def start_upsert_stream(
     if checkpoint:
         writer = writer.option("checkpointLocation", checkpoint)
     return writer.start()
+
+
+# --- Streaming SCD2: incremental history maintenance ---------------------
+
+def apply_scd2_batch(
+    spark: SparkSession,
+    batch: DataFrame,
+    epoch: int,
+    state_dir: str,
+    keys: list[str],
+    position: list[str],
+    op_col: str = "__op",
+) -> None:
+    """One micro-batch of SCD2 history maintenance: rebuild validity
+    intervals ONLY for keys touched by this batch — untouched keys'
+    history rows pass through unchanged. Rebuilding from the stored
+    change rows (the history row minus its interval columns IS the
+    original change) makes the fold idempotent and correct under
+    out-of-order batches: a late change re-opens its key's history and
+    re-derives every interval. Per-batch cost ∝ touched keys' history,
+    not table size."""
+    from ..cdc.scd2 import scd2_history
+
+    interval_cols = ["valid_from", "valid_to", "is_current"]
+    current = read_state(spark, state_dir, include_tombstones=True)
+    touched = batch.select(*keys).distinct()
+    if current is None:
+        new_hist = scd2_history(batch, keys, position, op_col)
+    else:
+        untouched = current.join(touched, keys, "left_anti")
+        prior_changes = current.drop(*interval_cols).join(
+            touched, keys, "left_semi"
+        )
+        rebuilt = scd2_history(
+            prior_changes.unionByName(batch), keys, position, op_col
+        )
+        new_hist = untouched.unionByName(rebuilt)
+    out = os.path.join(state_dir, f"v{epoch}")
+    new_hist.write.mode("overwrite").parquet(out)
+    with open(os.path.join(state_dir, "_LATEST"), "w") as f:
+        f.write(f"v{epoch}")
+
+
+def start_scd2_stream(
+    changes: DataFrame,
+    state_dir: str,
+    keys: list[str],
+    position: list[str],
+    op_col: str = "__op",
+    checkpoint: str | None = None,
+):
+    """Continuous SCD2 maintenance via foreachBatch (same versioned-
+    parquet state protocol as start_upsert_stream). Read the history
+    with ``read_state(..., include_tombstones=True)`` — delete events
+    are real versions (they close intervals), not storage artifacts."""
+    os.makedirs(state_dir, exist_ok=True)
+    spark = changes.sparkSession
+
+    def handle(batch: DataFrame, epoch: int) -> None:
+        apply_scd2_batch(spark, batch, epoch, state_dir, keys, position, op_col)
+
+    writer = changes.writeStream.foreachBatch(handle).trigger(availableNow=True)
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer.start()

@@ -119,3 +119,45 @@ def test_upsert_delete_removes_key(spark):
         got = read_state(spark, state).toPandas().sort_values("k")
         assert list(got.k) == [2]
         assert list(got.v) == [25.0]
+
+
+def test_streaming_scd2_matches_batch_history(spark):
+    from debezium_incubator_spark.cdc.scd2 import scd2_history
+    from debezium_incubator_spark.streaming.upsert import start_scd2_stream
+
+    ev = _changes(spark)
+    with tempfile.TemporaryDirectory() as td:
+        src = os.path.join(td, "in")
+        os.makedirs(src)
+        # split by time, NOT key: chunk_b reopens chunk_a's current rows
+        cut = ev.selectExpr(
+            "percentile_approx(unix_micros(CAST(ts AS TIMESTAMP)), 0.5) AS c"
+        ).first().c
+        us = "unix_micros(CAST(ts AS TIMESTAMP))"
+        _write_single_file(ev.filter(F.expr(f"{us} <= {cut}")), os.path.join(src, "a.parquet"))
+        _write_single_file(ev.filter(F.expr(f"{us} > {cut}")), os.path.join(src, "b.parquet"))
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        state = os.path.join(td, "state")
+        q = start_scd2_stream(
+            stream, state, keys=["user_id"], position=["ts", "event_id"],
+            checkpoint=os.path.join(td, "cp"),
+        )
+        q.awaitTermination()
+        cols = ["user_id", "event_id", "valid_from", "valid_to", "is_current"]
+        got = (
+            read_state(spark, state, include_tombstones=True)
+            .select(*cols).toPandas()
+            .sort_values(["user_id", "valid_from", "event_id"])
+            .reset_index(drop=True)
+        )
+    want = (
+        scd2_history(ev, ["user_id"], ["ts", "event_id"])
+        .select(*cols).toPandas()
+        .sort_values(["user_id", "valid_from", "event_id"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
