@@ -1,8 +1,10 @@
 """Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
 sf0.1) on a warm local[$SPARK_GRAFT_CPUS] session.
 
-Protocol mirrors BASELINE.md: 1 warm-up run, then mean of 3 timed runs,
-full result materialization (collect). Prints ONE JSON line:
+Protocol mirrors BASELINE.md: 1 warm-up run, then MEDIAN of 5 timed runs
+(median resists single-run stragglers from VM noise — observed ±40%
+machine-level swings between identical runs), full result
+materialization. Prints ONE JSON line:
 {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
 """
 
@@ -91,11 +93,11 @@ def main() -> None:
             df.toPandas()  # warm-up: optimize + codegen + first run
             plan_cost[name] = time.perf_counter() - t0
             times = []
-            for _ in range(3):
+            for _ in range(5):
                 t0 = time.perf_counter()
                 df.toPandas()  # full Arrow result fetch
                 times.append(time.perf_counter() - t0)
-            per_query[name] = sum(times) / len(times)
+            per_query[name] = sorted(times)[len(times) // 2]
     finally:
         catalog.table = orig_table
 
