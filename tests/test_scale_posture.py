@@ -112,3 +112,53 @@ def test_update_mode_running_aggregate(spark):
         .toPandas().sort_values("event_type").reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_tpch_more_plan_shapes(spark):
+    """Physical-plan audit of the TPC-H shape sweep: dims broadcast,
+    EXISTS/NOT EXISTS stay semi/anti joins, scalar-subquery thresholds
+    arrive via broadcast (no collect), scan-level pushdown survives."""
+    from debezium_incubator_spark.registry import all_queries
+
+    q = all_queries()
+    # q4: EXISTS compiles to a semi join, never a distinct+inner rewrite
+    p4 = _plan(q["q4_order_priority"](spark, SF_SMOKE))
+    assert "LeftSemi" in p4
+    # q22: NOT EXISTS stays an anti join; threshold is a broadcast NLJ
+    p22 = _plan(q["q22_idle_rich_customers"](spark, SF_SMOKE))
+    assert "LeftAnti" in p22
+    assert "BroadcastNestedLoopJoin" in p22
+    # q9: all three dims (part/supplier/nation) broadcast to the fact
+    p9 = _plan(q["q9_product_profit"](spark, SF_SMOKE))
+    assert p9.count("BroadcastHashJoin") >= 3
+    # q9's p_type filter reaches the parquet scan
+    assert "PushedFilters: [" in p9 and "p_type" in p9
+    # q15: the scalar max arrives as a 1-row broadcast, not a collect
+    # (Catalyst turns crossJoin+equality into an equi BroadcastHashJoin)
+    p15 = _plan(q["q15_top_supplier"](spark, SF_SMOKE))
+    assert "BroadcastExchange" in p15
+
+
+def test_connector_override_pushdown(spark):
+    """snapshot.select.statement.overrides predicates reach the scan."""
+    from debezium_incubator_spark.connector import snapshot
+
+    df = snapshot(
+        spark,
+        SF_SMOKE,
+        {
+            "table.include.list": "orders",
+            "snapshot.select.statement.overrides.orders": (
+                "SELECT o_orderkey, o_totalprice FROM orders "
+                "WHERE o_totalprice > 100000"
+            ),
+        },
+    )["orders"]
+    plan = _plan(df)
+    assert "PushedFilters: [" in plan and "o_totalprice" in plan
+    # projection pruning: scan reads only the two selected columns
+    assert "ReadSchema: struct<o_orderkey:bigint,o_totalprice:double>" in plan
