@@ -328,3 +328,35 @@ def fn_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.base64(F.col("n_name").cast("binary")).alias("b64"),
         F.length(F.md5("n_name")).alias("md5_len"),
     ).orderBy("n_nationkey")
+
+
+# --- H7+: Spark 4 VariantType (ahead-of-schema payloads) ------------------
+
+@register(
+    "fn_variant",
+    oracle="""
+SELECT event_id,
+       json_extract(props, '$.k')::INT AS k_int,
+       REPLACE(CAST(props::JSON AS VARCHAR), ' ', '') AS canon,
+       CAST(json_extract_string(props, '$.missing') AS INT) AS missing_val
+FROM events
+ORDER BY event_id
+""",
+)
+def fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VariantType over events.props (SURVEY.md §1.2: the
+    ahead-of-schema payload path — parse once into the binary variant
+    encoding, extract typed fields without a declared schema). The
+    oracle normalizes DuckDB's whitespace-preserving JSON canon to
+    Spark's minified to_json(variant) (fixture payloads carry no string
+    values, so the space-strip is exact)."""
+    ev = table(spark, sf_dir, "events")
+    v = F.expr("parse_json(props)")
+    return ev.select(
+        "event_id",
+        F.expr("variant_get(parse_json(props), '$.k', 'int')").alias("k_int"),
+        F.to_json(v).alias("canon"),
+        F.expr("variant_get(parse_json(props), '$.missing', 'int')").alias(
+            "missing_val"
+        ),
+    ).orderBy("event_id")
