@@ -506,3 +506,137 @@ def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_nationkey")
     )
+
+
+# --- Q2: per-group argmin with equality join back -------------------------
+
+@register(
+    "q2_min_cost_supplier",
+    oracle="""
+WITH cand AS (
+  SELECT DISTINCT l.l_partkey AS p_key, s.s_suppkey, s.s_name, s.s_acctbal, n.n_name
+  FROM lineitem l
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN nation n   ON n.n_nationkey = s.s_nationkey
+  JOIN region r   ON r.r_regionkey = n.n_regionkey
+  WHERE r.r_name = 'EUROPE'
+), best AS (
+  SELECT p_key, min(s_acctbal) AS min_bal FROM cand GROUP BY p_key
+)
+SELECT c.s_acctbal, c.s_name, c.n_name, p.p_partkey, p.p_type
+FROM part p
+JOIN cand c ON c.p_key = p.p_partkey
+JOIN best b ON b.p_key = p.p_partkey AND c.s_acctbal = b.min_bal
+WHERE p.p_size <= 15 AND p.p_type = 'STANDARD'
+ORDER BY c.s_acctbal DESC, c.n_name, c.s_name, p.p_partkey
+LIMIT 100
+""",
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q2's correlated-min shape (s_acctbal standing in for
+    ps_supplycost): per part, the EUROPE supplier(s) with minimum
+    balance. The correlated subquery decorrelates into a per-part min
+    aggregate joined back on equality — min over untouched doubles is
+    exact, so the equality cannot flip across engines; ties return all
+    minimal suppliers in both (SQL semantics)."""
+    li = table(spark, sf_dir, "lineitem")
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    p = table(spark, sf_dir, "part").filter(
+        (F.col("p_size") <= 15) & (F.col("p_type") == "STANDARD")
+    )
+    cand = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select(
+            F.col("l_partkey").alias("p_key"),
+            "s_suppkey", "s_name", "s_acctbal", "n_name",
+        )
+        .distinct()
+    )
+    best = (
+        cand.groupBy("p_key")
+        .agg(F.min("s_acctbal").alias("min_bal"))
+        .withColumnRenamed("p_key", "b_key")
+    )
+    return (
+        p.join(cand, cand.p_key == p.p_partkey)
+        .join(
+            best,
+            (F.col("b_key") == F.col("p_partkey"))
+            & (F.col("s_acctbal") == F.col("min_bal")),
+        )
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_type")
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+# --- Q21: EXISTS + NOT EXISTS against the same fact -----------------------
+
+@register(
+    "q21_sole_returner",
+    oracle="""
+WITH l1 AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+r1 AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem WHERE l_returnflag = 'R')
+SELECT s.s_name, count(*) AS numwait
+FROM r1
+JOIN orders o   ON o.o_orderkey = r1.l_orderkey AND o.o_orderstatus = 'F'
+JOIN supplier s ON s.s_suppkey = r1.l_suppkey
+WHERE EXISTS (
+    SELECT 1 FROM l1
+    WHERE l1.l_orderkey = r1.l_orderkey AND l1.l_suppkey <> r1.l_suppkey
+  )
+  AND NOT EXISTS (
+    SELECT 1 FROM r1 r2
+    WHERE r2.l_orderkey = r1.l_orderkey AND r2.l_suppkey <> r1.l_suppkey
+  )
+GROUP BY s.s_name
+ORDER BY numwait DESC, s_name
+LIMIT 25
+""",
+)
+def q21_sole_returner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q21's signature shape (l_returnflag='R' standing in for
+    receipt-past-commit lateness): suppliers who were the ONLY supplier
+    with returned lines on a finished multi-supplier order — EXISTS
+    (another supplier participated) + NOT EXISTS (another supplier also
+    returned) against the same fact, as semi + anti joins with a
+    non-equi residual (<> on suppkey). One distinct-projected scan feeds
+    both sides; at scale both joins co-partition on l_orderkey so the
+    three shuffles share one exchange."""
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    s = table(spark, sf_dir, "supplier")
+    l1 = li.select("l_orderkey", "l_suppkey").distinct()
+    r1 = li.filter(F.col("l_returnflag") == "R").select(
+        "l_orderkey", "l_suppkey"
+    ).distinct()
+    other = l1.select(
+        F.col("l_orderkey").alias("o_key"), F.col("l_suppkey").alias("o_supp")
+    )
+    other_r = r1.select(
+        F.col("l_orderkey").alias("r_key"), F.col("l_suppkey").alias("r_supp")
+    )
+    base = (
+        r1.join(
+            other,
+            (r1.l_orderkey == other.o_key) & (r1.l_suppkey != other.o_supp),
+            "left_semi",
+        )
+        .join(
+            other_r,
+            (r1.l_orderkey == F.col("r_key")) & (r1.l_suppkey != F.col("r_supp")),
+            "left_anti",
+        )
+    )
+    return (
+        base.join(o, base.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), base.l_suppkey == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(25)
+    )
