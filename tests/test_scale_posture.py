@@ -162,3 +162,46 @@ def test_connector_override_pushdown(spark):
     assert "PushedFilters: [" in plan and "o_totalprice" in plan
     # projection pruning: scan reads only the two selected columns
     assert "ReadSchema: struct<o_orderkey:bigint,o_totalprice:double>" in plan
+
+
+def test_compact_small_files(spark):
+    """Many small micro-batch files → few target-sized files, rows intact."""
+    from debezium_incubator_spark.maintenance import compact
+
+    ev = table(spark, SF_SMOKE, "events").select("event_id", "user_id", "value")
+    with tempfile.TemporaryDirectory() as td:
+        src, dst = os.path.join(td, "small"), os.path.join(td, "big")
+        ev.repartition(40).write.parquet(src)  # simulate 40 micro-batches
+        n_small = sum(1 for f in os.listdir(src) if f.endswith(".parquet"))
+        assert n_small == 40
+        n_out = compact(spark, src, dst, target_file_bytes=10 * 1024 * 1024)
+        assert n_out < n_small
+        assert spark.read.parquet(dst).count() == ev.count()
+
+
+def test_cluster_layout_prunes(spark):
+    """Range clustering: each output file covers a narrow user_id range
+    (the parquet min/max data-skipping precondition)."""
+    from debezium_incubator_spark.maintenance import compact_and_cluster
+
+    ev = table(spark, SF_SMOKE, "events").select("event_id", "user_id", "value")
+    with tempfile.TemporaryDirectory() as td:
+        src, dst = os.path.join(td, "src"), os.path.join(td, "dst")
+        ev.repartition(8).write.parquet(src)  # user_ids scattered per file
+        compact_and_cluster(spark, src, dst, by=["user_id"],
+                            target_file_bytes=4 * 1024)
+        files = [f for f in os.listdir(dst) if f.endswith(".parquet")]
+        assert len(files) > 1
+        spans, total_span = [], 0
+        import pyarrow.parquet as pq
+
+        for f in files:
+            t = pq.read_table(os.path.join(dst, f), columns=["user_id"])
+            u = t.column("user_id").to_pylist()
+            spans.append((min(u), max(u)))
+            total_span += max(u) - min(u)
+        lo = min(s[0] for s in spans)
+        hi = max(s[1] for s in spans)
+        # clustered: per-file ranges are (near-)disjoint slices, so the
+        # sum of spans ≈ global span, not n_files × global span
+        assert total_span <= (hi - lo) * 1.5
