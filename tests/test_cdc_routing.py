@@ -154,3 +154,33 @@ def test_transaction_reassembly(spark):
             "SELECT count(*) n, min(tx_event_count) mn FROM t_tx"
         ).first()
         assert got.n == 1000 and got.mn >= 1
+
+
+def test_dlq_split_valid_tombstone_malformed(spark):
+    """errors.tolerance=all: poison records route to the DLQ with error
+    context; tombstones stay valid; good envelopes parse."""
+    from debezium_incubator_spark.cdc.dlq import parse_with_dlq
+    from debezium_incubator_spark.cdc.envelope import (
+        EVENT_ROW_SCHEMA,
+        to_envelope,
+    )
+
+    good = to_envelope(
+        table(spark, SF_SMOKE, "events").limit(5), as_json=True
+    )
+    bad = spark.createDataFrame(
+        [
+            ('{"id": 999}', "this is not json {"),
+            ('{"id": 1000}', None),  # tombstone: null value is VALID
+        ],
+        "key STRING, value STRING",
+    )
+    raw = good.unionByName(bad)
+    valid, dead = parse_with_dlq(raw, EVENT_ROW_SCHEMA, source_topic="t.events")
+    assert valid.count() == 6  # 5 envelopes + 1 tombstone
+    assert valid.filter(F.col("value").isNull()).count() == 1
+    d = dead.toPandas()
+    assert len(d) == 1
+    assert d.iloc[0]["value"] == "this is not json {"
+    assert d.iloc[0]["__error_topic"] == "t.events"
+    assert "parse failure" in d.iloc[0]["__error_reason"]
