@@ -220,3 +220,33 @@ def connector_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     }
     return snapshot(spark, sf_dir, props)["customer"]
+
+
+SNAPSHOT_MODES = ("initial", "initial_only", "no_data", "never", "when_needed")
+
+
+def snapshot_mode_plan(props: dict[str, str],
+                       state_exists: bool = False) -> dict[str, bool]:
+    """``snapshot.mode`` → which phases to run (Debezium semantics:
+    initial = snapshot then stream; initial_only = snapshot, no stream;
+    no_data/schema-only = stream only, no row snapshot; never = stream
+    only; when_needed = snapshot only if no prior committed state).
+
+    The two booleans drive composition: ``run_snapshot`` → the
+    ``snapshot()`` backfill (op='r' rows, or cdc/incremental_snapshot
+    chunked variant at scale); ``run_stream`` → the Structured
+    Streaming pipeline from the stored offset."""
+    mode = props.get("snapshot.mode", "initial")
+    if mode not in SNAPSHOT_MODES:
+        raise ValueError(
+            f"unsupported snapshot.mode '{mode}' (one of {SNAPSHOT_MODES})"
+        )
+    run_snapshot = {
+        "initial": True,
+        "initial_only": True,
+        "no_data": False,
+        "never": False,
+        "when_needed": not state_exists,
+    }[mode]
+    run_stream = mode != "initial_only"
+    return {"run_snapshot": run_snapshot, "run_stream": run_stream}

@@ -155,3 +155,42 @@ def test_latest_state_tws_gated(spark):
         .toPandas()
     )
     pd.testing.assert_frame_equal(got, batch, check_dtype=False)
+
+
+def test_snapshot_mode_plan():
+    from debezium_incubator_spark.connector import snapshot_mode_plan
+
+    assert snapshot_mode_plan({}) == {"run_snapshot": True, "run_stream": True}
+    assert snapshot_mode_plan({"snapshot.mode": "initial_only"}) == {
+        "run_snapshot": True, "run_stream": False,
+    }
+    assert snapshot_mode_plan({"snapshot.mode": "never"}) == {
+        "run_snapshot": False, "run_stream": True,
+    }
+    assert snapshot_mode_plan({"snapshot.mode": "when_needed"},
+                              state_exists=True)["run_snapshot"] is False
+    assert snapshot_mode_plan({"snapshot.mode": "when_needed"},
+                              state_exists=False)["run_snapshot"] is True
+    with pytest.raises(ValueError, match="snapshot.mode"):
+        snapshot_mode_plan({"snapshot.mode": "bogus"})
+
+
+def test_streaming_progress_metrics(spark):
+    from debezium_incubator_spark.streaming.metrics import (
+        history_metrics,
+        progress_metrics,
+    )
+
+    stream = events_file_stream(spark, SF_SMOKE)
+    agg = stream.groupBy("event_type").agg(F.count("*").alias("n"))
+    q = (
+        agg.writeStream.format("memory").queryName("t_metrics")
+        .outputMode("update").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    m = progress_metrics(q)
+    assert m["totalNumberOfEventsSeen"] >= 0
+    assert m["batchId"] is not None
+    assert m["stateRowsTotal"] >= 5  # one state row per event_type
+    hist = history_metrics(q)
+    assert len(hist) >= 1 and sum(h["numInputRows"] for h in hist) == 1000
