@@ -143,3 +143,79 @@ def unwrap(env: DataFrame, drop_deletes: bool = False,
     if drop_deletes:
         out = out.filter(~F.col("__deleted"))
     return out
+
+
+# --- Avro wire format (jar-gated) -----------------------------------------
+
+def avro_available(spark: "DataFrame.sparkSession") -> bool:
+    """True iff the spark-avro data source is on the classpath (it is an
+    external module: --packages org.apache.spark:spark-avro_2.13)."""
+    try:
+        from pyspark.sql.avro.functions import to_avro
+
+        spark.range(1).select(
+            to_avro(F.struct(F.col("id")))
+        ).collect()
+        return True
+    except Exception:
+        return False
+
+
+def envelope_avro_schema_json(row_schema: T.StructType) -> str:
+    """Avro record schema for the envelope — the schema a registry would
+    serve. Derived mechanically from the Spark StructType so the JSON
+    and Avro wire paths stay in lockstep."""
+    import json
+
+    def avro_type(dt: T.DataType):
+        if isinstance(dt, T.LongType):
+            return "long"
+        if isinstance(dt, T.IntegerType):
+            return "int"
+        if isinstance(dt, T.DoubleType):
+            return "double"
+        if isinstance(dt, T.BooleanType):
+            return "boolean"
+        if isinstance(dt, T.StringType):
+            return "string"
+        if isinstance(dt, T.StructType):
+            import hashlib
+
+            digest = hashlib.md5(dt.simpleString().encode()).hexdigest()[:8]
+            return {
+                "type": "record",
+                "name": f"r{digest}",
+                "fields": [
+                    {"name": f.name, "type": ["null", avro_type(f.dataType)]}
+                    for f in dt.fields
+                ],
+            }
+        raise TypeError(f"no Avro mapping for {dt}")
+
+    return json.dumps(avro_type(envelope_schema(row_schema)))
+
+
+def parse_envelope_avro(raw: DataFrame, row_schema: T.StructType) -> DataFrame:
+    """A2 envelope parse, Avro wire format: binary value → typed envelope
+    struct via from_avro (Confluent-style registry deployments; the
+    5-byte schema-id framing must be stripped upstream with
+    ``F.expr("substring(value, 6)")`` when records come from a registry-
+    aware producer). Jar-gated: raises with remediation when spark-avro
+    is absent (this container has no network for --packages)."""
+    try:
+        from pyspark.sql.avro.functions import from_avro
+    except ImportError as exc:  # pragma: no cover
+        raise RuntimeError("pyspark.sql.avro not importable") from exc
+    schema = envelope_avro_schema_json(row_schema)
+    try:
+        return raw.select(
+            F.from_json(F.col("key").cast("string"),
+                        T.StructType([T.StructField("id", T.LongType())])).alias("key"),
+            from_avro(F.col("value"), schema).alias("value"),
+        )
+    except Exception as exc:
+        raise RuntimeError(
+            "spark-avro data source not loaded; restart with "
+            "--packages org.apache.spark:spark-avro_<scala-version> "
+            "to use the Avro envelope path"
+        ) from exc

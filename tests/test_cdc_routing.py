@@ -184,3 +184,28 @@ def test_dlq_split_valid_tombstone_malformed(spark):
     assert d.iloc[0]["value"] == "this is not json {"
     assert d.iloc[0]["__error_topic"] == "t.events"
     assert "parse failure" in d.iloc[0]["__error_reason"]
+
+
+def test_avro_envelope_gated(spark):
+    """Avro wire path: full round-trip when spark-avro is loaded; clear
+    jar-gate error otherwise (this container lacks the external jar)."""
+    from debezium_incubator_spark.cdc.envelope import (
+        EVENT_ROW_SCHEMA,
+        avro_available,
+        envelope_avro_schema_json,
+        parse_envelope_avro,
+    )
+    import json
+
+    # schema derivation works regardless of the jar
+    sch = json.loads(envelope_avro_schema_json(EVENT_ROW_SCHEMA))
+    assert sch["type"] == "record"
+    assert {f["name"] for f in sch["fields"]} >= {"before", "after", "op", "ts_ms"}
+
+    raw = spark.createDataFrame([('{"id": 1}', bytearray(b"\x00"))],
+                                "key STRING, value BINARY")
+    if avro_available(spark):
+        parse_envelope_avro(raw, EVENT_ROW_SCHEMA)  # plan builds
+    else:
+        with pytest.raises(RuntimeError, match="spark-avro"):
+            parse_envelope_avro(raw, EVENT_ROW_SCHEMA)
