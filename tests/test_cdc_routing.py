@@ -209,3 +209,31 @@ def test_avro_envelope_gated(spark):
     else:
         with pytest.raises(RuntimeError, match="spark-avro"):
             parse_envelope_avro(raw, EVENT_ROW_SCHEMA)
+
+
+def test_signal_dispatch_triggers_incremental_snapshot(spark):
+    """The execute-snapshot signal drives the chunked snapshot machinery;
+    unknown signals are logged, not fatal (connector keeps running)."""
+    from debezium_incubator_spark.cdc.signals import dispatch_signals
+
+    signals = spark.createDataFrame(
+        [
+            ("001", "execute-snapshot",
+             '{"data-collections": ["events"], "type": "incremental"}'),
+            ("002", "log", '{"message": "hello"}'),
+            ("003", "made-up-type", "{}"),
+        ],
+        "id STRING, type STRING, data STRING",
+    )
+    triggered = []
+    actions = dispatch_signals(
+        signals,
+        handlers={
+            "execute-snapshot": lambda s: triggered.append(s),
+            "log": lambda s: None,
+        },
+    )
+    assert [a["handled"] for a in actions] == [True, True, False]
+    assert "unknown signal type" in actions[2]["error"]
+    assert triggered[0]["data_collections"] == ["events"]
+    assert triggered[0]["snapshot_kind"] == "incremental"
