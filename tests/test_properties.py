@@ -1,0 +1,103 @@
+"""Property-based tests (hypothesis): the order-sensitive custom
+operators must agree with an independent pandas implementation on
+arbitrary generated inputs — not just the fixture distributions.
+Targets the operators whose correctness hinges on subtle ordering/tie
+semantics: as-of join, latest-state fold, SCD2 intervals."""
+
+from __future__ import annotations
+
+import pandas as pd
+from hypothesis import given, settings, strategies as st
+
+from pyspark.sql import functions as F
+
+from debezium_incubator_spark.cdc.materialize import materialize_latest
+from debezium_incubator_spark.cdc.scd2 import scd2_history
+from debezium_incubator_spark.operators.joins import asof_join
+
+KEYS = st.integers(min_value=0, max_value=3)
+POS = st.integers(min_value=0, max_value=50)
+VALS = st.floats(min_value=-100, max_value=100, allow_nan=False, width=32)
+OPS = st.sampled_from(["c", "u", "d"])
+
+CHANGES = st.lists(
+    st.tuples(KEYS, POS, VALS, OPS), min_size=1, max_size=25
+).map(
+    # unique (key, pos): a real log has one change per position per key
+    lambda rows: list({(r[0], r[1]): r for r in rows}.values())
+)
+
+
+@settings(max_examples=12, deadline=None)
+@given(CHANGES)
+def test_materialize_latest_matches_pandas_fold(spark, rows):
+    df = spark.createDataFrame(rows, "k LONG, pos LONG, v DOUBLE, __op STRING")
+    got = (
+        materialize_latest(df, ["k"], ["pos"])
+        .select("k", "v").toPandas()
+        .sort_values("k").reset_index(drop=True)
+    )
+    pdf = pd.DataFrame(rows, columns=["k", "pos", "v", "__op"])
+    last = pdf.sort_values(["k", "pos"]).groupby("k").tail(1)
+    want = (
+        last[last["__op"] != "d"][["k", "v"]]
+        .sort_values("k").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got, want, check_dtype=False, check_exact=False, atol=1e-6
+    )
+
+
+@settings(max_examples=12, deadline=None)
+@given(CHANGES)
+def test_scd2_intervals_partition_the_timeline(spark, rows):
+    """Per key: intervals are adjacent (valid_to == next valid_from),
+    exactly one open current version unless the key ended deleted."""
+    df = spark.createDataFrame(rows, "k LONG, pos LONG, v DOUBLE, __op STRING")
+    hist = (
+        scd2_history(df, ["k"], ["pos"])
+        .select("k", "pos", "valid_from", "valid_to", "is_current", "__op")
+        .toPandas()
+    )
+    for k, g in hist.groupby("k"):
+        g = g.sort_values("valid_from").reset_index(drop=True)
+        # adjacency: each version ends where the next begins
+        for i in range(len(g) - 1):
+            assert g.loc[i, "valid_to"] == g.loc[i + 1, "valid_from"]
+        assert pd.isna(g.loc[len(g) - 1, "valid_to"])
+        n_current = int(g["is_current"].sum())
+        last_deleted = g.loc[len(g) - 1, "__op"] == "d"
+        assert n_current == (0 if last_deleted else 1)
+
+
+LEFT = st.lists(st.tuples(KEYS, POS), min_size=1, max_size=15)
+RIGHT = st.lists(st.tuples(KEYS, POS, VALS), min_size=1, max_size=15).map(
+    lambda rows: list({(r[0], r[1]): r for r in rows}.values())
+)
+
+
+@settings(max_examples=12, deadline=None)
+@given(LEFT, RIGHT)
+def test_asof_join_matches_pandas_merge_asof(spark, left, right):
+    left = [(i, k, t) for i, (k, t) in enumerate(left)]
+    ldf = spark.createDataFrame(left, "id LONG, k LONG, t LONG")
+    rdf = spark.createDataFrame(right, "k LONG, rt LONG, v DOUBLE")
+    got = (
+        asof_join(ldf, rdf, on=["k"], left_id="id", left_ts="t", right_ts="rt")
+        .select("id", "v").toPandas()
+        .sort_values("id").reset_index(drop=True)
+    )
+    lp = pd.DataFrame(left, columns=["id", "k", "t"]).sort_values(
+        "t", kind="stable"
+    )
+    rp = pd.DataFrame(right, columns=["k", "rt", "v"]).sort_values(
+        "rt", kind="stable"
+    )
+    want = (
+        pd.merge_asof(lp, rp, left_on="t", right_on="rt", by="k")
+        .dropna(subset=["v"])  # asof_join is inner: unmatched lefts drop
+        .sort_values("id")[["id", "v"]].reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got, want, check_dtype=False, check_exact=False, atol=1e-6
+    )
