@@ -265,3 +265,47 @@ def t7_source_slices(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "lang")
     )
+
+
+# --- J5+: BPE-style regex pre-tokenization --------------------------------
+
+# GPT-2-style pretokenizer, simplified to the RE2-compatible subset
+# (no contraction lookarounds) so the oracle can run the SAME pattern:
+# letter runs, digit runs, punctuation runs (each with optional leading
+# space), whitespace runs. Unicode classes, not [a-z] — documents.lang
+# includes zh.
+BPE_PRETOKEN_RE = r" ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+
+
+@register(
+    "t8_bpe_token_count",
+    oracle=rf"""
+SELECT lang,
+       SUM(len(regexp_extract_all(lower(text), '{BPE_PRETOKEN_RE}'))) AS total_bpe_tokens,
+       SUM(len(string_split(lower(text), ' '))) AS total_ws_tokens,
+       ROUND(AVG(len(regexp_extract_all(lower(text), '{BPE_PRETOKEN_RE}'))), 4) AS avg_bpe_tokens
+FROM documents
+GROUP BY lang
+ORDER BY lang
+""",
+)
+def t8_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting both ways (the training-data budget metric):
+    whitespace tokens and BPE-ish pretokens per language. Pure
+    expression (regexp_extract_all + size) — counting never explodes
+    rows, so it's a single scan + one small aggregate at any corpus
+    size."""
+    d = table(spark, sf_dir, "documents")
+    bpe = F.size(
+        F.regexp_extract_all(F.lower("text"), F.lit(BPE_PRETOKEN_RE), F.lit(0))
+    )
+    ws = F.size(tokens())
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.sum(bpe.cast("bigint")).alias("total_bpe_tokens"),
+            F.sum(ws.cast("bigint")).alias("total_ws_tokens"),
+            F.round(F.avg(bpe), 4).alias("avg_bpe_tokens"),
+        )
+        .orderBy("lang")
+    )
