@@ -309,3 +309,61 @@ def t8_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# --- J5+: quality ratios (length / punctuation / stopwords) ---------------
+
+STOPWORDS = (
+    "the", "a", "of", "and", "to", "in",      # en
+    "de", "la", "el", "que", "y",             # es/fr
+    "und", "der", "die", "das",               # de
+    "le", "les", "un", "une",                 # fr
+)
+
+
+@register(
+    "t9_quality_ratios",
+    oracle=f"""
+WITH x AS (
+  SELECT doc_id, lang,
+         length(text) AS n_chars,
+         length(regexp_replace(text, '[^\\p{{L}}\\p{{N}}\\s]', '', 'g')) AS n_alnum_ws,
+         len(string_split(lower(text), ' ')) AS n_tokens,
+         len(list_filter(string_split(lower(text), ' '),
+             t -> list_contains({list(STOPWORDS)}, t))) AS n_stop,
+         length(replace(text, ' ', '')) AS n_nonspace
+  FROM documents
+)
+SELECT doc_id, lang, n_tokens,
+       ROUND(CAST(n_chars - n_alnum_ws AS DOUBLE) / n_chars, 4) AS punct_ratio,
+       ROUND(CAST(n_stop AS DOUBLE) / n_tokens, 4) AS stopword_ratio,
+       ROUND(CAST(n_nonspace AS DOUBLE) / n_tokens, 4) AS mean_token_len
+FROM x
+ORDER BY doc_id
+""",
+)
+def t9_quality_ratios(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The standard cheap quality gates over a document corpus:
+    punctuation density, stopword density (multilingual list), mean
+    token length — all single-pass expressions, no explode, so the scan
+    is the whole cost at any corpus size."""
+    d = table(spark, sf_dir, "documents")
+    sw = F.array(*[F.lit(s) for s in STOPWORDS])
+    toks = tokens()
+    n_chars = F.length("text")
+    n_alnum_ws = F.length(F.regexp_replace("text", r"[^\p{L}\p{N}\s]", ""))
+    n_tokens = F.size(toks)
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    n_nonspace = F.length(F.regexp_replace("text", " ", ""))
+    return d.select(
+        "doc_id",
+        "lang",
+        n_tokens.alias("n_tokens"),
+        F.round((n_chars - n_alnum_ws).cast("double") / n_chars, 4).alias(
+            "punct_ratio"
+        ),
+        F.round(n_stop.cast("double") / n_tokens, 4).alias("stopword_ratio"),
+        F.round(n_nonspace.cast("double") / n_tokens, 4).alias(
+            "mean_token_len"
+        ),
+    ).orderBy("doc_id")
