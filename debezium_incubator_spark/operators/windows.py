@@ -189,3 +189,69 @@ def w_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.round(F.avg("value").over(w), 4).alias("mavg5"),
     )
+
+
+# --- E4+: nth_value -------------------------------------------------------
+
+@register(
+    "w_nth_value",
+    oracle="""
+SELECT event_id, user_id,
+       nth_value(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS second_type,
+       nth_value(value, 3) OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS third_value
+FROM events
+""",
+)
+def w_nth_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nth_value in a running frame: the k-th event per user once it has
+    happened, NULL before (onboarding-funnel analyses)."""
+    ev = table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.nth_value("event_type", 2).over(w).alias("second_type"),
+        F.nth_value("value", 3).over(w).alias("third_value"),
+    )
+
+
+# --- E-family application: z-score anomaly flags --------------------------
+
+@register(
+    "w_zscore_anomaly",
+    oracle="""
+WITH s AS (
+  SELECT event_id, event_type, value,
+         AVG(value)        OVER (PARTITION BY event_type) AS mu,
+         STDDEV_SAMP(value) OVER (PARTITION BY event_type) AS sigma
+  FROM events
+)
+SELECT event_id, event_type,
+       ROUND((value - mu) / sigma, 4) AS zscore,
+       (abs(ROUND((value - mu) / sigma, 4)) >= 2.0) AS is_anomaly
+FROM s
+ORDER BY event_id
+""",
+)
+def w_zscore_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type z-score outlier flag — unframed window aggregate (whole
+    partition per type; fine at scale: 5 types → 5 groups, but the same
+    plan hash-partitions by type, so heavy types spread across tasks
+    only via AQE skew handling — for truly hot single groups use the
+    two_phase_agg helper instead). The flag thresholds the ROUNDED
+    z-score so the boolean cannot flip on engine double drift."""
+    ev = table(spark, sf_dir, "events")
+    w = W.partitionBy("event_type")
+    z = F.round(
+        (F.col("value") - F.avg("value").over(w)) / F.stddev_samp("value").over(w), 4
+    )
+    return ev.select(
+        "event_id",
+        "event_type",
+        z.alias("zscore"),
+        (F.abs(z) >= 2.0).alias("is_anomaly"),
+    ).orderBy("event_id")
