@@ -250,3 +250,26 @@ def snapshot_mode_plan(props: dict[str, str],
     }[mode]
     run_stream = mode != "initial_only"
     return {"run_snapshot": run_snapshot, "run_stream": run_stream}
+
+
+def streaming_options(props: dict[str, str]) -> dict[str, str]:
+    """Debezium batching/backpressure tuning → Spark reader options
+    (SURVEY.md §4.1 row 4: max.batch.size etc. are Debezium's only
+    throughput knobs; Structured Streaming's per-trigger caps are the
+    direct analog — applied via ``reader.options(**streaming_options(p))``).
+
+    - ``max.batch.size``       → ``maxOffsetsPerTrigger`` (Kafka) and
+                                  ``maxFilesPerTrigger`` stays caller-set
+    - ``poll.interval.ms``     → trigger processingTime (returned under
+                                  the pseudo-key ``_trigger_ms`` for the
+                                  writer side)
+    - ``max.queue.size``       → no direct analog: Spark's micro-batch
+                                  admission replaces the bounded queue;
+                                  ignored with a comment, not an error.
+    """
+    out: dict[str, str] = {}
+    if v := props.get("max.batch.size"):
+        out["maxOffsetsPerTrigger"] = v
+    if v := props.get("poll.interval.ms"):
+        out["_trigger_ms"] = v
+    return out

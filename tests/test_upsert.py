@@ -161,3 +161,39 @@ def test_streaming_scd2_matches_batch_history(spark):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_upsert_epoch_replay_is_idempotent(spark):
+    """I9 exactly-once: re-running a micro-batch with the same epoch id
+    (what a post-crash replay does) must leave state identical — the
+    versioned write keyed by epoch makes the apply idempotent."""
+    from debezium_incubator_spark.streaming.upsert import apply_changes_batch
+
+    with tempfile.TemporaryDirectory() as td:
+        state = os.path.join(td, "state")
+        os.makedirs(state)
+        b1 = spark.createDataFrame(
+            [(1, 1, 10.0, "c"), (2, 2, 20.0, "c")],
+            "k LONG, pos LONG, v DOUBLE, __op STRING",
+        )
+        b2 = spark.createDataFrame(
+            [(1, 3, 15.0, "u")], "k LONG, pos LONG, v DOUBLE, __op STRING"
+        )
+        apply_changes_batch(spark, b1, 0, state, ["k"], ["pos"])
+        apply_changes_batch(spark, b2, 1, state, ["k"], ["pos"])
+        before = read_state(spark, state).toPandas().sort_values("k").reset_index(drop=True)
+        # crash-replay of epoch 1
+        apply_changes_batch(spark, b2, 1, state, ["k"], ["pos"])
+        after = read_state(spark, state).toPandas().sort_values("k").reset_index(drop=True)
+    pd.testing.assert_frame_equal(before, after)
+    assert list(after.v) == [15.0, 20.0]
+
+
+def test_streaming_options_mapping():
+    from debezium_incubator_spark.connector import streaming_options
+
+    m = streaming_options({"max.batch.size": "4096", "poll.interval.ms": "500",
+                           "max.queue.size": "8192"})
+    assert m["maxOffsetsPerTrigger"] == "4096"
+    assert m["_trigger_ms"] == "500"
+    assert "max.queue.size" not in m
