@@ -54,3 +54,34 @@ def register_views(spark: SparkSession, sf_dir: str, names=TABLES) -> None:
     """Register fixture tables as temp views for the SQL entry point."""
     for name in names:
         table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+# --- External (user) tables -----------------------------------------------
+
+EXTERNAL: dict[str, str] = {}
+
+
+def register_external(spark: SparkSession, name: str, path: str) -> DataFrame:
+    """Register a user parquet table (directory or file) under ``name``:
+    applies the same read-side normalizations as the fixture loaders —
+    any INT64 column that is really nanosecond epoch (parquet
+    timestamp[ns] read under ``nanosAsLong``) stays a caller decision;
+    what IS generic: the engine confs are ensured and the table becomes
+    addressable by every operator and by SQL. Returns the DataFrame."""
+    ensure_conf(spark)
+    df = spark.read.parquet(path)
+    EXTERNAL[name] = path
+    df.createOrReplaceTempView(name)
+    return df
+
+
+def normalize_ns_timestamps(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Generic form of the events.ts fix: convert epoch-nano LONG columns
+    (parquet timestamp[ns] under nanosAsLong) to µs TIMESTAMP_NTZ with
+    integer division (lossless at the µs grain; double division would
+    drop precision past 2^53)."""
+    for c in cols:
+        df = df.withColumn(
+            c, F.expr(f"CAST(timestamp_micros({c} DIV 1000) AS TIMESTAMP_NTZ)")
+        )
+    return df

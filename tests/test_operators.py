@@ -181,3 +181,34 @@ def test_multimodal_frame_sample_fanout(spark):
     n0 = len(media.first().payload) // 16
     got0 = frames[frames.doc_id == frames.doc_id.iloc[0]]
     assert len(got0) == (max(1, n0) + 1) // 2
+
+
+def test_register_external_table_with_ns_timestamps(spark, tmp_path):
+    """Arbitrary user parquet — including timestamp[ns] columns Spark
+    can't read natively — registers and queries like a fixture table."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from debezium_incubator_spark.catalog import (
+        normalize_ns_timestamps,
+        register_external,
+    )
+
+    t = pa.table(
+        {
+            "id": pa.array([1, 2, 3], pa.int64()),
+            "ts": pa.array(
+                [1704067200_000_000_000 + i * 1_000_000_500 for i in range(3)],
+                pa.timestamp("ns"),
+            ),
+        }
+    )
+    p = str(tmp_path / "user_table.parquet")
+    pq.write_table(t, p)
+    df = register_external(spark, "user_table", p)
+    assert dict(df.dtypes)["ts"] == "bigint"  # nanosAsLong read
+    fixed = normalize_ns_timestamps(df, ["ts"])
+    assert dict(fixed.dtypes)["ts"] == "timestamp_ntz"
+    got = fixed.agg(F.min("ts").cast("string")).first()[0]
+    assert got == "2024-01-01 00:00:00"
+    assert spark.sql("SELECT count(*) n FROM user_table").first().n == 3
