@@ -127,7 +127,15 @@ def k3_asof_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
 def mean_udf():
     @F.pandas_udf("double")
     def _mean(v: pd.Series) -> float:
-        return float(v.mean())
+        # Fixed-point mean (engine parity policy): quantize to 4dp ints,
+        # integer-sum (exact, order-free), then two double divisions in
+        # the same association as the oracle SQL — bit-identical across
+        # engines, immune to the ROUND(,4) boundary flips a naive
+        # float mean hits at scale (seen at sf0.1: 46.99625 halfway case).
+        import numpy as np
+
+        q = np.floor(v.to_numpy(dtype="float64") * 10000 + 0.5).astype("int64")
+        return float(q.sum()) / len(q) / 10000.0
 
     return _mean
 
@@ -143,7 +151,10 @@ def count_udf():
 @register(
     "k4_grouped_agg",
     oracle="""
-SELECT user_id, ROUND(AVG(value), 4) AS avg_value, COUNT(*) AS n
+SELECT user_id,
+       ROUND(SUM(CAST(floor(value * 10000 + 0.5) AS BIGINT))
+             / CAST(COUNT(*) AS DOUBLE) / 10000.0, 4) AS avg_value,
+       COUNT(*) AS n
 FROM events
 GROUP BY user_id
 ORDER BY user_id
