@@ -135,7 +135,13 @@ def mean_udf():
         import numpy as np
 
         q = np.floor(v.to_numpy(dtype="float64") * 10000 + 0.5).astype("int64")
-        return float(q.sum()) / len(q) / 10000.0
+        # round-to-4dp via floor(x+0.5) — ROUND() tie rules differ between
+        # engines exactly when S/n lands on a binary-exact half; floor on
+        # the identical double is deterministic on both.
+        units = float(q.sum()) / len(q)
+        import math
+
+        return math.floor(units + 0.5) / 10000.0
 
     return _mean
 
@@ -152,8 +158,8 @@ def count_udf():
     "k4_grouped_agg",
     oracle="""
 SELECT user_id,
-       ROUND(SUM(CAST(floor(value * 10000 + 0.5) AS BIGINT))
-             / CAST(COUNT(*) AS DOUBLE) / 10000.0, 4) AS avg_value,
+       floor(SUM(CAST(floor(value * 10000 + 0.5) AS BIGINT))
+             / CAST(COUNT(*) AS DOUBLE) + 0.5) / 10000.0 AS avg_value,
        COUNT(*) AS n
 FROM events
 GROUP BY user_id
@@ -169,7 +175,7 @@ def k4_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         ev.groupBy("user_id")
         .agg(
-            F.round(mean_udf()("value"), 4).alias("avg_value"),
+            mean_udf()("value").alias("avg_value"),
             count_udf()("value").alias("n"),
         )
         .orderBy("user_id")
