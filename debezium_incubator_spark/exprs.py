@@ -50,3 +50,20 @@ def round4(expr: str, alias: str) -> Column:
 def oracle_dec_sum(expr: str, alias: str) -> str:
     """DuckDB twin of :func:`dec_sum` (identical semantics)."""
     return f"SUM(CAST(({expr}) AS {DEC})) AS {alias}"
+
+
+def round4x(expr: str) -> Column:
+    """Tie-free 4dp rounding for INTEGER-DERIVED ratios: floor(x·10⁴+0.5)
+    is pure IEEE arithmetic, identical on both engines. ROUND(x,4) is NOT
+    safe for such values — Spark rounds via the decimal expansion
+    (BigDecimal HALF_UP) while DuckDB rounds in double arithmetic, and
+    integer ratios structurally land on the boundary where they disagree
+    (observed at sf0.1: fixed-point mean 49.19125). Continuous values
+    (stddev, cosine, log) stay on plain ROUND — their probability of
+    sitting within an ulp of a half-boundary is ~1e-12."""
+    return F.expr(f"floor(({expr}) * {FX} + 0.5) / CAST({FX} AS DOUBLE)")
+
+
+def oracle_round4x(expr: str, alias: str) -> str:
+    """DuckDB twin of :func:`round4x`."""
+    return f"floor(({expr}) * {FX} + 0.5) / CAST({FX} AS DOUBLE) AS {alias}"

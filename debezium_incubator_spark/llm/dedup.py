@@ -195,7 +195,7 @@ WITH toks AS (
   GROUP BY 1, 2
 )
 SELECT i.doc_a, i.doc_b,
-       ROUND(i.i / (sa.n + sb.n - i.i), 4) AS jaccard
+       floor(i.i / (sa.n + sb.n - i.i) * 10000 + 0.5) / CAST(10000 AS DOUBLE) AS jaccard
 FROM inter i
 JOIN sizes sa ON sa.doc_id = i.doc_a
 JOIN sizes sb ON sb.doc_id = i.doc_b
@@ -231,7 +231,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         inter.join(sa, "doc_a")
         .join(sb, "doc_b")
         .filter(jac >= 0.1)
-        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+        .select("doc_a", "doc_b", (F.floor(jac * 10000 + 0.5) / F.lit(10000.0)).alias("jaccard"))
         .orderBy("doc_a", "doc_b")
     )
 

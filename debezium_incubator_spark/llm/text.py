@@ -148,9 +148,10 @@ WITH x AS (
   FROM documents
 )
 SELECT doc_id, n_tokens, n_distinct,
-       ROUND(n_distinct / n_tokens, 4) AS ttr,
-       ROUND(0.5 * (n_distinct / n_tokens)
-             + 0.5 * least(n_tokens / 100.0, 1.0), 4) AS quality
+       floor(n_distinct / n_tokens * 10000 + 0.5) / CAST(10000 AS DOUBLE) AS ttr,
+       floor((0.5 * (n_distinct / n_tokens)
+              + 0.5 * least(n_tokens / 100.0, 1.0)) * 10000 + 0.5)
+           / CAST(10000 AS DOUBLE) AS quality
 FROM x
 ORDER BY doc_id
 """,
@@ -168,8 +169,8 @@ def t3_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         n_tokens.alias("n_tokens"),
         n_distinct.alias("n_distinct"),
-        F.round(ttr, 4).alias("ttr"),
-        F.round(quality, 4).alias("quality"),
+        (F.floor(ttr * 10000 + 0.5) / F.lit(10000.0)).alias("ttr"),
+        (F.floor(quality * 10000 + 0.5) / F.lit(10000.0)).alias("quality"),
     ).orderBy("doc_id")
 
 
@@ -188,7 +189,7 @@ WITH x AS (
          len(ts) AS n
   FROM x
 )
-SELECT doc_id, lang, ROUND(hits / n, 4) AS en_ratio,
+SELECT doc_id, lang, floor(hits / n * 10000 + 0.5) / CAST(10000 AS DOUBLE) AS en_ratio,
        CASE WHEN hits / n >= 0.03 THEN 'en' ELSE 'other' END AS guessed
 FROM s
 ORDER BY doc_id
@@ -206,7 +207,7 @@ def t4_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id",
         "lang",
-        F.round(ratio, 4).alias("en_ratio"),
+        (F.floor(ratio * 10000 + 0.5) / F.lit(10000.0)).alias("en_ratio"),
         F.when(ratio >= 0.03, "en").otherwise("other").alias("guessed"),
     ).orderBy("doc_id")
 
@@ -335,9 +336,9 @@ WITH x AS (
   FROM documents
 )
 SELECT doc_id, lang, n_tokens,
-       ROUND(CAST(n_chars - n_alnum_ws AS DOUBLE) / n_chars, 4) AS punct_ratio,
-       ROUND(CAST(n_stop AS DOUBLE) / n_tokens, 4) AS stopword_ratio,
-       ROUND(CAST(n_nonspace AS DOUBLE) / n_tokens, 4) AS mean_token_len
+       floor(CAST(n_chars - n_alnum_ws AS DOUBLE) / n_chars * 10000 + 0.5) / CAST(10000 AS DOUBLE) AS punct_ratio,
+       floor(CAST(n_stop AS DOUBLE) / n_tokens * 10000 + 0.5) / CAST(10000 AS DOUBLE) AS stopword_ratio,
+       floor(CAST(n_nonspace AS DOUBLE) / n_tokens * 10000 + 0.5) / CAST(10000 AS DOUBLE) AS mean_token_len
 FROM x
 ORDER BY doc_id
 """,
@@ -359,11 +360,10 @@ def t9_quality_ratios(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "lang",
         n_tokens.alias("n_tokens"),
-        F.round((n_chars - n_alnum_ws).cast("double") / n_chars, 4).alias(
-            "punct_ratio"
-        ),
-        F.round(n_stop.cast("double") / n_tokens, 4).alias("stopword_ratio"),
-        F.round(n_nonspace.cast("double") / n_tokens, 4).alias(
-            "mean_token_len"
-        ),
+        (F.floor((n_chars - n_alnum_ws).cast("double") / n_chars * 10000 + 0.5)
+         / F.lit(10000.0)).alias("punct_ratio"),
+        (F.floor(n_stop.cast("double") / n_tokens * 10000 + 0.5)
+         / F.lit(10000.0)).alias("stopword_ratio"),
+        (F.floor(n_nonspace.cast("double") / n_tokens * 10000 + 0.5)
+         / F.lit(10000.0)).alias("mean_token_len"),
     ).orderBy("doc_id")

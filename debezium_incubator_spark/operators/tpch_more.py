@@ -81,8 +81,8 @@ WITH vol AS (
   WHERE r.r_name = 'ASIA'
 )
 SELECT order_year,
-       ROUND(CAST(SUM(CASE WHEN supp_nation = 'NATION_2' THEN v ELSE 0 END) AS DOUBLE)
-             / CAST(SUM(v) AS DOUBLE), 4) AS mkt_share
+       floor(CAST(SUM(CASE WHEN supp_nation = 'NATION_2' THEN v ELSE 0 END) AS DOUBLE)
+             / CAST(SUM(v) AS DOUBLE) * 10000 + 0.5) / CAST(10000 AS DOUBLE) AS mkt_share
 FROM vol
 GROUP BY order_year
 ORDER BY order_year
@@ -115,8 +115,9 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         vol.groupBy("order_year")
         .agg(
-            F.round(
-                num.cast("double") / F.sum("v").cast("double"), 4
+            (
+                F.floor(num.cast("double") / F.sum("v").cast("double") * 10000 + 0.5)
+                / F.lit(10000.0)
             ).alias("mkt_share")
         )
         .orderBy("order_year")
@@ -176,7 +177,7 @@ WITH val AS (
 )
 SELECT l_partkey, value
 FROM val
-WHERE value > (SELECT ROUND(SUM(value) * 0.0006, 4) FROM val)
+WHERE value > (SELECT floor(SUM(value) * 0.0006 * 10000 + 0.5) / CAST(10000 AS DOUBLE) FROM val)
 ORDER BY value DESC, l_partkey
 """,
 )
@@ -189,7 +190,11 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     val = li.groupBy("l_partkey").agg(
         money_sum("l_extendedprice * (1 - l_discount)", "value")
     )
-    total = val.agg(F.round(F.sum("value") * 0.0006, 4).alias("__threshold"))
+    total = val.agg(
+        (F.floor(F.sum("value") * 0.0006 * 10000 + 0.5) / F.lit(10000.0)).alias(
+            "__threshold"
+        )
+    )
     return (
         val.crossJoin(F.broadcast(total))
         .filter(F.col("value") > F.col("__threshold"))
@@ -239,11 +244,11 @@ def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q14_promo_share",
     oracle=f"""
 SELECT date_trunc('month', l.l_shipdate) AS ship_month,
-       ROUND(100.0 * CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+       floor(100.0 * CAST(SUM(CASE WHEN p.p_type = 'PROMO'
                   THEN CAST(floor(l.l_extendedprice * (1 - l.l_discount) * {FX} + 0.5) AS BIGINT)
                   ELSE 0 END) AS DOUBLE)
-             / CAST(SUM(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * {FX} + 0.5) AS BIGINT)) AS DOUBLE),
-             4) AS promo_share
+             / CAST(SUM(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * {FX} + 0.5) AS BIGINT)) AS DOUBLE)
+             * 10000 + 0.5) / CAST(10000 AS DOUBLE) AS promo_share
 FROM lineitem l
 JOIN part p ON p.p_partkey = l.l_partkey
 WHERE l.l_shipdate >= TIMESTAMP '1997-01-01' AND l.l_shipdate < TIMESTAMP '1998-01-01'
@@ -268,8 +273,12 @@ def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         j.groupBy("ship_month")
         .agg(
-            F.round(
-                F.lit(100.0) * promo.cast("double") / F.sum("v").cast("double"), 4
+            (
+                F.floor(
+                    F.lit(100.0) * promo.cast("double") / F.sum("v").cast("double")
+                    * 10000 + 0.5
+                )
+                / F.lit(10000.0)
             ).alias("promo_share")
         )
         .orderBy("ship_month")
@@ -357,8 +366,8 @@ def q16_part_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q17_small_quantity_revenue",
     oracle=f"""
-SELECT ROUND(CAST(SUM(CAST(floor(l.l_extendedprice * {FX} + 0.5) AS BIGINT)) AS DOUBLE)
-             / {FX} / 7.0, 4) AS avg_yearly
+SELECT floor(CAST(SUM(CAST(floor(l.l_extendedprice * {FX} + 0.5) AS BIGINT)) AS DOUBLE)
+             / {FX} / 7.0 * 10000 + 0.5) / CAST(10000 AS DOUBLE) AS avg_yearly
 FROM lineitem l
 JOIN part p ON p.p_partkey = l.l_partkey
 JOIN (
@@ -383,11 +392,15 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(thr, li.l_partkey == F.col("t_partkey"))
         .filter(F.col("l_quantity") < F.col("qty_threshold"))
         .agg(
-            F.round(
-                F.expr(f"SUM(CAST(floor(l_extendedprice * {FX} + 0.5) AS BIGINT))").cast("double")
-                / F.lit(FX)
-                / F.lit(7.0),
-                4,
+            (
+                F.floor(
+                    F.expr(f"SUM(CAST(floor(l_extendedprice * {FX} + 0.5) AS BIGINT))").cast("double")
+                    / F.lit(FX)
+                    / F.lit(7.0)
+                    * 10000
+                    + 0.5
+                )
+                / F.lit(10000.0)
             ).alias("avg_yearly")
         )
     )
@@ -471,7 +484,7 @@ def q20_promo_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q22_idle_rich_customers",
     oracle="""
 WITH avg_bal AS (
-  SELECT ROUND(avg(c_acctbal), 4) AS a FROM customer WHERE c_acctbal > 0.0
+  SELECT floor(avg(c_acctbal) * 10000 + 0.5) / CAST(10000 AS DOUBLE) AS a FROM customer WHERE c_acctbal > 0.0
 )
 SELECT c.c_nationkey, count(*) AS numcust,
        SUM(CAST(floor(c.c_acctbal * 10000 + 0.5) AS BIGINT)) / CAST(10000 AS DOUBLE) AS totacctbal
@@ -493,7 +506,9 @@ def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = table(spark, sf_dir, "customer")
     o = table(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
     avg_bal = c.filter(F.col("c_acctbal") > 0.0).agg(
-        F.round(F.avg("c_acctbal"), 4).alias("__avg_bal")
+        (F.floor(F.avg("c_acctbal") * 10000 + 0.5) / F.lit(10000.0)).alias(
+            "__avg_bal"
+        )
     )
     return (
         c.crossJoin(F.broadcast(avg_bal))
