@@ -219,3 +219,52 @@ def parse_envelope_avro(raw: DataFrame, row_schema: T.StructType) -> DataFrame:
             "--packages org.apache.spark:spark-avro_<scala-version> "
             "to use the Avro envelope path"
         ) from exc
+
+
+# --- Connector-specific source positions (SURVEY.md §1.1) -----------------
+
+# Each relocated connector (README.md:21-23) defines total order with its
+# own position fields; consumers must fold state in THAT order. The
+# engine treats position as an ordered COLUMN LIST, so every
+# materialization (materialize_latest, scd2_history, upsert) already
+# accepts compound positions — this table is the per-connector contract.
+POSITION_COLUMNS: dict[str, list[str]] = {
+    "oracle": ["commit_scn", "scn"],        # redo log SCNs
+    "db2": ["commit_lsn", "change_lsn"],    # ASN capture LSNs
+    "cassandra": ["commitlog_file", "commitlog_pos"],  # per-node log
+    "sim": ["pos"],                          # this repo's synthesized stream
+}
+
+
+def connector_source_schema(connector: str) -> T.StructType:
+    """`source` block with the connector's native position fields."""
+    base = [
+        T.StructField("connector", T.StringType()),
+        T.StructField("db", T.StringType()),
+        T.StructField("table", T.StringType()),
+        T.StructField("snapshot", T.BooleanType()),
+    ]
+    pos_types = {
+        "oracle": [("commit_scn", T.LongType()), ("scn", T.LongType()),
+                   ("txId", T.StringType())],
+        "db2": [("commit_lsn", T.StringType()), ("change_lsn", T.StringType())],
+        "cassandra": [("commitlog_file", T.StringType()),
+                      ("commitlog_pos", T.LongType())],
+        "sim": [("pos", T.LongType())],
+    }
+    if connector not in pos_types:
+        raise ValueError(f"unknown connector '{connector}' "
+                         f"(one of {sorted(pos_types)})")
+    return T.StructType(
+        base + [T.StructField(n, t) for n, t in pos_types[connector]]
+    )
+
+
+def position_order(df: DataFrame, connector: str,
+                   source_col: str = "source") -> list[str]:
+    """Flatten the connector's position fields out of the source struct
+    and return the ordering column list for the state folds."""
+    cols = POSITION_COLUMNS[connector]
+    for c in cols:
+        df = df.withColumn(f"__pos_{c}", F.col(f"{source_col}.{c}"))
+    return [f"__pos_{c}" for c in cols]

@@ -237,3 +237,33 @@ def test_signal_dispatch_triggers_incremental_snapshot(spark):
     assert "unknown signal type" in actions[2]["error"]
     assert triggered[0]["data_collections"] == ["events"]
     assert triggered[0]["snapshot_kind"] == "incremental"
+
+
+def test_connector_position_orders_fold(spark):
+    """Oracle-style compound position (commit_scn, scn): the fold must
+    order by BOTH — a row with higher commit_scn wins even when its scn
+    is lower (out-of-order redo within commit batches)."""
+    from debezium_incubator_spark.cdc.envelope import (
+        POSITION_COLUMNS,
+        connector_source_schema,
+    )
+    from debezium_incubator_spark.cdc.materialize import materialize_latest
+
+    assert set(POSITION_COLUMNS) == {"oracle", "db2", "cassandra", "sim"}
+    sch = connector_source_schema("oracle")
+    assert [f.name for f in sch.fields][-3:] == ["commit_scn", "scn", "txId"]
+
+    rows = [
+        # key, value, commit_scn, scn
+        (1, 10.0, "u", 100, 900),   # early commit, late scn
+        (1, 20.0, "u", 200, 50),    # later commit wins despite lower scn
+        (2, 5.0, "u", 100, 1),
+    ]
+    df = spark.createDataFrame(
+        rows, "k LONG, v DOUBLE, __op STRING, commit_scn LONG, scn LONG"
+    )
+    got = (
+        materialize_latest(df, ["k"], ["commit_scn", "scn"])
+        .orderBy("k").select("k", "v").collect()
+    )
+    assert [(r.k, r.v) for r in got] == [(1, 20.0), (2, 5.0)]
