@@ -66,6 +66,36 @@ def fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("p_partkey")
 
 
+@register(
+    "fn_levenshtein",
+    oracle="""
+SELECT n.n_name, r.r_name,
+       levenshtein(n.n_name, r.r_name) AS edit_dist,
+       CASE WHEN levenshtein(n.n_name, r.r_name) > 5 THEN -1
+            ELSE levenshtein(n.n_name, r.r_name) END AS edit_dist_max5
+FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+ORDER BY n.n_name
+""",
+)
+def fn_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H1 extension: edit distance (fuzzy matching / entity resolution).
+    Spark's 3-arg form short-circuits the DP once the running minimum
+    exceeds the threshold (returns -1) — use it at 100 TB where most
+    pairs are far apart; the oracle emulates with CASE (DuckDB has no
+    threshold arg). Exact integers on both sides — no parity risk."""
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region")
+    return (
+        n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select(
+            "n_name", "r_name",
+            F.levenshtein("n_name", "r_name").alias("edit_dist"),
+            F.levenshtein("n_name", "r_name", 5).alias("edit_dist_max5"),
+        )
+        .orderBy("n_name")
+    )
+
+
 # --- H2: date / time ------------------------------------------------------
 
 @register(

@@ -161,6 +161,37 @@ def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "agg_grouping_sets",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       SUM(CAST(floor((l_quantity) * 10000 + 0.5) AS BIGINT)) / CAST(10000 AS DOUBLE) AS sum_qty,
+       COUNT(*) AS n
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+ORDER BY l_returnflag NULLS LAST, l_linestatus NULLS LAST
+""",
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (the general form rollup/cube desugar to):
+    per-flag totals, per-status totals, and the grand total in ONE scan —
+    Expand multiplies each input row by the number of sets, then a single
+    hash aggregate runs. At 100 TB prefer this over N separate groupBys
+    (one shuffle instead of N) unless the expand factor outweighs the
+    extra scans."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.groupingSets(
+            [["l_returnflag"], ["l_linestatus"], []],
+            "l_returnflag", "l_linestatus",
+        )
+        .agg(money_sum("l_quantity", "sum_qty"), F.count("*").alias("n"))
+        .orderBy(
+            F.asc_nulls_last("l_returnflag"), F.asc_nulls_last("l_linestatus")
+        )
+    )
+
+
 # --- D5: collect / list-agg ----------------------------------------------
 
 @register(

@@ -47,6 +47,43 @@ def read_state(
     return df
 
 
+def list_versions(state_dir: str) -> list[int]:
+    """Committed state epochs, ascending. A ``v{n}`` directory counts
+    only if n <= the ``_LATEST`` marker — a crash between the version
+    write and the marker update leaves an orphan directory that must not
+    be served (the protocol's commit point IS the marker)."""
+    marker = os.path.join(state_dir, "_LATEST")
+    if not os.path.exists(marker):
+        return []
+    with open(marker) as f:
+        committed = int(f.read().strip().lstrip("v"))
+    out = []
+    for name in os.listdir(state_dir):
+        if name.startswith("v") and name[1:].isdigit() and int(name[1:]) <= committed:
+            out.append(int(name[1:]))
+    return sorted(out)
+
+
+def read_state_at(
+    spark: SparkSession, state_dir: str, epoch: int,
+    include_tombstones: bool = False, op_col: str = "__op",
+) -> DataFrame | None:
+    """Point-in-time (time-travel) read: the materialized state as of
+    micro-batch `epoch` — the largest committed version <= epoch. This is
+    the CDC-consumer analog of a database point-in-time query: because
+    every micro-batch commits an immutable version, any historical state
+    remains queryable until versions are GC'd. At 100 TB, versions are
+    per-partition manifests rather than full copies, but the read
+    contract (resolve version <= t, scan it) is identical."""
+    versions = [v for v in list_versions(state_dir) if v <= epoch]
+    if not versions:
+        return None
+    df = spark.read.parquet(os.path.join(state_dir, f"v{versions[-1]}"))
+    if not include_tombstones:
+        df = df.filter(F.col(op_col) != "d").drop(op_col)
+    return df
+
+
 def apply_changes_batch(
     spark: SparkSession,
     batch: DataFrame,
