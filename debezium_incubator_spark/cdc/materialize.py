@@ -160,3 +160,111 @@ def cdc_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     doubled = ev.unionAll(ev.filter(F.col("event_id") % 10 == 0))
     return doubled.dropDuplicates(["event_id"]).orderBy("event_id")
+
+
+# --- Change data feed: diff of two materialized snapshots ----------------
+
+def snapshot_diff(
+    before: DataFrame, after: DataFrame, keys: list[str],
+    compare_cols: list[str],
+) -> DataFrame:
+    """Derive a change stream FROM two snapshots (the inverse of the
+    materialize fold): keys only in `after` emit 'c', only in `before`
+    emit 'd', present in both with any compare column changed (null-safe)
+    emit 'u'; unchanged keys emit nothing. This is how a consumer
+    re-captures changes between two point-in-time reads (read_state_at)
+    without the original log — Debezium's snapshot-diff/"blocking
+    re-snapshot" analog.
+
+    Scale: one full shuffle of each side on the keys (sort-merge full
+    outer join); at 100 TB pre-bucket both snapshots by key so the join
+    is shuffle-free, and diff per partition."""
+    b = before.select(
+        *[F.col(k).alias(f"__bk_{k}") for k in keys],
+        *[F.col(c).alias(f"__b_{c}") for c in compare_cols],
+    )
+    a = after.select(
+        *[F.col(k).alias(f"__ak_{k}") for k in keys],
+        *[F.col(c).alias(f"__a_{c}") for c in compare_cols],
+    )
+    cond = None
+    for k in keys:
+        c = F.col(f"__bk_{k}") == F.col(f"__ak_{k}")
+        cond = c if cond is None else (cond & c)
+    j = b.join(a, cond, "full_outer")
+    changed = None
+    for c in compare_cols:
+        d = ~F.col(f"__b_{c}").eqNullSafe(F.col(f"__a_{c}"))
+        changed = d if changed is None else (changed | d)
+    op = (
+        F.when(F.col(f"__bk_{keys[0]}").isNull(), "c")
+        .when(F.col(f"__ak_{keys[0]}").isNull(), "d")
+        .when(changed, "u")
+    )
+    return (
+        j.withColumn("__op", op)
+        .filter(F.col("__op").isNotNull())
+        .select(
+            *[
+                F.coalesce(f"__bk_{k}", f"__ak_{k}").alias(k)
+                for k in keys
+            ],
+            "__op",
+            *[F.col(f"__b_{c}").alias(f"old_{c}") for c in compare_cols],
+            *[F.col(f"__a_{c}").alias(f"new_{c}") for c in compare_cols],
+        )
+    )
+
+
+_RANKED_STATE = """
+  SELECT user_id, event_id, value,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn,
+         CASE event_type WHEN 'signup' THEN 'c' WHEN 'error' THEN 'd'
+              WHEN 'view' THEN 'r' ELSE 'u' END AS op
+  FROM events
+"""
+
+
+@register(
+    "cdc_snapshot_diff",
+    oracle="""
+WITH b_ranked AS (
+""" + _RANKED_STATE.replace("FROM events",
+                            "FROM events WHERE ts < TIMESTAMP '2024-01-15'") + """
+), a_ranked AS (
+""" + _RANKED_STATE + """
+), b AS (SELECT user_id, event_id, value FROM b_ranked WHERE rn = 1 AND op <> 'd'),
+a AS (SELECT user_id, event_id, value FROM a_ranked WHERE rn = 1 AND op <> 'd')
+SELECT COALESCE(b.user_id, a.user_id) AS user_id,
+       CASE WHEN b.user_id IS NULL THEN 'c'
+            WHEN a.user_id IS NULL THEN 'd'
+            ELSE 'u' END AS __op,
+       b.value AS old_value, a.value AS new_value,
+       b.event_id AS old_event_id, a.event_id AS new_event_id
+FROM b FULL OUTER JOIN a ON b.user_id = a.user_id
+WHERE b.user_id IS NULL OR a.user_id IS NULL
+   OR b.event_id IS DISTINCT FROM a.event_id
+   OR b.value IS DISTINCT FROM a.value
+ORDER BY user_id
+""",
+)
+def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change feed between the mid-month state and the final state of the
+    events stream: materialize both snapshots, then snapshot_diff emits
+    the net c/u/d per user."""
+    ev = table(spark, sf_dir, "events").withColumn("__op", F.expr(OP_CASE))
+    ev = ev.select("user_id", "event_id", "value", "ts", "__op")
+    before = materialize_latest(
+        ev.filter(F.col("ts") < F.lit("2024-01-15").cast("timestamp_ntz")),
+        keys=["user_id"], position=["ts", "event_id"],
+    )
+    after = materialize_latest(ev, keys=["user_id"], position=["ts", "event_id"])
+    return (
+        snapshot_diff(before, after, ["user_id"], ["value", "event_id"])
+        .select(
+            "user_id", "__op", "old_value", "new_value",
+            "old_event_id", "new_event_id",
+        )
+        .orderBy("user_id")
+    )
