@@ -187,6 +187,41 @@ def fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("l_orderkey", "l_linenumber")
 
 
+@register(
+    "fn_bitwise",
+    oracle="""
+SELECT event_type,
+       bit_and(user_id) AS k_and,
+       bit_or(user_id) AS k_or,
+       bit_xor(user_id) AS k_xor,
+       bit_or(event_id << 2) AS shifted_or,
+       bit_and(event_id & user_id) AS masked_and,
+       SUM(CAST(bit_count(event_id) AS BIGINT)) AS total_bits
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+""",
+)
+def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H3 extension: bitwise scalars (&, |, ^, shifts, popcount) and the
+    bit_and/or/xor aggregates — flag-word and bitmap manipulation. All
+    exact integers; aggregates are associative+commutative, so they
+    partial-aggregate map-side like any sum."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.bit_and("user_id").alias("k_and"),
+            F.bit_or("user_id").alias("k_or"),
+            F.bit_xor("user_id").alias("k_xor"),
+            F.bit_or(F.shiftleft("event_id", 2)).alias("shifted_or"),
+            F.bit_and(F.expr("event_id & user_id")).alias("masked_and"),
+            F.sum(F.bit_count("event_id").cast("long")).alias("total_bits"),
+        )
+        .orderBy("event_type")
+    )
+
+
 # --- H4: conditional / null handling -------------------------------------
 
 @register(

@@ -192,6 +192,37 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "agg_unpivot",
+    oracle="""
+SELECT metric,
+       SUM(CAST(floor((val) * 10000 + 0.5) AS BIGINT)) / CAST(10000 AS DOUBLE) AS sum_val,
+       COUNT(*) AS n
+FROM (
+  UNPIVOT (SELECT l_quantity, l_extendedprice, l_discount, l_tax FROM lineitem)
+  ON l_quantity, l_extendedprice, l_discount, l_tax
+  INTO NAME metric VALUE val
+)
+GROUP BY metric
+ORDER BY metric
+""",
+)
+def agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D8 inverse: columns→rows (unpivot/melt, Spark 3.4+), then one
+    aggregate over the long form. Narrow transform — no shuffle until the
+    groupBy; at 100 TB the 4× row expansion is map-local and cheaper than
+    4 separate scans."""
+    li = table(spark, sf_dir, "lineitem")
+    metrics = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    return (
+        li.select(*metrics)
+        .unpivot([], metrics, "metric", "val")
+        .groupBy("metric")
+        .agg(money_sum("val", "sum_val"), F.count("*").alias("n"))
+        .orderBy("metric")
+    )
+
+
 # --- D5: collect / list-agg ----------------------------------------------
 
 @register(
