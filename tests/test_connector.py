@@ -88,3 +88,54 @@ def test_unknown_transform_type_raises(spark):
         raise AssertionError("expected ValueError")
     except ValueError as e:
         assert "Unknown" in str(e)
+
+
+def test_type_handling_modes(spark):
+    """decimal/time.precision/binary handling modes coerce by schema
+    introspection, preserving Debezium's key names and semantics."""
+    import datetime
+    from decimal import Decimal
+
+    from pyspark.sql import types as T
+
+    from debezium_incubator_spark.connector import type_handling_casts
+
+    schema = T.StructType([
+        T.StructField("amt", T.DecimalType(10, 2)),
+        T.StructField("ts", T.TimestampNTZType()),
+        T.StructField("blob", T.BinaryType()),
+    ])
+    df = spark.createDataFrame(
+        [(Decimal("12.34"),
+          datetime.datetime(2024, 1, 1, 12, 0, 0, 123456),
+          b"\x01\xab")],
+        schema,
+    )
+
+    kept = type_handling_casts(df, {})
+    assert dict(kept.dtypes) == {"amt": "decimal(10,2)", "ts": "timestamp_ntz",
+                                 "blob": "binary"}
+    r = kept.first()
+    assert r.ts.microsecond == 123456  # adaptive: source precision kept
+
+    dbl = type_handling_casts(df, {"decimal.handling.mode": "double"})
+    assert dict(dbl.dtypes)["amt"] == "double"
+    assert dbl.first().amt == 12.34
+
+    s = type_handling_casts(df, {"decimal.handling.mode": "string"})
+    assert dict(s.dtypes)["amt"] == "string"
+    assert s.first().amt == "12.34"
+
+    ms = type_handling_casts(df, {"time.precision.mode": "connect"})
+    assert dict(ms.dtypes)["ts"] == "timestamp_ntz"
+    assert ms.first().ts.microsecond == 123000  # truncated to ms
+
+    b64 = type_handling_casts(df, {"binary.handling.mode": "base64"})
+    assert b64.first().blob == "Aas="
+    hx = type_handling_casts(df, {"binary.handling.mode": "hex"})
+    assert hx.first().blob == "01ab"
+
+    import pytest
+
+    with pytest.raises(ValueError, match="unsupported mode"):
+        type_handling_casts(df, {"decimal.handling.mode": "bogus"})
