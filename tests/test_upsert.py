@@ -244,3 +244,52 @@ def test_time_travel_read_state_at(spark):
         )
         assert list_versions(state) == [0, 1, 2]
         assert {(r.k, r.v) for r in read_state_at(spark, state, 99).collect()} == at2
+
+
+def test_checkpoint_restart_processes_only_new_files(spark):
+    """I9 offset recovery: a stream restarted on the SAME checkpoint must
+    not reprocess committed batches — epoch numbering continues, the old
+    version is untouched on disk, and only newly-arrived input is merged."""
+    import glob
+
+    from debezium_incubator_spark.streaming.upsert import list_versions
+
+    ev = _changes(spark)
+    first = ev.filter(F.col("event_id") % 2 == 0)
+    second = ev.filter(F.col("event_id") % 2 == 1)
+    with tempfile.TemporaryDirectory() as td:
+        src = os.path.join(td, "incoming")
+        os.makedirs(src)
+        state = os.path.join(td, "state")
+        cp = os.path.join(td, "cp")
+
+        def run():
+            stream = spark.readStream.schema(ev.schema).parquet(src)
+            q = start_upsert_stream(
+                stream, state, keys=["user_id"],
+                position=["ts", "event_id"], checkpoint=cp,
+            )
+            q.awaitTermination()
+
+        _write_single_file(first, os.path.join(src, "chunk_a.parquet"))
+        run()
+        assert list_versions(state) == [0]
+        v0_files = sorted(glob.glob(os.path.join(state, "v0", "part-*")))
+        v0_mtimes = [os.path.getmtime(p) for p in v0_files]
+
+        _write_single_file(second, os.path.join(src, "chunk_b.parquet"))
+        run()  # restart from the same checkpoint
+        assert list_versions(state) == [0, 1]  # one NEW epoch, not a replay
+        assert [os.path.getmtime(p) for p in v0_files] == v0_mtimes
+
+        got = (
+            read_state(spark, state)
+            .select("user_id", "value")
+            .toPandas().sort_values("user_id").reset_index(drop=True)
+        )
+    want = (
+        materialize_latest(ev, ["user_id"], ["ts", "event_id"])
+        .select("user_id", "value")
+        .toPandas().sort_values("user_id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
