@@ -223,6 +223,42 @@ def agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "agg_regression",
+    oracle="""
+SELECT event_type,
+       regr_count(value, user_id) AS n,
+       ROUND(regr_slope(value, user_id), 4) AS slope,
+       ROUND(regr_intercept(value, user_id), 4) AS icept,
+       ROUND(regr_r2(value, user_id), 4) AS r2,
+       ROUND(regr_avgx(value, user_id), 4) AS avgx,
+       ROUND(regr_avgy(value, user_id), 4) AS avgy
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+""",
+)
+def agg_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D10 extension: linear-regression aggregates (slope/intercept/R² of
+    value vs user_id per event type) — trend detection in one pass.
+    Moment sketches are mergeable, so these partial-aggregate map-side
+    like sum/avg; ROUND(,4) absorbs summation-order float drift
+    (verified exact at sf0.01 and sf0.1)."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.regr_count("value", "user_id").alias("n"),
+            F.round(F.regr_slope("value", "user_id"), 4).alias("slope"),
+            F.round(F.regr_intercept("value", "user_id"), 4).alias("icept"),
+            F.round(F.regr_r2("value", "user_id"), 4).alias("r2"),
+            F.round(F.regr_avgx("value", "user_id"), 4).alias("avgx"),
+            F.round(F.regr_avgy("value", "user_id"), 4).alias("avgy"),
+        )
+        .orderBy("event_type")
+    )
+
+
 # --- D5: collect / list-agg ----------------------------------------------
 
 @register(
