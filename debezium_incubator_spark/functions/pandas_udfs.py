@@ -22,6 +22,36 @@ from ..catalog import table
 from ..registry import register
 
 
+# --- K1: row-at-a-time Python UDF (the documented anti-pattern) ----------
+
+def slug_udf():
+    def _slug(lang, source):
+        return f"{lang}/{source}".lower()
+
+    return F.udf(_slug, "string")
+
+
+@register(
+    "k1_scalar_udf",
+    oracle="""
+SELECT doc_id, lower(lang || '/' || source) AS slug
+FROM documents
+ORDER BY doc_id
+""",
+)
+def k1_scalar_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K1 exists to complete the UDF matrix and to measure WHY it is
+    last-resort: each row round-trips driver-pickled Python
+    (serialize → interpret → deserialize, no Arrow batching, breaks
+    codegen). The expression twin is lower(concat_ws('/', ...)). Never
+    on a 100 TB hot path — use built-ins (H-families) or pandas UDFs
+    (K2) instead."""
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", slug_udf()("lang", "source").alias("slug")
+    ).orderBy("doc_id")
+
+
 # --- K2: scalar (vectorized) pandas UDF ----------------------------------
 # NOTE: @pandas_udf parses its return type through the active session, so
 # UDFs are constructed lazily inside the query functions (module import

@@ -114,6 +114,29 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("agg_hll_mergeable")
+def agg_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level HLL rollup (Apache DataSketches, Spark 3.5+): build
+    per-day sketches of user_id, then hll_union_agg merges the daily
+    sketches into per-type totals WITHOUT rescanning raw rows — the
+    stored-sketch pattern for incremental distinct counts at 100 TB
+    (persist the binary sketch column; each new day unions in O(sketch)).
+    Rows-only: DuckDB's approx sketch differs; determinism is pinned by
+    the repeated-run check instead."""
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.to_date("ts").alias("day"), "event_type"
+    ).agg(F.hll_sketch_agg("user_id").alias("sk"))
+    return (
+        daily.groupBy("event_type")
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users"),
+            F.count("*").alias("n_days"),
+        )
+        .orderBy("event_type")
+    )
+
+
 # --- D4: rollup / cube / grouping sets -----------------------------------
 
 @register(
