@@ -112,3 +112,26 @@ def sql_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         tables=("supplier", "nation"),
     )
+
+
+_LATERAL_SQL = """
+SELECT n.n_name, c.c_name, c.c_acctbal
+FROM nation n,
+LATERAL (
+  SELECT c_name, c_acctbal, c_custkey FROM customer
+  WHERE c_nationkey = n.n_nationkey
+  ORDER BY c_acctbal DESC, c_custkey LIMIT 2
+) c
+ORDER BY n.n_name, c.c_acctbal DESC, c.c_name
+"""
+
+
+@register("sql_lateral_topk", oracle=_LATERAL_SQL)
+def sql_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery with per-row ORDER BY + LIMIT (top-2
+    customers per nation): Catalyst decorrelates the lateral relation
+    into a join + per-key limit instead of re-running the inner query
+    per outer row — same rewrite family as sql_correlated_subquery,
+    checked here because LATERAL is the general form (arbitrary inner
+    shape). Identical SQL runs on DuckDB."""
+    return run_sql(spark, sf_dir, _LATERAL_SQL, ("nation", "customer"))
