@@ -135,3 +135,27 @@ def sql_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     checked here because LATERAL is the general form (arbitrary inner
     shape). Identical SQL runs on DuckDB."""
     return run_sql(spark, sf_dir, _LATERAL_SQL, ("nation", "customer"))
+
+
+_FILTER_AGG_SQL = """
+SELECT o_orderpriority,
+       COUNT(*) AS n_all,
+       COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished,
+       SUM(CAST(floor((o_totalprice) * 10000 + 0.5) AS BIGINT))
+         FILTER (WHERE o_orderstatus = 'O') / CAST(10000 AS DOUBLE) AS open_value,
+       bool_or(o_totalprice > 300000) AS any_jumbo,
+       bool_and(o_totalprice > 1000) AS all_over_1k
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+@register("sql_filtered_agg", oracle=_FILTER_AGG_SQL)
+def sql_filtered_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate FILTER (WHERE ...) clause + bool_and/bool_or: several
+    differently-filtered aggregates in ONE scan/shuffle instead of N
+    self-joined subqueries — the idiom for conditional metrics at scale.
+    Identical SQL is the oracle (fixed-point money sum per the parity
+    policy)."""
+    return run_sql(spark, sf_dir, _FILTER_AGG_SQL, ("orders",))
