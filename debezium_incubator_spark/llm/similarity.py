@@ -349,3 +349,50 @@ def sim_label_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+# --- J9 scale path: int8 embedding quantization ---------------------------
+
+def quantize_embedding(v, bits: int = 8) -> Column:
+    """Symmetric per-vector int8 quantization: scale = max|x| / 127,
+    q_i = round(x_i / scale). Shrinks vector storage/shuffle bytes 4×
+    (float32→int8; 8× vs float64) — at 100 TB the scan is the cost, so
+    this is the single biggest ANN lever. Expression-level (no Python);
+    returns struct{q: array<tinyint>, scale: double}."""
+    qmax = float(2 ** (bits - 1) - 1)
+    absmax = F.aggregate(
+        F.transform(v, lambda x: F.abs(x)), F.lit(0.0),
+        lambda s, x: F.greatest(s, x),
+    )
+    scale = absmax / F.lit(qmax)
+    q = F.transform(v, lambda x: F.round(x / scale).cast("tinyint"))
+    return F.struct(q.alias("q"), scale.alias("scale"))
+
+
+def dequantize_embedding(qs) -> Column:
+    """Approximate reconstruction: x_i ≈ q_i * scale."""
+    return F.transform(qs["q"], lambda x: x.cast("double") * qs["scale"])
+
+
+@register("sim_quantized_knn")
+def sim_quantized_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KNN of vec_id=0 over int8-quantized vectors: quantize (4-8× less
+    I/O), dequantize, exact cosine on the reconstruction. Deterministic
+    → rows-only; the recall-vs-exact bound is pinned by
+    test_quantized_knn_recall."""
+    e = _vectors(spark, sf_dir).withColumn(
+        "qs", quantize_embedding(F.col("v"))
+    ).withColumn("dq", dequantize_embedding(F.col("qs"))).drop("v")
+    e = e.withColumn("nsq", norm_sq("dq"))
+    q = e.filter(F.col("vec_id") == 0).select(
+        F.col("dq").alias("qv"), F.col("nsq").alias("qn")
+    )
+    cos_raw = dot("dq", "qv") / (F.sqrt("nsq") * F.sqrt("qn"))
+    return (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .withColumn("cos_raw", cos_raw)
+        .orderBy(F.desc("cos_raw"), "vec_id")
+        .limit(10)
+        .select("vec_id", F.round("cos_raw", 6).alias("cos_sim"))
+    )

@@ -212,3 +212,36 @@ def test_register_external_table_with_ns_timestamps(spark, tmp_path):
     got = fixed.agg(F.min("ts").cast("string")).first()[0]
     assert got == "2024-01-01 00:00:00"
     assert spark.sql("SELECT count(*) n FROM user_table").first().n == 3
+
+
+def test_quantized_knn_recall(spark):
+    """int8 quantization must preserve neighborhood structure: the
+    quantized top-10 of vec_id=0 overlaps the exact top-10 in >= 8 ids,
+    and reconstruction error is bounded (cos(x, dequant(x)) > 0.999)."""
+    from pyspark.sql import functions as F
+
+    from debezium_incubator_spark.llm.similarity import (
+        dequantize_embedding,
+        dot,
+        norm_sq,
+        quantize_embedding,
+    )
+    from debezium_incubator_spark.registry import all_queries
+
+    from .conftest import SF_SMOKE
+
+    Q = all_queries()
+    exact = {r.vec_id for r in Q["sim_knn"](spark, SF_SMOKE).collect()}
+    quant = {r.vec_id for r in Q["sim_quantized_knn"](spark, SF_SMOKE).collect()}
+    assert len(exact & quant) >= 8
+
+    e = (
+        spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+        .limit(50)
+    )
+    e = e.withColumn("dq", dequantize_embedding(quantize_embedding(F.col("v"))))
+    fidelity = e.select(
+        (dot("v", "dq") / (F.sqrt(norm_sq("v")) * F.sqrt(norm_sq("dq")))).alias("c")
+    )
+    assert fidelity.agg(F.min("c")).first()[0] > 0.999
