@@ -425,3 +425,43 @@ def fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
             "missing_val"
         ),
     ).orderBy("event_id")
+
+
+# --- H11: XML (io.debezium.data.Xml semantic type, SURVEY.md §1.2) -------
+
+@register(
+    "fn_xml",
+    oracle="""
+WITH x AS (
+  SELECT event_id, '<e><t>' || event_type || '</t><k>' ||
+         json_extract_string(props, '$.k') || '</k></e>' AS xml
+  FROM events)
+SELECT event_id,
+       regexp_extract(xml, '<t>(.*)</t>', 1) AS t,
+       CAST(regexp_extract(xml, '<k>([0-9]+)</k>', 1) AS INT) AS k,
+       CAST(regexp_extract(xml, '<k>([0-9]+)</k>', 1) AS INT) AS k2
+FROM x
+ORDER BY event_id
+""",
+)
+def fn_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML payload columns (Debezium ships XML as strings): xpath_*
+    scalar extraction and Spark 4 native from_xml schema parse, round-
+    tripped from a synthesized wire payload. The oracle re-extracts with
+    regexp (DuckDB has no XML) — values must agree exactly. XML parse is
+    JVM-side; at scale prefer from_xml once into a struct over repeated
+    xpath calls (one parse vs N)."""
+    ev = table(spark, sf_dir, "events")
+    x = ev.select(
+        "event_id",
+        F.concat(
+            F.lit("<e><t>"), "event_type", F.lit("</t><k>"),
+            F.get_json_object("props", "$.k"), F.lit("</k></e>"),
+        ).alias("xml"),
+    )
+    return x.select(
+        "event_id",
+        F.xpath_string("xml", F.lit("/e/t")).alias("t"),
+        F.xpath_int("xml", F.lit("/e/k")).alias("k"),
+        F.from_xml("xml", "t STRING, k INT").getField("k").alias("k2"),
+    ).orderBy("event_id")
