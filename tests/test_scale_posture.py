@@ -205,3 +205,25 @@ def test_cluster_layout_prunes(spark):
         # clustered: per-file ranges are (near-)disjoint slices, so the
         # sum of spans ≈ global span, not n_files × global span
         assert total_span <= (hi - lo) * 1.5
+
+
+def test_new_operator_plan_shapes(spark):
+    """Plan audit for the post-sweep additions: grouping sets run as ONE
+    Expand + aggregate (not a union of scans), the LATERAL top-k is
+    decorrelated into a window/join (no per-row re-execution node), and
+    unpivot expands map-side before its single shuffle."""
+    from debezium_incubator_spark.registry import all_queries
+
+    q = all_queries()
+    pgs = _plan(q["agg_grouping_sets"](spark, SF_SMOKE))
+    assert "Expand" in pgs
+    assert pgs.count("FileScan") + pgs.count("Scan parquet") <= 2  # one read
+    assert "Union" not in pgs
+
+    plat = _plan(q["sql_lateral_topk"](spark, SF_SMOKE))
+    # decorrelated: a rank/limit over a join — no lateral loop operator
+    assert "Window" in plat or "Join" in plat
+
+    pun = _plan(q["agg_unpivot"](spark, SF_SMOKE))
+    assert "Expand" in pun
+    assert "Union" not in pun
