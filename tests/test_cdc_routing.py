@@ -267,3 +267,47 @@ def test_connector_position_orders_fold(spark):
         .orderBy("k").select("k", "v").collect()
     )
     assert [(r.k, r.v) for r in got] == [(1, 20.0), (2, 5.0)]
+
+
+def test_geometry_struct_survives_json_envelope(spark):
+    """io.debezium.data.geometry.Geometry passthrough (SURVEY.md §1.2):
+    {wkb: binary, srid: int} must survive the JSON wire round-trip —
+    Spark encodes binary as base64 in to_json and from_json decodes it
+    back, so WKB bytes arrive intact with no custom codec."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from debezium_incubator_spark.cdc.envelope import (
+        envelope_schema,
+        parse_envelope,
+    )
+
+    # WKB for POINT(1 2), little-endian
+    wkb = bytes.fromhex(
+        "0101000000000000000000f03f0000000000000040"
+    )
+    row_schema = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("geom", T.StructType([
+            T.StructField("wkb", T.BinaryType()),
+            T.StructField("srid", T.IntegerType()),
+        ])),
+    ])
+    env_schema = envelope_schema(row_schema)
+    rows = spark.createDataFrame([(7, (wkb, 4326))], row_schema)
+    wire = rows.select(
+        F.to_json(F.struct(F.col("id"))).alias("key"),
+        F.to_json(
+            F.struct(
+                F.lit(None).cast(row_schema).alias("before"),
+                F.struct("id", "geom").alias("after"),
+                F.lit(None).cast(env_schema["source"].dataType).alias("source"),
+                F.lit("c").alias("op"),
+                F.lit(1700000000000).alias("ts_ms"),
+            )
+        ).alias("value"),
+    )
+    parsed = parse_envelope(wire, row_schema)
+    got = parsed.select("value.after.geom.*").first()
+    assert got.wkb == wkb
+    assert got.srid == 4326
