@@ -293,3 +293,91 @@ def test_checkpoint_restart_processes_only_new_files(spark):
         .toPandas().sort_values("user_id").reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_partitioned_state_rewrites_only_touched_buckets(spark):
+    """The 100 TB apply path: a batch touching few keys rewrites only
+    the buckets those keys hash into; untouched buckets keep their old
+    version dirs byte-for-byte, and the assembled state still equals the
+    one-shot fold."""
+    import glob
+
+    from debezium_incubator_spark.streaming.partitioned_state import (
+        apply_changes_partitioned,
+        read_state_partitioned,
+    )
+
+    ev = _changes(spark)
+    with tempfile.TemporaryDirectory() as state:
+        # epoch 0: full history
+        apply_changes_partitioned(
+            spark, ev, 0, state, ["user_id"], ["ts", "event_id"], n_buckets=8
+        )
+        dirs0 = sorted(glob.glob(os.path.join(state, "v0", "__bucket=*")))
+        assert len(dirs0) == 8  # all buckets written by the backfill
+
+        # epoch 1: a tiny batch touching exactly 3 users
+        small = ev.filter(F.col("user_id").isin(1, 2, 3)).limit(3).withColumn(
+            "ts", F.col("ts") + F.expr("INTERVAL 100 DAYS")
+        ).withColumn("event_id", F.col("event_id") + 10_000_000)
+        apply_changes_partitioned(
+            spark, small, 1, state, ["user_id"], ["ts", "event_id"], n_buckets=8
+        )
+        dirs1 = sorted(glob.glob(os.path.join(state, "v1", "__bucket=*")))
+        assert 1 <= len(dirs1) <= 3  # only touched buckets got a v1
+
+        got = (
+            read_state_partitioned(spark, state)
+            .select("user_id", "value")
+            .toPandas().sort_values("user_id").reset_index(drop=True)
+        )
+    want = (
+        materialize_latest(
+            ev.unionByName(small), ["user_id"], ["ts", "event_id"]
+        )
+        .select("user_id", "value")
+        .toPandas().sort_values("user_id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_partitioned_stream_matches_monolithic(spark):
+    """Streaming twin: the partitioned foreachBatch apply converges to
+    the same state as the monolithic upsert over the same arrivals."""
+    from debezium_incubator_spark.streaming.partitioned_state import (
+        read_state_partitioned,
+        start_partitioned_upsert_stream,
+    )
+
+    ev = _changes(spark)
+    with tempfile.TemporaryDirectory() as td:
+        src = os.path.join(td, "incoming")
+        os.makedirs(src)
+        _write_single_file(
+            ev.filter(F.col("event_id") % 2 == 0), os.path.join(src, "a.parquet")
+        )
+        _write_single_file(
+            ev.filter(F.col("event_id") % 2 == 1), os.path.join(src, "b.parquet")
+        )
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        state = os.path.join(td, "state")
+        q = start_partitioned_upsert_stream(
+            stream, state, keys=["user_id"], position=["ts", "event_id"],
+            n_buckets=8, checkpoint=os.path.join(td, "cp"),
+        )
+        q.awaitTermination()
+        got = (
+            read_state_partitioned(spark, state)
+            .select("user_id", "value")
+            .toPandas().sort_values("user_id").reset_index(drop=True)
+        )
+    want = (
+        materialize_latest(ev, ["user_id"], ["ts", "event_id"])
+        .select("user_id", "value")
+        .toPandas().sort_values("user_id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
