@@ -139,3 +139,52 @@ def start_partitioned_upsert_stream(
     if checkpoint:
         writer = writer.option("checkpointLocation", checkpoint)
     return writer.start()
+
+
+def vacuum_partitioned(state_dir: str, keep_last: int = 1) -> list[str]:
+    """GC: drop epoch data not reachable from the last `keep_last`
+    committed manifests. A bucket untouched for many epochs still points
+    at an OLD epoch dir, so reachability is the union of bucket->epoch
+    references in the kept manifests — never just "delete old v dirs"
+    (that would tear live state). Time-travel reads older than the kept
+    horizon stop working, by design. Returns removed paths."""
+    import shutil
+
+    manifests = sorted(
+        (int(n.split("_v")[1].split(".")[0]), n)
+        for n in os.listdir(state_dir)
+        if n.startswith("manifest_v") and n.endswith(".json")
+    )
+    if not manifests:
+        return []
+    with open(os.path.join(state_dir, "_LATEST")) as f:
+        committed = f.read().strip()
+    # keep the committed manifest plus keep_last-1 predecessors
+    c_idx = [i for i, (_, n) in enumerate(manifests) if n == committed][0]
+    kept = manifests[max(0, c_idx - keep_last + 1): c_idx + 1]
+    live: set[tuple[int, int]] = set()
+    for _, name in kept:
+        with open(os.path.join(state_dir, name)) as f:
+            for b, v in json.load(f).items():
+                live.add((int(b), int(v)))
+    removed = []
+    kept_names = {n for _, n in kept}
+    for _, name in manifests:
+        if name not in kept_names:
+            os.remove(os.path.join(state_dir, name))
+            removed.append(name)
+    for entry in os.listdir(state_dir):
+        if not (entry.startswith("v") and entry[1:].isdigit()):
+            continue
+        epoch = int(entry[1:])
+        vdir = os.path.join(state_dir, entry)
+        for bdir in os.listdir(vdir):
+            if not bdir.startswith(f"{BUCKET_COL}="):
+                continue
+            b = int(bdir.split("=")[1])
+            if (b, epoch) not in live:
+                shutil.rmtree(os.path.join(vdir, bdir))
+                removed.append(os.path.join(entry, bdir))
+        if not any(n.startswith(f"{BUCKET_COL}=") for n in os.listdir(vdir)):
+            shutil.rmtree(vdir)
+    return removed

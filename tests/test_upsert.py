@@ -381,3 +381,47 @@ def test_partitioned_stream_matches_monolithic(spark):
         .toPandas().sort_values("user_id").reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_vacuum_keeps_live_bucket_versions(spark):
+    """GC must keep OLD epoch dirs that the latest manifest still
+    references (buckets untouched by recent batches) and remove only
+    unreachable (bucket, epoch) data."""
+    import glob
+
+    from debezium_incubator_spark.streaming.partitioned_state import (
+        apply_changes_partitioned,
+        read_state_partitioned,
+        vacuum_partitioned,
+    )
+
+    ev = _changes(spark)
+    with tempfile.TemporaryDirectory() as state:
+        apply_changes_partitioned(
+            spark, ev, 0, state, ["user_id"], ["ts", "event_id"], n_buckets=8
+        )
+        small = ev.filter(F.col("user_id") == 1).limit(1).withColumn(
+            "ts", F.col("ts") + F.expr("INTERVAL 100 DAYS")
+        )
+        apply_changes_partitioned(
+            spark, small, 1, state, ["user_id"], ["ts", "event_id"], n_buckets=8
+        )
+        apply_changes_partitioned(
+            spark, small.withColumn("value", F.lit(7.0)), 2, state,
+            ["user_id"], ["ts", "event_id"], n_buckets=8,
+        )
+        before = (
+            read_state_partitioned(spark, state)
+            .select("user_id", "value")
+            .toPandas().sort_values("user_id").reset_index(drop=True)
+        )
+        removed = vacuum_partitioned(state, keep_last=1)
+        assert removed  # v1's superseded bucket + old manifests went away
+        # v0 dirs for untouched buckets MUST survive (still referenced)
+        assert glob.glob(os.path.join(state, "v0", "__bucket=*"))
+        after = (
+            read_state_partitioned(spark, state)
+            .select("user_id", "value")
+            .toPandas().sort_values("user_id").reset_index(drop=True)
+        )
+    pd.testing.assert_frame_equal(before, after)
