@@ -201,3 +201,27 @@ def start_scd2_stream(
     if checkpoint:
         writer = writer.option("checkpointLocation", checkpoint)
     return writer.start()
+
+
+def vacuum_versions(state_dir: str, keep_last: int = 2) -> list[str]:
+    """GC old committed state versions (each is a FULL copy here, unlike
+    the partitioned layout's per-bucket refs — age-based retention is
+    safe). Keeps the newest `keep_last` committed versions; time-travel
+    (read_state_at) reaches only what's kept. Never touches versions
+    newer than _LATEST (in-flight writes). Returns removed dirs."""
+    import shutil
+
+    marker = os.path.join(state_dir, "_LATEST")
+    if not os.path.exists(marker):
+        return []
+    with open(marker) as f:
+        committed = int(f.read().strip().lstrip("v"))
+    versions = sorted(
+        int(n[1:]) for n in os.listdir(state_dir)
+        if n.startswith("v") and n[1:].isdigit() and int(n[1:]) <= committed
+    )
+    removed = []
+    for v in versions[:-keep_last] if keep_last > 0 else versions:
+        shutil.rmtree(os.path.join(state_dir, f"v{v}"))
+        removed.append(f"v{v}")
+    return removed

@@ -425,3 +425,24 @@ def test_vacuum_keeps_live_bucket_versions(spark):
             .toPandas().sort_values("user_id").reset_index(drop=True)
         )
     pd.testing.assert_frame_equal(before, after)
+
+
+def test_vacuum_versions_monolithic(spark):
+    from debezium_incubator_spark.streaming.upsert import (
+        apply_changes_batch,
+        list_versions,
+        read_state,
+        vacuum_versions,
+    )
+
+    b = lambda rows: spark.createDataFrame(
+        rows, "k LONG, pos LONG, v DOUBLE, __op STRING"
+    )
+    with tempfile.TemporaryDirectory() as state:
+        apply_changes_batch(spark, b([(1, 1, 1.0, "c")]), 0, state, ["k"], ["pos"])
+        apply_changes_batch(spark, b([(1, 2, 2.0, "u")]), 1, state, ["k"], ["pos"])
+        apply_changes_batch(spark, b([(1, 3, 3.0, "u")]), 2, state, ["k"], ["pos"])
+        removed = vacuum_versions(state, keep_last=2)
+        assert removed == ["v0"]
+        assert list_versions(state) == [1, 2]
+        assert read_state(spark, state).first().v == 3.0
