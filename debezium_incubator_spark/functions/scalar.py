@@ -465,3 +465,49 @@ def fn_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.xpath_int("xml", F.lit("/e/k")).alias("k"),
         F.from_xml("xml", "t STRING, k INT").getField("k").alias("k2"),
     ).orderBy("event_id")
+
+
+# --- H12: URL parsing ------------------------------------------------------
+
+@register(
+    "fn_url",
+    oracle="""
+WITH u AS (
+  SELECT event_id,
+         'https://app.example.com/t/' || event_type || '?k=' ||
+         json_extract_string(props, '$.k') || '&u=' ||
+         CAST(user_id AS VARCHAR) AS url
+  FROM events)
+SELECT event_id,
+       regexp_extract(url, '^([a-z]+)://', 1) AS proto,
+       regexp_extract(url, '://([^/]+)/', 1) AS host,
+       regexp_extract(url, '://[^/]+(/[^?]*)', 1) AS path,
+       regexp_extract(url, '\\?(.*)$', 1) AS query,
+       regexp_extract(url, '[?&]k=([^&]*)', 1) AS k_param
+FROM u
+ORDER BY event_id
+""",
+)
+def fn_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL deconstruction (clickstream/referrer analytics): parse_url
+    extracts protocol/host/path/query and a single query parameter —
+    JVM-side java.net.URI, no regex authored per field. The oracle
+    re-derives each part with regexp (DuckDB has no URL functions) over
+    the same synthesized URLs."""
+    ev = table(spark, sf_dir, "events")
+    u = ev.select(
+        "event_id",
+        F.concat(
+            F.lit("https://app.example.com/t/"), "event_type",
+            F.lit("?k="), F.get_json_object("props", "$.k"),
+            F.lit("&u="), F.col("user_id").cast("string"),
+        ).alias("url"),
+    )
+    return u.select(
+        "event_id",
+        F.parse_url("url", F.lit("PROTOCOL")).alias("proto"),
+        F.parse_url("url", F.lit("HOST")).alias("host"),
+        F.parse_url("url", F.lit("PATH")).alias("path"),
+        F.parse_url("url", F.lit("QUERY")).alias("query"),
+        F.parse_url("url", F.lit("QUERY"), F.lit("k")).alias("k_param"),
+    ).orderBy("event_id")
