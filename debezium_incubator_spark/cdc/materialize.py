@@ -268,3 +268,58 @@ def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "cdc_materialize_partitioned",
+    oracle="""
+WITH mapped AS (
+  SELECT user_id, event_id, value, ts,
+         CASE event_type WHEN 'signup' THEN 'c' WHEN 'error' THEN 'd'
+              WHEN 'view' THEN 'r' ELSE 'u' END AS op
+  FROM events
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY user_id
+                               ORDER BY ts DESC, event_id DESC) AS rn
+  FROM mapped
+)
+SELECT user_id, value AS current_value, event_id AS last_event_id
+FROM ranked
+WHERE rn = 1 AND op <> 'd'
+ORDER BY user_id
+""",
+)
+def cdc_materialize_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The INCREMENTAL materialization path proving the same answer as
+    the one-shot fold (same oracle as cdc_materialize): the stream is
+    split at mid-month into two micro-batches, applied through the
+    bucket-partitioned state (epoch 1 rewrites only touched buckets),
+    and the assembled state must hash-match the monolithic fold."""
+    import tempfile
+
+    from ..streaming.partitioned_state import (
+        apply_changes_partitioned,
+        read_state_partitioned,
+    )
+
+    ev = table(spark, sf_dir, "events").withColumn("__op", F.expr(OP_CASE))
+    ev = ev.select("user_id", "event_id", "value", "ts", "__op")
+    cut = F.lit("2024-01-15").cast("timestamp_ntz")
+    state = tempfile.mkdtemp(prefix="cdc_part_state_")  # lazily read below
+    apply_changes_partitioned(
+        spark, ev.filter(F.col("ts") < cut), 0, state,
+        keys=["user_id"], position=["ts", "event_id"], n_buckets=8,
+    )
+    apply_changes_partitioned(
+        spark, ev.filter(F.col("ts") >= cut), 1, state,
+        keys=["user_id"], position=["ts", "event_id"], n_buckets=8,
+    )
+    return (
+        read_state_partitioned(spark, state)
+        .select(
+            "user_id",
+            F.col("value").alias("current_value"),
+            F.col("event_id").alias("last_event_id"),
+        )
+        .orderBy("user_id")
+    )
