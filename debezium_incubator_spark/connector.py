@@ -311,10 +311,16 @@ def streaming_options(props: dict[str, str]) -> dict[str, str]:
     - ``max.queue.size``       → no direct analog: Spark's micro-batch
                                   admission replaces the bounded queue;
                                   ignored with a comment, not an error.
+    - ``heartbeat.interval.ms``→ ``_heartbeat_rps`` (pseudo-key): rate
+                                  for ``heartbeat_source`` (A6) so quiet
+                                  tables still advance offsets at the
+                                  configured cadence.
     """
     out: dict[str, str] = {}
     if v := props.get("max.batch.size"):
         out["maxOffsetsPerTrigger"] = v
     if v := props.get("poll.interval.ms"):
         out["_trigger_ms"] = v
+    if v := props.get("heartbeat.interval.ms"):
+        out["_heartbeat_rps"] = str(max(1, round(1000 / int(v))))
     return out

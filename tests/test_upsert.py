@@ -193,9 +193,11 @@ def test_streaming_options_mapping():
     from debezium_incubator_spark.connector import streaming_options
 
     m = streaming_options({"max.batch.size": "4096", "poll.interval.ms": "500",
-                           "max.queue.size": "8192"})
+                           "max.queue.size": "8192",
+                           "heartbeat.interval.ms": "250"})
     assert m["maxOffsetsPerTrigger"] == "4096"
     assert m["_trigger_ms"] == "500"
+    assert m["_heartbeat_rps"] == "4"
     assert "max.queue.size" not in m
 
 
