@@ -311,3 +311,35 @@ def test_geometry_struct_survives_json_envelope(spark):
     got = parsed.select("value.after.geom.*").first()
     assert got.wkb == wkb
     assert got.srid == 4326
+
+
+def test_db2_and_cassandra_position_folds(spark):
+    """String-typed positions (Db2 LSNs, Cassandra commitlog file+pos)
+    order LEXICOGRAPHICALLY — correct because both sources emit fixed-
+    width zero-padded identifiers; the compound (file, pos) order must
+    rank a later file above any offset in an earlier file."""
+    from debezium_incubator_spark.cdc.materialize import materialize_latest
+
+    # Db2: fixed-width hex LSNs
+    rows = [
+        (1, 10.0, "u", "00000000000007d0", "00000000000007d1"),
+        (1, 20.0, "u", "00000000000007d2", "00000000000007d0"),  # later commit
+    ]
+    df = spark.createDataFrame(
+        rows, "k LONG, v DOUBLE, __op STRING, commit_lsn STRING, change_lsn STRING"
+    )
+    got = materialize_latest(df, ["k"], ["commit_lsn", "change_lsn"]).collect()
+    assert got[0].v == 20.0
+
+    # Cassandra: commitlog file name + offset; file dominates
+    rows = [
+        (1, 1.0, "u", "CommitLog-7-0002.log", 10),
+        (1, 2.0, "u", "CommitLog-7-0001.log", 999999),  # earlier file, big pos
+    ]
+    df = spark.createDataFrame(
+        rows, "k LONG, v DOUBLE, __op STRING, commitlog_file STRING, commitlog_pos LONG"
+    )
+    got = materialize_latest(
+        df, ["k"], ["commitlog_file", "commitlog_pos"]
+    ).collect()
+    assert got[0].v == 1.0
