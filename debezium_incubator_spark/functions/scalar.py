@@ -196,7 +196,7 @@ SELECT event_type,
        bit_xor(user_id) AS k_xor,
        bit_or(event_id << 2) AS shifted_or,
        bit_and(event_id & user_id) AS masked_and,
-       SUM(CAST(bit_count(event_id) AS BIGINT)) AS total_bits
+       CAST(SUM(CAST(bit_count(event_id) AS BIGINT)) AS BIGINT) AS total_bits
 FROM events
 GROUP BY event_type
 ORDER BY event_type

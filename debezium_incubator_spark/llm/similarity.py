@@ -321,8 +321,8 @@ WITH e AS (
   FROM e
 )
 SELECT label, COUNT(DISTINCT dim) AS dims,
-       SUM(CASE WHEN dim = 1 THEN CAST(val AS DECIMAL(38,10)) END) AS centroid_d1,
-       SUM(CASE WHEN dim = 2 THEN CAST(val AS DECIMAL(38,10)) END) AS centroid_d2
+       CAST(SUM(CASE WHEN dim = 1 THEN CAST(val AS DECIMAL(38,10)) END) AS DOUBLE) AS centroid_d1,
+       CAST(SUM(CASE WHEN dim = 2 THEN CAST(val AS DECIMAL(38,10)) END) AS DOUBLE) AS centroid_d2
 FROM x
 GROUP BY label
 ORDER BY label
@@ -340,12 +340,10 @@ def sim_label_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
         x.groupBy("label")
         .agg(
             F.countDistinct("dim").alias("dims"),
-            F.sum(F.when(F.col("dim") == 1, F.col("val").cast("decimal(38,10)"))).alias(
-                "centroid_d1"
-            ),
-            F.sum(F.when(F.col("dim") == 2, F.col("val").cast("decimal(38,10)"))).alias(
-                "centroid_d2"
-            ),
+            F.sum(F.when(F.col("dim") == 1, F.col("val").cast("decimal(38,10)")))
+            .cast("double").alias("centroid_d1"),
+            F.sum(F.when(F.col("dim") == 2, F.col("val").cast("decimal(38,10)")))
+            .cast("double").alias("centroid_d2"),
         )
         .orderBy("label")
     )

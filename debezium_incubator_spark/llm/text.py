@@ -31,9 +31,9 @@ def tokens(text_col: str = "text") -> Column:
     oracle="""
 SELECT lang,
        COUNT(*) AS n_docs,
-       SUM(len(string_split(lower(text), ' '))) AS total_tokens,
+       CAST(SUM(len(string_split(lower(text), ' '))) AS BIGINT) AS total_tokens,
        ROUND(AVG(len(string_split(lower(text), ' '))), 4) AS avg_tokens,
-       SUM(n_chars) AS total_chars,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
        COUNT(DISTINCT source) AS n_sources
 FROM documents
 GROUP BY lang
@@ -248,7 +248,7 @@ def t5_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     "t7_source_slices",
     oracle="""
 SELECT source, lang, COUNT(*) AS n_docs,
-       SUM(n_chars) AS total_chars,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
        ROUND(AVG(n_chars), 4) AS avg_chars
 FROM documents
 GROUP BY source, lang
@@ -282,8 +282,8 @@ BPE_PRETOKEN_RE = r" ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
     "t8_bpe_token_count",
     oracle=rf"""
 SELECT lang,
-       SUM(len(regexp_extract_all(lower(text), '{BPE_PRETOKEN_RE}'))) AS total_bpe_tokens,
-       SUM(len(string_split(lower(text), ' '))) AS total_ws_tokens,
+       CAST(SUM(len(regexp_extract_all(lower(text), '{BPE_PRETOKEN_RE}'))) AS BIGINT) AS total_bpe_tokens,
+       CAST(SUM(len(string_split(lower(text), ' '))) AS BIGINT) AS total_ws_tokens,
        ROUND(AVG(len(regexp_extract_all(lower(text), '{BPE_PRETOKEN_RE}'))), 4) AS avg_bpe_tokens
 FROM documents
 GROUP BY lang

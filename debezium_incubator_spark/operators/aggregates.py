@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import table
-from ..exprs import money_sum, round4
+from ..exprs import money_sum, oracle_round4x, round4, round4x
 from ..registry import register
 
 
@@ -74,7 +74,7 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT l_returnflag,
        COUNT(DISTINCT l_partkey) AS n_parts,
        COUNT(DISTINCT l_suppkey) AS n_supps,
-       SUM(DISTINCT CAST(l_quantity AS DECIMAL(38,10))) AS sum_distinct_qty
+       CAST(SUM(DISTINCT CAST(l_quantity AS DECIMAL(38,10))) AS DOUBLE) AS sum_distinct_qty
 FROM lineitem
 GROUP BY l_returnflag
 ORDER BY l_returnflag
@@ -83,16 +83,22 @@ ORDER BY l_returnflag
 def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """count(distinct)/sum(distinct). Catalyst expands multi-distinct via
     Expand + two-phase agg; at scale the expand multiplies rows by the
-    number of distinct clauses — acceptable for 3, not 30."""
+    number of distinct clauses — acceptable for 3, not 30.
+
+    Parity: the distinct sum runs exact in DECIMAL(38,10) but SURFACES as
+    DOUBLE — a bare DECIMAL output column crosses toPandas as
+    decimal.Decimal while DuckDB renders every DECIMAL as float64, so the
+    driver's value hash would diverge (round-1 failure; no-bare-DECIMAL
+    rule in registry.py)."""
     li = table(spark, sf_dir, "lineitem")
     return (
         li.groupBy("l_returnflag")
         .agg(
             F.countDistinct("l_partkey").alias("n_parts"),
             F.countDistinct("l_suppkey").alias("n_supps"),
-            F.expr("SUM(DISTINCT CAST(l_quantity AS DECIMAL(38,10)))").alias(
-                "sum_distinct_qty"
-            ),
+            F.expr(
+                "CAST(SUM(DISTINCT CAST(l_quantity AS DECIMAL(38,10))) AS DOUBLE)"
+            ).alias("sum_distinct_qty"),
         )
         .orderBy("l_returnflag")
     )
@@ -376,30 +382,34 @@ def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "agg_stats",
-    oracle="""
+    oracle=f"""
 SELECT l_returnflag,
-       ROUND(stddev_samp(l_quantity), 4) AS sd_qty,
-       ROUND(var_samp(l_discount), 4) AS var_disc,
-       ROUND(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
-       ROUND(covar_samp(l_discount, l_tax), 4) AS covar_disc_tax
+       {oracle_round4x("stddev_samp(l_quantity)", "sd_qty")},
+       {oracle_round4x("var_samp(l_discount)", "var_disc")},
+       {oracle_round4x("corr(l_quantity, l_extendedprice)", "corr_qty_price")},
+       {oracle_round4x("covar_samp(l_discount, l_tax)", "covar_disc_tax")}
 FROM lineitem
 GROUP BY l_returnflag
 ORDER BY l_returnflag
 """,
 )
 def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Second moments. Parity note: both engines use single-pass stable
-    algorithms whose float drift is ~1e-12 at these magnitudes (|x|≲50),
-    far inside the ROUND(,4) resolution; large-magnitude columns (price
-    ~4e4) would risk boundary flips and are deliberately avoided."""
+    """Second moments. Parity note: the source columns are FIXED-POINT
+    (integer quantities, 2dp discount/tax), so their moments are rationals
+    that can land exactly on 4-decimal half-boundaries where Spark
+    (BigDecimal HALF_UP) and DuckDB (double round) disagree — and a
+    covariance can surface IEEE ``-0.0``, which survives plain ROUND and
+    hash-diverges (round-1 failure). round4x (floor(x·1e4+0.5)/1e4) on
+    BOTH sides is pure IEEE double math — tie-identical across engines —
+    and structurally never yields -0.0 (floor output ∈ {…,-1,+0,…}/1e4)."""
     li = table(spark, sf_dir, "lineitem")
     return (
         li.groupBy("l_returnflag")
         .agg(
-            round4("stddev_samp(l_quantity)", "sd_qty"),
-            round4("var_samp(l_discount)", "var_disc"),
-            round4("corr(l_quantity, l_extendedprice)", "corr_qty_price"),
-            round4("covar_samp(l_discount, l_tax)", "covar_disc_tax"),
+            round4x("stddev_samp(l_quantity)").alias("sd_qty"),
+            round4x("var_samp(l_discount)").alias("var_disc"),
+            round4x("corr(l_quantity, l_extendedprice)").alias("corr_qty_price"),
+            round4x("covar_samp(l_discount, l_tax)").alias("covar_disc_tax"),
         )
         .orderBy("l_returnflag")
     )

@@ -151,7 +151,7 @@ def truncate_columns_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "cast_coerce",
     oracle="""
 SELECT o_orderkey,
-       CAST(o_totalprice AS DECIMAL(18,2)) AS price_decimal,
+       CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price_decimal,
        CAST(floor(o_totalprice) AS BIGINT) AS price_long,
        CAST(o_orderkey AS VARCHAR) AS key_str,
        CAST(CAST(o_orderdate AS DATE) AS TIMESTAMP) AS order_date,
@@ -165,11 +165,14 @@ def cast_coerce(spark: SparkSession, sf_dir: str) -> DataFrame:
     Parity note on double→BIGINT: Spark CAST truncates toward zero,
     DuckDB CAST rounds half-to-even (and prices hit exact .5 values) —
     so the lossy integer rendering goes through an explicit floor() on
-    BOTH sides."""
+    BOTH sides. The decimal rendering quantizes through DECIMAL(18,2)
+    but SURFACES as DOUBLE: a bare DECIMAL output hashes as
+    decimal.Decimal (Spark) vs float64 (DuckDB renders every DECIMAL
+    that way) — round-1 driver failure; no-bare-DECIMAL rule."""
     o = table(spark, sf_dir, "orders")
     return o.select(
         "o_orderkey",
-        F.col("o_totalprice").cast("decimal(18,2)").alias("price_decimal"),
+        F.col("o_totalprice").cast("decimal(18,2)").cast("double").alias("price_decimal"),
         F.floor("o_totalprice").cast("bigint").alias("price_long"),
         F.col("o_orderkey").cast("string").alias("key_str"),
         # DATE output rendered as midnight timestamp on both sides — bare

@@ -132,14 +132,17 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q12_priority_class",
     oracle="""
 SELECT year(o_orderdate) AS order_year,
-       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_count,
-       SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS low_count
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_count,
+       CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_count
 FROM orders
 GROUP BY year(o_orderdate)
 ORDER BY order_year
 """,
 )
 def q12_priority_class(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parity: DuckDB SUM over INTEGER widens to HUGEINT, which its pandas
+    conversion renders float64, while Spark SUM(int) stays int64 — the
+    oracle therefore CASTs the sums to BIGINT (round-1 driver failure)."""
     o = table(spark, sf_dir, "orders")
     high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
     return (

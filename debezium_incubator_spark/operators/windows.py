@@ -141,17 +141,18 @@ def w_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
     "w_running_sum",
     oracle="""
 SELECT event_id, user_id,
-       SUM(CAST(value AS DECIMAL(38,10))) OVER (PARTITION BY user_id
+       CAST(SUM(CAST(value AS DECIMAL(38,10))) OVER (PARTITION BY user_id
             ORDER BY ts, event_id
-            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_value,
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value,
        COUNT(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS event_seq
 FROM events
 """,
 )
 def w_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Running totals in exact decimal — frame accumulation order is
-    deterministic, but decimal keeps parity bit-exact anyway."""
+    """Running totals accumulated in exact decimal, SURFACED as double
+    (bare DECIMAL outputs hash Decimal-vs-float64 against DuckDB —
+    no-bare-DECIMAL rule)."""
     ev = table(spark, sf_dir, "events")
     w = (
         W.partitionBy("user_id")
@@ -161,7 +162,8 @@ def w_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select(
         "event_id",
         "user_id",
-        F.sum(F.col("value").cast("decimal(38,10)")).over(w).alias("running_value"),
+        F.sum(F.col("value").cast("decimal(38,10)")).over(w)
+        .cast("double").alias("running_value"),
         F.count("*").over(w).alias("event_seq"),
     )
 

@@ -2,10 +2,16 @@
 approximating the driver's check: row count + schema (column names) +
 order-insensitive value comparison (sorted columns, sorted rows).
 
-Stricter than a hash where we can be: exact equality for ints/strings/
-bools/decimals/timestamps; floats must agree to 1e-9 relative (engine
-rounding policy should make them exactly equal — any nonzero float diff
-is reported so drift is visible before it becomes a hash miss).
+DRIVER-STRICT (round-2 hardening): the driver hashes the *surfaced*
+values, so representation drift that is numerically equal still fails
+there. This comparator therefore treats as mismatches:
+- different surfaced dtype classes per column (int64 vs float64,
+  Decimal vs float, date vs timestamp) — the exact classes behind all
+  four round-1 driver hash failures;
+- any nonzero float difference (no 1e-9 tolerance — the parity policy
+  is supposed to make both sides bit-identical);
+- ``-0.0`` vs ``0.0`` (IEEE signed zero survives ROUND and hashes
+  differently).
 """
 
 from __future__ import annotations
@@ -30,13 +36,54 @@ def _canon_value(v):
     if isinstance(v, (int, np.integer, float, np.floating, decimal.Decimal)):
         # One canon for ALL numerics so Decimal vs float columns sort rows
         # identically in both frames (the key only needs consistency, not
-        # numeric order).
+        # numeric order). Type-class mismatches are caught separately.
         return ("n", f"{float(v):+.17e}")
     if isinstance(v, (bytes, bytearray)):
         return ("y", v.hex())
     if isinstance(v, (list, np.ndarray)):
         return ("l", str([_canon_value(x) for x in v]))
     return ("s", str(v))
+
+
+def _is_null(v) -> bool:
+    if v is None or v is pd.NaT:
+        return True
+    if isinstance(v, (float, np.floating)) and math.isnan(float(v)):
+        return True
+    if isinstance(v, (list, np.ndarray, dict)):
+        return False
+    try:
+        return bool(pd.isna(v))
+    except (TypeError, ValueError):
+        return False
+
+
+def _dtype_class(v) -> str:
+    """Surfaced-representation class — the granularity the driver's value
+    hash distinguishes (bool < int checked first: bool is an int subclass)."""
+    if isinstance(v, (bool, np.bool_)):
+        return "bool"
+    if isinstance(v, (int, np.integer)):
+        return "int"
+    if isinstance(v, (float, np.floating)):
+        return "float"
+    if isinstance(v, decimal.Decimal):
+        return "decimal"
+    if isinstance(v, (pd.Timestamp, datetime.datetime, np.datetime64)):
+        return "timestamp"
+    if isinstance(v, datetime.date):
+        return "date"
+    if isinstance(v, (bytes, bytearray)):
+        return "bytes"
+    if isinstance(v, (list, np.ndarray)):
+        return "list"
+    if isinstance(v, dict):
+        return "map"
+    return "str"
+
+
+def _column_classes(values) -> set[str]:
+    return {_dtype_class(v) for v in values if not _is_null(v)}
 
 
 def _normalize(df: pd.DataFrame) -> pd.DataFrame:
@@ -54,14 +101,8 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def _values_equal(a, b, col: str) -> tuple[bool, float]:
-    """Return (equal, float_diff)."""
-    a_null = a is None or (isinstance(a, float) and math.isnan(a)) or a is pd.NaT
-    b_null = b is None or (isinstance(b, float) and math.isnan(b)) or b is pd.NaT
-    try:
-        a_null = a_null or bool(pd.isna(a))
-        b_null = b_null or bool(pd.isna(b))
-    except (TypeError, ValueError):
-        pass
+    """Return (equal, float_diff). Driver-strict: exact equality only."""
+    a_null, b_null = _is_null(a), _is_null(b)
     if a_null or b_null:
         return (a_null == b_null, 0.0)
     if isinstance(
@@ -71,12 +112,15 @@ def _values_equal(a, b, col: str) -> tuple[bool, float]:
     if isinstance(a, (float, np.floating)) or isinstance(b, (float, np.floating)):
         fa, fb = float(a), float(b)
         if fa == fb:
+            if fa == 0.0 and math.copysign(1.0, fa) != math.copysign(1.0, fb):
+                return False, 0.0  # -0.0 vs 0.0 hashes differently
             return True, 0.0
         denom = max(abs(fa), abs(fb), 1e-300)
-        rel = abs(fa - fb) / denom
-        return rel < 1e-9, rel
+        return False, abs(fa - fb) / denom
     if isinstance(a, decimal.Decimal) or isinstance(b, decimal.Decimal):
-        return decimal.Decimal(str(a)) == decimal.Decimal(str(b)), 0.0
+        if not (isinstance(a, decimal.Decimal) and isinstance(b, decimal.Decimal)):
+            return False, 0.0  # Decimal vs non-Decimal: representation drift
+        return a == b and a.as_tuple().exponent == b.as_tuple().exponent, 0.0
     if isinstance(a, (list, np.ndarray)) or isinstance(b, (list, np.ndarray)):
         la, lb = list(a), list(b)
         if len(la) != len(lb):
@@ -94,14 +138,18 @@ def assert_frames_match(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame,
     assert s_cols == o_cols, f"{name}: columns {s_cols} != {o_cols}"
     s = _normalize(spark_pdf)
     o = _normalize(oracle_pdf)
-    max_float_rel = 0.0
+    for c in s.columns:
+        sc, oc = _column_classes(s[c].values), _column_classes(o[c].values)
+        assert sc == oc, (
+            f"{name}: col={c} surfaced dtype class {sorted(sc)} (spark) != "
+            f"{sorted(oc)} (oracle) — the driver's value hash distinguishes "
+            f"these even when values are numerically equal"
+        )
     for c in s.columns:
         sv, ov = s[c].values, o[c].values
         for i in range(len(sv)):
             eq, rel = _values_equal(sv[i], ov[i], c)
-            max_float_rel = max(max_float_rel, rel)
             assert eq, (
-                f"{name}: mismatch col={c} row={i}: spark={sv[i]!r} oracle={ov[i]!r}"
+                f"{name}: mismatch col={c} row={i}: spark={sv[i]!r} "
+                f"oracle={ov[i]!r}" + (f" (rel={rel:.2e})" if rel else "")
             )
-    if max_float_rel > 0:
-        print(f"  [{name}] max float rel-diff {max_float_rel:.2e}")
