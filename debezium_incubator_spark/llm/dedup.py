@@ -238,6 +238,46 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- J2-alt: SimHash — rows-only (xxhash64 bit algebra) ------------------
 
+def simhash_signatures(df: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    """64-bit SimHash per doc: per distinct token, xxhash64 → ±1 vote per
+    bit position; signature bit i set iff the summed vote is positive.
+    All expression-level (the 64× bit explosion over tokens is bounded
+    and JVM-side)."""
+    tok = df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(F.split(F.lower(text_col), " "))).alias("t"),
+    ).withColumn("h", F.xxhash64("t"))
+    bits = tok.select(
+        id_col,
+        F.explode(F.sequence(F.lit(0), F.lit(63))).alias("bit"),
+        F.col("h"),
+    ).withColumn(
+        "vote",
+        F.when(F.expr("(shiftright(h, bit) & 1) = 1"), 1).otherwise(-1),
+    )
+    return (
+        bits.groupBy(id_col, "bit")
+        .agg(F.sum("vote").alias("v"))
+        .withColumn("bitval", F.when(F.col("v") > 0, 1).otherwise(0))
+        .groupBy(id_col)
+        .agg(
+            F.sum(
+                F.expr("CAST(bitval AS BIGINT) * shiftleft(CAST(1 AS BIGINT), bit)")
+            ).alias("simhash")
+        )
+    )
+
+
+SIMHASH_HAMMING_MAX = 8
+# Pigeonhole banding: a pair within hamming distance h differs in at most
+# h bands, so splitting the 64-bit signature into h+1 disjoint bands
+# guarantees the pair agrees EXACTLY on at least one band — bucketed
+# pairing finds the identical result set as all-pairs, never a subset.
+# 9 bands for h=8: eight 7-bit bands + one 8-bit band.
+_SIMHASH_BANDS = [(i * 7, 7) for i in range(8)] + [(56, 8)]
+
+
 @register("dedup_simhash")
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash per doc + near-dup pairs at hamming distance ≤ 8.
@@ -245,37 +285,44 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     Per token: xxhash64 → ±1 vote per bit position; signature bit i set
     iff the summed vote is positive. All expression-level (explode over
     64 bit positions is a 64× row expansion over tokens — bounded and
-    JVM-side). Pairing is all-pairs here (5k docs); at scale, bucket on
-    signature prefix bands first (same trick as LSH)."""
+    JVM-side). Pairing is BUCKETED, not all-pairs: signatures band into
+    9 disjoint segments (pigeonhole: hamming ≤ 8 ⇒ at least one band
+    identical, so recall vs all-pairs is exactly 1.0) and candidate
+    pairs form only within (band_id, band_value) buckets — the same
+    shape as :func:`lsh_candidates`, quadratic only inside buckets.
+    At 100 TB, widen bands (more bits) for a lower hamming threshold to
+    keep buckets small."""
     d = table(spark, sf_dir, "documents")
-    tok = d.select(
-        "doc_id", F.explode(F.array_distinct(F.split(F.lower("text"), " "))).alias("t")
-    ).withColumn("h", F.xxhash64("t"))
-    bits = tok.select(
+    sig = simhash_signatures(d)
+    banded = sig.select(
         "doc_id",
-        F.explode(F.sequence(F.lit(0), F.lit(63))).alias("bit"),
-        F.col("h"),
-    ).withColumn(
-        "vote",
-        F.when(F.expr("(shiftright(h, bit) & 1) = 1"), 1).otherwise(-1),
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    # arithmetic shiftright sign-extends; the width mask
+                    # strips the extension bits
+                    F.expr(f"shiftright(simhash, {start}) & {(1 << width) - 1}")
+                    for start, width in _SIMHASH_BANDS
+                ]
+            )
+        ).alias("band_id", "band_val"),
     )
-    sig = (
-        bits.groupBy("doc_id", "bit")
-        .agg(F.sum("vote").alias("v"))
-        .withColumn("bitval", F.when(F.col("v") > 0, 1).otherwise(0))
-        .groupBy("doc_id")
-        .agg(
-            F.sum(
-                F.expr("CAST(bitval AS BIGINT) * shiftleft(CAST(1 AS BIGINT), bit)")
-            ).alias("simhash")
-        )
+    a = banded.select(
+        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("ha"),
+        "band_id", "band_val",
     )
-    a = sig.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("ha"))
-    b = sig.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("hb"))
+    b = banded.select(
+        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("hb"),
+        "band_id", "band_val",
+    )
     return (
-        a.join(b, F.col("doc_a") < F.col("doc_b"))
+        a.join(b, ["band_id", "band_val"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "ha", "hb")
+        .distinct()  # a close pair can share several bands — emit once
         .withColumn("hamming", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))))
-        .filter(F.col("hamming") <= 8)
+        .filter(F.col("hamming") <= SIMHASH_HAMMING_MAX)
         .select("doc_a", "doc_b", "hamming")
         .orderBy("doc_a", "doc_b")
     )

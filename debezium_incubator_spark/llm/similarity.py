@@ -71,6 +71,12 @@ WITH e AS (
 
 # --- J3: all-pairs cosine top-k ------------------------------------------
 
+BLOCK_TARGET_ROWS = 1024  # per-block target: 1024 × dim×8B ≈ 0.5 MB at dim=64
+MAX_BLOCKS = 64  # replication is O(B) copies of the corpus — cap it; past
+# the cap, blocks grow instead (the gemm work, O(n²·d), dominates long
+# before block transfer does on a brute-force all-pairs)
+
+
 @register(
     "s1_cosine_topk",
     oracle=_PAIR_ORACLE
@@ -82,48 +88,78 @@ LIMIT 20
 """,
 )
 def s1_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-20 most-similar pairs: broadcast one side as a numpy matrix,
-    stream the other through mapInPandas, per-batch gemm + local top-k,
-    then global top-k merge.
+    """Top-20 most-similar pairs via BLOCKED exact pairwise gemm: split
+    the corpus into B row-blocks (vec_id % B), materialize every block
+    pair (bi ≤ bj) through a cogrouped applyInPandas, gemm the two
+    blocks in numpy, and keep a local top-k per block pair before the
+    final k-row merge.
 
-    This is the distributed brute-force pattern: the expression-level
-    crossJoin (see sim_neardup_cosine) evaluates the 64-dim fold
-    interpreted per pair (~10 s at 2k vectors); the Arrow+numpy kernel
-    does the same 2M dot products as one gemm (~0.1 s). The broadcast
-    side must fit in executor memory (2k×64 f64 = 1 MB; fine up to ~1e7
-    vectors) — beyond that, LSH/IVF bucketing (sim_lsh_topk) is the path.
-    Per-batch top-k keeps the shuffle to k rows per partition.
+    This is the fully distributed brute-force pattern — NO driver-side
+    collect and NO whole-table broadcast (the round-1 version built the
+    gemm's right side with toPandas(), a driver bottleneck past ~1e7
+    vectors). Work per task is |block|² dots, replication factor is B
+    (each block joins B block-pairs), and B scales with the corpus:
+    memory per task stays ~BLOCK_TARGET_ROWS² regardless of n. The
+    expression-level crossJoin (sim_neardup_cosine) remains the
+    verification baseline; LSH/IVF remain the sub-quadratic paths when
+    approximate recall is acceptable.
     """
     import numpy as np
     import pandas as pd
 
     k = 20
     e = _vectors(spark, sf_dir)
-    rows = e.select("vec_id", "v").toPandas()  # broadcast build side
-    ids = rows["vec_id"].to_numpy()
-    mat = np.stack(rows["v"].to_numpy()).astype(np.float64)
-    mat_n = mat / np.sqrt((mat * mat).sum(axis=1, keepdims=True))
-    bc = spark.sparkContext.broadcast((ids, mat_n))
+    n = e.count()  # parquet metadata count — cheap planning step
+    nblocks = min(MAX_BLOCKS, max(1, -(-n // BLOCK_TARGET_ROWS)))
+    pairs = [(i, j) for i in range(nblocks) for j in range(i, nblocks)]
 
-    def topk_pairs(batches):
-        b_ids, b_mat = bc.value
-        for pdf in batches:
-            a_ids = pdf["vec_id"].to_numpy()
-            a_mat = np.stack(pdf["v"].to_numpy()).astype(np.float64)
-            a_mat /= np.sqrt((a_mat * a_mat).sum(axis=1, keepdims=True))
-            sims = a_mat @ b_mat.T  # gemm: |batch| × n
-            mask = a_ids[:, None] < b_ids[None, :]  # i<j half, no self
-            ai, bj = np.nonzero(mask)
-            s = sims[ai, bj]
-            if len(s) > k:  # local top-k before the shuffle
-                idx = np.argpartition(-s, k)[:k]
-                ai, bj, s = ai[idx], bj[idx], s[idx]
-            yield pd.DataFrame(
-                {"vec_a": a_ids[ai], "vec_b": b_ids[bj], "cos_raw": s}
-            )
+    def side(df: DataFrame, anchor: str) -> DataFrame:
+        bp = spark.createDataFrame(pairs, "bi INT, bj INT")
+        blk = (F.col("vec_id") % nblocks).alias("blk")
+        return (
+            df.select("vec_id", "v", blk)
+            .join(F.broadcast(bp), F.col("blk") == F.col(anchor))
+            .select("bi", "bj", "vec_id", "v")
+        )
 
-    cand = e.select("vec_id", "v").mapInPandas(
-        topk_pairs, "vec_a LONG, vec_b LONG, cos_raw DOUBLE"
+    # fresh scans per side: cogroup requires distinct lineages (a shared
+    # plan trips the ambiguous-self-join check)
+    left = side(_vectors(spark, sf_dir), "bi")
+    right = side(_vectors(spark, sf_dir), "bj")
+
+    def gemm_topk(key, lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"vec_a": [], "vec_b": [], "cos_raw": []})
+        if lpdf.empty or rpdf.empty:
+            return empty
+        a_ids = lpdf["vec_id"].to_numpy()
+        b_ids = rpdf["vec_id"].to_numpy()
+        a = np.stack(lpdf["v"].to_numpy()).astype(np.float64)
+        b = np.stack(rpdf["v"].to_numpy()).astype(np.float64)
+        a /= np.sqrt((a * a).sum(axis=1, keepdims=True))
+        b /= np.sqrt((b * b).sum(axis=1, keepdims=True))
+        sims = a @ b.T
+        if key[0] == key[1]:  # diagonal block: halve to i<j
+            mask = a_ids[:, None] < b_ids[None, :]
+        else:  # off-diagonal: every cross pair appears exactly once
+            mask = np.ones_like(sims, dtype=bool)
+        ai, bj = np.nonzero(mask)
+        s = sims[ai, bj]
+        if len(s) > k:  # local top-k before the shuffle
+            idx = np.argpartition(-s, k)[:k]
+            ai, bj, s = ai[idx], bj[idx], s[idx]
+        la, lb = a_ids[ai], b_ids[bj]
+        return pd.DataFrame(
+            {  # orient pairs (vec_a < vec_b) regardless of block order
+                "vec_a": np.minimum(la, lb),
+                "vec_b": np.maximum(la, lb),
+                "cos_raw": s,
+            }
+        )
+
+    cand = (
+        left.groupBy("bi", "bj")
+        .cogroup(right.groupBy("bi", "bj"))
+        .applyInPandas(gemm_topk, "vec_a LONG, vec_b LONG, cos_raw DOUBLE")
     )
     return (
         cand.orderBy(F.desc("cos_raw"), "vec_a", "vec_b")
@@ -209,7 +245,16 @@ def sim_neardup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- J3 scale path: random-hyperplane LSH bucketing — rows-only ----------
 
-N_PLANES = 12
+# Multi-band hyperplane LSH: B bands × r planes. A pair is a candidate
+# iff ALL r sign bits agree in AT LEAST ONE band — recall for a pair at
+# angle θ is 1 - (1 - p^r)^B with p = 1 - θ/π. These defaults target the
+# near-dup regime (cos ≥ 0.9 ⇒ p ≥ 0.86 ⇒ recall ≥ 0.99); candidate
+# volume for unrelated pairs (p ≈ 0.5) is ~1 - (1 - 2^-r)^B ≈ B/2^r of
+# the pair space. Tune r up / B up together at 100 TB for sharper
+# sieving of ever-larger corpora.
+LSH_BANDS = 8
+LSH_ROWS_PER_BAND = 4
+N_PLANES = LSH_BANDS * LSH_ROWS_PER_BAND
 
 
 def _hyperplanes(dim: int, n_planes: int = N_PLANES) -> list[list[float]]:
@@ -225,36 +270,69 @@ def _hyperplanes(dim: int, n_planes: int = N_PLANES) -> list[list[float]]:
     return planes
 
 
-def lsh_bucket(v, planes: list[list[float]]) -> Column:
-    """Signature = sign bits of plane dot products, packed into a long."""
-    sig = F.lit(0).cast("bigint")
-    for idx, plane in enumerate(planes):
+def lsh_band_values(v, planes: list[list[float]],
+                    rows_per_band: int = LSH_ROWS_PER_BAND) -> Column:
+    """Array of per-band bucket ids: sign bits of plane dot products,
+    packed r-per-band."""
+    bits = []
+    for plane in planes:
         d = F.aggregate(
             F.zip_with(v, F.array(*[F.lit(x) for x in plane]), lambda a, b: a * b),
             F.lit(0.0),
             lambda s, x: s + x,
         )
-        sig = sig + F.when(d > 0, F.lit(2**idx).cast("bigint")).otherwise(0)
-    return sig
+        bits.append(F.when(d > 0, 1).otherwise(0))
+    bands = []
+    for b in range(0, len(planes), rows_per_band):
+        val = F.lit(0)
+        for i, bit in enumerate(bits[b: b + rows_per_band]):
+            val = val + bit * F.lit(1 << i)
+        bands.append(val)
+    return F.array(*bands)
+
+
+def lsh_candidate_pairs(e: DataFrame) -> DataFrame:
+    """Candidate (vec_a, vec_b) pairs sharing at least one LSH band
+    bucket. Input needs columns (vec_id, v); the self-join runs only
+    within (band_id, band_val) buckets — the sub-quadratic sieve."""
+    planes = _hyperplanes(64)
+    banded = e.select(
+        "vec_id",
+        F.posexplode(lsh_band_values(F.col("v"), planes)).alias(
+            "band_id", "band_val"
+        ),
+    )
+    a = banded.select("band_id", "band_val", F.col("vec_id").alias("vec_a"))
+    b = banded.select("band_id", "band_val", F.col("vec_id").alias("vec_b"))
+    return (
+        a.join(b, ["band_id", "band_val"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b")
+        .distinct()
+    )
 
 
 @register("sim_lsh_topk")
 def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate all-pairs top-20 via hyperplane LSH: pairs are only
-    formed within a signature bucket, collapsing the O(n²) pair space.
-    Recall is tunable by n_planes / multi-probe; this is the 100 TB path
-    for which s1_cosine_topk is the exact baseline. Deterministic
-    (seeded planes) → rows-only check."""
+    """Approximate all-pairs top-20: multi-band hyperplane LSH generates
+    candidate pairs (within-bucket self-join — sub-quadratic), then the
+    EXACT cosine reranks the candidates. Recall follows the banding
+    formula above: ≈1.0 for near-dup pairs (the workload LSH exists
+    for — asserted by the planted-duplicate recall test), but genuinely
+    partial on corpora with no high-similarity structure, where no
+    sub-quadratic sieve can find "nearest of the unrelated" pairs —
+    s1_cosine_topk is the exact path there. Deterministic (seeded
+    planes) → rows-only check."""
     e = _vectors(spark, sf_dir).withColumn("nsq", norm_sq("v"))
-    planes = _hyperplanes(64)
-    e = e.withColumn("bucket", lsh_bucket(F.col("v"), planes))
-    a = e.select(F.col("bucket").alias("ba"), F.col("vec_id").alias("vec_a"),
-                 F.col("v").alias("va"), F.col("nsq").alias("na"))
-    b = e.select(F.col("bucket").alias("bb"), F.col("vec_id").alias("vec_b"),
-                 F.col("v").alias("vb"), F.col("nsq").alias("nb"))
+    cands = lsh_candidate_pairs(e)
+    a = e.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"),
+                 F.col("nsq").alias("na"))
+    b = e.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"),
+                 F.col("nsq").alias("nb"))
     cos_raw = dot("va", "vb") / (F.sqrt("na") * F.sqrt("nb"))
     return (
-        a.join(b, (F.col("ba") == F.col("bb")) & (F.col("vec_a") < F.col("vec_b")))
+        cands.join(a, "vec_a")
+        .join(b, "vec_b")
         .withColumn("cos_raw", cos_raw)
         .orderBy(F.desc("cos_raw"), "vec_a", "vec_b")
         .limit(20)

@@ -245,3 +245,96 @@ def test_quantized_knn_recall(spark):
         (dot("v", "dq") / (F.sqrt(norm_sq("v")) * F.sqrt(norm_sq("dq")))).alias("c")
     )
     assert fidelity.agg(F.min("c")).first()[0] > 0.999
+
+
+def test_lsh_planted_neardup_recall(spark):
+    """The LSH sieve's contract: pairs in the near-dup regime (cos ≈
+    0.999 planted perturbations) are recovered as candidates with
+    recall ≈ 1.0, while the candidate set stays well below all-pairs —
+    the property that makes it the sub-quadratic path at scale."""
+    from debezium_incubator_spark.llm.similarity import lsh_candidate_pairs
+
+    from .conftest import SF_SMOKE
+
+    e = (
+        spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+        .filter(F.col("vec_id") < 100)
+    )
+    dup = e.select(
+        (F.col("vec_id") + 10000).alias("vec_id"),
+        F.transform(
+            "v",
+            lambda x, i: x
+            + 0.02 * F.sin(i.cast("double") + F.col("vec_id").cast("double")),
+        ).alias("v"),
+    )
+    corpus = e.union(dup)
+    cands = {(r.vec_a, r.vec_b) for r in lsh_candidate_pairs(corpus).collect()}
+    planted = {(i, i + 10000) for i in range(100)}
+    recall = len(planted & cands) / len(planted)
+    assert recall >= 0.95, f"planted near-dup recall {recall}"
+    n = 200
+    assert len(cands) < 0.6 * n * (n - 1) / 2, "sieve did not prune"
+
+
+def test_simhash_banding_is_exact(spark):
+    """Pigeonhole guarantee: banding the 64-bit signature into
+    hamming_max+1 segments finds EXACTLY the all-pairs result set."""
+    from debezium_incubator_spark.llm.dedup import (
+        SIMHASH_HAMMING_MAX,
+        simhash_signatures,
+    )
+    from debezium_incubator_spark.registry import all_queries
+
+    from .conftest import SF_SMOKE
+
+    banded = {
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in all_queries()["dedup_simhash"](spark, SF_SMOKE).collect()
+    }
+    sig = simhash_signatures(
+        spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    )
+    a = sig.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("ha"))
+    b = sig.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("hb"))
+    brute = {
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in (
+            a.join(b, F.col("doc_a") < F.col("doc_b"))
+            .withColumn("hamming", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))))
+            .filter(F.col("hamming") <= SIMHASH_HAMMING_MAX)
+            .select("doc_a", "doc_b", "hamming")
+        ).collect()
+    }
+    assert banded == brute
+
+
+def test_s1_blocked_matches_tiny_brute_force(spark):
+    """The blocked cogroup gemm must equal a local numpy brute force at
+    smoke scale (exactness of the block decomposition, incl. diagonal
+    halving and cross-block orientation)."""
+    import numpy as np
+
+    from debezium_incubator_spark.registry import all_queries
+
+    from .conftest import SF_SMOKE
+
+    got = [
+        (r.vec_a, r.vec_b)
+        for r in all_queries()["s1_cosine_topk"](spark, SF_SMOKE).collect()
+    ]
+    pdf = (
+        spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+        .toPandas()
+    )
+    ids = pdf["vec_id"].to_numpy()
+    m = np.stack(pdf["v"].to_numpy())
+    m /= np.sqrt((m * m).sum(axis=1, keepdims=True))
+    s = m @ m.T
+    mask = ids[:, None] < ids[None, :]
+    ai, bj = np.nonzero(mask)
+    order = np.lexsort((ids[bj], ids[ai], -s[ai, bj]))[:20]
+    want = [(int(ids[ai[i]]), int(ids[bj[i]])) for i in order]
+    assert got == want
