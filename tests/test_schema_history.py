@@ -1,0 +1,135 @@
+"""DDL schema-history replay: Debezium-style DDL strings → versioned
+StructTypes → distributed normalization of old-version data."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from debezium_incubator_spark.cdc.schema_history import (
+    apply_ddl,
+    parse_sql_type,
+    replay_history,
+    replay_history_df,
+)
+from debezium_incubator_spark.cdc.schema_registry import SchemaRegistry
+
+
+def test_parse_sql_types():
+    assert parse_sql_type("INT") == T.IntegerType()
+    assert parse_sql_type("int unsigned") == T.LongType()
+    assert parse_sql_type("BIGINT") == T.LongType()
+    assert parse_sql_type("VARCHAR(255)") == T.StringType()
+    assert parse_sql_type("DECIMAL(12,2)") == T.DecimalType(12, 2)
+    assert parse_sql_type("NUMERIC") == T.DecimalType(10, 0)
+    assert parse_sql_type("double precision") == T.DoubleType()
+    assert parse_sql_type("TINYINT(1)") == T.BooleanType()
+    assert parse_sql_type("DATETIME") == T.TimestampNTZType()
+    assert parse_sql_type("BLOB") == T.BinaryType()
+    assert parse_sql_type("some_exotic_udt") == T.StringType()
+
+
+def test_create_table_with_constraints():
+    reg = SchemaRegistry()
+    apply_ddl(reg, """
+        CREATE TABLE `inventory`.`customers` (
+          `id` INT UNSIGNED NOT NULL,
+          `first_name` VARCHAR(255) NOT NULL,
+          `email` VARCHAR(255),
+          `balance` DECIMAL(10,2),
+          `created_at` DATETIME NOT NULL,
+          PRIMARY KEY (`id`),
+          UNIQUE KEY `email_uk` (`email`),
+          CONSTRAINT fk FOREIGN KEY (id) REFERENCES other(id)
+        ) ENGINE=InnoDB
+    """)
+    s = reg.latest("customers")
+    assert [f.name for f in s.fields] == [
+        "id", "first_name", "email", "balance", "created_at",
+    ]
+    assert s["id"].dataType == T.LongType()  # unsigned INT widens
+    assert not s["id"].nullable
+    assert s["email"].nullable
+    assert s["balance"].dataType == T.DecimalType(10, 2)
+
+
+def test_alter_evolution_chain():
+    reg = replay_history([
+        "CREATE TABLE t (id INT NOT NULL, name VARCHAR(50))",
+        "ALTER TABLE t ADD COLUMN score DOUBLE",
+        "ALTER TABLE t DROP COLUMN name",
+        "ALTER TABLE t RENAME COLUMN score TO rating",
+        "ALTER TABLE t MODIFY COLUMN rating DECIMAL(6,3)",
+        "ALTER TABLE t ALTER COLUMN id SET DATA TYPE BIGINT",
+        "ALTER TABLE t ADD INDEX idx_id (id)",  # shape no-op
+        "GRANT SELECT ON t TO someone",          # ignored
+    ])
+    assert len(reg.versions["t"]) == 6  # create + 5 mutating alters
+    s = reg.latest("t")
+    assert [(f.name, f.dataType) for f in s.fields] == [
+        ("id", T.LongType()),
+        ("rating", T.DecimalType(6, 3)),
+    ]
+
+
+def test_mysql_change_and_multi_clause():
+    reg = replay_history([
+        "CREATE TABLE p (a INT, b VARCHAR(10))",
+        "ALTER TABLE p CHANGE COLUMN a a_id BIGINT NOT NULL, ADD c DATE",
+    ])
+    s = reg.latest("p")
+    assert [f.name for f in s.fields] == ["a_id", "b", "c"]
+    assert s["a_id"].dataType == T.LongType()
+    assert not s["a_id"].nullable
+    assert s["c"].dataType == T.DateType()
+
+
+def test_rename_and_drop_table():
+    reg = replay_history([
+        "CREATE TABLE old_name (x INT)",
+        "RENAME TABLE old_name TO new_name",
+        "CREATE TABLE gone (y INT)",
+        "DROP TABLE gone",
+    ])
+    assert "new_name" in reg.versions
+    assert "old_name" not in reg.versions
+    assert "gone" not in reg.versions
+
+
+def test_replay_then_upgrade_old_version_data(spark):
+    """The end-to-end path: replay history, then normalize a DataFrame
+    captured under the ORIGINAL schema to the latest version (added
+    column → typed null, retyped column → cast)."""
+    reg = replay_history([
+        "CREATE TABLE users (id INT NOT NULL, city VARCHAR(40))",
+        "ALTER TABLE users ADD COLUMN signup DATE",
+        "ALTER TABLE users MODIFY COLUMN id BIGINT",
+    ])
+    old = spark.createDataFrame(
+        [(1, "oslo"), (2, "lima")],
+        T.StructType([
+            T.StructField("id", T.IntegerType()),
+            T.StructField("city", T.StringType()),
+        ]),
+    )
+    up = reg.upgrade(old, "users")
+    assert [f.name for f in up.schema.fields] == ["id", "city", "signup"]
+    assert dict(up.dtypes)["id"] == "bigint"
+    assert dict(up.dtypes)["signup"] == "date"
+    rows = up.orderBy("id").collect()
+    assert rows[0].signup is None and rows[0].id == 1
+
+
+def test_replay_history_df(spark):
+    """Schema-history topic replay from a DataFrame of DDL events (the
+    Debezium history-topic shape: position + ddl string)."""
+    hist = spark.createDataFrame(
+        [
+            (1, "CREATE TABLE acct (id INT, bal DECIMAL(10,2))"),
+            (2, "ALTER TABLE acct ADD COLUMN status VARCHAR(8)"),
+            (3, None),
+        ],
+        "pos INT, ddl STRING",
+    ).orderBy("pos")
+    reg = replay_history_df(hist)
+    assert [f.name for f in reg.latest("acct").fields] == ["id", "bal", "status"]
