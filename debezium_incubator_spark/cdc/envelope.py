@@ -145,20 +145,27 @@ def unwrap(env: DataFrame, drop_deletes: bool = False,
     return out
 
 
-# --- Avro wire format (jar-gated) -----------------------------------------
+# --- Avro wire format -----------------------------------------------------
+
+_AVRO_OK: bool | None = None
+
 
 def avro_available(spark: "DataFrame.sparkSession") -> bool:
     """True iff the spark-avro data source is on the classpath (it is an
-    external module: --packages org.apache.spark:spark-avro_2.13)."""
-    try:
-        from pyspark.sql.avro.functions import to_avro
+    external module: --packages org.apache.spark:spark-avro_2.13).
+    Probed once per process; the result picks the wire path below."""
+    global _AVRO_OK
+    if _AVRO_OK is None:
+        try:
+            from pyspark.sql.avro.functions import to_avro
 
-        spark.range(1).select(
-            to_avro(F.struct(F.col("id")))
-        ).collect()
-        return True
-    except Exception:
-        return False
+            spark.range(1).select(
+                to_avro(F.struct(F.col("id")))
+            ).collect()
+            _AVRO_OK = True
+        except Exception:
+            _AVRO_OK = False
+    return _AVRO_OK
 
 
 def envelope_avro_schema_json(row_schema: T.StructType) -> str:
@@ -195,30 +202,80 @@ def envelope_avro_schema_json(row_schema: T.StructType) -> str:
     return json.dumps(avro_type(envelope_schema(row_schema)))
 
 
+_KEY_SCHEMA = T.StructType([T.StructField("id", T.LongType())])
+
+
 def parse_envelope_avro(raw: DataFrame, row_schema: T.StructType) -> DataFrame:
     """A2 envelope parse, Avro wire format: binary value → typed envelope
-    struct via from_avro (Confluent-style registry deployments; the
-    5-byte schema-id framing must be stripped upstream with
+    struct (Confluent-style registry deployments; the 5-byte schema-id
+    framing must be stripped upstream with
     ``F.expr("substring(value, 6)")`` when records come from a registry-
-    aware producer). Jar-gated: raises with remediation when spark-avro
-    is absent (this container has no network for --packages)."""
-    try:
+    aware producer).
+
+    Path selection: the JVM ``from_avro`` expression when the spark-avro
+    module is on the classpath (whole-stage codegen — the fast path);
+    otherwise the pure-Python spec codec over Arrow-batched mapInPandas
+    (:mod:`.avro_codec` — this offline container's path, wire-compatible
+    with the JVM reference implementation by test)."""
+    if avro_available(raw.sparkSession):
         from pyspark.sql.avro.functions import from_avro
-    except ImportError as exc:  # pragma: no cover
-        raise RuntimeError("pyspark.sql.avro not importable") from exc
-    schema = envelope_avro_schema_json(row_schema)
-    try:
+
+        schema = envelope_avro_schema_json(row_schema)
         return raw.select(
-            F.from_json(F.col("key").cast("string"),
-                        T.StructType([T.StructField("id", T.LongType())])).alias("key"),
+            F.from_json(F.col("key").cast("string"), _KEY_SCHEMA).alias("key"),
             from_avro(F.col("value"), schema).alias("value"),
         )
-    except Exception as exc:
-        raise RuntimeError(
-            "spark-avro data source not loaded; restart with "
-            "--packages org.apache.spark:spark-avro_<scala-version> "
-            "to use the Avro envelope path"
-        ) from exc
+    return parse_envelope_avro_py(raw, row_schema)
+
+
+def parse_envelope_avro_py(raw: DataFrame, row_schema: T.StructType) -> DataFrame:
+    """Python-codec Avro envelope parse (the jar-less fallback).
+    Tombstones (null value) survive as ``value IS NULL`` rows, exactly
+    like the JSON path."""
+    import json as _json
+
+    schema_json = envelope_avro_schema_json(row_schema)
+    out_schema = T.StructType(
+        [
+            T.StructField("key", _KEY_SCHEMA),
+            T.StructField("value", envelope_schema(row_schema)),
+        ]
+    )
+
+    def decode(batches):
+        import pandas as pd
+
+        from debezium_incubator_spark.cdc.avro_codec import AvroCodec
+
+        codec = AvroCodec(schema_json)
+        for pdf in batches:
+            keys = [None if k is None else _json.loads(k) for k in pdf["key"]]
+            vals = [None if v is None else codec.decode(v) for v in pdf["value"]]
+            yield pd.DataFrame({"key": keys, "value": vals})
+
+    return raw.mapInPandas(decode, out_schema)
+
+
+def envelope_to_avro_py(env: DataFrame, row_schema: T.StructType) -> DataFrame:
+    """Encode (key struct, value envelope struct) → (key JSON string,
+    value Avro binary) with the Python codec — the producer half of the
+    jar-less wire path (tombstones pass through as null values)."""
+    schema_json = envelope_avro_schema_json(row_schema)
+
+    def encode(batches):
+        import json as _json
+
+        import pandas as pd
+
+        from debezium_incubator_spark.cdc.avro_codec import AvroCodec
+
+        codec = AvroCodec(schema_json)
+        for pdf in batches:
+            keys = [None if k is None else _json.dumps(k) for k in pdf["key"]]
+            vals = [None if v is None else codec.encode(v) for v in pdf["value"]]
+            yield pd.DataFrame({"key": keys, "value": vals})
+
+    return env.mapInPandas(encode, "key STRING, value BINARY")
 
 
 # --- Connector-specific source positions (SURVEY.md §1.1) -----------------

@@ -1,0 +1,107 @@
+"""Avro wire path: pure-Python spec codec round-trips, wire
+compatibility against the JVM reference implementation (org.apache.avro
+ships on Spark's classpath), and the distributed envelope
+encode→decode round trip through mapInPandas."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+
+from debezium_incubator_spark.cdc.avro_codec import AvroCodec
+from debezium_incubator_spark.cdc.envelope import (
+    EVENT_ROW_SCHEMA,
+    envelope_avro_schema_json,
+    envelope_to_avro_py,
+    parse_envelope_avro,
+    to_envelope,
+)
+
+from .conftest import SF_SMOKE
+
+SCHEMA = {
+    "type": "record",
+    "name": "t",
+    "fields": [
+        {"name": "a", "type": "long"},
+        {"name": "b", "type": ["null", "string"]},
+        {"name": "c", "type": "double"},
+        {"name": "d", "type": "boolean"},
+        {"name": "e", "type": ["null", {
+            "type": "record", "name": "inner",
+            "fields": [{"name": "x", "type": "int"}],
+        }]},
+        {"name": "f", "type": {"type": "array", "items": "long"}},
+    ],
+}
+
+CASES = [
+    {"a": 0, "b": None, "c": 0.0, "d": False, "e": None, "f": []},
+    {"a": -1, "b": "", "c": -2.5, "d": True, "e": {"x": -42}, "f": [1, -2, 3]},
+    {"a": 2**62, "b": "héllo 世界", "c": 1e300, "d": True,
+     "e": {"x": 2**31 - 1}, "f": [0]},
+    {"a": -(2**62), "b": "x" * 1000, "c": -1e-300, "d": False,
+     "e": {"x": -(2**31)}, "f": list(range(50))},
+]
+
+
+def test_codec_roundtrip():
+    codec = AvroCodec(SCHEMA)
+    for case in CASES:
+        assert codec.decode(codec.encode(case)) == case
+
+
+def test_codec_wire_compatible_with_jvm_reference(spark):
+    """Decode THIS codec's bytes with org.apache.avro (the reference
+    implementation, on Spark's classpath) — proves the binary format is
+    spec-true, not merely self-consistent."""
+    codec = AvroCodec(SCHEMA)
+    jvm = spark.sparkContext._jvm
+    jschema = jvm.org.apache.avro.Schema.Parser().parse(json.dumps(SCHEMA))
+    reader = jvm.org.apache.avro.generic.GenericDatumReader(jschema)
+    factory = jvm.org.apache.avro.io.DecoderFactory.get()
+    for case in CASES:
+        data = codec.encode(case)
+        dec = factory.binaryDecoder(data, None)
+        rec = reader.read(None, dec)
+        got = json.loads(str(rec))  # GenericRecord.toString is JSON
+        want = dict(case)
+        for k, v in list(got.items()):
+            if isinstance(v, float) and isinstance(want[k], float):
+                assert v == want[k], (k, v, want[k])
+                got[k] = want[k]
+        assert got == want
+
+
+def test_envelope_avro_roundtrip_distributed(spark):
+    """Producer half (envelope_to_avro_py) → consumer half
+    (parse_envelope_avro, which takes the Python-codec path in this
+    jar-less container): the decoded envelopes equal the originals."""
+    events = (
+        spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+        .withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        .limit(200)
+    )
+    env = to_envelope(events)
+    wire = envelope_to_avro_py(env, EVENT_ROW_SCHEMA)
+    assert dict(wire.dtypes) == {"key": "string", "value": "binary"}
+    back = parse_envelope_avro(wire, EVENT_ROW_SCHEMA)
+    want = sorted(
+        (r.asDict(recursive=True) for r in env.collect()),
+        key=lambda d: d["key"]["id"],
+    )
+    got = sorted(
+        (r.asDict(recursive=True) for r in back.collect()),
+        key=lambda d: d["key"]["id"],
+    )
+    assert got == want
+
+
+def test_envelope_schema_json_parses_in_jvm(spark):
+    """The generated envelope Avro schema is valid per the reference
+    parser — a registry would accept it as-is."""
+    jvm = spark.sparkContext._jvm
+    js = envelope_avro_schema_json(EVENT_ROW_SCHEMA)
+    jschema = jvm.org.apache.avro.Schema.Parser().parse(js)
+    assert jschema.getType().getName() == "record"
