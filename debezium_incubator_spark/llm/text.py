@@ -367,3 +367,95 @@ def t9_quality_ratios(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.floor(n_nonspace.cast("double") / n_tokens * 10000 + 0.5)
          / F.lit(10000.0)).alias("mean_token_len"),
     ).orderBy("doc_id")
+
+
+# --- J7+: stratified source sampling (training-mixture weights) ----------
+
+# Per-source keep thresholds out of 16 md5 hex buckets: mixture weights
+# for corpus construction (e.g. upsample curated sources, downsample
+# crawl). Class = source number % 4 → 16/8/4/2 buckets = 100%/50%/25%/12.5%.
+@register(
+    "t10_stratified_sample",
+    oracle="""
+SELECT doc_id, source, lang
+FROM documents
+WHERE strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 1, 1))
+      <= CASE CAST(substring(source, 4) AS INT) % 4
+           WHEN 0 THEN 16 WHEN 1 THEN 8 WHEN 2 THEN 4 ELSE 2 END
+""",
+)
+def t10_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: each source keeps a different
+    fraction of documents (training-data mixture weights), membership
+    decided by an md5 key-hash bucket — reproducible across engines,
+    runs, and repartitioning, and PER-ROW (a pure filter: no shuffle,
+    survives pushdown). At 100 TB this is how mixture construction
+    stays a single scan; changing weights is a constant edit, not a
+    reshuffle."""
+    d = table(spark, sf_dir, "documents")
+    bucket = F.expr(
+        "instr('0123456789abcdef', substring(md5(CAST(doc_id AS STRING)), 1, 1))"
+    )
+    threshold = (
+        F.when(F.substring("source", 4, 10).cast("int") % 4 == 0, 16)
+        .when(F.substring("source", 4, 10).cast("int") % 4 == 1, 8)
+        .when(F.substring("source", 4, 10).cast("int") % 4 == 2, 4)
+        .otherwise(2)
+    )
+    return d.filter(bucket <= threshold).select("doc_id", "source", "lang")
+
+
+# --- J5+: sequence packing (token-budget binning) ------------------------
+
+PACK_BUDGET = 2048
+
+
+@register(
+    "t11_sequence_pack",
+    oracle=f"""
+WITH t AS (
+  SELECT lang, doc_id, len(string_split(lower(text), ' ')) AS tok
+  FROM documents
+), c AS (
+  SELECT lang, doc_id, tok,
+         SUM(tok) OVER (PARTITION BY lang ORDER BY doc_id
+                        ROWS UNBOUNDED PRECEDING) AS cs
+  FROM t
+)
+SELECT lang, CAST((cs - tok) // {PACK_BUDGET} AS BIGINT) AS bin,
+       COUNT(*) AS n_docs,
+       CAST(SUM(tok) AS BIGINT) AS bin_tokens
+FROM c
+GROUP BY lang, bin
+ORDER BY lang, bin
+""",
+)
+def t11_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy in-order sequence packing: assign documents (per language,
+    in doc_id order) to training bins of ~{PACK_BUDGET} tokens by
+    bucketing the EXCLUSIVE running token count — the streaming-friendly
+    packing rule (a doc starts a new bin when the budget is crossed;
+    no bin-packing search). One window shuffle on the partition key; at
+    100 TB partition by (source, shard) so packing parallelizes and
+    bins stay shard-local for sequential reads."""
+    from pyspark.sql.window import Window as W
+
+    d = table(spark, sf_dir, "documents")
+    tok = F.size(F.split(F.lower("text"), " "))
+    w = W.partitionBy("lang").orderBy("doc_id").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    c = d.select("lang", "doc_id", tok.alias("tok")).withColumn(
+        "cs", F.sum("tok").over(w)
+    )
+    return (
+        c.groupBy(
+            "lang",
+            F.expr(f"CAST((cs - tok) DIV {PACK_BUDGET} AS BIGINT)").alias("bin"),
+        )
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("tok").cast("bigint").alias("bin_tokens"),
+        )
+        .orderBy("lang", "bin")
+    )
