@@ -105,3 +105,38 @@ def test_envelope_schema_json_parses_in_jvm(spark):
     js = envelope_avro_schema_json(EVENT_ROW_SCHEMA)
     jschema = jvm.org.apache.avro.Schema.Parser().parse(js)
     assert jschema.getType().getName() == "record"
+
+
+def test_avro_wire_stream_equals_batch(spark):
+    """The Avro wire path under Structured Streaming: envelopes encoded
+    to (key JSON, value Avro binary) parquet, streamed with availableNow,
+    decoded by parse_envelope_avro (Python-codec path here), unwrapped —
+    must equal the batch decode of the same files."""
+    import tempfile
+
+    from debezium_incubator_spark.cdc.envelope import unwrap
+    from debezium_incubator_spark.streaming.pipeline import run_available_now
+
+    events = (
+        spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+        .withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        .limit(300)
+    )
+    wire = envelope_to_avro_py(to_envelope(events), EVENT_ROW_SCHEMA)
+    with tempfile.TemporaryDirectory() as td:
+        wire.write.mode("overwrite").parquet(f"{td}/wire")
+        stream = spark.readStream.schema(wire.schema).parquet(f"{td}/wire")
+        flat = unwrap(parse_envelope_avro(stream, EVENT_ROW_SCHEMA))
+        run_available_now(flat, "t_avro_wire", output_mode="append")
+        got = spark.sql("SELECT * FROM t_avro_wire").toPandas()
+        want = unwrap(
+            parse_envelope_avro(
+                spark.read.parquet(f"{td}/wire"), EVENT_ROW_SCHEMA
+            )
+        ).toPandas()
+    key = ["event_id", "__pos"]
+    got = got.sort_values(key).reset_index(drop=True)[sorted(got.columns)]
+    want = want.sort_values(key).reset_index(drop=True)[sorted(want.columns)]
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
