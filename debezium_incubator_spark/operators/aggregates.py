@@ -413,3 +413,28 @@ def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@register("agg_approx_percentile")
+def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D9 scale path: approx_percentile (Greenwald-Khanna sketch,
+    accuracy 10000) — the 100 TB replacement for exact percentile
+    (which materializes per-group sorted buffers). Sketches are
+    mergeable, so this partial-aggregates map-side like a sum. No
+    oracle: DuckDB's approx_quantile uses a different sketch; the
+    rows-only check pins determinism (GK is deterministic for a fixed
+    partitioning; exact-percentile parity is asserted separately by
+    agg_percentile)."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.expr(
+                "approx_percentile(l_extendedprice, array(0.5, 0.95), 10000)"
+            ).alias("approx_p50_p95"),
+            F.expr("approx_percentile(l_quantity, 0.5, 10000)").alias(
+                "approx_qty_median"
+            ),
+        )
+        .orderBy("l_returnflag")
+    )
