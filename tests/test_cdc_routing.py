@@ -187,8 +187,9 @@ def test_dlq_split_valid_tombstone_malformed(spark):
 
 
 def test_avro_envelope_gated(spark):
-    """Avro wire path: full round-trip when spark-avro is loaded; clear
-    jar-gate error otherwise (this container lacks the external jar)."""
+    """Avro wire path: the JVM from_avro expression when spark-avro is
+    loaded, the pure-Python spec codec otherwise — the plan builds either
+    way (full round-trip + JVM wire-compat tests live in test_avro.py)."""
     from debezium_incubator_spark.cdc.envelope import (
         EVENT_ROW_SCHEMA,
         avro_available,
@@ -202,13 +203,13 @@ def test_avro_envelope_gated(spark):
     assert sch["type"] == "record"
     assert {f["name"] for f in sch["fields"]} >= {"before", "after", "op", "ts_ms"}
 
-    raw = spark.createDataFrame([('{"id": 1}', bytearray(b"\x00"))],
+    raw = spark.createDataFrame([('{"id": 1}', None)],
                                 "key STRING, value BINARY")
-    if avro_available(spark):
-        parse_envelope_avro(raw, EVENT_ROW_SCHEMA)  # plan builds
-    else:
-        with pytest.raises(RuntimeError, match="spark-avro"):
-            parse_envelope_avro(raw, EVENT_ROW_SCHEMA)
+    parsed = parse_envelope_avro(raw, EVENT_ROW_SCHEMA)  # plan builds
+    # tombstone (null value) survives decode as value IS NULL either way
+    row = parsed.collect()[0]
+    assert row.key.id == 1 and row.value is None
+    assert avro_available(spark) in (True, False)  # probe never raises
 
 
 def test_signal_dispatch_triggers_incremental_snapshot(spark):
