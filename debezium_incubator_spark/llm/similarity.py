@@ -71,7 +71,9 @@ WITH e AS (
 
 # --- J3: all-pairs cosine top-k ------------------------------------------
 
-BLOCK_TARGET_ROWS = 1024  # per-block target: 1024 × dim×8B ≈ 0.5 MB at dim=64
+BLOCK_TARGET_ROWS = 512  # per-block target; measured fastest at sf0.1
+# (4 blocks → 10 block-pair tasks saturate local[32]; 1-2 blocks leave
+# cores idle, ≤128 rows pays more scheduling than gemm)
 MAX_BLOCKS = 64  # replication is O(B) copies of the corpus — cap it; past
 # the cap, blocks grow instead (the gemm work, O(n²·d), dominates long
 # before block transfer does on a brute-force all-pairs)
