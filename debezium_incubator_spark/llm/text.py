@@ -459,3 +459,47 @@ def t11_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "bin")
     )
+
+
+# --- J6+: heavy hitters via count-min sketch -----------------------------
+
+CMS_EPS = 0.001   # over-estimate bound: eps * total_tokens
+CMS_CONF = 0.99
+
+
+@register("t12_heavy_hitters_cms")
+def t12_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent-term mining with a count-min sketch: ONE mergeable
+    aggregate over the exploded term stream builds the sketch (counter
+    matrices add element-wise, so partial aggregation is exact and
+    order-independent — the 100 TB path: no per-term shuffle, the
+    sketch is KBs however large the corpus). The top-10 exact terms are
+    then point-queried against the sketch; output is (term, exact count,
+    sketch estimate). CMS guarantees estimate ≥ exact and, w.h.p.,
+    ≤ exact + eps·N — asserted by test. Rows-only: DuckDB has no CMS;
+    the exact counts are oracle-covered by t2_term_freq.
+
+    The sketch collect is control-plane (one binary blob), like the
+    signal table — not a data-scale collect."""
+    d = table(spark, sf_dir, "documents")
+    t = d.select(F.explode(tokens()).alias("term"))
+    sk_row = t.agg(
+        F.expr(
+            f"count_min_sketch(term, CAST({CMS_EPS} AS DOUBLE), "
+            f"CAST({CMS_CONF} AS DOUBLE), 42)"
+        ).alias("sk")
+    ).first()
+    top = (
+        t.groupBy("term")
+        .agg(F.count("*").alias("exact"))
+        .orderBy(F.desc("exact"), F.asc("term"))
+        .limit(10)
+        .collect()
+    )
+    jvm = spark.sparkContext._jvm
+    bio = jvm.java.io.ByteArrayInputStream(bytes(sk_row.sk))
+    cms = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(bio)
+    rows = [
+        (r.term, int(r.exact), int(cms.estimateCount(r.term))) for r in top
+    ]
+    return spark.createDataFrame(rows, "term STRING, exact BIGINT, estimate BIGINT")

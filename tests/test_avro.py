@@ -140,3 +140,50 @@ def test_avro_wire_stream_equals_batch(spark):
     import pandas as pd
 
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_codec_property_roundtrip_vs_jvm(spark):
+    """Property test: random schema-conformant values round-trip through
+    the Python codec AND decode identically in the JVM reference
+    implementation."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    values = st.fixed_dictionaries(
+        {
+            "a": st.integers(min_value=-(2**63), max_value=2**63 - 1),
+            "b": st.one_of(st.none(), st.text(max_size=40)),
+            "c": st.floats(allow_nan=False, allow_infinity=False, width=64),
+            "d": st.booleans(),
+            "e": st.one_of(
+                st.none(),
+                st.fixed_dictionaries(
+                    {"x": st.integers(min_value=-(2**31), max_value=2**31 - 1)}
+                ),
+            ),
+            "f": st.lists(
+                st.integers(min_value=-(2**63), max_value=2**63 - 1), max_size=8
+            ),
+        }
+    )
+    codec = AvroCodec(SCHEMA)
+    jvm = spark.sparkContext._jvm
+    jschema = jvm.org.apache.avro.Schema.Parser().parse(json.dumps(SCHEMA))
+    reader = jvm.org.apache.avro.generic.GenericDatumReader(jschema)
+    factory = jvm.org.apache.avro.io.DecoderFactory.get()
+
+    @settings(max_examples=60, deadline=None,
+              suppress_health_check=[HealthCheck.too_slow])
+    @given(values)
+    def check(v):
+        data = codec.encode(v)
+        assert codec.decode(data) == v
+        rec = reader.read(None, factory.binaryDecoder(data, None))
+        assert rec.get("a") == v["a"]
+        assert rec.get("d") == v["d"]
+        jf = rec.get("f")
+        assert [jf.get(i) for i in range(jf.size())] == v["f"]
+        jc = rec.get("c")
+        assert float(jc) == v["c"] or (v["c"] == 0.0)  # -0.0 survives too
+
+    check()

@@ -338,3 +338,24 @@ def test_s1_blocked_matches_tiny_brute_force(spark):
     order = np.lexsort((ids[bj], ids[ai], -s[ai, bj]))[:20]
     want = [(int(ids[ai[i]]), int(ids[bj[i]])) for i in order]
     assert got == want
+
+
+def test_cms_heavy_hitters_accuracy(spark):
+    """Count-min guarantee: estimate >= exact always, and within
+    eps * total_tokens (w.h.p.; deterministic here with the fixed
+    seed)."""
+    from debezium_incubator_spark.llm.text import CMS_EPS, tokens
+    from debezium_incubator_spark.registry import all_queries
+
+    from .conftest import SF_SMOKE
+
+    rows = all_queries()["t12_heavy_hitters_cms"](spark, SF_SMOKE).collect()
+    assert len(rows) == 10
+    total = (
+        spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        .select(F.explode(tokens()).alias("t"))
+        .count()
+    )
+    for r in rows:
+        assert r.estimate >= r.exact, (r.term, r.exact, r.estimate)
+        assert r.estimate <= r.exact + CMS_EPS * total, (r.term, r.exact, r.estimate)
