@@ -67,6 +67,16 @@ def _read_long(buf: io.BytesIO) -> int:
     return (z >> 1) ^ -(z & 1)
 
 
+def _read_exact(buf: io.BytesIO, n: int) -> bytes:
+    """Read exactly ``n`` bytes or raise — a short read means truncated
+    or corrupt input, and returning fewer bytes would silently yield
+    wrong values (b'' == False for booleans, truncated strings)."""
+    raw = buf.read(n)
+    if len(raw) != n:
+        raise EOFError(f"truncated Avro input: wanted {n} bytes, got {len(raw)}")
+    return raw
+
+
 class AvroCodec:
     """Encoder/decoder bound to one parsed Avro schema (JSON str/dict)."""
 
@@ -119,6 +129,19 @@ class AvroCodec:
 
     @staticmethod
     def _pick_branch(v: Any, union: list) -> tuple[int, Any]:
+        # Documented subset: unions must be ["null", X]. With >1 non-null
+        # branch the null/non-null discriminator below could pick the
+        # wrong branch and emit bytes that decode as the wrong type —
+        # fail loudly at encode time instead of corrupting the wire.
+        non_null = [
+            b for b in union
+            if (b if isinstance(b, str) else b.get("type")) != "null"
+        ]
+        if len(non_null) > 1:
+            raise TypeError(
+                f"unsupported union with {len(non_null)} non-null branches "
+                f"(codec subset is ['null', X]): {union}"
+            )
         for i, branch in enumerate(union):
             name = branch if isinstance(branch, str) else branch.get("type")
             if (v is None) == (name == "null"):
@@ -137,17 +160,17 @@ class AvroCodec:
         if t == "null":
             return None
         if t == "boolean":
-            return buf.read(1) == b"\x01"
+            return _read_exact(buf, 1) == b"\x01"
         if t in ("int", "long"):
             return _read_long(buf)
         if t == "float":
-            return struct.unpack("<f", buf.read(4))[0]
+            return struct.unpack("<f", _read_exact(buf, 4))[0]
         if t == "double":
-            return struct.unpack("<d", buf.read(8))[0]
+            return struct.unpack("<d", _read_exact(buf, 8))[0]
         if t == "string":
-            return buf.read(_read_long(buf)).decode("utf-8")
+            return _read_exact(buf, _read_long(buf)).decode("utf-8")
         if t == "bytes":
-            return buf.read(_read_long(buf))
+            return _read_exact(buf, _read_long(buf))
         if t == "record":
             return {f["name"]: self._dec(f["type"], buf) for f in sch["fields"]}
         if t == "array":

@@ -137,6 +137,16 @@ _CONSTRAINT_STARTERS = (
 )
 
 
+def _bare_constraint_starter(ident_groups: tuple) -> bool:
+    """True iff the leading identifier was an UNQUOTED word that is a
+    constraint keyword. Quoted identifiers (`key`, "index", [check])
+    are always column names — Debezium's MySQL history backticks every
+    identifier, so ``\\`key\\` INT`` must parse as a column, not be
+    dropped as a KEY constraint."""
+    bare = ident_groups[3]
+    return bare is not None and bare.upper() in _CONSTRAINT_STARTERS
+
+
 def _split_top_level(body: str) -> list[str]:
     """Split a parenthesized column list on top-level commas."""
     parts, depth, cur, quote = [], 0, [], None
@@ -171,7 +181,7 @@ def _parse_column_def(defn: str) -> T.StructField | None:
     if not m:
         return None
     name = _ident(m.groups()[:4])
-    if name.upper() in _CONSTRAINT_STARTERS:
+    if _bare_constraint_starter(m.groups()[:4]):
         return None
     rest = m.group(5).strip()
     tm = re.match(
@@ -273,15 +283,17 @@ def _apply_alter_clause(
 
     m = re.match(rf"ADD\s+(?:COLUMN\s+)?(?:IF\s+NOT\s+EXISTS\s+)?{_IDENT}\s+(.*)",
                  c, re.IGNORECASE | re.DOTALL)
-    if m and _ident(m.groups()[:4]).upper() not in _CONSTRAINT_STARTERS:
-        f = _parse_column_def(f"{_ident(m.groups()[:4])} {m.group(5)}")
+    if m and not _bare_constraint_starter(m.groups()[:4]):
+        # Re-quote the name: it was vetted above, and passing it bare
+        # would re-trigger the keyword check for columns named `key` etc.
+        f = _parse_column_def(f"`{_ident(m.groups()[:4])}` {m.group(5)}")
         if f is not None:
             return fields + [f], True
         return fields, False
 
     m = re.match(rf"DROP\s+(?:COLUMN\s+)?(?:IF\s+EXISTS\s+)?{_IDENT}", c,
                  re.IGNORECASE)
-    if m and _ident(m.groups()[:4]).upper() not in _CONSTRAINT_STARTERS:
+    if m and not _bare_constraint_starter(m.groups()[:4]):
         name = _ident(m.groups()[:4])
         return [f for f in fields if f.name != name], True
 
@@ -297,14 +309,14 @@ def _apply_alter_clause(
                  re.IGNORECASE | re.DOTALL)
     if m:  # MySQL: CHANGE old new TYPE — rename + retype in one clause
         old, new = _ident(m.groups()[:4]), _ident(m.groups()[4:8])
-        nf = _parse_column_def(f"{new} {m.group(9)}")
+        nf = _parse_column_def(f"`{new}` {m.group(9)}")
         return [nf if f.name == old and nf else f for f in fields], True
 
     m = re.match(rf"MODIFY\s+(?:COLUMN\s+)?{_IDENT}\s+(.*)", c,
                  re.IGNORECASE | re.DOTALL)
     if m:  # MySQL retype
         name = _ident(m.groups()[:4])
-        nf = _parse_column_def(f"{name} {m.group(5)}")
+        nf = _parse_column_def(f"`{name}` {m.group(5)}")
         return [nf if f.name == name and nf else f for f in fields], True
 
     m = re.match(

@@ -396,10 +396,13 @@ def t10_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket = F.expr(
         "instr('0123456789abcdef', substring(md5(CAST(doc_id AS STRING)), 1, 1))"
     )
+    # Uncapped substring to mirror the oracle's substring(source, 4)
+    # exactly — a length-capped substr would diverge on long source ids.
+    src_num = F.expr("substring(source, 4)").cast("int")
     threshold = (
-        F.when(F.substring("source", 4, 10).cast("int") % 4 == 0, 16)
-        .when(F.substring("source", 4, 10).cast("int") % 4 == 1, 8)
-        .when(F.substring("source", 4, 10).cast("int") % 4 == 2, 4)
+        F.when(src_num % 4 == 0, 16)
+        .when(src_num % 4 == 1, 8)
+        .when(src_num % 4 == 2, 4)
         .otherwise(2)
     )
     return d.filter(bucket <= threshold).select("doc_id", "source", "lang")

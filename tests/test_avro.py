@@ -187,3 +187,29 @@ def test_codec_property_roundtrip_vs_jvm(spark):
         assert float(jc) == v["c"] or (v["c"] == 0.0)  # -0.0 survives too
 
     check()
+
+
+def test_codec_rejects_multi_branch_union():
+    """The codec's documented subset is ['null', X] unions — with >1
+    non-null branch a null/non-null discriminator would silently encode
+    the wrong branch, so it must fail loudly at encode time."""
+    import pytest
+
+    codec = AvroCodec({
+        "type": "record", "name": "bad",
+        "fields": [{"name": "u", "type": ["null", "string", "long"]}],
+    })
+    with pytest.raises(TypeError, match="non-null branches"):
+        codec.encode({"u": "x"})
+
+
+def test_codec_raises_on_truncated_input():
+    """Truncated bytes must raise EOFError, never silently decode to
+    wrong values (b'' == False for booleans, shortened strings)."""
+    import pytest
+
+    codec = AvroCodec(SCHEMA)
+    full = codec.encode(CASES[2])
+    for cut in (0, 1, 3, len(full) // 2, len(full) - 1):
+        with pytest.raises(EOFError):
+            codec.decode(full[:cut])

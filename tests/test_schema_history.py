@@ -133,3 +133,27 @@ def test_replay_history_df(spark):
     ).orderBy("pos")
     reg = replay_history_df(hist)
     assert [f.name for f in reg.latest("acct").fields] == ["id", "bal", "status"]
+
+
+def test_quoted_keyword_columns_are_kept():
+    """Backticked/quoted identifiers that collide with constraint
+    keywords (`key`, `index`, "check") are COLUMNS — Debezium's MySQL
+    history quotes every identifier, so dropping them silently corrupts
+    every downstream decode (round-2 ADVICE item)."""
+    reg = replay_history([
+        'CREATE TABLE kv (`key` INT NOT NULL, `index` VARCHAR(10), '
+        '"check" BOOLEAN, id BIGINT, PRIMARY KEY (`key`))',
+        "ALTER TABLE kv ADD COLUMN `constraint` DATE",
+        "ALTER TABLE kv DROP COLUMN `index`",
+    ])
+    s = reg.latest("kv")
+    assert [f.name for f in s.fields] == ["key", "check", "id", "constraint"]
+    assert s["key"].dataType == T.IntegerType()
+    assert not s["key"].nullable
+    assert s["constraint"].dataType == T.DateType()
+    # bare keywords are still constraints, not columns
+    reg2 = replay_history([
+        "CREATE TABLE t2 (id INT, KEY idx (id), INDEX idx2 (id))",
+        "ALTER TABLE t2 ADD UNIQUE KEY uk (id)",
+    ])
+    assert [f.name for f in reg2.latest("t2").fields] == ["id"]
