@@ -388,6 +388,114 @@ def sim_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- J4 scale path: PERSISTED IVF index lifecycle -------------------------
+#
+# sim_ivf_knn above is the one-shot demo (fit + probe in one call). At
+# scale the index build is a separate persisted stage: fit once, write
+# the corpus cluster-partitioned, and every probe afterwards reads ONLY
+# its nprobe partition directories (parquet partition pruning) — per-
+# query I/O drops by nlist/nprobe with zero recompute.
+
+IVF_NLIST = 16
+IVF_NPROBE = 4
+
+
+def build_ivf_index(source: DataFrame, index_dir: str, nlist: int = IVF_NLIST,
+                    seed: int = 42, max_iter: int = 10) -> None:
+    """One-time IVF indexing pass over ``source`` (vec_id, v:array<double>):
+
+    - ``{index_dir}/vectors``   — the corpus + precomputed ``nsq``,
+      written ``partitionBy("cluster")`` so probes prune directories;
+    - ``{index_dir}/centroids`` — the nlist routing rows.
+
+    100 TB posture: the KMeans fit runs on a sample/full pass once; the
+    partitioned write is a single shuffle on ``cluster`` (bounded
+    cardinality — no skew beyond cluster imbalance, which nlist sizing
+    controls); probes never touch the fit again. Rebuild cadence is a
+    deployment decision (drift), not per query."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    spark = source.sparkSession
+    vec = source.withColumn("fv", array_to_vector("v"))
+    model = KMeans(
+        k=nlist, seed=seed, maxIter=max_iter,
+        featuresCol="fv", predictionCol="cluster",
+    ).fit(vec)
+    assigned = (
+        model.transform(vec)
+        .withColumn("nsq", norm_sq("v"))
+        .select("vec_id", "v", "nsq", "cluster")
+    )
+    # repartition on the partition column: one output file per cluster
+    # directory instead of one-per-task-per-cluster
+    (assigned.repartition(nlist, "cluster")
+     .write.mode("overwrite").partitionBy("cluster")
+     .parquet(f"{index_dir}/vectors"))
+    cents = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        "cluster INT, centroid ARRAY<DOUBLE>",
+    )
+    cents.coalesce(1).write.mode("overwrite").parquet(f"{index_dir}/centroids")
+
+
+def ivf_probe(spark: SparkSession, index_dir: str, query_v: list[float],
+              k: int = 10, nprobe: int = IVF_NPROBE,
+              exclude_vec_id: int | None = None) -> DataFrame:
+    """Probe a persisted IVF index: rank cells by centroid distance
+    (driver-side — the routing table is nlist rows, control-plane),
+    then scan ONLY the nprobe matching partition directories. The
+    ``cluster IN (...)`` filter lands in PartitionFilters, so the scan
+    reads nprobe/nlist of the corpus (plan-audited in tests)."""
+    import numpy as np
+
+    cents = spark.read.parquet(f"{index_dir}/centroids").collect()
+    qv = np.asarray(query_v, dtype=np.float64)
+    order = sorted(
+        cents, key=lambda r: float(((np.asarray(r.centroid) - qv) ** 2).sum())
+    )
+    probe = [r.cluster for r in order[:nprobe]]
+
+    vecs = spark.read.parquet(f"{index_dir}/vectors").filter(
+        F.col("cluster").isin(probe)
+    )
+    if exclude_vec_id is not None:
+        vecs = vecs.filter(F.col("vec_id") != exclude_vec_id)
+    qn = float(np.sqrt((qv * qv).sum()))
+    qlit = F.array(*[F.lit(float(x)) for x in query_v])
+    cos_raw = dot("v", qlit) / (F.sqrt("nsq") * F.lit(qn))
+    return (
+        vecs.withColumn("cos_raw", cos_raw)
+        .orderBy(F.desc("cos_raw"), "vec_id")
+        .limit(k)
+        .select("vec_id", F.round("cos_raw", 6).alias("cos_sim"))
+    )
+
+
+_IVF_INDEX_DIRS: dict[str, str] = {}
+
+
+@register("sim_ivf_probe")
+def sim_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The persisted-index lifecycle as a registered query: build the
+    IVF index ONCE per process (into a temp dir, keyed by sf_dir), then
+    answer the same KNN as sim_ivf_knn by probing nprobe partitions.
+    Deterministic (seeded KMeans) → rows-only check; equality with the
+    one-shot form and the partition-pruning plan are both test-pinned."""
+    if sf_dir not in _IVF_INDEX_DIRS:
+        import tempfile
+
+        index_dir = tempfile.mkdtemp(prefix="dis_ivf_idx_")
+        build_ivf_index(_vectors(spark, sf_dir), index_dir)
+        _IVF_INDEX_DIRS[sf_dir] = index_dir
+    qrow = (
+        _vectors(spark, sf_dir).filter(F.col("vec_id") == 0).select("v").first()
+    )
+    return ivf_probe(
+        spark, _IVF_INDEX_DIRS[sf_dir], list(qrow.v), k=10, exclude_vec_id=0
+    )
+
+
 # --- label centroids (grouped vector aggregation) ------------------------
 
 @register(

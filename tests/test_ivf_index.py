@@ -1,0 +1,127 @@
+"""Persisted IVF index lifecycle (SURVEY.md §2 J4 scale path): build
+once (cluster-partitioned parquet + centroid routing table), probe many
+— each probe reads only its nprobe partition directories."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import functions as F
+
+from debezium_incubator_spark.llm.similarity import (
+    IVF_NLIST,
+    IVF_NPROBE,
+    _vectors,
+    build_ivf_index,
+    ivf_probe,
+)
+from debezium_incubator_spark.registry import all_queries
+
+from .conftest import SF_SMOKE
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_ivf_build_then_probe_matches_one_shot(spark):
+    """The persisted build+probe path answers the SAME query as the
+    one-shot sim_ivf_knn (identical seed/nlist/nprobe ⇒ identical cells
+    ⇒ identical top-k)."""
+    q = all_queries()
+    one_shot = q["sim_ivf_knn"](spark, SF_SMOKE).collect()
+    persisted = q["sim_ivf_probe"](spark, SF_SMOKE).collect()
+    assert [tuple(r) for r in persisted] == [tuple(r) for r in one_shot]
+
+
+def test_ivf_probe_prunes_partitions(spark, tmp_path):
+    """The probe's scan must touch only nprobe of nlist cluster
+    directories — `cluster IN (...)` lands in PartitionFilters and the
+    actual file set read is the pruned one."""
+    index_dir = str(tmp_path / "ivf")
+    build_ivf_index(_vectors(spark, SF_SMOKE), index_dir)
+
+    # the build wrote one directory per cluster
+    vec_dir = os.path.join(index_dir, "vectors")
+    cluster_dirs = [d for d in os.listdir(vec_dir) if d.startswith("cluster=")]
+    assert len(cluster_dirs) == IVF_NLIST
+
+    qrow = (
+        _vectors(spark, SF_SMOKE).filter(F.col("vec_id") == 0).select("v").first()
+    )
+    probed = ivf_probe(spark, index_dir, list(qrow.v), k=10, exclude_vec_id=0)
+    plan = _plan(probed)
+    assert "PartitionFilters" in plan and "cluster" in plan
+
+    # ground truth for the audit: the files the pruned scan enumerates
+    # span exactly nprobe distinct cluster directories
+    scan = spark.read.parquet(vec_dir)
+    cents = spark.read.parquet(os.path.join(index_dir, "centroids")).collect()
+    import numpy as np
+
+    qv = np.asarray(qrow.v)
+    order = sorted(
+        cents, key=lambda r: float(((np.asarray(r.centroid) - qv) ** 2).sum())
+    )
+    probe = [r.cluster for r in order[:IVF_NPROBE]]
+    pruned = scan.filter(F.col("cluster").isin(probe))
+    # execution-level audit: the files actually opened span exactly the
+    # nprobe probed cluster directories (inputFiles() would be pre-prune)
+    touched = {
+        r[0].split("cluster=")[1].split("/")[0]
+        for r in pruned.select(F.input_file_name()).distinct().collect()
+    }
+    assert touched == {str(c) for c in probe}
+    assert len(touched) == IVF_NPROBE
+
+
+def test_ivf_probe_recall_on_clustered_data(spark, tmp_path):
+    """IVF's contract: when neighbors share cluster structure (the
+    regime IVF indexes exist for — on isotropic-random corpora no
+    coarse quantizer can help), a probe recovers the true top-k with
+    recall ≈ 1.0. Plant near-duplicates of the query vector and assert
+    they are all found via only nprobe partitions."""
+    e = (
+        _vectors(spark, SF_SMOKE)
+        .filter(F.col("vec_id") < 100)
+        .select("vec_id", "v")
+    )
+    # 10 planted near-copies of vec_id=0 (cos ≈ 0.999): the true top-10
+    dup = (
+        e.filter(F.col("vec_id") == 0)
+        .crossJoin(spark.range(1, 11).select(F.col("id").alias("i")))
+        .select(
+            (F.col("i") + 10000).alias("vec_id"),
+            F.transform(
+                "v",
+                lambda x, j: x
+                + 0.01 * F.sin(j.cast("double") + F.col("i").cast("double")),
+            ).alias("v"),
+        )
+    )
+    corpus = e.union(dup)
+    index_dir = str(tmp_path / "ivf")
+    build_ivf_index(corpus, index_dir, nlist=8)
+    qrow = e.filter(F.col("vec_id") == 0).select("v").first()
+    got = {
+        r.vec_id
+        for r in ivf_probe(
+            spark, index_dir, list(qrow.v), k=10, nprobe=2, exclude_vec_id=0
+        ).collect()
+    }
+    planted = set(range(10001, 10011))
+    recall = len(got & planted) / len(planted)
+    assert recall == 1.0, f"planted-neighbor recall {recall}"
+
+
+def test_ivf_index_build_is_idempotent(spark):
+    """mode=overwrite: rebuilding into the same dir replaces the index."""
+    with tempfile.TemporaryDirectory() as td:
+        index_dir = os.path.join(td, "ivf")
+        src = _vectors(spark, SF_SMOKE)
+        build_ivf_index(src, index_dir)
+        n1 = spark.read.parquet(os.path.join(index_dir, "vectors")).count()
+        build_ivf_index(src, index_dir)
+        n2 = spark.read.parquet(os.path.join(index_dir, "vectors")).count()
+        assert n1 == n2 == src.count()
