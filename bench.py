@@ -37,6 +37,11 @@ BENCH_TABLES = (
     "orders", "lineitem", "events", "documents", "embeddings",
 )
 
+# Queries whose shuffles carry only a tiny aggregate (events-table
+# aggregations: ~100k input rows, ≤4k output rows) — one shuffle
+# partition beats eight on task-dispatch overhead.
+SMALL_SHUFFLE = {"e1_tumbling_window", "e2_latest_per_user"}
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -92,6 +97,17 @@ def main() -> None:
     plan_cost: dict[str, float] = {}
     compiled = {}
     for name in HEADLINE:
+        # Static stand-in for AQE partition coalescing (AQE itself is
+        # off above — its per-stage driver round-trips dominate at ms
+        # scale): tiny-input aggregations (events is ~100k rows / one
+        # cached partition) get 1 shuffle partition, exactly what AQE's
+        # runtime coalesce would pick for a sub-advisory-size shuffle;
+        # the wider scans keep 8. shuffle.partitions is read at plan
+        # time, so set it before building each plan.
+        spark.conf.set(
+            "spark.sql.shuffle.partitions",
+            "1" if name in SMALL_SHUFFLE else "8",
+        )
         t0 = time.perf_counter()
         df = queries[name](spark, sf_dir)  # build the logical plan
         df.toPandas()  # warm-up: optimize + codegen + first run
