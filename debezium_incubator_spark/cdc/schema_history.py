@@ -16,10 +16,29 @@ Supported statements (case-insensitive; quoted/backticked identifiers):
 - ``ALTER TABLE t DROP [COLUMN] c``
 - ``ALTER TABLE t RENAME COLUMN a TO b``
 - ``ALTER TABLE t MODIFY [COLUMN] c TYPE``          (MySQL)
-- ``ALTER TABLE t ALTER [COLUMN] c [SET DATA] TYPE TYPE``  (Postgres)
+- ``ALTER TABLE t ALTER [COLUMN] c [SET DATA] TYPE TYPE``  (Postgres/Db2)
 - ``ALTER TABLE t CHANGE [COLUMN] old new TYPE``    (MySQL rename+retype)
 - ``DROP TABLE t`` / ``TRUNCATE TABLE t`` (history no-op for shape)
 - ``RENAME TABLE a TO b`` / ``ALTER TABLE a RENAME TO b``
+
+Dialects (``DialectContext(dialect=...)``) — the incubator's actual
+sources were Oracle, Db2, and Cassandra
+[/root/reference/README.md:21-23], so their DDL shapes replay too:
+
+- ``oracle``: ``VARCHAR2/NVARCHAR2/CLOB/NCLOB/RAW/LONG RAW/
+  BINARY_FLOAT/BINARY_DOUBLE/NUMBER[(p[,s])]/FLOAT``, ``DATE`` as
+  datetime, ``TIMESTAMP [WITH [LOCAL] TIME ZONE]``, ``INTERVAL YEAR TO
+  MONTH`` / ``DAY TO SECOND``, and parenthesized multi-column clauses
+  ``ALTER TABLE t ADD (a T, b T) / MODIFY (…) / DROP (a, b)``.
+- ``db2``: ``VARGRAPHIC/GRAPHIC/DBCLOB/DECFLOAT``, ``CHAR(n) FOR BIT
+  DATA``, ``ALTER COLUMN c SET DATA TYPE t``.
+- ``cassandra`` (CQL): scalar types (``text/varint/counter/timeuuid/
+  inet/duration/…``), collections ``list<t>/set<t>/map<k,v>/
+  tuple<…>/frozen<…>`` → Spark Array/Map/Struct, ``CREATE TYPE`` /
+  ``ALTER TYPE … ADD|RENAME`` user-defined types → nested StructTypes
+  (dependent tables re-version on ALTER TYPE), ``ALTER TABLE t ADD c t
+  / DROP c / RENAME a TO b``, ``WITH clustering-order/properties``
+  tails ignored.
 
 Scale: DDL replay is control-plane — a schema-history topic holds
 thousands of statements, not billions; parsing happens once on the
@@ -31,10 +50,26 @@ a plain projection, no shuffle.
 from __future__ import annotations
 
 import re
+from dataclasses import dataclass, field
 
 from pyspark.sql import types as T
 
 from .schema_registry import SchemaRegistry
+
+
+@dataclass
+class DialectContext:
+    """Per-history parse state: source dialect plus (for CQL) the
+    user-defined-type registry and the raw column-type strings needed to
+    re-resolve dependent tables when an ALTER TYPE lands."""
+
+    dialect: str = "generic"  # generic | mysql | postgres | oracle | db2 | cassandra
+    udts: dict[str, T.StructType] = field(default_factory=dict)
+    # table -> column -> raw type string (recorded for cassandra only)
+    column_types: dict[str, dict[str, str]] = field(default_factory=dict)
+
+
+_GENERIC_CTX = DialectContext()
 
 # --- identifier / type lexing --------------------------------------------
 
@@ -92,19 +127,54 @@ _TYPE_MAP: dict[str, T.DataType] = {
     "MEDIUMBLOB": T.BinaryType(),
     "LONGBLOB": T.BinaryType(),
     "BYTEA": T.BinaryType(),
+    # Oracle (string/binary spellings are dialect-safe globally)
+    "VARCHAR2": T.StringType(),
+    "NVARCHAR2": T.StringType(),
+    "NCHAR": T.StringType(),
+    "NVARCHAR": T.StringType(),
+    "CLOB": T.StringType(),
+    "NCLOB": T.StringType(),
+    "ROWID": T.StringType(),
+    "UROWID": T.StringType(),
+    "XMLTYPE": T.StringType(),
+    "RAW": T.BinaryType(),
+    "BINARY_FLOAT": T.FloatType(),
+    "BINARY_DOUBLE": T.DoubleType(),
+    # Db2
+    "GRAPHIC": T.StringType(),
+    "VARGRAPHIC": T.StringType(),
+    "DBCLOB": T.StringType(),
+    "DECFLOAT": T.DoubleType(),  # decimal floating point → double
 }
 
 
-def parse_sql_type(type_str: str) -> T.DataType:
+def parse_sql_type(type_str: str, dialect: str = "generic",
+                   udts: dict[str, T.StructType] | None = None) -> T.DataType:
     """Map one SQL column type (``DECIMAL(12,2)``, ``varchar(255)``,
-    ``double precision``, ``int unsigned``…) to a Spark type."""
+    ``double precision``, ``int unsigned``, ``NUMBER(10,2)``,
+    ``frozen<map<text,int>>``…) to a Spark type."""
+    if dialect == "cassandra":
+        return _parse_cql_type(type_str, udts or {})
     s = type_str.strip().upper()
     s = re.sub(r"\s+", " ", s)
-    m = re.match(r"([A-Z]+)(?:\s+PRECISION)?(?:\s*\(([^)]*)\))?", s)
+    if s.startswith("INTERVAL YEAR"):
+        return T.YearMonthIntervalType()
+    if s.startswith("INTERVAL DAY"):
+        return T.DayTimeIntervalType()
+    if "FOR BIT DATA" in s:  # Db2: CHAR/VARCHAR(n) FOR BIT DATA
+        return T.BinaryType()
+    if s.startswith("LONG RAW"):
+        return T.BinaryType()
+    if dialect == "oracle" and s == "LONG":
+        return T.StringType()
+    m = re.match(r"([A-Z_][A-Z0-9_]*)(?:\s+PRECISION)?(?:\s*\(([^)]*)\))?", s)
     if not m:
         raise ValueError(f"unparseable SQL type: {type_str!r}")
     base, args = m.group(1), m.group(2)
     unsigned = " UNSIGNED" in s
+    if base == "TIMESTAMP" and "TIME ZONE" in s:
+        # Oracle TIMESTAMP WITH [LOCAL] TIME ZONE → instant semantics
+        return T.TimestampType()
     if base in ("DECIMAL", "NUMERIC", "DEC"):
         if args:
             parts = [int(p.strip()) for p in args.split(",")]
@@ -112,6 +182,18 @@ def parse_sql_type(type_str: str) -> T.DataType:
         else:
             prec, scale = 10, 0
         return T.DecimalType(prec, scale)
+    if base == "NUMBER":  # Oracle
+        if args:
+            parts = [p.strip() for p in args.split(",")]
+            prec = 38 if parts[0] == "*" else int(parts[0])
+            scale = int(parts[1]) if len(parts) > 1 else 0
+            return T.DecimalType(prec, max(scale, 0))
+        # unconstrained NUMBER — Debezium's VariableScaleDecimal analog
+        return T.DecimalType(38, 10)
+    if dialect == "oracle" and base == "FLOAT":
+        return T.DoubleType()  # Oracle FLOAT(b) is a NUMBER subtype
+    if dialect == "oracle" and base == "DATE":
+        return T.TimestampNTZType()  # Oracle DATE carries time-of-day
     if base == "BIT":
         return T.BooleanType() if (args or "1") == "1" else T.BinaryType()
     if base == "TINYINT" and args == "1":
@@ -131,6 +213,85 @@ def parse_sql_type(type_str: str) -> T.DataType:
     return t
 
 
+# --- Cassandra CQL types --------------------------------------------------
+
+_CQL_SCALARS: dict[str, T.DataType] = {
+    "ASCII": T.StringType(),
+    "TEXT": T.StringType(),
+    "VARCHAR": T.StringType(),
+    "TINYINT": T.ByteType(),
+    "SMALLINT": T.ShortType(),
+    "INT": T.IntegerType(),
+    "BIGINT": T.LongType(),
+    "COUNTER": T.LongType(),  # distributed counter reads as int64
+    "VARINT": T.DecimalType(38, 0),  # arbitrary-precision integer
+    "FLOAT": T.FloatType(),
+    "DOUBLE": T.DoubleType(),
+    "DECIMAL": T.DecimalType(38, 18),  # CQL decimal is variable-scale
+    "BOOLEAN": T.BooleanType(),
+    "BLOB": T.BinaryType(),
+    "UUID": T.StringType(),
+    "TIMEUUID": T.StringType(),
+    "INET": T.StringType(),
+    "DATE": T.DateType(),
+    "TIME": T.LongType(),  # nanoseconds since midnight
+    "TIMESTAMP": T.TimestampType(),  # epoch-millis, UTC instant
+    "DURATION": T.StringType(),  # months/days/nanos triple, no SQL twin
+}
+
+
+def _split_angle_args(body: str) -> list[str]:
+    """Split ``k, v`` / ``a, b, c`` at angle/paren depth 0."""
+    parts, depth, cur = [], 0, []
+    for ch in body:
+        if ch in "<(":
+            depth += 1
+        elif ch in ">)":
+            depth -= 1
+        if ch == "," and depth == 0:
+            parts.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    if cur:
+        parts.append("".join(cur))
+    return [p.strip() for p in parts if p.strip()]
+
+
+def _parse_cql_type(s: str, udts: dict[str, T.StructType]) -> T.DataType:
+    s = s.strip()
+    m = re.match(r"^frozen\s*<(.*)>$", s, re.IGNORECASE | re.DOTALL)
+    if m:  # frozen-ness is a storage detail, not a shape change
+        return _parse_cql_type(m.group(1), udts)
+    m = re.match(r"^(map|list|set|tuple)\s*<(.*)>$", s,
+                 re.IGNORECASE | re.DOTALL)
+    if m:
+        kind, inner = m.group(1).lower(), m.group(2)
+        args = _split_angle_args(inner)
+        if kind == "map":
+            if len(args) != 2:
+                raise ValueError(f"bad CQL map type: {s!r}")
+            return T.MapType(
+                _parse_cql_type(args[0], udts), _parse_cql_type(args[1], udts)
+            )
+        if kind in ("list", "set"):  # sets surface as arrays in Spark
+            return T.ArrayType(_parse_cql_type(args[0], udts))
+        return T.StructType(
+            [
+                T.StructField(f"_{i + 1}", _parse_cql_type(a, udts), True)
+                for i, a in enumerate(args)
+            ]
+        )
+    bare = _strip_ident(s).strip()
+    t = _CQL_SCALARS.get(bare.upper())
+    if t is not None:
+        return t
+    udt = udts.get(bare.lower())
+    if udt is not None:
+        return udt
+    return T.StringType()  # unknown/custom types arrive as strings
+
+
 _CONSTRAINT_STARTERS = (
     "PRIMARY", "UNIQUE", "KEY", "INDEX", "CONSTRAINT", "FOREIGN", "CHECK",
     "FULLTEXT", "SPATIAL", "EXCLUDE",
@@ -147,8 +308,11 @@ def _bare_constraint_starter(ident_groups: tuple) -> bool:
     return bare is not None and bare.upper() in _CONSTRAINT_STARTERS
 
 
-def _split_top_level(body: str) -> list[str]:
-    """Split a parenthesized column list on top-level commas."""
+def _split_top_level(body: str, angles: bool = False) -> list[str]:
+    """Split a parenthesized column list on top-level commas. With
+    ``angles`` (CQL), ``<…>`` nesting also guards commas — never enable
+    it for relational dialects, where a bare ``>`` in a CHECK clause
+    would unbalance the scan."""
     parts, depth, cur, quote = [], 0, [], None
     for ch in body:
         if quote:
@@ -159,10 +323,10 @@ def _split_top_level(body: str) -> list[str]:
         if ch in "`'\"":
             quote = ch
             cur.append(ch)
-        elif ch == "(":
+        elif ch == "(" or (angles and ch == "<"):
             depth += 1
             cur.append(ch)
-        elif ch == ")":
+        elif ch == ")" or (angles and ch == ">"):
             depth -= 1
             cur.append(ch)
         elif ch == "," and depth == 0:
@@ -175,24 +339,77 @@ def _split_top_level(body: str) -> list[str]:
     return [p.strip() for p in parts if p.strip()]
 
 
-def _parse_column_def(defn: str) -> T.StructField | None:
-    """One ``name TYPE [modifiers]`` entry; None for table constraints."""
+def _paren_body(stmt: str, start: int) -> str:
+    """Return the contents of the balanced ``(...)`` opening at
+    ``stmt[start]`` (quote-aware) — survives trailing dialect tails with
+    their own parens (``ENGINE=…``, CQL ``WITH CLUSTERING ORDER BY (…)``)."""
+    depth, quote = 0, None
+    for i in range(start, len(stmt)):
+        ch = stmt[i]
+        if quote:
+            if ch == quote:
+                quote = None
+            continue
+        if ch in "`'\"":
+            quote = ch
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+            if depth == 0:
+                return stmt[start + 1:i]
+    raise ValueError(f"unbalanced parentheses in DDL: {stmt[:80]!r}")
+
+
+# CQL column defs may end in STATIC / PRIMARY KEY modifiers
+_CQL_COL_TAIL = re.compile(
+    r"(?:\s+STATIC|\s+PRIMARY\s+KEY)+\s*$", re.IGNORECASE
+)
+
+_TYPE_TOKEN = re.compile(
+    r"("
+    r"INTERVAL\s+YEAR(?:\s*\(\d+\))?\s+TO\s+MONTH"
+    r"|INTERVAL\s+DAY(?:\s*\(\d+\))?\s+TO\s+SECOND(?:\s*\(\d+\))?"
+    r"|LONG\s+RAW"
+    r"|[A-Za-z_][A-Za-z0-9_]*"
+    r"(?:\s+PRECISION)?(?:\s*\([^)]*\))?(?:\s+UNSIGNED)?"
+    r"(?:\s+WITH(?:\s+LOCAL)?\s+TIME\s+ZONE)?"
+    r"(?:\s+FOR\s+BIT\s+DATA)?"
+    r")",
+    re.IGNORECASE,
+)
+
+
+def _parse_column_def_ex(
+    defn: str, ctx: DialectContext
+) -> tuple[T.StructField | None, str | None]:
+    """One ``name TYPE [modifiers]`` entry → (field, raw type string);
+    (None, None) for table constraints."""
     m = re.match(rf"\s*{_IDENT}\s+(.*)", defn, re.DOTALL)
     if not m:
-        return None
+        return None, None
     name = _ident(m.groups()[:4])
     if _bare_constraint_starter(m.groups()[:4]):
-        return None
+        return None, None
     rest = m.group(5).strip()
-    tm = re.match(
-        r"([A-Za-z]+(?:\s+PRECISION)?(?:\s*\([^)]*\))?(?:\s+UNSIGNED)?)", rest,
-        re.IGNORECASE,
-    )
+    if ctx.dialect == "cassandra":
+        tstr = _CQL_COL_TAIL.sub("", rest).strip()
+        return (
+            T.StructField(name, _parse_cql_type(tstr, ctx.udts), True),
+            tstr,
+        )
+    tm = _TYPE_TOKEN.match(rest)
     if not tm:
-        return None
-    dtype = parse_sql_type(tm.group(1))
+        return None, None
+    tstr = tm.group(1)
+    dtype = parse_sql_type(tstr, ctx.dialect, ctx.udts)
     nullable = not re.search(r"\bNOT\s+NULL\b", rest, re.IGNORECASE)
-    return T.StructField(name, dtype, nullable)
+    return T.StructField(name, dtype, nullable), tstr
+
+
+def _parse_column_def(defn: str, ctx: DialectContext = _GENERIC_CTX
+                      ) -> T.StructField | None:
+    return _parse_column_def_ex(defn, ctx)[0]
 
 
 def _table_name(raw: str) -> str:
@@ -205,7 +422,15 @@ def _table_name(raw: str) -> str:
 # --- statement parsing ----------------------------------------------------
 
 _RE_CREATE = re.compile(
-    r"^\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?(?P<tbl>[^\s(]+)\s*\((?P<body>.*)\)[^)]*$",
+    r"^\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?(?P<tbl>[^\s(]+)\s*(?=\()",
+    re.IGNORECASE | re.DOTALL,
+)
+_RE_CREATE_TYPE = re.compile(
+    r"^\s*CREATE\s+TYPE\s+(?:IF\s+NOT\s+EXISTS\s+)?(?P<n>[^\s(]+)\s*(?=\()",
+    re.IGNORECASE | re.DOTALL,
+)
+_RE_ALTER_TYPE = re.compile(
+    r"^\s*ALTER\s+TYPE\s+(?P<n>[^\s]+)\s+(?P<rest>.*)$",
     re.IGNORECASE | re.DOTALL,
 )
 _RE_ALTER = re.compile(
@@ -222,30 +447,61 @@ _RE_RENAME_TABLE = re.compile(
 )
 
 
-def apply_ddl(registry: SchemaRegistry, ddl: str) -> str | None:
+def apply_ddl(registry: SchemaRegistry, ddl: str,
+              ctx: DialectContext | None = None) -> str | None:
     """Apply ONE DDL statement to the registry; returns the affected
     table name (or None for ignored statements). Each mutating statement
     registers a NEW schema version — the history stays replayable."""
+    ctx = ctx if ctx is not None else DialectContext()
     ddl = ddl.strip().rstrip(";")
     if not ddl:
         return None
+    cql = ctx.dialect == "cassandra"
 
     m = _RE_CREATE.match(ddl)
     if m:
         tbl = _table_name(m.group("tbl"))
-        fields = [
-            f for f in (_parse_column_def(d) for d in _split_top_level(m.group("body")))
-            if f is not None
-        ]
+        body = _paren_body(ddl, m.end())
+        fields, tstrs = [], {}
+        for d in _split_top_level(body, angles=cql):
+            f, tstr = _parse_column_def_ex(d, ctx)
+            if f is not None:
+                fields.append(f)
+                tstrs[f.name] = tstr
         if not fields:
             raise ValueError(f"CREATE TABLE with no parseable columns: {ddl!r}")
         registry.register(tbl, T.StructType(fields))
+        if cql:
+            ctx.column_types[tbl] = tstrs
         return tbl
+
+    m = _RE_CREATE_TYPE.match(ddl)
+    if m and cql:
+        name = _table_name(m.group("n"))
+        body = _paren_body(ddl, m.end())
+        fields = [
+            f for f in (
+                _parse_column_def(d, ctx)
+                for d in _split_top_level(body, angles=True)
+            )
+            if f is not None
+        ]
+        ctx.udts[name] = T.StructType(fields)
+        return None  # type definitions don't name a table
+
+    m = _RE_ALTER_TYPE.match(ddl)
+    if m and cql:
+        _alter_cql_type(
+            registry, ctx, _table_name(m.group("n")), m.group("rest")
+        )
+        return None
 
     m = _RE_RENAME_TABLE.match(ddl)
     if m:
         a, b = _table_name(m.group("a")), _table_name(m.group("b"))
         registry.versions[b] = registry.versions.pop(a)
+        if a in ctx.column_types:
+            ctx.column_types[b] = ctx.column_types.pop(a)
         return b
 
     m = _RE_DROP.match(ddl)
@@ -253,6 +509,7 @@ def apply_ddl(registry: SchemaRegistry, ddl: str) -> str | None:
         tbl = _table_name(m.group("tbl"))
         if ddl.upper().lstrip().startswith("DROP"):
             registry.versions.pop(tbl, None)
+            ctx.column_types.pop(tbl, None)
         return tbl
 
     m = _RE_ALTER.match(ddl)
@@ -263,11 +520,14 @@ def apply_ddl(registry: SchemaRegistry, ddl: str) -> str | None:
         if rt:
             b = _table_name(rt.group("b"))
             registry.versions[b] = registry.versions.pop(tbl)
+            if tbl in ctx.column_types:
+                ctx.column_types[b] = ctx.column_types.pop(tbl)
             return b
         fields = list(registry.latest(tbl).fields)
+        record = ctx.column_types.setdefault(tbl, {}) if cql else {}
         changed = False
-        for clause in _split_top_level(rest):
-            fields, did = _apply_alter_clause(fields, clause)
+        for clause in _split_top_level(rest, angles=cql):
+            fields, did = _apply_alter_clause(fields, clause, ctx, record)
             changed = changed or did
         if changed:
             registry.register(tbl, T.StructType(fields))
@@ -277,17 +537,38 @@ def apply_ddl(registry: SchemaRegistry, ddl: str) -> str | None:
 
 
 def _apply_alter_clause(
-    fields: list[T.StructField], clause: str
+    fields: list[T.StructField], clause: str,
+    ctx: DialectContext = _GENERIC_CTX,
+    record: dict[str, str] | None = None,
 ) -> tuple[list[T.StructField], bool]:
     c = clause.strip()
+    record = record if record is not None else {}
+
+    # Oracle/CQL parenthesized multi-column form:
+    # ADD (a T, b T) / MODIFY (a T) / DROP (a, b)
+    m = re.match(r"(ADD|MODIFY|DROP)\s*(?=\()", c, re.IGNORECASE)
+    if m:
+        verb = m.group(1).upper()
+        items = _split_top_level(
+            _paren_body(c, m.end()), angles=ctx.dialect == "cassandra"
+        )
+        changed = False
+        for item in items:
+            sub = f"DROP COLUMN {item}" if verb == "DROP" else f"{verb} {item}"
+            fields, did = _apply_alter_clause(fields, sub, ctx, record)
+            changed = changed or did
+        return fields, changed
 
     m = re.match(rf"ADD\s+(?:COLUMN\s+)?(?:IF\s+NOT\s+EXISTS\s+)?{_IDENT}\s+(.*)",
                  c, re.IGNORECASE | re.DOTALL)
     if m and not _bare_constraint_starter(m.groups()[:4]):
         # Re-quote the name: it was vetted above, and passing it bare
         # would re-trigger the keyword check for columns named `key` etc.
-        f = _parse_column_def(f"`{_ident(m.groups()[:4])}` {m.group(5)}")
+        f, tstr = _parse_column_def_ex(
+            f"`{_ident(m.groups()[:4])}` {m.group(5)}", ctx
+        )
         if f is not None:
+            record[f.name] = tstr
             return fields + [f], True
         return fields, False
 
@@ -295,11 +576,15 @@ def _apply_alter_clause(
                  re.IGNORECASE)
     if m and not _bare_constraint_starter(m.groups()[:4]):
         name = _ident(m.groups()[:4])
+        record.pop(name, None)
         return [f for f in fields if f.name != name], True
 
-    m = re.match(rf"RENAME\s+COLUMN\s+{_IDENT}\s+TO\s+(.+)", c, re.IGNORECASE)
-    if m:
+    m = re.match(rf"RENAME\s+(?:COLUMN\s+)?{_IDENT}\s+TO\s+(.+)", c,
+                 re.IGNORECASE)
+    if m:  # standard RENAME COLUMN; CQL allows bare RENAME a TO b
         old, new = _ident(m.groups()[:4]), _strip_ident(m.group(5))
+        if old in record:
+            record[new] = record.pop(old)
         return [
             T.StructField(new, f.dataType, f.nullable) if f.name == old else f
             for f in fields
@@ -309,23 +594,26 @@ def _apply_alter_clause(
                  re.IGNORECASE | re.DOTALL)
     if m:  # MySQL: CHANGE old new TYPE — rename + retype in one clause
         old, new = _ident(m.groups()[:4]), _ident(m.groups()[4:8])
-        nf = _parse_column_def(f"`{new}` {m.group(9)}")
+        nf = _parse_column_def(f"`{new}` {m.group(9)}", ctx)
         return [nf if f.name == old and nf else f for f in fields], True
 
     m = re.match(rf"MODIFY\s+(?:COLUMN\s+)?{_IDENT}\s+(.*)", c,
                  re.IGNORECASE | re.DOTALL)
-    if m:  # MySQL retype
+    if m:  # MySQL/Oracle retype
         name = _ident(m.groups()[:4])
-        nf = _parse_column_def(f"`{name}` {m.group(5)}")
+        nf, tstr = _parse_column_def_ex(f"`{name}` {m.group(5)}", ctx)
+        if nf is not None:
+            record[name] = tstr
         return [nf if f.name == name and nf else f for f in fields], True
 
     m = re.match(
         rf"ALTER\s+(?:COLUMN\s+)?{_IDENT}\s+(?:SET\s+DATA\s+)?TYPE\s+(.*)", c,
         re.IGNORECASE | re.DOTALL,
     )
-    if m:  # Postgres retype
+    if m:  # Postgres/Db2 retype; CQL (pre-3.10) ALTER c TYPE t
         name = _ident(m.groups()[:4])
-        dtype = parse_sql_type(m.group(5))
+        record[name] = m.group(5)
+        dtype = parse_sql_type(m.group(5), ctx.dialect, ctx.udts)
         return [
             T.StructField(name, dtype, f.nullable) if f.name == name else f
             for f in fields
@@ -334,20 +622,73 @@ def _apply_alter_clause(
     return fields, False  # ADD CONSTRAINT / SET DEFAULT / engine options…
 
 
+def _alter_cql_type(registry: SchemaRegistry, ctx: DialectContext,
+                    name: str, rest: str) -> None:
+    """``ALTER TYPE t ADD f T`` / ``ALTER TYPE t RENAME a TO b [AND …]``.
+    Dependent tables re-resolve their recorded column type strings
+    against the updated UDT and register a NEW schema version — exactly
+    how a history consumer must see nested-type evolution."""
+    st = ctx.udts.get(name)
+    if st is None:
+        raise ValueError(f"ALTER TYPE for unknown type {name!r}")
+    fields = list(st.fields)
+    r = rest.strip().rstrip(";")
+    m = re.match(rf"ADD\s+{_IDENT}\s+(.*)", r, re.IGNORECASE | re.DOTALL)
+    if m:
+        fname = _ident(m.groups()[:4])
+        fields.append(
+            T.StructField(fname, _parse_cql_type(m.group(5), ctx.udts), True)
+        )
+    elif re.match(r"RENAME\s+", r, re.IGNORECASE):
+        pairs = re.findall(
+            rf"{_IDENT}\s+TO\s+{_IDENT}", r[len("RENAME"):], re.IGNORECASE
+        )
+        # findall yields '' (not None) for unmatched alternation groups
+        renames = {
+            next(g for g in p[:4] if g): next(g for g in p[4:8] if g)
+            for p in pairs
+        }
+        fields = [
+            T.StructField(renames.get(f.name, f.name), f.dataType, f.nullable)
+            for f in fields
+        ]
+    else:
+        return  # ALTER TYPE … WITH …: no shape change
+    ctx.udts[name] = T.StructType(fields)
+    # re-version every table whose recorded column types mention the UDT
+    pat = re.compile(rf"\b{re.escape(name)}\b", re.IGNORECASE)
+    for tbl, colmap in ctx.column_types.items():
+        using = {c for c, tstr in colmap.items() if tstr and pat.search(tstr)}
+        if using and tbl in registry.versions:
+            newf = [
+                T.StructField(
+                    f.name, _parse_cql_type(colmap[f.name], ctx.udts),
+                    f.nullable,
+                )
+                if f.name in using
+                else f
+                for f in registry.latest(tbl).fields
+            ]
+            registry.register(tbl, T.StructType(newf))
+
+
 def replay_history(ddl_statements: list[str],
-                   registry: SchemaRegistry | None = None) -> SchemaRegistry:
+                   registry: SchemaRegistry | None = None,
+                   dialect: str = "generic") -> SchemaRegistry:
     """Replay an ordered schema-history DDL stream into a registry."""
     reg = registry if registry is not None else SchemaRegistry()
+    ctx = DialectContext(dialect=dialect)
     for ddl in ddl_statements:
-        apply_ddl(reg, ddl)
+        apply_ddl(reg, ddl, ctx)
     return reg
 
 
 def replay_history_df(history_df, registry: SchemaRegistry | None = None,
-                      ddl_col: str = "ddl") -> SchemaRegistry:
+                      ddl_col: str = "ddl",
+                      dialect: str = "generic") -> SchemaRegistry:
     """Replay a schema-history DataFrame (one row per DDL event, in
     topic order — include an ordering column and sort before calling).
     The collect is control-plane: schema history is thousands of rows,
     never data-scale."""
     rows = history_df.select(ddl_col).collect()
-    return replay_history([r[0] for r in rows if r[0]], registry)
+    return replay_history([r[0] for r in rows if r[0]], registry, dialect)

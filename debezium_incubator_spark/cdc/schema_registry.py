@@ -22,6 +22,41 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
+def _coerce(col, src: T.DataType, dst: T.DataType):
+    """Expression-level type coercion that, unlike CAST, supports struct
+    widening (missing target fields become typed nulls) and recurses
+    through array elements and map keys/values."""
+    if src == dst:
+        return col
+    if isinstance(dst, T.StructType) and isinstance(src, T.StructType):
+        have = {f.name: f for f in src.fields}
+        parts = []
+        for f in dst.fields:
+            if f.name in have:
+                parts.append(
+                    _coerce(
+                        col.getField(f.name), have[f.name].dataType, f.dataType
+                    ).alias(f.name)
+                )
+            else:
+                parts.append(F.lit(None).cast(f.dataType).alias(f.name))
+        rebuilt = F.struct(*parts)
+        # struct(...) of null fields is a non-null struct — keep null rows null
+        return F.when(col.isNull(), F.lit(None).cast(dst)).otherwise(rebuilt)
+    if isinstance(dst, T.ArrayType) and isinstance(src, T.ArrayType):
+        return F.transform(
+            col, lambda x: _coerce(x, src.elementType, dst.elementType)
+        )
+    if isinstance(dst, T.MapType) and isinstance(src, T.MapType):
+        return F.transform_values(
+            F.transform_keys(
+                col, lambda k, v: _coerce(k, src.keyType, dst.keyType)
+            ),
+            lambda k, v: _coerce(v, src.valueType, dst.valueType),
+        )
+    return col.cast(dst)
+
+
 @dataclass
 class SchemaRegistry:
     """Monotonic per-table schema versions (the schema-history topic)."""
@@ -41,16 +76,16 @@ class SchemaRegistry:
     def upgrade(self, df: DataFrame, table: str) -> DataFrame:
         """Project a DataFrame of ANY historical version to the latest
         schema: missing columns → typed nulls; extra columns → dropped;
-        common columns → cast to the latest type (widening only in
-        practice; Spark cast semantics otherwise)."""
+        common columns → coerced to the latest type. Nested struct
+        evolution (a CQL UDT gaining a field) is rebuilt field-wise —
+        Spark's CAST refuses struct widening — recursing through
+        arrays and maps; everything stays expression-level (no UDF)."""
         target = self.latest(table)
         cols = []
         have = {f.name: f for f in df.schema.fields}
         for f in target.fields:
             if f.name in have:
-                col = F.col(f.name)
-                if have[f.name].dataType != f.dataType:
-                    col = col.cast(f.dataType)
+                col = _coerce(F.col(f.name), have[f.name].dataType, f.dataType)
                 cols.append(col.alias(f.name))
             else:
                 cols.append(F.lit(None).cast(f.dataType).alias(f.name))

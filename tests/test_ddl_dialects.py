@@ -1,0 +1,232 @@
+"""Oracle / Db2 / Cassandra-CQL schema-history replay (the incubator's
+actual source dialects — reference README lists Oracle, Db2, Cassandra
+connectors)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import types as T
+
+from debezium_incubator_spark.cdc.schema_history import (
+    DialectContext,
+    apply_ddl,
+    parse_sql_type,
+    replay_history,
+)
+from debezium_incubator_spark.cdc.schema_registry import SchemaRegistry
+
+
+# --- Oracle ---------------------------------------------------------------
+
+def test_oracle_types():
+    cases = {
+        "VARCHAR2(255)": T.StringType(),
+        "NVARCHAR2(100)": T.StringType(),
+        "CLOB": T.StringType(),
+        "NCLOB": T.StringType(),
+        "RAW(16)": T.BinaryType(),
+        "LONG RAW": T.BinaryType(),
+        "BINARY_FLOAT": T.FloatType(),
+        "BINARY_DOUBLE": T.DoubleType(),
+        "NUMBER(10,2)": T.DecimalType(10, 2),
+        "NUMBER(10)": T.DecimalType(10, 0),
+        "NUMBER": T.DecimalType(38, 10),
+        "NUMBER(*,4)": T.DecimalType(38, 4),
+        "FLOAT(126)": T.DoubleType(),
+        "DATE": T.TimestampNTZType(),  # Oracle DATE carries time
+        "TIMESTAMP(6)": T.TimestampNTZType(),
+        "TIMESTAMP(6) WITH TIME ZONE": T.TimestampType(),
+        "TIMESTAMP WITH LOCAL TIME ZONE": T.TimestampType(),
+        "INTERVAL YEAR(2) TO MONTH": T.YearMonthIntervalType(),
+        "INTERVAL DAY(3) TO SECOND(6)": T.DayTimeIntervalType(),
+        "ROWID": T.StringType(),
+        "XMLTYPE": T.StringType(),
+    }
+    for s, want in cases.items():
+        assert parse_sql_type(s, "oracle") == want, s
+
+
+def test_oracle_replay_with_parenthesized_alters():
+    reg = replay_history(
+        [
+            """CREATE TABLE "HR"."EMPLOYEES" (
+                 "ID" NUMBER(10) NOT NULL,
+                 "NAME" VARCHAR2(100),
+                 "SALARY" NUMBER(12,2),
+                 "HIRED" DATE,
+                 PRIMARY KEY ("ID"))""",
+            'ALTER TABLE "HR"."EMPLOYEES" ADD ("BONUS" NUMBER(8,2), "NOTES" CLOB)',
+            'ALTER TABLE "HR"."EMPLOYEES" MODIFY ("NAME" VARCHAR2(400))',
+            'ALTER TABLE "HR"."EMPLOYEES" DROP ("NOTES", "HIRED")',
+        ],
+        dialect="oracle",
+    )
+    assert len(reg.versions["employees"]) == 4
+    latest = reg.latest("employees")
+    assert [f.name for f in latest.fields] == ["ID", "NAME", "SALARY", "BONUS"]
+    assert latest["ID"].dataType == T.DecimalType(10, 0)
+    assert not latest["ID"].nullable
+    assert latest["BONUS"].dataType == T.DecimalType(8, 2)
+    # v0 had DATE → timestamp_ntz
+    assert reg.version("employees", 0)["HIRED"].dataType == T.TimestampNTZType()
+
+
+# --- Db2 ------------------------------------------------------------------
+
+def test_db2_types():
+    cases = {
+        "VARGRAPHIC(128)": T.StringType(),
+        "GRAPHIC(10)": T.StringType(),
+        "DBCLOB(1M)": T.StringType(),
+        "DECFLOAT(34)": T.DoubleType(),
+        "CHAR(16) FOR BIT DATA": T.BinaryType(),
+        "VARCHAR(32) FOR BIT DATA": T.BinaryType(),
+        "TIMESTAMP(12)": T.TimestampNTZType(),
+    }
+    for s, want in cases.items():
+        assert parse_sql_type(s, "db2") == want, s
+
+
+def test_db2_replay_set_data_type():
+    reg = replay_history(
+        [
+            "CREATE TABLE DB2INST1.ORDERS (ID BIGINT NOT NULL, "
+            "REF CHAR(16) FOR BIT DATA, AMT DECFLOAT(16))",
+            "ALTER TABLE DB2INST1.ORDERS ALTER COLUMN AMT SET DATA TYPE DECIMAL(14,3)",
+            "ALTER TABLE DB2INST1.ORDERS ADD COLUMN NOTE VARGRAPHIC(256)",
+        ],
+        dialect="db2",
+    )
+    latest = reg.latest("orders")
+    assert latest["AMT"].dataType == T.DecimalType(14, 3)
+    assert latest["REF"].dataType == T.BinaryType()
+    assert latest["NOTE"].dataType == T.StringType()
+    assert len(reg.versions["orders"]) == 3
+
+
+# --- Cassandra CQL --------------------------------------------------------
+
+def test_cql_scalar_and_collection_types():
+    ctx = DialectContext(dialect="cassandra")
+    p = lambda s: parse_sql_type(s, "cassandra", ctx.udts)  # noqa: E731
+    assert p("text") == T.StringType()
+    assert p("varint") == T.DecimalType(38, 0)
+    assert p("counter") == T.LongType()
+    assert p("timeuuid") == T.StringType()
+    assert p("timestamp") == T.TimestampType()
+    assert p("time") == T.LongType()
+    assert p("list<double>") == T.ArrayType(T.DoubleType())
+    assert p("set<text>") == T.ArrayType(T.StringType())
+    assert p("map<text, int>") == T.MapType(T.StringType(), T.IntegerType())
+    assert p("frozen<map<text, list<int>>>") == T.MapType(
+        T.StringType(), T.ArrayType(T.IntegerType())
+    )
+    assert p("tuple<int, text>") == T.StructType(
+        [
+            T.StructField("_1", T.IntegerType(), True),
+            T.StructField("_2", T.StringType(), True),
+        ]
+    )
+
+
+def test_cql_create_table_with_clustering_tail():
+    reg = replay_history(
+        [
+            """CREATE TABLE ks.readings (
+                 sensor_id uuid,
+                 ts timestamp,
+                 value double,
+                 tags map<text, text>,
+                 samples list<frozen<list<double>>>,
+                 PRIMARY KEY ((sensor_id), ts)
+               ) WITH CLUSTERING ORDER BY (ts DESC)
+                 AND compaction = {'class': 'SizeTieredCompactionStrategy'}""",
+            "ALTER TABLE ks.readings ADD unit text",
+            "ALTER TABLE ks.readings DROP tags",
+            "ALTER TABLE ks.readings RENAME value TO reading",
+        ],
+        dialect="cassandra",
+    )
+    latest = reg.latest("readings")
+    assert [f.name for f in latest.fields] == [
+        "sensor_id", "ts", "reading", "samples", "unit",
+    ]
+    assert latest["samples"].dataType == T.ArrayType(
+        T.ArrayType(T.DoubleType())
+    )
+    assert latest["ts"].dataType == T.TimestampType()
+
+
+def test_cql_udt_create_and_alter_reversions_dependents():
+    reg = SchemaRegistry()
+    ctx = DialectContext(dialect="cassandra")
+    apply_ddl(reg, "CREATE TYPE ks.address (street text, city text)", ctx)
+    apply_ddl(
+        reg,
+        "CREATE TABLE ks.users (id uuid PRIMARY KEY, name text, "
+        "addr frozen<address>, prev list<frozen<address>>)",
+        ctx,
+    )
+    addr_v1 = T.StructType(
+        [
+            T.StructField("street", T.StringType(), True),
+            T.StructField("city", T.StringType(), True),
+        ]
+    )
+    assert reg.latest("users")["addr"].dataType == addr_v1
+    assert reg.latest("users")["prev"].dataType == T.ArrayType(addr_v1)
+
+    # ALTER TYPE must re-version every dependent table
+    apply_ddl(reg, "ALTER TYPE ks.address ADD zip int", ctx)
+    assert len(reg.versions["users"]) == 2
+    addr_v2 = T.StructType(
+        addr_v1.fields + [T.StructField("zip", T.IntegerType(), True)]
+    )
+    assert reg.latest("users")["addr"].dataType == addr_v2
+    assert reg.latest("users")["prev"].dataType == T.ArrayType(addr_v2)
+
+    apply_ddl(reg, "ALTER TYPE ks.address RENAME street TO st AND city TO town", ctx)
+    assert [f.name for f in reg.latest("users")["addr"].dataType.fields] == [
+        "st", "town", "zip",
+    ]
+    assert len(reg.versions["users"]) == 3
+
+
+def test_cql_alter_unknown_type_raises():
+    reg = SchemaRegistry()
+    ctx = DialectContext(dialect="cassandra")
+    with pytest.raises(ValueError, match="unknown type"):
+        apply_ddl(reg, "ALTER TYPE ks.missing ADD x int", ctx)
+
+
+def test_cql_upgrade_applies_nested_nulls(spark):
+    """End-to-end: a UDT evolution replays into a registry whose
+    upgrade() projects old-version rows to the new nested shape."""
+    reg = SchemaRegistry()
+    ctx = DialectContext(dialect="cassandra")
+    apply_ddl(reg, "CREATE TYPE ks.point (x double, y double)", ctx)
+    apply_ddl(
+        reg,
+        "CREATE TABLE ks.tracks (id bigint PRIMARY KEY, loc frozen<point>)",
+        ctx,
+    )
+    old_schema = reg.latest("tracks")
+    df_old = spark.createDataFrame([(1, (0.5, 1.5))], old_schema)
+    apply_ddl(reg, "ALTER TYPE ks.point ADD z double", ctx)
+    up = reg.upgrade(df_old, "tracks")
+    assert up.schema == reg.latest("tracks")
+    row = up.collect()[0]
+    assert (row.loc.x, row.loc.y, row.loc.z) == (0.5, 1.5, None)
+
+
+# --- dialect default stays backward-compatible ----------------------------
+
+def test_generic_dialect_unchanged():
+    reg = replay_history(
+        [
+            "CREATE TABLE t (id INT NOT NULL, d DATE, ts TIMESTAMP)",
+        ]
+    )
+    latest = reg.latest("t")
+    assert latest["d"].dataType == T.DateType()  # NOT Oracle semantics
+    assert latest["ts"].dataType == T.TimestampNTZType()
