@@ -184,3 +184,85 @@ class AvroCodec:
                     n = -n
                 out.extend(self._dec(sch["items"], buf) for _ in range(n))
         raise TypeError(f"unsupported Avro type: {t!r}")
+
+
+# --- Confluent schema-registry wire framing -------------------------------
+#
+# Kafka Connect's Avro converter does not ship bare Avro: every message
+# is framed as [magic 0x00][schema id: 4-byte big-endian][avro payload]
+# (the public Confluent wire format). The id resolves the WRITER schema
+# at a registry, which is what makes schema evolution decodable: old
+# messages carry old ids. This models that framing plus a minimal
+# in-process registry (subject -> versioned schema ids, content-dedup),
+# so envelope streams with mixed schema versions round-trip.
+
+CONFLUENT_MAGIC = 0x00
+
+
+def frame_confluent(schema_id: int, payload: bytes) -> bytes:
+    """Wrap an Avro binary payload in the Confluent wire format."""
+    if not 0 <= schema_id < 1 << 32:
+        raise ValueError(f"schema id out of range: {schema_id}")
+    return bytes([CONFLUENT_MAGIC]) + schema_id.to_bytes(4, "big") + payload
+
+
+def unframe_confluent(data: bytes) -> tuple[int, bytes]:
+    """Split framed wire bytes into (schema_id, avro_payload); raises on
+    a wrong magic byte or truncated header — never silently misreads."""
+    if len(data) < 5:
+        raise EOFError(f"truncated Confluent frame: {len(data)} bytes")
+    if data[0] != CONFLUENT_MAGIC:
+        raise ValueError(f"bad magic byte 0x{data[0]:02x} (want 0x00)")
+    return int.from_bytes(data[1:5], "big"), data[5:]
+
+
+class ConfluentAvroRegistry:
+    """Minimal Confluent-style registry: monotonically assigned global
+    schema ids, per-subject version lists, content dedup (re-registering
+    an identical schema returns the existing id). Control-plane only —
+    a deployment points this at a real registry URL; the wire format is
+    identical either way."""
+
+    def __init__(self) -> None:
+        self._by_id: dict[int, dict] = {}
+        self._codecs: dict[int, AvroCodec] = {}
+        self._subjects: dict[str, list[int]] = {}
+        self._ids_by_canon: dict[str, int] = {}
+        self._next_id = 1
+
+    def register(self, subject: str, schema: str | dict) -> int:
+        sch = json.loads(schema) if isinstance(schema, str) else schema
+        canon = json.dumps(sch, sort_keys=True, separators=(",", ":"))
+        sid = self._ids_by_canon.get(canon)
+        if sid is None:
+            sid = self._next_id
+            self._next_id += 1
+            self._ids_by_canon[canon] = sid
+            self._by_id[sid] = sch
+            self._codecs[sid] = AvroCodec(sch)
+        versions = self._subjects.setdefault(subject, [])
+        if sid not in versions:
+            versions.append(sid)
+        return sid
+
+    def schema_by_id(self, schema_id: int) -> dict:
+        if schema_id not in self._by_id:
+            raise KeyError(f"unknown schema id {schema_id}")
+        return self._by_id[schema_id]
+
+    def latest_id(self, subject: str) -> int:
+        return self._subjects[subject][-1]
+
+    def encode(self, subject: str, value, schema_id: int | None = None) -> bytes:
+        """Encode ``value`` under the subject's latest (or an explicit)
+        schema id and frame it for the wire."""
+        sid = schema_id if schema_id is not None else self.latest_id(subject)
+        return frame_confluent(sid, self._codecs[sid].encode(value))
+
+    def decode(self, data: bytes) -> tuple[int, dict]:
+        """Unframe + decode with the embedded WRITER schema — mixed-
+        version topics decode correctly message by message."""
+        sid, payload = unframe_confluent(data)
+        if sid not in self._codecs:
+            raise KeyError(f"unknown schema id {sid}")
+        return sid, self._codecs[sid].decode(payload)

@@ -213,3 +213,78 @@ def test_codec_raises_on_truncated_input():
     for cut in (0, 1, 3, len(full) // 2, len(full) - 1):
         with pytest.raises(EOFError):
             codec.decode(full[:cut])
+
+
+# --- Confluent wire framing ----------------------------------------------
+
+def test_confluent_frame_roundtrip_and_errors():
+    import pytest
+
+    from debezium_incubator_spark.cdc.avro_codec import (
+        frame_confluent,
+        unframe_confluent,
+    )
+
+    framed = frame_confluent(1234, b"\x02\x06abc")
+    assert framed[:5] == b"\x00\x00\x00\x04\xd2"
+    assert unframe_confluent(framed) == (1234, b"\x02\x06abc")
+    with pytest.raises(ValueError, match="magic"):
+        unframe_confluent(b"\x01\x00\x00\x00\x01payload")
+    with pytest.raises(EOFError, match="truncated"):
+        unframe_confluent(b"\x00\x00\x00")
+    with pytest.raises(ValueError, match="range"):
+        frame_confluent(1 << 32, b"")
+
+
+def test_confluent_registry_evolution_roundtrip():
+    """Two registered envelope-schema versions on one subject: messages
+    written under each id decode with their WRITER schema — the mixed-
+    version topic case the framing exists for."""
+    import pytest
+    from pyspark.sql import types as T
+
+    from debezium_incubator_spark.cdc.avro_codec import ConfluentAvroRegistry
+    from debezium_incubator_spark.cdc.envelope import envelope_avro_schema_json
+
+    v1 = T.StructType(
+        [
+            T.StructField("id", T.LongType(), False),
+            T.StructField("name", T.StringType(), True),
+        ]
+    )
+    v2 = T.StructType(
+        v1.fields + [T.StructField("score", T.DoubleType(), True)]
+    )
+    reg = ConfluentAvroRegistry()
+    id1 = reg.register("orders-value", envelope_avro_schema_json(v1))
+    id2 = reg.register("orders-value", envelope_avro_schema_json(v2))
+    assert id1 != id2
+    # content dedup: identical schema re-registers to the same id
+    assert reg.register("orders-value", envelope_avro_schema_json(v1)) == id1
+    assert reg.latest_id("orders-value") == id2
+
+    env1 = {
+        "op": "c",
+        "before": None,
+        "after": {"id": 7, "name": "a"},
+        "ts_ms": 1000,
+        "source": {"table": "orders", "lsn": 1},
+    }
+    env2 = {
+        "op": "u",
+        "before": {"id": 7, "name": "a", "score": None},
+        "after": {"id": 7, "name": "b", "score": 2.5},
+        "ts_ms": 2000,
+        "source": {"table": "orders", "lsn": 2},
+    }
+    old_msg = reg.encode("orders-value", env1, schema_id=id1)
+    new_msg = reg.encode("orders-value", env2)  # latest
+    # writer-schema dispatch per message
+    sid_a, dec_a = reg.decode(old_msg)
+    sid_b, dec_b = reg.decode(new_msg)
+    assert (sid_a, sid_b) == (id1, id2)
+    assert dec_a["after"] == {"id": 7, "name": "a"}
+    assert dec_b["after"] == {"id": 7, "name": "b", "score": 2.5}
+    assert dec_b["before"]["score"] is None
+    with pytest.raises(KeyError, match="unknown schema id"):
+        reg.decode(b"\x00\x00\x00\x00\x63" + b"\x00")
