@@ -62,6 +62,35 @@ def decode_image(payload: bytes) -> dict:
     )
 
 
+def decode_bmp(payload: bytes) -> dict:
+    """Real-format decode kernel with zero external deps: parses the
+    uncompressed-BMP header (the public BITMAPFILEHEADER /
+    BITMAPINFOHEADER layout) — it proves the ``decode_image`` swap-in
+    seam with an actual codec, not a byte-derived fake. Returns the
+    same feature dict shape as ``fake_decode_features`` so
+    ``decode_features(media, kernel=decode_bmp)`` is a drop-in."""
+    import struct
+
+    if len(payload) < 54 or payload[:2] != b"BM":
+        raise ValueError("not a BMP payload (missing 'BM' magic)")
+    data_offset = struct.unpack_from("<I", payload, 10)[0]
+    header_size = struct.unpack_from("<I", payload, 14)[0]
+    if header_size < 40:
+        raise ValueError(f"unsupported BMP header size {header_size}")
+    width = struct.unpack_from("<i", payload, 18)[0]
+    height = abs(struct.unpack_from("<i", payload, 22)[0])  # may be top-down
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if compression != 0:
+        raise ValueError("compressed BMP unsupported")
+    pixels = payload[data_offset:]
+    return {
+        "width": width,
+        "height": height,
+        "checksum": sum(pixels[:4096]) % 65536,
+        "n_bytes": len(payload),
+    }
+
+
 def fake_decode_features(payload: bytes) -> dict:
     """Deterministic stand-in for decode: derives pseudo 'dimensions' and
     a content checksum from the bytes alone."""

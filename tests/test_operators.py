@@ -183,6 +183,74 @@ def test_multimodal_frame_sample_fanout(spark):
     assert len(got0) == (max(1, n0) + 1) // 2
 
 
+def _make_bmp(width: int, height: int, seed: int) -> bytes:
+    """Minimal 24-bit uncompressed BMP (BITMAPFILEHEADER +
+    BITMAPINFOHEADER + bottom-up padded pixel rows)."""
+    import struct
+
+    row = (width * 3 + 3) & ~3  # rows pad to 4-byte boundaries
+    pixel_bytes = bytearray()
+    for y in range(height):
+        for x in range(width):
+            pixel_bytes += bytes(
+                ((seed + x * 7 + y * 13 + c) % 256 for c in range(3))
+            )
+        pixel_bytes += b"\x00" * (row - width * 3)
+    header = (
+        b"BM"
+        + struct.pack("<IHHI", 54 + len(pixel_bytes), 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0,
+                      len(pixel_bytes), 2835, 2835, 0, 0)
+    )
+    return bytes(header) + bytes(pixel_bytes)
+
+
+def test_multimodal_bmp_decode_seam(spark):
+    """The decode_image swap-in seam with a REAL format: generated BMP
+    payloads flow through the same Arrow mapInPandas plumbing with
+    decode_bmp as the kernel, and the parsed dimensions come from the
+    actual header bytes, not a fake."""
+    from debezium_incubator_spark.llm.multimodal import (
+        DECODED_SCHEMA,
+        decode_bmp,
+        decode_features,
+    )
+
+    dims = [(5, 3), (16, 16), (7, 1), (33, 2)]
+    rows = [
+        (i, _make_bmp(w, h, seed=i), ("image/bmp", None, f"src_{i % 2}"))
+        for i, (w, h) in enumerate(dims)
+    ]
+    media = spark.createDataFrame(
+        rows, "doc_id LONG, payload BINARY, "
+        "meta STRUCT<mime: STRING, n_bytes: LONG, source: STRING>"
+    )
+    out = (
+        decode_features(media, kernel=decode_bmp)
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert list(zip(out.width, out.height)) == dims
+    # checksum is content-derived: same image twice → equal, different
+    # seed → different
+    again = decode_bmp(_make_bmp(5, 3, seed=0))
+    assert again["checksum"] == out.iloc[0].checksum
+    assert decode_bmp(_make_bmp(5, 3, seed=99))["checksum"] != again["checksum"]
+    # schema is the shared decode contract
+    assert decode_features(media, kernel=decode_bmp).schema.simpleString() \
+        == spark.createDataFrame([], DECODED_SCHEMA).schema.simpleString()
+    # loud errors on non-BMP payloads
+    with pytest.raises(ValueError, match="magic"):
+        decode_bmp(b"\x89PNG....")
+    with pytest.raises(ValueError, match="compressed"):
+        import struct
+
+        bad = bytearray(_make_bmp(4, 4, seed=1))
+        struct.pack_into("<I", bad, 30, 1)  # BI_RLE8
+        decode_bmp(bytes(bad))
+
+
 def test_register_external_table_with_ns_timestamps(spark, tmp_path):
     """Arbitrary user parquet — including timestamp[ns] columns Spark
     can't read natively — registers and queries like a fixture table."""
