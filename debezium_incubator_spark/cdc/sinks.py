@@ -4,9 +4,12 @@ file sinks, batch and streaming.
 Scale notes: the parquet sink partitions by a date-derived column so a
 100 TB materialization prunes at read time; sortWithinPartitions on the
 cluster key gives row-group min/max locality without a global sort.
-Bucketed writes (bucketBy on the join key) pre-co-locate future joins —
-saveAsTable requires a metastore-backed catalog, present on a real
-cluster, local-only here.
+Bucketed writes (``bucketed_sink``) pre-co-locate future joins: two
+tables bucketed on the join key with the same bucket count join with
+ZERO exchanges — the shuffle is paid once at write time, then every
+downstream join/aggregate on that key is shuffle-free (plan-audited in
+tests/test_scale_posture.py). Works against Spark's in-memory session
+catalog locally and any metastore on a cluster.
 """
 
 from __future__ import annotations
@@ -69,3 +72,33 @@ def materialized_parquet_sink(
     if writer_cols:
         w = w.partitionBy(*writer_cols)
     w.parquet(path)
+
+
+def bucketed_sink(
+    df: DataFrame,
+    table_name: str,
+    bucket_cols: list[str],
+    n_buckets: int = 32,
+    sort_cols: list[str] | None = None,
+    path: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """A8 scale path: write ``df`` as a BUCKETED parquet table.
+
+    100 TB posture: hash-bucketing on the join/aggregation key moves the
+    shuffle to write time. Readers joining two tables bucketed on the
+    same key with equal bucket counts get a SortMergeJoin with no
+    Exchange on either side; groupBy on the bucket key is likewise
+    exchange-free. ``sort_cols`` adds in-bucket ordering so the join
+    also skips its Sort. Bucket count is a layout contract — pick it for
+    the big table's target partition size and reuse it fleet-wide."""
+    writer = (
+        df.write.mode(mode)
+        .format("parquet")
+        .bucketBy(n_buckets, *bucket_cols)
+    )
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    if path:
+        writer = writer.option("path", path)
+    writer.saveAsTable(table_name)

@@ -81,6 +81,53 @@ def test_bucketed_write_coLocates_join(spark):
         spark.sql("DROP TABLE IF EXISTS orders_bucketed")
 
 
+def test_bucketed_sink_two_table_join_is_exchange_free(spark):
+    """The A8 bucketed_sink product API: two DIFFERENT tables written
+    with the same bucket spec join via SortMergeJoin with zero
+    Exchange on either side AND no per-side Sort (sortBy in the layout)
+    — the write-once-shuffle, join-forever-free contract."""
+    from debezium_incubator_spark.cdc.sinks import bucketed_sink
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        bucketed_sink(
+            table(spark, SF_SMOKE, "orders"), "orders_bk",
+            ["o_custkey"], n_buckets=4, sort_cols=["o_custkey"],
+        )
+        bucketed_sink(
+            table(spark, SF_SMOKE, "customer"), "customer_bk",
+            ["c_custkey"], n_buckets=4, sort_cols=["c_custkey"],
+        )
+        o, c = spark.table("orders_bk"), spark.table("customer_bk")
+        j = o.join(c, o.o_custkey == c.c_custkey).groupBy("c_mktsegment").agg(
+            F.count("*").alias("n")
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        # join sides read pre-bucketed + pre-sorted: the ONLY exchange
+        # allowed is the final single-key aggregate's
+        assert plan.count("Exchange hashpartitioning") == 1
+        assert "c_mktsegment" in plan.split("Exchange hashpartitioning")[0]
+        # results identical to the unbucketed join
+        direct = (
+            table(spark, SF_SMOKE, "orders")
+            .join(
+                table(spark, SF_SMOKE, "customer"),
+                F.col("o_custkey") == F.col("c_custkey"),
+            )
+            .groupBy("c_mktsegment")
+            .agg(F.count("*").alias("n"))
+        )
+        got = {(r.c_mktsegment, r.n) for r in j.collect()}
+        want = {(r.c_mktsegment, r.n) for r in direct.collect()}
+        assert got == want
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS orders_bk")
+        spark.sql("DROP TABLE IF EXISTS customer_bk")
+
+
 def test_late_data_dropped_past_watermark(spark):
     """I7: with availableNow over one file batch the watermark starts at
     -inf, so a second run is needed to observe dropping; here we verify
