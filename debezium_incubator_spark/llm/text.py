@@ -506,3 +506,147 @@ def t12_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
         (r.term, int(r.exact), int(cms.estimateCount(r.term))) for r in top
     ]
     return spark.createDataFrame(rows, "term STRING, exact BIGINT, estimate BIGINT")
+
+
+# --- t13: n-gram novelty (repetition / boilerplate filter) ---------------
+
+_SHINGLE_CTE = """
+WITH toks AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS ts FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, sh FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, greatest(len(ts) - 1, 1)),
+                  i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS sh
+    FROM toks WHERE len(ts) >= 3
+  )
+)"""
+
+
+@register(
+    "t13_ngram_novelty",
+    oracle=_SHINGLE_CTE + """,
+dfreq AS (
+  SELECT sh, COUNT(*) AS df FROM sh GROUP BY sh
+), per AS (
+  SELECT s.doc_id, COUNT(*) AS n_sh,
+         CAST(SUM(CASE WHEN d.df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique
+  FROM sh s JOIN dfreq d USING (sh)
+  GROUP BY s.doc_id
+)
+SELECT doc_id, n_sh, n_unique,
+       floor(CAST(n_unique AS DOUBLE) / n_sh * 10000 + 0.5)
+         / CAST(10000 AS DOUBLE) AS novelty
+FROM per
+ORDER BY novelty DESC, doc_id
+LIMIT 100
+""",
+)
+def t13_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc novelty = fraction of its distinct 3-gram shingles that
+    occur in NO other document — the standard repetition/boilerplate
+    filter in training-data curation (low novelty ⇒ templated text).
+
+    Scale: one explode + two hash aggregates + an equi-join on the
+    shingle key; document frequency is a map-side-combinable count, and
+    nothing is quadratic in documents. Tie-free floor-rounding and a
+    doc_id tie-break keep the LIMIT deterministic (parity policy)."""
+    from .dedup import shingles
+
+    d = table(spark, sf_dir, "documents")
+    sh = (
+        d.filter(F.size(tokens()) >= 3)
+        .select(
+            "doc_id",
+            F.explode(F.array_distinct(shingles("text"))).alias("sh"),
+        )
+    )
+    dfreq = sh.groupBy("sh").agg(F.count("*").alias("df"))
+    per = (
+        sh.join(dfreq, "sh")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_sh"),
+            F.sum(F.when(F.col("df") == 1, 1).otherwise(0)).alias("n_unique"),
+        )
+    )
+    from ..exprs import round4x
+
+    return (
+        per.select(
+            "doc_id", "n_sh", "n_unique",
+            round4x("CAST(n_unique AS DOUBLE) / n_sh").alias("novelty"),
+        )
+        .orderBy(F.desc("novelty"), "doc_id")
+        .limit(100)
+    )
+
+
+# --- t14: benchmark decontamination (n-gram containment) -----------------
+
+@register(
+    "t14_decontaminate",
+    oracle=_SHINGLE_CTE + """,
+bench AS (
+  SELECT DISTINCT sh FROM sh WHERE doc_id % 20 = 0
+), per AS (
+  SELECT s.doc_id, COUNT(*) AS n_sh,
+         CAST(SUM(CASE WHEN b.sh IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
+  FROM sh s LEFT JOIN bench b ON s.sh = b.sh
+  WHERE s.doc_id % 20 <> 0
+  GROUP BY s.doc_id
+)
+SELECT doc_id, n_sh, n_hit,
+       floor(CAST(n_hit AS DOUBLE) / n_sh * 10000 + 0.5)
+         / CAST(10000 AS DOUBLE) AS containment
+FROM per
+ORDER BY containment DESC, doc_id
+LIMIT 100
+""",
+)
+def t14_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: containment of each training doc's
+    3-gram shingle set in the evaluation set's shingle pool (docs with
+    doc_id % 20 == 0 stand in for the benchmark). High containment ⇒
+    the training doc leaks eval content and must be dropped — the
+    decontamination pass every serious pretraining pipeline runs.
+
+    Scale: the benchmark shingle pool is small by construction
+    (benchmarks are MBs, corpora are TBs) — it BROADCASTS, so the
+    containment join is map-side with zero shuffle of the corpus
+    shingles; the only shuffle is the per-doc aggregate."""
+    from .dedup import shingles
+
+    d = table(spark, sf_dir, "documents")
+    sh = (
+        d.filter(F.size(tokens()) >= 3)
+        .select(
+            "doc_id",
+            F.explode(F.array_distinct(shingles("text"))).alias("sh"),
+        )
+    )
+    bench = (
+        sh.filter(F.col("doc_id") % 20 == 0)
+        .select("sh")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    per = (
+        sh.filter(F.col("doc_id") % 20 != 0)
+        .join(F.broadcast(bench), "sh", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_sh"),
+            F.sum(F.coalesce("hit", F.lit(0))).alias("n_hit"),
+        )
+    )
+    from ..exprs import round4x
+
+    return (
+        per.select(
+            "doc_id", "n_sh", "n_hit",
+            round4x("CAST(n_hit AS DOUBLE) / n_sh").alias("containment"),
+        )
+        .orderBy(F.desc("containment"), "doc_id")
+        .limit(100)
+    )
