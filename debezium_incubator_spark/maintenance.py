@@ -8,10 +8,14 @@ Two remedies, both pure DataFrame rewrites:
 
 - ``compact``: coalesce a parquet directory to ~target-sized files.
 - ``cluster``: range-partition + sort by the query predicate columns so
-  parquet min/max row-group stats prune (the poor man's Z-order: for a
-  single high-selectivity column, range clustering gives the same skip
-  behavior; multi-column interleaving would need a space-filling-curve
-  key, which composes here as ``cluster(df, [curve_col])``).
+  parquet min/max row-group stats prune (for a single
+  high-selectivity column, range clustering is optimal skipping).
+- ``zorder_cluster``: multi-column data skipping via a Z-order
+  (Morton) space-filling-curve key — bit-interleave the normalized
+  dimensions, then range-cluster on the curve key. Every output file
+  covers a small box in EVERY clustered dimension, so min/max stats
+  prune for predicates on any of them (the public Delta/Iceberg
+  OPTIMIZE ZORDER layout, built from plain expressions).
 
 Both write to a NEW directory (read-modify-write in place is unsafe —
 Spark reads lazily, and a failed rewrite must not destroy state); the
@@ -67,6 +71,59 @@ def cluster(
         df.repartitionByRange(*by)
     )
     return parts.sortWithinPartitions(*by)
+
+
+def zorder_key(scaled: list, bits: int):
+    """Interleave the bits of pre-scaled [0, 2^bits) long columns into
+    one Morton key (pure shift/and/or expressions — whole-stage
+    codegen, no UDF)."""
+    z = F.lit(0).cast("long")
+    k = len(scaled)
+    for b in range(bits):
+        for i, c in enumerate(scaled):
+            bit = F.shiftright(c, b).bitwiseAND(F.lit(1))
+            z = z.bitwiseOR(F.shiftleft(bit, b * k + i))
+    return z
+
+
+def zorder_cluster(
+    df: DataFrame,
+    cols: list[str],
+    num_files: int | None = None,
+    bits: int = 16,
+) -> DataFrame:
+    """Cluster on a Z-order curve over ``cols`` (numeric). One
+    control-plane min/max aggregate normalizes each dimension to
+    [0, 2^bits), bits are interleaved expression-side, and the result is
+    range-partitioned + locally sorted on the curve key. One data
+    shuffle total — same cost as single-column ``cluster``, but row
+    groups now skip on EVERY dimension. Nulls sort into the first
+    partition (null curve key). len(cols)*bits must fit a long."""
+    if len(cols) * bits > 63:
+        raise ValueError(
+            f"{len(cols)} cols x {bits} bits exceeds the 63-bit key"
+        )
+    row = df.agg(
+        *(F.min(c).alias(f"__mn{i}") for i, c in enumerate(cols)),
+        *(F.max(c).alias(f"__mx{i}") for i, c in enumerate(cols)),
+    ).first()
+    top = (1 << bits) - 1
+    scaled = []
+    for i, c in enumerate(cols):
+        mn, mx = row[f"__mn{i}"], row[f"__mx{i}"]
+        span = (mx - mn) if (mx is not None and mx != mn) else 1
+        scaled.append(
+            F.floor(
+                (F.col(c) - F.lit(mn)) / F.lit(span) * F.lit(top)
+            ).cast("long")
+        )
+    zdf = df.withColumn("__z", zorder_key(scaled, bits))
+    parts = (
+        zdf.repartitionByRange(num_files, "__z")
+        if num_files
+        else zdf.repartitionByRange("__z")
+    )
+    return parts.sortWithinPartitions("__z").drop("__z")
 
 
 def compact_and_cluster(

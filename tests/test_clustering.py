@@ -82,6 +82,22 @@ def test_nonconvergence_raises(spark):
         _labels(spark, pairs, max_iter=1)
 
 
+def test_property_random_graphs_match_union_find(spark):
+    """Property check across many small random graphs (deterministic
+    seeds; hypothesis's spark-session interplay is poor, so this is a
+    seed sweep with the same shrink-friendly shape)."""
+    for seed in range(12):
+        rng = random.Random(seed)
+        n = rng.randrange(2, 40)
+        m = rng.randrange(1, 60)
+        pairs = [
+            (rng.randrange(n), rng.randrange(n)) for _ in range(m)
+        ]
+        pairs = [p for p in pairs if p[0] != p[1]] or [(0, 1)]
+        got = _labels(spark, pairs)
+        assert got == _union_find(pairs), f"seed={seed} pairs={pairs}"
+
+
 def test_dedup_clusters_still_green(spark):
     """Registry surface: deterministic rows, representative flag set
     exactly on cluster minima."""

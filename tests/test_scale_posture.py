@@ -254,6 +254,40 @@ def test_cluster_layout_prunes(spark):
         assert total_span <= (hi - lo) * 1.5
 
 
+def test_zorder_cluster_boxes_both_dims(spark):
+    """Z-order layout: over a uniform 256x256 grid written to 16 files,
+    each file must cover a small BOX in both dimensions — the sum of
+    per-file (span_x x span_y) areas ~ the global area, where a
+    scattered layout would sum to ~16x and single-column clustering
+    would leave the other dimension's spans full-width."""
+    from debezium_incubator_spark.maintenance import zorder_cluster
+
+    grid = spark.range(256 * 256).select(
+        (F.col("id") % 256).alias("x"), (F.col("id") / 256).cast("long").alias("y")
+    )
+    with tempfile.TemporaryDirectory() as td:
+        dst = os.path.join(td, "z")
+        zorder_cluster(grid, ["x", "y"], num_files=16, bits=8).write.parquet(dst)
+        import pyarrow.parquet as pq
+
+        files = [f for f in os.listdir(dst) if f.endswith(".parquet")]
+        assert len(files) == 16
+        area = 0
+        for f in files:
+            t = pq.read_table(os.path.join(dst, f))
+            xs, ys = t.column("x").to_pylist(), t.column("y").to_pylist()
+            area += (max(xs) - min(xs) + 1) * (max(ys) - min(ys) + 1)
+        # perfect tiling = 1.0x the global area; z-curve seams allow a
+        # little overlap, scattered data would be ~16x
+        assert area <= 2.0 * 256 * 256, f"sum of file boxes = {area}"
+
+    # guard: key must fit a long
+    import pytest
+
+    with pytest.raises(ValueError, match="63-bit"):
+        zorder_cluster(grid, ["x", "y", "x", "y"], bits=16)
+
+
 def test_new_operator_plan_shapes(spark):
     """Plan audit for the post-sweep additions: grouping sets run as ONE
     Expand + aggregate (not a union of scans), the LATERAL top-k is
