@@ -185,6 +185,11 @@ def envelope_avro_schema_json(row_schema: T.StructType) -> str:
             return "boolean"
         if isinstance(dt, T.StringType):
             return "string"
+        if isinstance(dt, T.DecimalType):
+            # Debezium decimal.handling.mode=string: exact decimal
+            # rendering on the wire (Oracle NUMBER columns); the decode
+            # half re-coerces to DecimalType
+            return "string"
         if isinstance(dt, T.StructType):
             import hashlib
 
@@ -242,15 +247,38 @@ def parse_envelope_avro_py(raw: DataFrame, row_schema: T.StructType) -> DataFram
         ]
     )
 
+    dec_fields = [
+        f.name for f in row_schema.fields if isinstance(f.dataType, T.DecimalType)
+    ]
+
     def decode(batches):
+        from decimal import Decimal
+
         import pandas as pd
 
         from debezium_incubator_spark.cdc.avro_codec import AvroCodec
 
         codec = AvroCodec(schema_json)
+
+        def fix_decimals(env: dict | None) -> dict | None:
+            # decimal.handling.mode=string rides the wire as strings;
+            # restore exact DecimalType values for the Spark schema
+            if env is None or not dec_fields:
+                return env
+            for image in ("before", "after"):
+                row = env.get(image)
+                if row:
+                    for f in dec_fields:
+                        if row.get(f) is not None:
+                            row[f] = Decimal(row[f])
+            return env
+
         for pdf in batches:
             keys = [None if k is None else _json.loads(k) for k in pdf["key"]]
-            vals = [None if v is None else codec.decode(v) for v in pdf["value"]]
+            vals = [
+                None if v is None else fix_decimals(codec.decode(v))
+                for v in pdf["value"]
+            ]
             yield pd.DataFrame({"key": keys, "value": vals})
 
     return raw.mapInPandas(decode, out_schema)
