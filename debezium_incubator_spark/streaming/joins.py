@@ -34,9 +34,19 @@ def stream_stream_interval_join(
     right_ts: str = "ts",
     delay: str = "10 minutes",
     interval: str = "INTERVAL 1 HOUR",
+    how: str = "inner",
 ) -> DataFrame:
     """C10: join two streams on a key within a time interval. Both sides
-    watermarked; the interval bound lets Spark GC matched/expired state."""
+    watermarked; the interval bound lets Spark GC matched/expired state.
+
+    ``how`` also supports the watermarked outer modes (``left_outer``,
+    ``right_outer``, ``full_outer``): unmatched rows are emitted with
+    nulls once the watermark passes their join-interval bound — i.e. an
+    outer result is only declared "unmatched" when no future input can
+    still match it. That emission happens in a LATER micro-batch than
+    the row's own (state must outlive the bound), which is why the
+    batch-twin equivalence test drives the stream with multiple
+    triggers and a watermark-advancing flush."""
     l = left.withWatermark(left_ts, delay).alias("l")
     r = right.withWatermark(right_ts, delay).alias("r")
     cond = (
@@ -47,7 +57,7 @@ def stream_stream_interval_join(
             <= F.expr(f"l.{left_ts} + {interval}")
         )
     )
-    return l.join(r, cond, "inner")
+    return l.join(r, cond, how)
 
 
 def transaction_reassembly(

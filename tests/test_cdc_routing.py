@@ -344,3 +344,54 @@ def test_db2_and_cassandra_position_folds(spark):
         df, ["k"], ["commitlog_file", "commitlog_pos"]
     ).collect()
     assert got[0].v == 1.0
+
+
+def test_stream_stream_left_outer_emits_unmatched(spark, tmp_path):
+    """Watermarked LEFT OUTER stream-stream join: a left row with no
+    right match within the interval emits with nulls once the watermark
+    passes its bound (driven here by a later flush batch through a
+    checkpoint-resumed query); matched rows behave as inner."""
+    import datetime as dt
+
+    base = dt.datetime(2026, 1, 1, 0, 0, 0)
+    ten_days = dt.timedelta(days=10)
+    dirs = {n: str(tmp_path / n) for n in ("left", "right", "out", "cp")}
+
+    def write(d, rows, schema):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(d)
+
+    lsch = "k LONG, ts TIMESTAMP, purchase_id LONG"
+    rsch = "k LONG, c_ts TIMESTAMP, click_id LONG"
+    write(dirs["left"], [(1, base, 101), (2, base + dt.timedelta(minutes=5), 102)], lsch)
+    write(dirs["right"], [(1, base + dt.timedelta(minutes=30), 201)], rsch)
+
+    def run_once():
+        l = spark.readStream.schema(lsch).parquet(dirs["left"])
+        r = spark.readStream.schema(rsch).parquet(dirs["right"])
+        j = stream_stream_interval_join(
+            l, r, "k", left_ts="ts", right_ts="c_ts", how="left_outer"
+        ).select(
+            F.col("l.k").alias("k"), "ts", "purchase_id", "c_ts", "click_id"
+        )
+        q = (
+            j.writeStream.format("parquet")
+            .option("path", dirs["out"])
+            .option("checkpointLocation", dirs["cp"])
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()  # trigger 1: watermark still at batch-1 max
+    # flush batch pushes both watermarks far past every earlier bound
+    write(dirs["left"], [(999, base + ten_days, 900)], lsch)
+    write(dirs["right"], [(998, base + ten_days, 901)], rsch)
+    run_once()  # trigger 2+: unmatched k=2 must now emit with nulls
+
+    got = {
+        r.k: (r.purchase_id, r.click_id)
+        for r in spark.read.parquet(dirs["out"]).filter(F.col("k") < 900).collect()
+    }
+    assert got == {1: (101, 201), 2: (102, None)}
