@@ -582,3 +582,71 @@ def sim_quantized_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(10)
         .select("vec_id", F.round("cos_raw", 6).alias("cos_sim"))
     )
+
+
+# --- J4 batch serving: top-k for a SET of query vectors ------------------
+
+@register(
+    "sim_batch_knn",
+    oracle="""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), n AS (
+  SELECT vec_id, v,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             list_transform(v, x -> x * x)), (s, x) -> s + x) AS nsq
+  FROM e
+), q AS (
+  SELECT vec_id AS qid, v AS qv, nsq AS qn FROM n WHERE vec_id < 10
+), c AS (
+  SELECT vec_id, v, nsq FROM n WHERE vec_id >= 10
+), s AS (
+  SELECT q.qid, c.vec_id,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             list_transform(range(1, len(c.v) + 1), i -> c.v[i] * q.qv[i])),
+             (s, x) -> s + x) / (sqrt(c.nsq) * sqrt(q.qn)) AS cos_raw
+  FROM c, q
+), r AS (
+  SELECT qid, vec_id, cos_raw,
+         row_number() OVER (PARTITION BY qid ORDER BY cos_raw DESC, vec_id) AS rn
+  FROM s
+)
+SELECT qid, vec_id, ROUND(cos_raw, 6) AS cos_sim, rn
+FROM r
+WHERE rn <= 5
+ORDER BY qid, rn
+""",
+)
+def sim_batch_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4 at serving shape: top-5 neighbors for a BATCH of query vectors
+    (qids 0–9) in one corpus pass — broadcast the query set, dot-product
+    expression per (corpus row x query), per-query top-k via
+    row_number + WindowGroupLimit (ranks beyond k pruned pre-sort).
+
+    100 TB posture: query batches are KBs–MBs (broadcast), the corpus is
+    scanned ONCE regardless of batch size, and the only shuffle is the
+    per-qid window — hash-partitioned on qid, so it scales with the
+    batch, not the corpus. Contrast with one-query-at-a-time sim_knn:
+    batch amortizes the scan across all queries."""
+    from pyspark.sql.window import Window as W
+
+    e = _vectors(spark, sf_dir).withColumn("nsq", norm_sq("v"))
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"),
+        F.col("v").alias("qv"),
+        F.col("nsq").alias("qn"),
+    )
+    cos_raw = dot("v", "qv") / (F.sqrt("nsq") * F.sqrt("qn"))
+    w = W.partitionBy("qid").orderBy(F.desc("cos_raw"), F.asc("vec_id"))
+    return (
+        e.filter(F.col("vec_id") >= 10)
+        .crossJoin(F.broadcast(q))
+        .withColumn("cos_raw", cos_raw)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select(
+            "qid", "vec_id",
+            F.round("cos_raw", 6).alias("cos_sim"), "rn",
+        )
+        .orderBy("qid", "rn")
+    )

@@ -230,3 +230,70 @@ def test_generic_dialect_unchanged():
     latest = reg.latest("t")
     assert latest["d"].dataType == T.DateType()  # NOT Oracle semantics
     assert latest["ts"].dataType == T.TimestampNTZType()
+
+
+# --- property-style round trips ------------------------------------------
+
+_POOLS = {
+    "generic": [
+        ("INT", T.IntegerType()), ("BIGINT", T.LongType()),
+        ("VARCHAR(40)", T.StringType()), ("DOUBLE", T.DoubleType()),
+        ("BOOLEAN", T.BooleanType()), ("DATE", T.DateType()),
+        ("DECIMAL(12,2)", T.DecimalType(12, 2)),
+    ],
+    "oracle": [
+        ("NUMBER(10)", T.DecimalType(10, 0)),
+        ("NUMBER(12,2)", T.DecimalType(12, 2)),
+        ("VARCHAR2(100)", T.StringType()),
+        ("BINARY_DOUBLE", T.DoubleType()),
+        ("CLOB", T.StringType()), ("RAW(16)", T.BinaryType()),
+    ],
+    "cassandra": [
+        ("int", T.IntegerType()), ("bigint", T.LongType()),
+        ("text", T.StringType()), ("double", T.DoubleType()),
+        ("list<int>", T.ArrayType(T.IntegerType())),
+        ("map<text, double>", T.MapType(T.StringType(), T.DoubleType())),
+        ("frozen<set<text>>", T.ArrayType(T.StringType())),
+    ],
+}
+_QUOTE = {"generic": "`{}`", "oracle": '"{}"', "cassandra": '"{}"'}
+# keyword-colliding names MUST survive when quoted
+_NAMES = ["key", "index", "check", "c0", "c1", "value_2", "x"]
+
+
+def test_random_schema_roundtrip_all_dialects():
+    import random
+
+    for dialect, pool in _POOLS.items():
+        for seed in range(10):
+            rng = random.Random(seed)
+            cols = rng.sample(_NAMES, rng.randrange(2, len(_NAMES)))
+            defs = [(n, *rng.choice(pool)) for n in cols]
+            qf = _QUOTE[dialect].format
+            body = ", ".join(f"{qf(n)} {t}" for n, t, _ in defs)
+            body += f", PRIMARY KEY ({qf(defs[0][0])})"
+            reg = SchemaRegistry()
+            ctx = DialectContext(dialect=dialect)
+            apply_ddl(reg, f"CREATE TABLE ks.t ({body})", ctx)
+            got = reg.latest("t")
+            assert [f.name for f in got.fields] == [n for n, _, _ in defs], (
+                dialect, seed)
+            for (n, tstr, want) in defs:
+                assert got[n].dataType == want, (dialect, seed, n, tstr)
+
+            # ALTER: drop one, add one, rename one — order preserved
+            victim = defs[-1][0]
+            keep = [d for d in defs if d[0] != victim]
+            apply_ddl(reg, f"ALTER TABLE t DROP COLUMN {qf(victim)}", ctx)
+            newt, newty = rng.choice(pool)
+            apply_ddl(reg, f"ALTER TABLE t ADD {qf('added')} {newt}", ctx)
+            first = keep[0][0] if keep else "added"
+            apply_ddl(
+                reg, f"ALTER TABLE t RENAME COLUMN {qf(first)} TO {qf('renamed')}",
+                ctx,
+            )
+            got = reg.latest("t")
+            want_names = ["renamed"] + [n for n, _, _ in keep[1:]] + ["added"]
+            assert [f.name for f in got.fields] == want_names, (dialect, seed)
+            assert got["added"].dataType == newty
+            assert len(reg.versions["t"]) == 4
