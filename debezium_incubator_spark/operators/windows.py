@@ -257,3 +257,42 @@ def w_zscore_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         z.alias("zscore"),
         (F.abs(z) >= 2.0).alias("is_anomaly"),
     ).orderBy("event_id")
+
+
+# --- E6 variant: time-RANGE frame (interval-bounded, not row-count) ------
+
+@register(
+    "w_range_frame",
+    oracle="""
+SELECT event_id, event_type,
+       COUNT(*) OVER w AS n_30m,
+       SUM(CAST(floor((value) * 10000 + 0.5) AS BIGINT)) OVER w
+         / CAST(10000 AS DOUBLE) AS sum_30m
+FROM events
+WINDOW w AS (PARTITION BY event_type ORDER BY epoch_us(ts)
+             RANGE BETWEEN 1800000000 PRECEDING AND CURRENT ROW)
+ORDER BY event_id
+""",
+)
+def w_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 30-MINUTE frame per event_type — a RANGE frame over the
+    event-time axis (frame membership depends on timestamp distance,
+    not row count; sparse/bursty streams behave correctly where a ROWS
+    frame would not). Both engines order by epoch-microseconds and
+    bound the frame numerically, so membership is bit-identical; the
+    in-frame money sum uses the fixed-point policy."""
+    ev = table(spark, sf_dir, "events")
+    # ts is TIMESTAMP_NTZ; the session zone is pinned UTC, so the cast
+    # to TIMESTAMP is exact and epoch-µs matches DuckDB's epoch_us
+    w = (
+        W.partitionBy("event_type")
+        .orderBy(F.unix_micros(F.col("ts").cast("timestamp")))
+        .rangeBetween(-1800 * 1_000_000, 0)
+    )
+    fx = F.expr("CAST(floor(value * 10000 + 0.5) AS BIGINT)")
+    return ev.select(
+        "event_id",
+        "event_type",
+        F.count("*").over(w).alias("n_30m"),
+        (F.sum(fx).over(w) / F.lit(10000.0)).alias("sum_30m"),
+    ).orderBy("event_id")
