@@ -308,3 +308,24 @@ def test_new_operator_plan_shapes(spark):
     pun = _plan(q["agg_unpivot"](spark, SF_SMOKE))
     assert "Expand" in pun
     assert "Union" not in pun
+
+
+def test_round3_plan_shapes(spark):
+    """Scale-posture audit for the round-3 queries: the decontamination
+    join broadcasts its benchmark pool (no corpus shuffle for the
+    probe), batch KNN broadcasts the query set and prunes ranks via
+    WindowGroupLimit, and the RANGE-frame window runs as a single
+    window over one scan."""
+    from debezium_incubator_spark.registry import all_queries
+
+    q = all_queries()
+    p14 = _plan(q["t14_decontaminate"](spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in p14 and "BroadcastExchange" in p14
+
+    pbk = _plan(q["sim_batch_knn"](spark, SF_SMOKE))
+    assert "BroadcastExchange" in pbk  # query batch broadcast
+    assert "WindowGroupLimit" in pbk  # rank>k pruned pre-materialization
+
+    prf = _plan(q["w_range_frame"](spark, SF_SMOKE))
+    assert "Window" in prf and "RangeFrame" in prf or "rangeframe" in prf.lower()
+    assert prf.count("Exchange hashpartitioning") <= 1  # one window shuffle
