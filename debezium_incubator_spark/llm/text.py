@@ -650,3 +650,114 @@ def t14_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("containment"), "doc_id")
         .limit(100)
     )
+
+
+# --- t15: declarative data-quality expectations (Deequ-style) ------------
+
+@register(
+    "t15_data_quality",
+    oracle="""
+SELECT source,
+       COUNT(*) AS n_docs,
+       floor(AVG(CASE WHEN text IS NULL OR text = '' THEN 1 ELSE 0 END)
+             * 10000 + 0.5) / CAST(10000 AS DOUBLE) AS empty_rate,
+       floor(AVG(CASE WHEN n_chars = len(text) THEN 1 ELSE 0 END)
+             * 10000 + 0.5) / CAST(10000 AS DOUBLE) AS len_ok_rate,
+       floor(AVG(CASE WHEN lang IN ('en','de','fr','es','zh') THEN 1 ELSE 0 END)
+             * 10000 + 0.5) / CAST(10000 AS DOUBLE) AS lang_valid_rate,
+       floor(AVG(CASE WHEN n_chars < 100 THEN 1 ELSE 0 END)
+             * 10000 + 0.5) / CAST(10000 AS DOUBLE) AS short_rate,
+       CAST(COUNT(*) - COUNT(DISTINCT doc_id) AS BIGINT) AS dup_ids
+FROM documents
+GROUP BY source
+ORDER BY source
+""",
+)
+def t15_data_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Constraint/expectation metrics per source slice (the Deequ-style
+    audit every ingest runs before training): null/empty rate, metadata
+    consistency (n_chars == len(text)), lang-domain validity, short-doc
+    rate, duplicate-id count. One hash aggregate over one scan — every
+    check is an expression, so adding expectations never adds passes.
+    Integer-derived ratios use tie-free floor rounding (parity policy)."""
+    d = table(spark, sf_dir, "documents")
+
+    def rate(cond: str, alias: str):
+        from ..exprs import round4x
+
+        return round4x(f"AVG(CASE WHEN {cond} THEN 1 ELSE 0 END)").alias(alias)
+
+    return (
+        d.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            rate("text IS NULL OR text = ''", "empty_rate"),
+            rate("n_chars = length(text)", "len_ok_rate"),
+            rate("lang IN ('en','de','fr','es','zh')", "lang_valid_rate"),
+            rate("n_chars < 100", "short_rate"),
+            (F.count("*") - F.countDistinct("doc_id")).alias("dup_ids"),
+        )
+        .orderBy("source")
+    )
+
+
+# --- t16: distribution drift between slices (PSI) ------------------------
+
+@register(
+    "t16_drift_psi",
+    oracle="""
+WITH c AS (
+  SELECT source, CAST(floor(n_chars / 100) AS BIGINT) AS b, COUNT(*) AS n
+  FROM documents GROUP BY 1, 2
+), t AS (
+  SELECT source, CAST(SUM(n) AS BIGINT) AS t FROM c GROUP BY source
+), p AS (
+  SELECT c.source, c.b, CAST(c.n AS DOUBLE) / t.t AS p
+  FROM c JOIN t USING (source)
+), base AS (
+  SELECT b, p AS pb FROM p WHERE source = 'src0'
+)
+SELECT p.source,
+       ROUND(SUM((p.p - base.pb) * ln(p.p / base.pb)), 4) AS psi
+FROM p JOIN base USING (b)
+WHERE p.source <> 'src0'
+GROUP BY p.source
+ORDER BY p.source
+""",
+)
+def t16_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index of each source's doc-length
+    distribution against the src0 baseline (the standard drift alarm
+    between a new crawl slice and the corpus it should resemble).
+    Fixed-width buckets keep the histogram deterministic; buckets are
+    compared where both slices have mass (inner join — the PSI
+    epsilon-smoothing decision is the caller's).
+
+    Scale: two hash aggregates over one scan + a BROADCAST of the
+    baseline histogram (a histogram is always tiny); per-slice PSI is
+    one more aggregate. ln-derived sums use plain ROUND (continuous
+    values — parity policy)."""
+    d = table(spark, sf_dir, "documents")
+    cnts = (
+        d.groupBy("source", F.floor(F.col("n_chars") / 100).alias("b"))
+        .agg(F.count("*").alias("n"))
+    )
+    tots = cnts.groupBy("source").agg(F.sum("n").alias("t"))
+    p = cnts.join(tots, "source").select(
+        "source", "b", (F.col("n") / F.col("t")).alias("p")
+    )
+    base = p.filter(F.col("source") == "src0").select(
+        "b", F.col("p").alias("pb")
+    )
+    return (
+        p.filter(F.col("source") != "src0")
+        .join(F.broadcast(base), "b")
+        .groupBy("source")
+        .agg(
+            F.round(
+                F.sum((F.col("p") - F.col("pb")) * F.log(F.col("p") / F.col("pb"))),
+                4,
+            ).alias("psi")
+        )
+        .orderBy("source")
+    )
