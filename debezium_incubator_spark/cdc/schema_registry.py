@@ -73,13 +73,21 @@ class SchemaRegistry:
     def version(self, table: str, v: int) -> T.StructType:
         return self.versions[table][v]
 
-    def upgrade(self, df: DataFrame, table: str) -> DataFrame:
+    def upgrade(
+        self, df: DataFrame, table: str, keep: tuple[str, ...] = ()
+    ) -> DataFrame:
         """Project a DataFrame of ANY historical version to the latest
         schema: missing columns → typed nulls; extra columns → dropped;
         common columns → coerced to the latest type. Nested struct
         evolution (a CQL UDT gaining a field) is rebuilt field-wise —
         Spark's CAST refuses struct widening — recursing through
-        arrays and maps; everything stays expression-level (no UDF)."""
+        arrays and maps; everything stays expression-level (no UDF).
+
+        ``keep`` passes pipeline metadata columns (``__op``, ``__pos``,
+        …) through unchanged. A CDC fold must carry its ordering column
+        alongside the payload — re-attaching it afterwards via a join on
+        the business key silently cross-pairs payloads with positions
+        whenever a key has several change rows in the batch."""
         target = self.latest(table)
         cols = []
         have = {f.name: f for f in df.schema.fields}
@@ -89,6 +97,7 @@ class SchemaRegistry:
                 cols.append(col.alias(f.name))
             else:
                 cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+        cols.extend(F.col(name) for name in keep)
         return df.select(*cols)
 
     def union_versions(self, dfs: list[tuple[DataFrame, str]]) -> DataFrame:

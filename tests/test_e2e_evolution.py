@@ -86,9 +86,7 @@ def test_ddl_evolution_avro_pipeline(spark):
     flat1 = unwrap(parse_envelope_avro(wire1, v1)).select(
         "id", "bal", "tier", *meta
     )
-    norm0 = reg.upgrade(flat0.drop(*meta), "accounts").join(
-        flat0.select("id", *meta), "id"
-    )
+    norm0 = reg.upgrade(flat0, "accounts", keep=tuple(meta))
     changes = norm0.unionByName(flat1)
 
     # 5. fold to current state
@@ -186,9 +184,7 @@ def test_oracle_dialect_confluent_pipeline(spark):
     meta = ["__op", "__pos"]
     flat0 = parts[sid0].select("ID", "BAL", *meta)
     flat1 = parts[sid1].select("ID", "BAL", "TIER", *meta)
-    norm0 = reg.upgrade(flat0.drop(*meta), "accounts").join(
-        flat0.select("ID", *meta), "ID"
-    )
+    norm0 = reg.upgrade(flat0, "accounts", keep=tuple(meta))
     changes = norm0.unionByName(flat1)
     state = materialize_latest(changes, keys=["ID"], position=["__pos"])
     got = {int(r.ID): (r.BAL, r.TIER) for r in state.collect()}
