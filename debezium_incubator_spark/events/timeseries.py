@@ -1,0 +1,139 @@
+"""Time-series analytics: gap-filling with LOCF interpolation and cohort
+retention — the TimescaleDB-style `time_bucket_gapfill`/`locf` surface
+(SURVEY.md §2I-adjacent; hypertable-rollup family from the build brief)
+re-expressed as declarative Spark plans.
+
+Scale posture (100 TB): the spine is generated from the *aggregated*
+time range — its size is (time-range / bucket width) × type cardinality,
+independent of the raw event volume. The raw table collapses through one
+partial+final hash aggregate before it ever meets the spine, so the
+grid join touches thousands of rows however large the input; the LOCF
+window partitions on the low-cardinality series key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from ..catalog import table
+from ..registry import register
+
+
+@register(
+    "e7_gapfill_locf",
+    oracle="""
+WITH b AS (
+  SELECT date_trunc('hour', ts) AS bucket, event_type,
+         COUNT(*) AS n,
+         SUM(CAST(floor((value) * 10000 + 0.5) AS BIGINT)) / CAST(10000 AS DOUBLE) AS sum_value
+  FROM events GROUP BY 1, 2
+), span AS (
+  SELECT date_trunc('hour', MIN(ts)) AS lo, date_trunc('hour', MAX(ts)) AS hi FROM events
+), spine AS (
+  SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket FROM span
+), grid AS (
+  SELECT s.bucket, t.event_type
+  FROM spine s CROSS JOIN (SELECT DISTINCT event_type FROM events) t
+)
+SELECT g.bucket, g.event_type,
+       COALESCE(b.n, CAST(0 AS BIGINT)) AS n,
+       COALESCE(last_value(b.sum_value IGNORE NULLS) OVER (
+         PARTITION BY g.event_type ORDER BY g.bucket
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0.0) AS locf_value,
+       CAST(CASE WHEN b.n IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_gap
+FROM grid g LEFT JOIN b ON g.bucket = b.bucket AND g.event_type = b.event_type
+ORDER BY g.bucket, g.event_type
+""",
+)
+def e7_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense hourly series per event type: generate the full bucket spine
+    over the observed range, left-join the hourly rollup onto it, and
+    fill empty buckets with last-observation-carried-forward.
+
+    The spine is built with sequence()+explode from a one-row min/max
+    aggregate — no driver collect, no data-volume dependence. LOCF is
+    ``last(value, ignorenulls=True)`` over an unbounded-preceding frame
+    per series (5 series here; at scale the window parallelizes across
+    series keys). Fixed-point money sum per the parity policy."""
+    ev = table(spark, sf_dir, "events")
+    b = (
+        ev.groupBy(
+            F.date_trunc("hour", "ts").alias("bucket"), "event_type"
+        ).agg(
+            F.count("*").alias("n"),
+            F.expr(
+                "SUM(CAST(floor((value) * 10000 + 0.5) AS BIGINT))"
+                " / CAST(10000 AS DOUBLE)"
+            ).alias("sum_value"),
+        )
+    )
+    span = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    spine = span.select(
+        F.explode(F.expr("sequence(lo, hi, interval 1 hour)")).alias("bucket")
+    )
+    grid = spine.crossJoin(ev.select("event_type").distinct())
+    locf = (
+        F.last("sum_value", ignorenulls=True)
+        .over(
+            W.partitionBy("event_type")
+            .orderBy("bucket")
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
+        )
+    )
+    return (
+        F.broadcast(grid)
+        .join(b, ["bucket", "event_type"], "left")
+        .select(
+            "bucket",
+            "event_type",
+            F.coalesce("n", F.lit(0).cast("bigint")).alias("n"),
+            F.coalesce(locf, F.lit(0.0)).alias("locf_value"),
+            F.when(F.col("n").isNull(), 1).otherwise(0).cast("bigint").alias("is_gap"),
+        )
+        .orderBy("bucket", "event_type")
+    )
+
+
+@register(
+    "e8_cohort_retention",
+    oracle="""
+WITH ue AS (
+  SELECT DISTINCT user_id, date_trunc('day', ts) AS d FROM events
+), f AS (
+  SELECT user_id, MIN(d) AS cohort FROM ue GROUP BY user_id
+)
+SELECT f.cohort AS cohort_day,
+       CAST(date_diff('day', f.cohort, ue.d) AS BIGINT) AS day_offset,
+       COUNT(DISTINCT ue.user_id) AS n_users
+FROM ue JOIN f USING (user_id)
+GROUP BY 1, 2 ORDER BY 1, 2
+""",
+)
+def e8_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic cohort/retention triangle: users grouped by first-active
+    day, activity counted per (cohort, day-offset) cell.
+
+    Two hash aggregates + one equi-join on user_id; both aggregates are
+    map-side combinable and the join key is the natural partitioning of
+    the events table (no skew: per-user history is bounded). Day-offset
+    on day-truncated timestamps is exact integer days on both engines;
+    cohort surfaces as timestamp (never bare DATE — parity policy)."""
+    ev = table(spark, sf_dir, "events")
+    ue = ev.select(
+        "user_id", F.date_trunc("day", "ts").alias("d")
+    ).distinct()
+    f = ue.groupBy("user_id").agg(F.min("d").alias("cohort"))
+    return (
+        ue.join(f, "user_id")
+        .groupBy(
+            F.col("cohort").alias("cohort_day"),
+            F.expr("CAST(datediff(d, cohort) AS BIGINT)").alias("day_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_users"))
+        .orderBy("cohort_day", "day_offset")
+    )

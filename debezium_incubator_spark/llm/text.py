@@ -761,3 +761,205 @@ def t16_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --- t17: PII redaction (regex scrubbing) --------------------------------
+
+@register(
+    "t17_pii_redact",
+    oracle=r"""
+WITH aug AS (
+  SELECT doc_id,
+    (CASE WHEN doc_id % 3 = 0 THEN 'reach me at user' || CAST(doc_id AS VARCHAR) || '@mail.example ' ELSE '' END)
+    || (CASE WHEN doc_id % 4 = 0 THEN 'call +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' ' ELSE '' END)
+    || text AS raw
+  FROM documents
+), red AS (
+  SELECT doc_id,
+    regexp_replace(regexp_replace(raw,
+      '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+      '\+1-555-[0-9]{4}', '<PHONE>', 'g') AS redacted
+  FROM aug
+)
+SELECT doc_id,
+  CAST((length(redacted) - length(replace(redacted, '<EMAIL>', ''))) // 7 AS BIGINT) AS n_emails,
+  CAST((length(redacted) - length(replace(redacted, '<PHONE>', ''))) // 7 AS BIGINT) AS n_phones,
+  CAST(length(redacted) AS BIGINT) AS red_len,
+  substring(redacted, 1, 40) AS head
+FROM red ORDER BY doc_id
+""",
+)
+def t17_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing, the first transform of any web-scale curation
+    pipeline: regex-redact emails and phone numbers, count what was
+    removed. The fixture corpus is synthetic word-soup with no real PII,
+    so both sides deterministically plant PII derived from doc_id before
+    redacting — the differential check still exercises the actual
+    operator (global regexp_replace semantics, char-class/quantifier
+    parity between Java regex and RE2) on every row.
+
+    Scale: pure per-row expressions (regexp_replace stays in codegen) —
+    embarrassingly parallel, survives any partitioning, no shuffle
+    except the output sort."""
+    d = table(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit("reach me at user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@mail.example "),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(
+                F.lit("call +1-555-"),
+                F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+                F.lit(" "),
+            ),
+        ).otherwise(F.lit("")),
+        F.col("text"),
+    )
+    red = F.regexp_replace(
+        F.regexp_replace(
+            raw, r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}", "<EMAIL>"
+        ),
+        r"\+1-555-[0-9]{4}",
+        "<PHONE>",
+    )
+    def occurrences(col, token):
+        return (
+            (F.length(col) - F.length(F.regexp_replace(col, token, "")))
+            / len(token)
+        ).cast("bigint")
+    return (
+        d.select("doc_id", red.alias("redacted"))
+        .select(
+            "doc_id",
+            occurrences(F.col("redacted"), "<EMAIL>").alias("n_emails"),
+            occurrences(F.col("redacted"), "<PHONE>").alias("n_phones"),
+            F.length("redacted").cast("bigint").alias("red_len"),
+            F.substring("redacted", 1, 40).alias("head"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# --- t18: RAG-style overlapping chunking ---------------------------------
+
+@register(
+    "t18_chunk_documents",
+    oracle="""
+WITH c AS (
+  SELECT doc_id, text,
+         unnest(generate_series(0, (length(text) - 1) // 80)) AS i
+  FROM documents
+)
+SELECT doc_id, CAST(i AS BIGINT) AS chunk_id,
+       CAST(i * 80 + 1 AS BIGINT) AS chunk_start,
+       CAST(length(substring(text, CAST(i * 80 + 1 AS INT), 120)) AS BIGINT) AS chunk_len,
+       md5(substring(text, CAST(i * 80 + 1 AS INT), 120)) AS fp
+FROM c ORDER BY doc_id, chunk_id
+""",
+)
+def t18_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping fixed-width chunking (window 120 chars, stride 80 →
+    40-char overlap): the retrieval/embedding prep step that turns each
+    document into indexable passages. Chunk text is fingerprinted (md5)
+    rather than carried — the differential check covers content without
+    hauling every chunk through the comparator.
+
+    Scale: sequence()+explode fans each row out to ceil(len/stride)
+    chunks with no shuffle (explode is pipeline-local); substring stays
+    in codegen. Downstream embedding is a mapInPandas over these rows."""
+    d = table(spark, sf_dir, "documents")
+    chunk = F.expr("substring(text, CAST(i * 80 + 1 AS INT), 120)")
+    return (
+        d.select(
+            "doc_id",
+            "text",
+            F.explode(
+                F.expr("sequence(0, (length(text) - 1) DIV 80)")
+            ).alias("i"),
+        )
+        .select(
+            "doc_id",
+            F.col("i").cast("bigint").alias("chunk_id"),
+            (F.col("i") * 80 + 1).cast("bigint").alias("chunk_start"),
+            F.length(chunk).cast("bigint").alias("chunk_len"),
+            F.md5(chunk).alias("fp"),
+        )
+        .orderBy("doc_id", "chunk_id")
+    )
+
+
+# --- t19: repetition filter (Gopher top-bigram fraction) ------------------
+
+@register(
+    "t19_rep_2gram",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(string_split(lower(text), ' ')) AS w,
+         generate_subscripts(string_split(lower(text), ' '), 1) AS i
+  FROM documents
+), seq AS (
+  SELECT doc_id, w, lead(w) OVER (PARTITION BY doc_id ORDER BY i) AS nxt FROM tok
+), bg AS (
+  SELECT doc_id, w || ' ' || nxt AS bg FROM seq WHERE nxt IS NOT NULL
+), cnt AS (
+  SELECT doc_id, bg, COUNT(*) AS c FROM bg GROUP BY 1, 2
+)
+SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams, MAX(c) AS top_count,
+       floor(CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) * 10000 + 0.5)
+         / CAST(10000 AS DOUBLE) AS top_frac
+FROM cnt GROUP BY doc_id
+ORDER BY top_frac DESC, doc_id LIMIT 100
+""",
+)
+def t19_rep_2gram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signal: the fraction of a document's word
+    bigrams taken by its single most frequent bigram (high ⇒ templated /
+    looping text, a standard pre-training quality filter).
+
+    Scale: bigrams are built with an array transform over the token
+    array (adjacent pairs, no self-join, no window, stays codegen-side),
+    then one explode + two hash aggregates keyed by doc_id — the
+    per-document group is bounded by document length. The oracle builds
+    the same pairs with lead() — different construction, same value.
+    Tie-free floor rounding + doc_id tie-break (parity policy)."""
+    d = table(spark, sf_dir, "documents")
+    bg = (
+        d.select("doc_id", F.split(F.lower("text"), " ").alias("tk"))
+        .filter(F.size("tk") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(tk) - 1),"
+                    " i -> concat(element_at(tk, i), ' ', element_at(tk, i + 1)))"
+                )
+            ).alias("bg"),
+        )
+    )
+    cnt = bg.groupBy("doc_id", "bg").agg(F.count("*").alias("c"))
+    from ..exprs import round4x
+
+    return (
+        cnt.groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_bigrams"),
+            F.max("c").alias("top_count"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            "top_count",
+            round4x(
+                "CAST(top_count AS DOUBLE) / CAST(n_bigrams AS DOUBLE)"
+            ).alias("top_frac"),
+        )
+        .orderBy(F.desc("top_frac"), "doc_id")
+        .limit(100)
+    )

@@ -438,3 +438,41 @@ def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@register(
+    "agg_histogram",
+    oracle="""
+SELECT LEAST(GREATEST(CAST(floor(l_extendedprice / 5000) AS BIGINT), 0), 19) AS bin_id,
+       CAST(LEAST(GREATEST(CAST(floor(l_extendedprice / 5000) AS BIGINT), 0), 19) * 5000 AS DOUBLE) AS bin_lo,
+       COUNT(*) AS n,
+       SUM(CAST(floor((l_extendedprice) * 10000 + 0.5) AS BIGINT)) / CAST(10000 AS DOUBLE) AS sum_price
+FROM lineitem GROUP BY 1, 2 ORDER BY 1
+""",
+)
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram (equi-width binning with edge clamping) —
+    the distribution-profiling aggregate behind data-quality dashboards
+    and drift checks. Bin = clamp(floor(x / width), 0, nbins-1), a pure
+    integer expression on both engines (no width_bucket: its edge
+    semantics differ across engines; the explicit clamp is portable and
+    survives pushdown).
+
+    Scale: one partial+final hash aggregate on a 20-value key — the
+    histogram is map-side-combined to 20 rows per task regardless of
+    input volume."""
+    li = table(spark, sf_dir, "lineitem")
+    bin_id = F.expr(
+        "LEAST(GREATEST(CAST(floor(l_extendedprice / 5000) AS BIGINT), 0), 19)"
+    )
+    return (
+        li.groupBy(
+            bin_id.alias("bin_id"),
+            (bin_id * 5000).cast("double").alias("bin_lo"),
+        )
+        .agg(
+            F.count("*").alias("n"),
+            money_sum("l_extendedprice", "sum_price"),
+        )
+        .orderBy("bin_id")
+    )
