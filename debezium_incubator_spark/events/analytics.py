@@ -250,3 +250,54 @@ def e6_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(c.agg(F.count("*").alias("n_then_click")))
         .crossJoin(p.agg(F.count("*").alias("n_then_purchase")))
     )
+
+
+# --- e9: ordered-sequence pattern matching (MATCH_RECOGNIZE-lite) ---------
+
+@register(
+    "e9_sequence_pattern",
+    oracle="""
+WITH seq AS (
+  SELECT user_id,
+         string_agg(event_type, '>' ORDER BY ts, event_id) AS path,
+         CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM events GROUP BY user_id
+)
+SELECT user_id, n_events,
+       CAST(regexp_matches(path, 'view(>click)+>purchase') AS INT) AS has_funnel,
+       CAST(length(regexp_extract_all(path, 'error>error')) AS BIGINT) AS n_err_bursts,
+       CAST(length(path) AS BIGINT) AS path_len
+FROM seq ORDER BY user_id
+""",
+)
+def e9_sequence_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL MATCH_RECOGNIZE-lite: fold each user's event history into an
+    ordered type-path string, then run regex row-pattern predicates over
+    it (strict-adjacency funnel ``view(>click)+>purchase``, repeated
+    error bursts). The reassembly order (ts, event_id) is total — the
+    tie-break keeps the fold deterministic on both engines.
+
+    Scale: one shuffle on user_id; per-user history is bounded (the
+    path string is KBs), and the regex scan is per-row, embarrassingly
+    parallel. This is the batch shape of streaming CEP: the same path
+    fold works under applyInPandasWithState with the regex per update."""
+    ev = table(spark, sf_dir, "events")
+    seq = ev.groupBy("user_id").agg(
+        F.array_join(
+            F.expr(
+                "transform(array_sort(collect_list(struct(ts, event_id,"
+                " event_type))), x -> x.event_type)"
+            ),
+            ">",
+        ).alias("path"),
+        F.count("*").alias("n_events"),
+    )
+    return seq.select(
+        "user_id",
+        "n_events",
+        F.col("path").rlike("view(>click)+>purchase").cast("int").alias("has_funnel"),
+        F.expr("CAST(regexp_count(path, 'error>error') AS BIGINT)").alias(
+            "n_err_bursts"
+        ),
+        F.length("path").cast("bigint").alias("path_len"),
+    ).orderBy("user_id")

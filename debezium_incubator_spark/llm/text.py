@@ -963,3 +963,49 @@ def t19_rep_2gram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("top_frac"), "doc_id")
         .limit(100)
     )
+
+
+# --- t20: inverted index (posting lists) ---------------------------------
+
+@register(
+    "t20_inverted_index",
+    oracle="""
+WITH tok AS (
+  SELECT DISTINCT doc_id, unnest(string_split(lower(text), ' ')) AS term
+  FROM documents
+), post AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS df,
+         list_sort(array_agg(doc_id))[1:20] AS postings
+  FROM tok GROUP BY term
+)
+SELECT term, df, postings FROM post ORDER BY df DESC, term LIMIT 50
+""",
+)
+def t20_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index build: term → document frequency + sorted posting
+    list (capped at 20 ids — the retrieval-shard head; full lists go to
+    a partitioned sink, not the comparator). The core of any corpus
+    search/dedup-lookup side structure.
+
+    Scale: explode over distinct per-doc terms, ONE hash aggregate keyed
+    by term; collect_list is bounded by the cap after sort+slice. Posting
+    lists for the full index would be written bucketed by term (see
+    bucketed_sink) so lookups are exchange-free. Stop-word-frequency
+    terms are the skew risk at 100 TB: the df aggregate map-side-combines,
+    and the capped slice bounds the reduce-side row size."""
+    d = table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.split(F.lower("text"), " "))).alias("term"),
+    )
+    return (
+        tok.groupBy("term")
+        .agg(
+            F.count("*").alias("df"),
+            F.slice(F.sort_array(F.collect_list("doc_id")), 1, 20).alias(
+                "postings"
+            ),
+        )
+        .orderBy(F.desc("df"), "term")
+        .limit(50)
+    )
