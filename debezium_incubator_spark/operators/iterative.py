@@ -1,0 +1,134 @@
+"""Iterative graph analytics with EXACT differential oracles: PageRank
+over the nation-level trade graph, run to a fixed iteration count in
+all-integer fixed-point arithmetic so the Spark loop and the unrolled
+SQL oracle are bit-identical (no float summation-order drift — every
+operation is BIGINT multiply / truncating divide / exact integer sum).
+
+Scale posture (100 TB): the edge list is built by the same broadcast
+star join as q5/q7 and collapses to |nations|² rows before any
+iteration; each PageRank step is one equi-join of the rank vector with
+the edge list + one hash aggregate on dst — rank vectors partition by
+node key, nothing is collected to the driver, and the iteration count
+is fixed (the convergence-driven variant would add the same
+converged-flag loop as ``hierarchy_depth``). For billion-node graphs
+the identical plan runs with the rank vector hash-partitioned; the
+small-side broadcast here is an AQE decision, not a structural one.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..registry import register
+
+FP = 1_000_000_000_000  # 1e12 fixed-point scale for ranks
+ITERS = 5
+_EDGES_CTE = """
+WITH edges AS (
+  SELECT cn.n_name AS src, sn.n_name AS dst, CAST(COUNT(*) AS BIGINT) AS w
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+  JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+  GROUP BY 1, 2
+), outw AS (
+  SELECT src, CAST(SUM(w) AS BIGINT) AS ow FROM edges GROUP BY src
+), nodes AS (
+  SELECT n_name AS k FROM nation
+), nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),
+r0 AS (
+  SELECT k, CAST({fp} // (SELECT n FROM nn) AS BIGINT) AS rf FROM nodes
+)"""
+
+
+def _pagerank_oracle(iters: int = ITERS) -> str:
+    """Unroll the fixed-point PageRank recurrence into chained CTEs —
+    the SQL twin of the Spark loop (standard SQL forbids aggregation in
+    a recursive CTE term, so the fixed iteration count is unrolled)."""
+    sql = _EDGES_CTE.format(fp=FP)
+    prev = "r0"
+    for i in range(1, iters + 1):
+        sql += f""",
+r{i} AS (
+  SELECT n.k,
+         CAST({FP * 15 // 100} // (SELECT n FROM nn) AS BIGINT)
+         + CAST(COALESCE(SUM((p.rf * e.w) // ow.ow), 0) * 85 // 100 AS BIGINT) AS rf
+  FROM nodes n
+  LEFT JOIN edges e ON e.dst = n.k
+  LEFT JOIN r{i - 1} p ON p.k = e.src
+  LEFT JOIN outw ow ON ow.src = e.src
+  GROUP BY n.k
+)"""
+        prev = f"r{i}"
+    sql += f"""
+SELECT k AS nation, rf AS rank_fp,
+       CAST(rf AS DOUBLE) / {FP} AS rank
+FROM {prev} ORDER BY rf DESC, nation
+"""
+    return sql
+
+
+@register("iter_pagerank", oracle=_pagerank_oracle())
+def iter_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Five fixed-point PageRank iterations (damping 0.85) over the
+    customer-nation → supplier-nation trade graph. All arithmetic is
+    BIGINT (ranks scaled by 1e12, truncating division) so the DataFrame
+    loop is hash-identical to the oracle's unrolled CTE chain — the
+    iterative-operator family gets exact differential coverage, not a
+    rows-only check. Dangling nodes receive the teleport base via the
+    left join + COALESCE."""
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    cn = n.select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("src")
+    )
+    sn = n.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("dst")
+    )
+    edges = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(cn), c.c_nationkey == cn.c_nk)
+        .join(F.broadcast(sn), s.s_nationkey == sn.s_nk)
+        .groupBy("src", "dst")
+        .agg(F.count("*").alias("w"))
+    )
+    outw = edges.groupBy("src").agg(F.sum("w").alias("ow"))
+    nodes = n.select(F.col("n_name").alias("k"))
+    n_nodes = nodes.count()  # control-plane scalar: node-set cardinality
+    base = FP * 15 // 100 // n_nodes
+    ranks = nodes.select("k", F.lit(FP // n_nodes).cast("bigint").alias("rf"))
+    ew = edges.join(outw, "src").select("src", "dst", "w", "ow")
+    for _ in range(ITERS):
+        contrib = (
+            ranks.join(ew, ranks.k == ew.src)
+            .select(
+                F.col("dst"),
+                F.expr("(rf * w) DIV ow").alias("contrib"),
+            )
+            .groupBy("dst")
+            .agg(F.sum("contrib").alias("s"))
+        )
+        ranks = (
+            nodes.join(contrib, nodes.k == contrib.dst, "left")
+            .select(
+                "k",
+                (
+                    F.lit(base)
+                    + F.expr("COALESCE(s, 0) * 85 DIV 100")
+                ).cast("bigint").alias("rf"),
+            )
+        )
+    return ranks.select(
+        F.col("k").alias("nation"),
+        F.col("rf").alias("rank_fp"),
+        (F.col("rf").cast("double") / FP).alias("rank"),
+    ).orderBy(F.desc("rank_fp"), "nation")

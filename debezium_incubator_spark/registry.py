@@ -146,6 +146,7 @@ def load_all() -> None:
         aggregates,
         combos,
         hierarchy,
+        iterative,
         joins,
         scans,
         setops,
