@@ -194,3 +194,30 @@ def test_streaming_progress_metrics(spark):
     assert m["stateRowsTotal"] >= 5  # one state row per event_type
     hist = history_metrics(q)
     assert len(hist) >= 1 and sum(h["numInputRows"] for h in hist) == 1000
+
+
+def test_cep_stream_matches_batch(spark):
+    """I6/K6-family CEP: the stateful path-fold + regex verdicts must
+    equal the batch e9_sequence_pattern query (itself oracle-checked),
+    per user, on the same data."""
+    from debezium_incubator_spark.streaming.cep import sequence_pattern_stream
+
+    ev = table(spark, SF_SMOKE, "events").select(
+        "user_id",
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        "event_type",
+    )
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        ev.write.mode("overwrite").parquet(f"{td}/ev")
+        stream = spark.readStream.schema(ev.schema).parquet(f"{td}/ev")
+        run_available_now(
+            sequence_pattern_stream(stream), "t_cep", output_mode="update"
+        )
+        got = _sorted(spark.sql("SELECT * FROM t_cep").toPandas())
+    want = _sorted(
+        all_queries()["e9_sequence_pattern"](spark, SF_SMOKE).toPandas()
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
