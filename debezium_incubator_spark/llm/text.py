@@ -1009,3 +1009,51 @@ def t20_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("df"), "term")
         .limit(50)
     )
+
+
+# --- t21: Zipf exponent of the term-frequency distribution ----------------
+
+@register(
+    "t21_zipf_slope",
+    oracle="""
+WITH t AS (
+  SELECT unnest(string_split(lower(text), ' ')) AS term FROM documents
+), f AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS freq FROM t GROUP BY term
+), ranked AS (
+  SELECT term, freq,
+         row_number() OVER (ORDER BY freq DESC, term) AS rnk
+  FROM f
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_terms,
+       ROUND(regr_slope(ln(freq), ln(rnk)), 4) AS zipf_slope,
+       ROUND(regr_r2(ln(freq), ln(rnk)), 4) AS r2
+FROM ranked
+""",
+)
+def t21_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-law exponent of the corpus: OLS slope of ln(freq) over
+    ln(rank) — the one-number corpus-health check (natural language sits
+    near −1; synthetic/templated corpora deviate, as this fixture does).
+
+    Scale: term frequencies are one hash aggregate; the global rank is a
+    single-partition window over |vocab| rows (vocabulary is always
+    tiny next to the corpus — rank the top-K vocab slice if it were
+    not), and the regression is a mergeable second-moment aggregate.
+    ln() of identical integers is one libm call on both engines; plain
+    ROUND per the continuous-value policy."""
+    from pyspark.sql.window import Window as W
+
+    d = table(spark, sf_dir, "documents")
+    t = d.select(F.explode(tokens()).alias("term"))
+    f = t.groupBy("term").agg(F.count("*").alias("freq"))
+    ranked = f.withColumn(
+        "rnk", F.row_number().over(W.orderBy(F.desc("freq"), "term"))
+    )
+    return ranked.agg(
+        F.count("*").alias("n_terms"),
+        F.round(
+            F.expr("regr_slope(ln(freq), ln(rnk))"), 4
+        ).alias("zipf_slope"),
+        F.round(F.expr("regr_r2(ln(freq), ln(rnk))"), 4).alias("r2"),
+    )

@@ -78,8 +78,7 @@ PRIORITY: list[str] = [
     "cdc_scd2_history",
     "cdc_dedup_stream",      # I5 batch twin
     "route_content_based",   # B4
-    "route_logical_table",   # B5
-    "route_outbox",          # B6
+    "route_outbox",          # B6 (B5 regex-rename stays in the sweep)
     # §2C joins
     "join_broadcast",        # C1
     "join_outer",            # C3
@@ -87,8 +86,7 @@ PRIORITY: list[str] = [
     "join_anti",             # C5
     "join_theta",            # C6
     "join_range",            # C7
-    "join_asof",             # C8
-    "join_cross",            # C9
+    "join_asof",             # C8 (C9 cross stays in the sweep)
     # §2D aggregations
     "agg_distinct",          # D2
     "agg_grouping_sets",     # D4
@@ -119,6 +117,11 @@ PRIORITY: list[str] = [
     "dedup_exact",           # J1
     "dedup_ngram_jaccard",   # J2 verify stage
     "sim_knn",               # J4
+    # round-3 additions: the two new §2L families (iterative graph /
+    # time-series) get audited representatives; the demoted C9/B5 keys
+    # remain oracle-checked by the repo sweep.
+    "iter_pagerank",         # L29 iterative (exact unrolled-CTE oracle)
+    "e7_gapfill_locf",       # L22 time-series gap-fill
 ]
 
 

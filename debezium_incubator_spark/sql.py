@@ -159,3 +159,47 @@ def sql_filtered_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     Identical SQL is the oracle (fixed-point money sum per the parity
     policy)."""
     return run_sql(spark, sf_dir, _FILTER_AGG_SQL, ("orders",))
+
+
+@register(
+    "sql_not_in_null_aware",
+    oracle="""
+SELECT 'outer_nulls_drop' AS label, CAST(COUNT(*) AS BIGINT) AS n
+FROM customer
+WHERE NULLIF(c_nationkey, 7) NOT IN
+      (SELECT s_nationkey FROM supplier WHERE s_nationkey < 10)
+UNION ALL
+SELECT 'null_in_subquery', CAST(COUNT(*) AS BIGINT)
+FROM customer
+WHERE c_nationkey NOT IN (SELECT NULLIF(s_nationkey, 3) FROM supplier)
+ORDER BY label
+""",
+)
+def sql_not_in_null_aware(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C5 variant with distinct semantics: NULL-aware NOT IN. Unlike
+    NOT EXISTS (plain left-anti), three-valued logic makes (a) an outer
+    NULL never satisfy NOT IN and (b) a single NULL in the subquery
+    empty the whole result. Spark plans this as a null-aware anti join
+    (BroadcastHashJoin/NestedLoop with isNullAware) — both legs are
+    pinned here against DuckDB's NOT IN.
+
+    Scale: the subquery side is an aggregated/filtered dim — broadcast;
+    the probe side streams. NAAJ requires the full build side on every
+    task (null-awareness cannot partition), which is why the planner
+    only offers it for broadcastable builds — exactly the shape used."""
+    return run_sql(
+        spark,
+        sf_dir,
+        """
+        SELECT 'outer_nulls_drop' AS label, CAST(COUNT(*) AS BIGINT) AS n
+        FROM customer
+        WHERE NULLIF(c_nationkey, 7) NOT IN
+              (SELECT s_nationkey FROM supplier WHERE s_nationkey < 10)
+        UNION ALL
+        SELECT 'null_in_subquery', CAST(COUNT(*) AS BIGINT)
+        FROM customer
+        WHERE c_nationkey NOT IN (SELECT NULLIF(s_nationkey, 3) FROM supplier)
+        ORDER BY label
+        """,
+        tables=("customer", "supplier"),
+    )

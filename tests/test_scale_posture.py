@@ -329,3 +329,30 @@ def test_round3_plan_shapes(spark):
     prf = _plan(q["w_range_frame"](spark, SF_SMOKE))
     assert "Window" in prf and "RangeFrame" in prf or "rangeframe" in prf.lower()
     assert prf.count("Exchange hashpartitioning") <= 1  # one window shuffle
+
+
+def test_round3_late_plan_shapes(spark):
+    """Scale-posture audit for the late round-3 queries: gap-fill
+    broadcasts the tiny spine grid (the raw table never shuffles against
+    it), the chunker explodes pipeline-locally (no Exchange feeding the
+    Generate), the histogram is one partial+final hash aggregate, and
+    the bigram repetition filter builds pairs with an array transform
+    (Generate over transform — no self-join of the token table)."""
+    from debezium_incubator_spark.registry import all_queries
+
+    q = all_queries()
+    pgf = _plan(q["e7_gapfill_locf"](spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in pgf  # grid side broadcast, fact side streams
+
+    pch = _plan(q["t18_chunk_documents"](spark, SF_SMOKE))
+    assert "Generate" in pch  # explode present
+    # nothing between scan and explode requires a shuffle
+    assert "Exchange hashpartitioning" not in pch.split("Generate")[-1]
+
+    phist = _plan(q["agg_histogram"](spark, SF_SMOKE))
+    assert phist.count("HashAggregate") >= 2  # partial + final
+    assert phist.count("Exchange hashpartitioning") <= 1
+
+    prep = _plan(q["t19_rep_2gram"](spark, SF_SMOKE))
+    assert "Generate" in prep
+    assert "SortMergeJoin" not in prep  # no token-table self-join
