@@ -326,3 +326,236 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", "hamming")
         .orderBy("doc_a", "doc_b")
     )
+
+
+# --- J2-portable: the SAME MinHash-LSH pipeline, oracle-checked ----------
+#
+# The engine-path variants above use seeded xxhash64 (fastest JVM hash)
+# and therefore can only be rows-only checked. These twins swap in a
+# portable hash — the first 15 hex chars of md5 as a 60-bit integer,
+# computable identically in Spark (conv(hex,16,10)) and DuckDB
+# (CAST('0x'||hex AS BIGINT)) — so the ENTIRE pipeline (shingling →
+# minhash signatures → LSH banding → candidate pairs → exact-Jaccard
+# verification) is hash-parity checked end to end, not just row counts.
+
+_PORT_PERM = 8
+_PORT_BANDS = 4
+_PORT_ROWS = _PORT_PERM // _PORT_BANDS
+_PORT_JACCARD_MIN = 0.5
+
+
+def _phash_spark(expr: str, p: int) -> str:
+    """Portable 60-bit hash, Spark SQL form."""
+    return (
+        f"CAST(conv(substring(md5(concat('p{p}|', {expr})), 1, 15), 16, 10)"
+        " AS BIGINT)"
+    )
+
+
+def _phash_duck(expr: str, p: int) -> str:
+    """Portable 60-bit hash, DuckDB form (bit-identical to the Spark
+    form — verified over the md5 hex alphabet)."""
+    return f"CAST('0x' || substring(md5('p{p}|' || {expr}), 1, 15) AS BIGINT)"
+
+
+_PORT_SHINGLE_CTE = """
+WITH toks AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS ts FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, sh FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, greatest(len(ts) - 1, 1)),
+                  i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS sh
+    FROM toks WHERE len(ts) >= 3
+  )
+)"""
+
+
+def _minhash_portable_oracle() -> str:
+    mins = ",\n         ".join(
+        f"MIN({_phash_duck('sh', p)}) AS mh{p}" for p in range(_PORT_PERM)
+    )
+    bands = "\n  UNION ALL\n".join(
+        "  SELECT doc_id, {b} AS band_id, {expr} AS bh FROM sigs".format(
+            b=b,
+            expr=" || ',' || ".join(
+                f"CAST(mh{b * _PORT_ROWS + r} AS VARCHAR)"
+                for r in range(_PORT_ROWS)
+            ),
+        )
+        for b in range(_PORT_BANDS)
+    )
+    return f"""{_PORT_SHINGLE_CTE},
+sigs AS (
+  SELECT doc_id,
+         {mins}
+  FROM sh GROUP BY doc_id
+), banded AS (
+{bands}
+), pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a
+  JOIN banded b ON a.band_id = b.band_id AND a.bh = b.bh
+              AND a.doc_id < b.doc_id
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT p.doc_a, p.doc_b, COUNT(*) AS i
+  FROM pairs p
+  JOIN sh a ON a.doc_id = p.doc_a
+  JOIN sh b ON b.doc_id = p.doc_b AND b.sh = a.sh
+  GROUP BY 1, 2
+)
+SELECT i.doc_a, i.doc_b, CAST(i.i AS BIGINT) AS n_common,
+       floor(i.i / (sa.n + sb.n - i.i) * 10000 + 0.5)
+         / CAST(10000 AS DOUBLE) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.doc_a
+JOIN sizes sb ON sb.doc_id = i.doc_b
+WHERE i.i / (sa.n + sb.n - i.i) >= {_PORT_JACCARD_MIN}
+ORDER BY doc_a, doc_b
+"""
+
+
+@register("dedup_minhash_portable", oracle=_minhash_portable_oracle())
+def dedup_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup detection, hash-parity checked end to end:
+    8 portable minhash permutations → 4 bands × 2 rows → candidate
+    pairs within shared (band, value) buckets → exact Jaccard rerank
+    (≥ 0.5) on candidates only.
+
+    Scale: identical shape to the xxhash64 engine path — signatures are
+    ONE aggregation over exploded distinct shingles (8 agg columns,
+    map-side combined), pairing is quadratic only inside LSH buckets,
+    and the exact-Jaccard join touches candidate pairs, never all
+    pairs. The portable hash costs one md5 per (shingle, permutation) —
+    use the xxhash64 variant in production; this twin exists so the
+    pipeline's *semantics* are differentially verified."""
+    d = table(spark, sf_dir, "documents")
+    sh = (
+        d.filter(F.size(F.split(F.lower("text"), " ")) >= 3)
+        .select("doc_id", F.explode(F.array_distinct(shingles("text"))).alias("sh"))
+    )
+    sigs = sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.expr(_phash_spark("sh", p))).alias(f"mh{p}")
+            for p in range(_PORT_PERM)
+        ]
+    )
+    banded = sigs.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        ",",
+                        *[
+                            F.col(f"mh{b * _PORT_ROWS + r}").cast("string")
+                            for r in range(_PORT_ROWS)
+                        ],
+                    )
+                    for b in range(_PORT_BANDS)
+                ]
+            )
+        ).alias("band_id", "bh"),
+    )
+    a = banded.select(F.col("doc_id").alias("doc_a"), "band_id", "bh")
+    b = banded.select(F.col("doc_id").alias("doc_b"), "band_id", "bh")
+    pairs = (
+        a.join(b, ["band_id", "bh"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    sha = sh.select(F.col("doc_id").alias("doc_a"), "sh")
+    shb = sh.select(F.col("doc_id").alias("doc_b"), "sh")
+    inter = (
+        pairs.join(sha, "doc_a")
+        .join(shb, ["doc_b", "sh"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("i"))
+    )
+    jac = F.col("i") / (F.col("na") + F.col("nb") - F.col("i"))
+    return (
+        inter.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")), "doc_b")
+        .filter(jac >= _PORT_JACCARD_MIN)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("i").cast("bigint").alias("n_common"),
+            (F.floor(jac * 10000 + 0.5) / F.lit(10000.0)).alias("jaccard"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# --- J2-alt-portable: 16-bit SimHash signatures, oracle-checked ----------
+
+_SIM_PORT_BITS = 16
+
+
+def _simhash_portable_oracle() -> str:
+    votes = ",\n         ".join(
+        f"SUM(CASE WHEN (h // {1 << j}) % 2 = 1 THEN 1 ELSE -1 END) AS v{j}"
+        for j in range(_SIM_PORT_BITS)
+    )
+    sig = "\n         + ".join(
+        f"(CASE WHEN v{j} > 0 THEN {1 << j} ELSE 0 END)"
+        for j in range(_SIM_PORT_BITS)
+    )
+    return f"""
+WITH tok AS (
+  SELECT DISTINCT doc_id, tok FROM (
+    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+    FROM documents
+  )
+), h AS (
+  SELECT doc_id, {_phash_duck('tok', 0)} AS h FROM tok
+), v AS (
+  SELECT doc_id,
+         {votes}
+  FROM h GROUP BY doc_id
+)
+SELECT doc_id,
+       CAST({sig} AS BIGINT) AS simhash16
+FROM v ORDER BY doc_id
+"""
+
+
+@register("dedup_simhash_portable", oracle=_simhash_portable_oracle())
+def dedup_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash signature per document with the portable hash —
+    the full bit pipeline (token hash → per-bit ±1 votes → sign →
+    packed signature) is hash-parity checked against DuckDB. The 64-bit
+    engine variant (:func:`dedup_simhash`) adds pigeonhole-banded
+    pairing; its recall is pinned by a planted-duplicate test, while
+    THIS twin pins the signature arithmetic itself.
+
+    Scale: one explode over distinct tokens, one hash agg with 16
+    SUM columns (map-side combined), one projection. No joins."""
+    d = table(spark, sf_dir, "documents")
+    tok = (
+        d.select(
+            "doc_id",
+            F.explode(F.array_distinct(F.split(F.lower("text"), " "))).alias("tok"),
+        )
+        .withColumn("h", F.expr(_phash_spark("tok", 0)))
+    )
+    votes = tok.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.expr(f"(h DIV {1 << j}) % 2 = 1"), 1).otherwise(-1)
+            ).alias(f"v{j}")
+            for j in range(_SIM_PORT_BITS)
+        ]
+    )
+    sig = None
+    for j in range(_SIM_PORT_BITS):
+        term = F.when(F.col(f"v{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        sig = term if sig is None else sig + term
+    return (
+        votes.select("doc_id", sig.cast("bigint").alias("simhash16"))
+        .orderBy("doc_id")
+    )
