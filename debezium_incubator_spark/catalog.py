@@ -34,12 +34,15 @@ DEFAULT_SF_DIR = "/root/testdata/sf0.001"
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one fixture table with engine normalizations applied.
 
-    ``events.ts`` arrives as parquet timestamp[ns] which Spark cannot read
-    natively; with ``nanosAsLong`` it reads as long epoch-nanos and is
-    converted here to microsecond TIMESTAMP_NTZ via integer division —
-    ``ts DIV 1000`` (NOT double division: epoch-nanos ~1.7e18 exceeds the
-    53-bit double mantissa, so ``ts/1000`` would be lossy). DuckDB reads
-    the same column as µs TIMESTAMP with identical truncation (verified).
+    ``events.ts`` is dtype-adaptive: when the fixture is parquet
+    timestamp[ns] (which Spark cannot read natively) it reads as long
+    epoch-nanos under ``nanosAsLong`` and is converted here to
+    microsecond TIMESTAMP_NTZ via integer division — ``ts DIV 1000``
+    (NOT double division: epoch-nanos ~1.7e18 exceeds the 53-bit double
+    mantissa, so ``ts/1000`` would be lossy). When the fixture is
+    timestamp[us] (the current driver generation), Spark reads it as
+    TIMESTAMP_NTZ directly and no conversion applies. DuckDB reads
+    either encoding as µs TIMESTAMP with identical values (verified).
     """
     ensure_conf(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))

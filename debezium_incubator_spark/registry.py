@@ -70,8 +70,8 @@ PRIORITY: list[str] = [
     "scan_filter_pushdown",  # A4
     "connector_snapshot",    # A5 (include/exclude front end)
     "filter_predicate",      # B3
-    "mask_columns",          # B7
-    "truncate_columns",      # B8
+    "mask_columns",          # B7 (B8 truncate stays in the sweep)
+    "join_dpp",              # L39 dynamic partition pruning (star schema)
     "cast_coerce",           # B10 + H10
     # CDC pipeline (A2 envelope + B2 unwrap exercised inside materialize)
     "cdc_materialize",       # A2 + B2 + H8 struct
@@ -151,6 +151,7 @@ def load_all() -> None:
         hierarchy,
         iterative,
         joins,
+        pruning,
         scans,
         setops,
         sorts,

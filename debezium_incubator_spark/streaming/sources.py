@@ -72,23 +72,14 @@ def heartbeat_source(spark: SparkSession, rows_per_second: int = 1) -> DataFrame
     )
 
 
-EVENTS_RAW_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # epoch-nanos (nanosAsLong read)
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
-
-
 def events_file_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A3/A10: stream the events fixture as if it were arriving — the
     deterministic test source. Streaming parquet reads need an explicit
-    schema; ts arrives as epoch-nanos and is converted exactly like the
-    batch catalog loader (integer division to µs)."""
+    schema; it is taken from a batch read of the same file so the source
+    adapts to the fixture's physical ts encoding the same way the batch
+    catalog loader does (timestamp[ns] reads as epoch-nano LONG under
+    ``nanosAsLong`` → integer-divide to µs; timestamp[us] reads natively
+    as TIMESTAMP_NTZ → plain cast)."""
     import os
     import tempfile
 
@@ -97,13 +88,15 @@ def events_file_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_conf(spark)
     # The file stream source requires a directory; expose the single
     # fixture file through a symlinked temp dir (fixtures are read-only).
+    src = os.path.join(sf_dir, "events.parquet")
     stage = tempfile.mkdtemp(prefix="events_stream_")
-    os.symlink(
-        os.path.join(sf_dir, "events.parquet"),
-        os.path.join(stage, "events.parquet"),
-    )
-    raw = spark.readStream.schema(EVENTS_RAW_SCHEMA).parquet(stage)
+    os.symlink(src, os.path.join(stage, "events.parquet"))
+    batch_schema = spark.read.parquet(src).schema
+    raw = spark.readStream.schema(batch_schema).parquet(stage)
     # Event time must be TIMESTAMP (with zone) — watermarks reject NTZ.
     # Session zone is pinned UTC, so wall-clock values match the batch
     # loader's NTZ column; windowed outputs cast back to NTZ for parity.
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    ts_type = dict(raw.dtypes)["ts"]
+    if ts_type == "bigint":  # parquet timestamp[ns] under nanosAsLong
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))

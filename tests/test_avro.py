@@ -9,6 +9,7 @@ import json
 
 from pyspark.sql import functions as F
 
+from debezium_incubator_spark.catalog import table
 from debezium_incubator_spark.cdc.avro_codec import AvroCodec
 from debezium_incubator_spark.cdc.envelope import (
     EVENT_ROW_SCHEMA,
@@ -78,11 +79,7 @@ def test_envelope_avro_roundtrip_distributed(spark):
     """Producer half (envelope_to_avro_py) → consumer half
     (parse_envelope_avro, which takes the Python-codec path in this
     jar-less container): the decoded envelopes equal the originals."""
-    events = (
-        spark.read.parquet(f"{SF_SMOKE}/events.parquet")
-        .withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
-        .limit(200)
-    )
+    events = table(spark, SF_SMOKE, "events").limit(200)
     env = to_envelope(events)
     wire = envelope_to_avro_py(env, EVENT_ROW_SCHEMA)
     assert dict(wire.dtypes) == {"key": "string", "value": "binary"}
@@ -117,11 +114,7 @@ def test_avro_wire_stream_equals_batch(spark):
     from debezium_incubator_spark.cdc.envelope import unwrap
     from debezium_incubator_spark.streaming.pipeline import run_available_now
 
-    events = (
-        spark.read.parquet(f"{SF_SMOKE}/events.parquet")
-        .withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
-        .limit(300)
-    )
+    events = table(spark, SF_SMOKE, "events").limit(300)
     wire = envelope_to_avro_py(to_envelope(events), EVENT_ROW_SCHEMA)
     with tempfile.TemporaryDirectory() as td:
         wire.write.mode("overwrite").parquet(f"{td}/wire")

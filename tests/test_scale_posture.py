@@ -356,3 +356,80 @@ def test_round3_late_plan_shapes(spark):
     prep = _plan(q["t19_rep_2gram"](spark, SF_SMOKE))
     assert "Generate" in prep
     assert "SortMergeJoin" not in prep  # no token-table self-join
+
+
+def _executed_plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_static_partition_pruning_plan_and_dirs(spark):
+    """scan_partition_static_prune: the literal IN-predicate must land in
+    the scan's PartitionFilters (directory-level skipping, resolved at
+    planning time), and the partitioned copy must actually have one
+    directory per event type."""
+    from debezium_incubator_spark.operators import pruning
+
+    df = pruning.scan_partition_static_prune(spark, SF_SMOKE)
+    plan = _executed_plan(df)
+    scan = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert scan and "event_type" in scan[0].split("PartitionFilters")[1], plan
+    # layout: 5 hive directories, the filter keeps 2
+    part_dir = pruning._EVENTS_PART_DIRS[SF_SMOKE]
+    vals = pruning._dir_partitions(part_dir, "event_type")
+    assert vals == ["click", "error", "purchase", "signup", "view"]
+    assert df.count() == 2
+
+
+def test_dpp_join_plants_dynamic_pruning_subquery(spark):
+    """join_dpp: the fact scan must carry a dynamicpruningexpression —
+    the dim filter's surviving keys prune fact directories at RUNTIME
+    (star-schema shape; a static filter cannot express this)."""
+    from debezium_incubator_spark.operators import pruning
+
+    df = pruning.join_dpp(spark, SF_SMOKE)
+    plan = _executed_plan(df)
+    assert "dynamicpruning" in plan, plan
+    assert df.count() == 2  # conversion types: purchase, signup
+
+
+def test_runtime_bloom_filter_injected_and_result_unchanged(spark):
+    """runtime_filter_conf: with the join key NOT the partition column
+    and the dim side too big to broadcast, Spark must inject a
+    might_contain(bloom) filter on the fact side — rows that cannot
+    join die before the shuffle. Results must equal the unfiltered
+    join's."""
+    from debezium_incubator_spark.operators.pruning import runtime_filter_conf
+
+    with tempfile.TemporaryDirectory() as td:
+        table(spark, SF_SMOKE, "lineitem").write.parquet(f"{td}/fact")
+        table(spark, SF_SMOKE, "part").write.parquet(f"{td}/dim")
+
+        def q():
+            fact = spark.read.parquet(f"{td}/fact")
+            dim = spark.read.parquet(f"{td}/dim").filter(F.col("p_size") == 1)
+            return (
+                fact.join(dim, fact.l_partkey == dim.p_partkey)
+                .groupBy("p_brand").count().orderBy("p_brand")
+            )
+
+        want = q().collect()
+        saved = {
+            "spark.sql.autoBroadcastJoinThreshold":
+                spark.conf.get("spark.sql.autoBroadcastJoinThreshold"),
+        }
+        confs = runtime_filter_conf(
+            creation_side_threshold="100MB", application_side_threshold="0"
+        )
+        try:
+            for k, v in confs.items():
+                spark.conf.set(k, v)
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            df = q()
+            plan = _executed_plan(df)
+            assert "might_contain" in plan, plan
+            assert df.collect() == want
+        finally:
+            for k in confs:
+                spark.conf.unset(k)
+            for k, v in saved.items():
+                spark.conf.set(k, v)
