@@ -323,3 +323,49 @@ def cdc_materialize_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# --- table checksum (anti-entropy verification) ---------------------------
+
+@register(
+    "cdc_table_checksum",
+    oracle="""
+SELECT c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       bit_xor(CAST('0x' || substring(md5(concat_ws('|',
+           c_custkey, c_name, c_nationkey,
+           CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT))), 1, 15) AS BIGINT)
+       ) AS checksum
+FROM customer
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+""",
+)
+def cdc_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-insensitive per-segment table fingerprint: XOR of a
+    portable 60-bit row hash (md5 prefix over the canonical row string;
+    money rendered as exact fixed-point cents — floats never touch a
+    string). This is the anti-entropy check CDC deployments run to
+    verify a materialized replica against its source WITHOUT moving
+    either table: both sides compute (group, count, checksum) locally
+    and compare KB-sized summaries.
+
+    Scale: one hash aggregate — XOR is commutative/associative, so the
+    partial-final plan is exact under any partitioning and any row
+    order; a 100 TB table reduces to one row per group. Differential
+    twin: DuckDB computes the identical hash on the identical canonical
+    string (same md5-prefix scheme as dedup_minhash_portable)."""
+    c = table(spark, sf_dir, "customer")
+    row_hash = (
+        "CAST(conv(substring(md5(concat_ws('|', c_custkey, c_name,"
+        " c_nationkey, CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT))),"
+        " 1, 15), 16, 10) AS BIGINT)"
+    )
+    return (
+        c.groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.expr(f"bit_xor({row_hash})").alias("checksum"),
+        )
+        .orderBy("c_mktsegment")
+    )

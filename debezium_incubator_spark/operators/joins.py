@@ -392,3 +392,63 @@ def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
     r1 = table(spark, sf_dir, "region").select(F.col("r_regionkey").alias("a"))
     r2 = table(spark, sf_dir, "region").select(F.col("r_regionkey").alias("b"))
     return r1.crossJoin(r2)
+
+
+@register(
+    "join_fuzzy_blocked",
+    oracle="""
+WITH c AS (
+  SELECT c_custkey, c_name, substring(c_name, 1, 16) AS blk
+  FROM customer
+), pairs AS (
+  SELECT a.blk,
+         levenshtein(a.c_name, b.c_name) AS d
+  FROM c a JOIN c b ON a.blk = b.blk AND a.c_custkey < b.c_custkey
+)
+SELECT blk AS block,
+       CAST(COUNT(*) AS BIGINT) AS n_candidate_pairs,
+       CAST(SUM(CASE WHEN d <= 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_matches,
+       CAST(SUM(d) AS BIGINT) AS sum_lev
+FROM pairs
+GROUP BY blk
+ORDER BY blk
+""",
+)
+def join_fuzzy_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy self-join (entity resolution / record linkage):
+    candidate pairs come ONLY from shared blocking keys (here a name
+    prefix; production uses phonetic codes, sorted-neighborhood keys,
+    or LSH buckets), then the expensive edit-distance runs on
+    candidates alone and a threshold picks matches.
+
+    Scale: blocking is the string analog of LSH banding — the pair
+    space is quadratic only within a block, never across the corpus,
+    and the block join is a plain shuffle-hash equi-join that
+    partitions by block key. levenshtein is a JVM built-in on both
+    engines; the per-block aggregate (count / matches / distance sum)
+    pins every pairwise distance differentially while keeping the
+    output a KB-scale summary."""
+    c = table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", F.substring("c_name", 1, 16).alias("blk")
+    )
+    a = c.select(F.col("blk"), F.col("c_custkey").alias("ka"),
+                 F.col("c_name").alias("na"))
+    b = c.select(F.col("blk"), F.col("c_custkey").alias("kb"),
+                 F.col("c_name").alias("nb"))
+    pairs = (
+        a.join(b, "blk")
+        .filter(F.col("ka") < F.col("kb"))
+        .select("blk", F.levenshtein("na", "nb").alias("d"))
+    )
+    return (
+        pairs.groupBy("blk")
+        .agg(
+            F.count("*").alias("n_candidate_pairs"),
+            F.sum(F.when(F.col("d") <= 1, 1).otherwise(0))
+            .cast("bigint").alias("n_matches"),
+            F.sum("d").cast("bigint").alias("sum_lev"),
+        )
+        .select(F.col("blk").alias("block"), "n_candidate_pairs",
+                "n_matches", "sum_lev")
+        .orderBy("block")
+    )

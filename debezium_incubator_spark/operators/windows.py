@@ -296,3 +296,70 @@ def w_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").over(w).alias("n_30m"),
         (F.sum(fx).over(w) / F.lit(10000.0)).alias("sum_30m"),
     ).orderBy("event_id")
+
+
+@register(
+    "w_ewma",
+    oracle="""
+WITH w AS (
+  SELECT event_id, event_type, ts, value,
+         list(value) OVER (PARTITION BY event_type ORDER BY ts, event_id
+                           ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS vs
+  FROM events
+)
+SELECT event_id, event_type, ts, value,
+       ROUND(
+         list_sum(list_transform(range(1, len(vs)+1),
+                                 k -> vs[k] * pow(0.5, len(vs)-k)))
+         / list_sum(list_transform(range(1, len(vs)+1),
+                                   k -> pow(0.5, len(vs)-k))), 4) AS ewma
+FROM w ORDER BY event_id
+""",
+)
+def w_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average (decay 0.5) over a trailing
+    8-row frame per event type, in event-time order — the
+    smoothing primitive time-series engines ship natively, expressed as
+    collect_list over an ordered frame + a fold (all JVM expressions,
+    no UDF).
+
+    Parity note: with decay = 0.5 every weight is a power of two, so
+    each multiply is an EXACT binary scaling — both engines fold the
+    identical value sequence left-to-right and the pre-division sums
+    are bit-identical; the single division and ROUND(,4) are then
+    deterministic. A non-dyadic decay would need the fixed-point
+    policy instead.
+
+    Scale: one window shuffle on the partition key; the frame is O(8)
+    per row regardless of history length (the recursive EWMA form is
+    inherently sequential — the bounded-frame form is the scalable
+    approximation, error < decay^8)."""
+    ev = table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-7, 0)
+    )
+    vs = F.collect_list("value").over(w)
+    return (
+        ev.select("event_id", "event_type", "ts", "value", vs.alias("vs"))
+        .select(
+            "event_id",
+            "event_type",
+            "ts",
+            "value",
+            F.round(
+                F.expr(
+                    "aggregate(zip_with(vs, sequence(size(vs)-1, 0, -1),"
+                    " (v, k) -> v * pow(0.5, k)), CAST(0 AS DOUBLE),"
+                    " (acc, x) -> acc + x)"
+                )
+                / F.expr(
+                    "aggregate(sequence(size(vs)-1, 0, -1),"
+                    " CAST(0 AS DOUBLE), (acc, k) -> acc + pow(0.5, k))"
+                ),
+                4,
+            ).alias("ewma"),
+        )
+        .orderBy("event_id")
+    )

@@ -433,3 +433,31 @@ def test_runtime_bloom_filter_injected_and_result_unchanged(spark):
                 spark.conf.unset(k)
             for k, v in saved.items():
                 spark.conf.set(k, v)
+
+
+def test_new_family_plan_shapes(spark):
+    """Scale-posture audit for the graph/ER/timeseries additions:
+    triangle counting broadcasts only the 25-row nation dims (the wedge
+    join is an equi-join, no cartesian anywhere), the EWMA query is ONE
+    window exchange (no join, no extra shuffle), the fuzzy join's
+    levenshtein runs AFTER the block equi-join (never all-pairs), and
+    the checksum is a partial+final hash aggregate."""
+    from debezium_incubator_spark.registry import all_queries
+
+    q = all_queries()
+    ptri = _plan(q["iter_triangles"](spark, SF_SMOKE))
+    assert "CartesianProduct" not in ptri
+    assert "BroadcastNestedLoopJoin" not in ptri
+
+    pew = _plan(q["w_ewma"](spark, SF_SMOKE))
+    assert "Window" in pew
+    assert "Join" not in pew
+    assert pew.count("Exchange hashpartitioning") == 1
+
+    pfz = _plan(q["join_fuzzy_blocked"](spark, SF_SMOKE))
+    assert "CartesianProduct" not in pfz
+    assert "BroadcastNestedLoopJoin" not in pfz
+    assert "levenshtein" in pfz
+
+    pck = _plan(q["cdc_table_checksum"](spark, SF_SMOKE))
+    assert pck.count("HashAggregate") >= 2  # partial + final, exact XOR merge
