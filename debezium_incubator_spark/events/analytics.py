@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from ..catalog import table
-from ..exprs import money_sum, round4
+from ..exprs import money_sum, round4, round4x
 from ..registry import register
 
 SESSION_GAP_US = 1_800_000_000  # 30 minutes
@@ -301,3 +301,71 @@ def e9_sequence_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.length("path").cast("bigint").alias("path_len"),
     ).orderBy("user_id")
+
+
+@register(
+    "e10_key_skew",
+    oracle="""
+WITH freq AS (
+  SELECT event_type, user_id, CAST(COUNT(*) AS BIGINT) AS x
+  FROM events GROUP BY event_type, user_id
+), ranked AS (
+  SELECT event_type, x,
+         row_number() OVER (PARTITION BY event_type ORDER BY x, user_id) AS i,
+         COUNT(*) OVER (PARTITION BY event_type) AS n,
+         SUM(x) OVER (PARTITION BY event_type) AS total
+  FROM freq
+)
+SELECT event_type,
+       CAST(MAX(n) AS BIGINT) AS n_keys,
+       CAST(MAX(total) AS BIGINT) AS n_rows,
+       floor((CAST(MAX(mx) AS DOUBLE) / MAX(total)) * 10000 + 0.5)
+         / CAST(10000 AS DOUBLE) AS top_share,
+       floor((CAST(SUM((2 * i - n - 1) * x) AS DOUBLE)
+              / (MAX(n) * MAX(total))) * 10000 + 0.5)
+         / CAST(10000 AS DOUBLE) AS gini
+FROM (SELECT *, MAX(x) OVER (PARTITION BY event_type) AS mx FROM ranked)
+GROUP BY event_type
+ORDER BY event_type
+""",
+)
+def e10_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key skew profile of the (event_type → user_id) distribution:
+    key count, row count, heaviest key's share, and the Gini
+    coefficient of the frequency distribution — the diagnostic that
+    tells you BEFORE a 100 TB shuffle whether a join/groupBy key needs
+    salting (operators/skew.py) or AQE skew-join handling.
+
+    Exact parity: frequencies, ranks, and the Gini numerator are all
+    integer arithmetic (sum((2i−n−1)·x)); the only divisions are the
+    final two, gated by the tie-free round4x policy."""
+    ev = table(spark, sf_dir, "events")
+    freq = ev.groupBy("event_type", "user_id").agg(F.count("*").alias("x"))
+    wr = W.partitionBy("event_type").orderBy("x", "user_id")
+    wp = W.partitionBy("event_type")
+    ranked = freq.select(
+        "event_type",
+        "x",
+        F.row_number().over(wr).alias("i"),
+        F.count("*").over(wp).alias("n"),
+        F.sum("x").over(wp).alias("total"),
+        F.max("x").over(wp).alias("mx"),
+    )
+    num = F.sum((2 * F.col("i") - F.col("n") - 1) * F.col("x"))
+    return (
+        ranked.groupBy("event_type")
+        .agg(
+            F.max("n").cast("bigint").alias("n_keys"),
+            F.max("total").cast("bigint").alias("n_rows"),
+            round4x("CAST(MAX(mx) AS DOUBLE) / MAX(total)").alias("top_share"),
+            (
+                F.floor(
+                    (num.cast("double") / (F.max("n") * F.max("total")))
+                    * 10000
+                    + 0.5
+                )
+                / F.lit(10000.0)
+            ).alias("gini"),
+        )
+        .orderBy("event_type")
+    )

@@ -452,3 +452,51 @@ def join_fuzzy_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "n_matches", "sum_lev")
         .orderBy("block")
     )
+
+
+@register(
+    "join_null_safe",
+    oracle="""
+WITH a AS (
+  SELECT event_id,
+         CASE WHEN value < 50 THEN NULL ELSE event_type END AS k
+  FROM events WHERE event_id % 2 = 0
+), b AS (
+  SELECT event_id,
+         CASE WHEN value < 50 THEN NULL ELSE event_type END AS k
+  FROM events WHERE event_id % 2 = 1
+)
+SELECT COALESCE(a.k, '<null>') AS key,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+GROUP BY a.k
+ORDER BY key
+""",
+)
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-safe equi-join (<=> / IS NOT DISTINCT FROM): NULL keys MATCH
+    each other instead of vanishing — the semantics CDC merge keys need
+    when a nullable column participates in identity (a plain equi-join
+    silently drops every NULL-keyed row; three-valued logic strikes
+    again, same family as the NAAJ query).
+
+    Scale: Spark plans <=> as a regular hash join on the coalesced key
+    (EqualNullSafe is hash-able — no nested-loop fallback), so the
+    plan is identical in shape to a plain equi-join."""
+    ev = table(spark, sf_dir, "events")
+    k = F.when(F.col("value") < 50, F.lit(None)).otherwise(F.col("event_type"))
+    a = ev.filter(F.col("event_id") % 2 == 0).select(
+        F.col("event_id").alias("ida"), k.alias("ka")
+    )
+    b = ev.filter(F.col("event_id") % 2 == 1).select(
+        F.col("event_id").alias("idb"), k.alias("kb")
+    )
+    return (
+        a.join(b, F.col("ka").eqNullSafe(F.col("kb")))
+        .groupBy("ka")
+        .agg(F.count("*").alias("n_pairs"))
+        .select(
+            F.coalesce(F.col("ka"), F.lit("<null>")).alias("key"), "n_pairs"
+        )
+        .orderBy("key")
+    )

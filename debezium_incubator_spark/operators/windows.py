@@ -363,3 +363,61 @@ def w_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+@register(
+    "w_count_distinct_running",
+    oracle="""
+WITH f AS (
+  SELECT event_id, event_type, ts, user_id,
+         CASE WHEN row_number() OVER (PARTITION BY event_type, user_id
+                                      ORDER BY ts, event_id) = 1
+              THEN 1 ELSE 0 END AS first_seen
+  FROM events
+)
+SELECT event_id, event_type,
+       CAST(SUM(first_seen) OVER (PARTITION BY event_type
+                                  ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         AS distinct_users_so_far
+FROM f ORDER BY event_id
+""",
+)
+def w_count_distinct_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running COUNT(DISTINCT user) per event type in event-time order —
+    the window aggregate Spark (and standard SQL) cannot express
+    directly (DISTINCT is not allowed in a window frame), composed from
+    two plain windows: flag each key's FIRST occurrence
+    (row_number = 1 over (type, user)), then a running SUM of flags
+    over the type's time order.
+
+    Scale: two window exchanges — one on (type, user), one on (type);
+    both are hash partitions of the input, state per row is O(1), and
+    no frame materializes the distinct set (the naive
+    collect_set-over-frame alternative holds the whole set per row).
+    The audience-growth curve every funnel dashboard needs."""
+    ev = table(spark, sf_dir, "events")
+    w_first = W.partitionBy("event_type", "user_id").orderBy("ts", "event_id")
+    w_run = (
+        W.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    return (
+        ev.select(
+            "event_id",
+            "event_type",
+            "ts",
+            "user_id",
+            F.when(F.row_number().over(w_first) == 1, 1)
+            .otherwise(0)
+            .alias("first_seen"),
+        )
+        .select(
+            "event_id",
+            "event_type",
+            F.sum("first_seen").over(w_run).cast("bigint")
+            .alias("distinct_users_so_far"),
+        )
+        .orderBy("event_id")
+    )

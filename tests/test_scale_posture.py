@@ -461,3 +461,11 @@ def test_new_family_plan_shapes(spark):
 
     pck = _plan(q["cdc_table_checksum"](spark, SF_SMOKE))
     assert pck.count("HashAggregate") >= 2  # partial + final, exact XOR merge
+
+    pns = _plan(q["join_null_safe"](spark, SF_SMOKE))
+    assert "HashJoin" in pns  # <=> hash-joins on (coalesce, isnull)
+    assert "BroadcastNestedLoopJoin" not in pns
+
+    pcd = _plan(q["w_count_distinct_running"](spark, SF_SMOKE))
+    assert pcd.count("Window") == 2  # flag window + running-sum window
+    assert "collect_set" not in pcd  # no per-row distinct-set state
