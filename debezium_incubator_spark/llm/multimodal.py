@@ -244,3 +244,89 @@ def mm_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --- audio modality (real zero-dep format: WAV/RIFF + PCM16) -------------
+
+def make_wav(sample_rate: int, channels: int, samples: list[int]) -> bytes:
+    """Build a minimal PCM16 WAV file (RIFF + fmt + data chunks) — the
+    deterministic test-fixture generator for the audio kernel.
+    ``samples`` are interleaved int16 values."""
+    import struct
+
+    pcm = struct.pack(f"<{len(samples)}h", *samples)
+    block_align = channels * 2
+    fmt = struct.pack(
+        "<HHIIHH", 1, channels, sample_rate,
+        sample_rate * block_align, block_align, 16,
+    )
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(pcm)) + pcm
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_wav(payload: bytes) -> dict:
+    """Audio analog of ``decode_bmp``: parses the public RIFF/WAVE
+    container with zero external deps — walks chunks to the ``fmt `` and
+    ``data`` sections and computes exact integer PCM16 statistics. Proves
+    the audio decode seam with a REAL format; swap for soundfile/librosa
+    kernels in a deployment with codecs (same dict shape)."""
+    import struct
+
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, fmt_ck, data_ck = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos:pos + 4]
+        size = struct.unpack_from("<I", payload, pos + 4)[0]
+        body = payload[pos + 8:pos + 8 + size]
+        if cid == b"fmt ":
+            fmt_ck = body
+        elif cid == b"data":
+            data_ck = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt_ck is None or data_ck is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_fmt, channels, sample_rate = struct.unpack_from("<HHI", fmt_ck, 0)
+    bits = struct.unpack_from("<H", fmt_ck, 14)[0]
+    if audio_fmt != 1 or bits != 16:
+        raise ValueError(f"only PCM16 supported (fmt={audio_fmt}, bits={bits})")
+    n = len(data_ck) // 2
+    samples = struct.unpack(f"<{n}h", data_ck[: n * 2])
+    peak = max((abs(s) for s in samples), default=0)
+    energy = sum(s * s for s in samples)
+    return {
+        "channels": channels,
+        "sample_rate": sample_rate,
+        "n_samples": n // max(channels, 1),
+        "peak": peak,
+        "energy": energy,
+    }
+
+
+AUDIO_SCHEMA = (
+    "doc_id LONG, channels INT, sample_rate INT, n_samples LONG,"
+    " peak INT, energy LONG"
+)
+
+
+def audio_features(media: DataFrame, kernel=decode_wav) -> DataFrame:
+    """J8 audio decode / feature-extract over Arrow batches — identical
+    plumbing to ``decode_features`` (mapInPandas, partition-local, no
+    shuffle); only the kernel and the typed output schema differ."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [kernel(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "channels": [f["channels"] for f in feats],
+                    "sample_rate": [f["sample_rate"] for f in feats],
+                    "n_samples": [f["n_samples"] for f in feats],
+                    "peak": [f["peak"] for f in feats],
+                    "energy": [f["energy"] for f in feats],
+                }
+            )
+
+    return media.mapInPandas(run, AUDIO_SCHEMA)

@@ -427,3 +427,52 @@ def test_cms_heavy_hitters_accuracy(spark):
     for r in rows:
         assert r.estimate >= r.exact, (r.term, r.exact, r.estimate)
         assert r.estimate <= r.exact + CMS_EPS * total, (r.term, r.exact, r.estimate)
+
+
+def test_multimodal_wav_decode_seam(spark):
+    """The audio analog of the BMP seam: generated PCM16 WAV payloads
+    flow through the same Arrow mapInPandas plumbing with decode_wav as
+    the kernel; channels/rate come from the real fmt chunk and the PCM
+    stats are exact integers (verifiable in pure Python)."""
+    from debezium_incubator_spark.llm.multimodal import (
+        AUDIO_SCHEMA,
+        audio_features,
+        decode_wav,
+        make_wav,
+    )
+
+    specs = [
+        (8000, 1, [0, 100, -200, 300]),
+        (16000, 2, [1000, -1000, 500, -500, 250, -250]),
+        (44100, 1, list(range(-50, 50))),
+    ]
+    rows = [
+        (i, make_wav(sr, ch, s), ("audio/wav", None, "src"))
+        for i, (sr, ch, s) in enumerate(specs)
+    ]
+    media = spark.createDataFrame(
+        rows, "doc_id LONG, payload BINARY, "
+        "meta STRUCT<mime: STRING, n_bytes: LONG, source: STRING>"
+    )
+    out = (
+        audio_features(media)
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    for i, (sr, ch, s) in enumerate(specs):
+        r = out.iloc[i]
+        assert (r.sample_rate, r.channels) == (sr, ch)
+        assert r.n_samples == len(s) // ch
+        assert r.peak == max(abs(x) for x in s)
+        assert r.energy == sum(x * x for x in s)
+    assert audio_features(media).schema.simpleString() \
+        == spark.createDataFrame([], AUDIO_SCHEMA).schema.simpleString()
+    with pytest.raises(ValueError, match="RIFF"):
+        decode_wav(b"OggS....")
+    with pytest.raises(ValueError, match="PCM16"):
+        import struct
+
+        bad = bytearray(make_wav(8000, 1, [1, 2, 3]))
+        struct.pack_into("<H", bad, 20, 3)  # IEEE-float fmt tag
+        decode_wav(bytes(bad))
