@@ -511,3 +511,77 @@ def fn_url(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.parse_url("url", F.lit("QUERY")).alias("query"),
         F.parse_url("url", F.lit("QUERY"), F.lit("k")).alias("k_param"),
     ).orderBy("event_id")
+
+
+@register(
+    "fn_try_safe",
+    oracle="""
+WITH t AS (
+  SELECT event_type, event_id, user_id, value,
+    TRY_CAST(CAST(event_id AS VARCHAR)
+             || CASE WHEN value < 50 THEN 'x' ELSE '' END AS BIGINT) AS c,
+    value / nullif(event_id % 3, 0) AS d,
+    string_split(event_type, '')[(1 + event_id % 7)] AS e,
+    CASE WHEN user_id % 2 = 0 THEN NULL
+         ELSE 9223372036854775807 END AS o
+  FROM events
+)
+SELECT event_type,
+  CAST(COUNT(*) AS BIGINT) AS n,
+  CAST(COUNT(c) AS BIGINT) AS n_cast_ok,
+  CAST(SUM(c) AS BIGINT) AS sum_cast,
+  CAST(SUM(CASE WHEN d IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_div_null,
+  CAST(SUM(CAST(d AS DECIMAL(38,10))) AS DOUBLE) AS sum_div,
+  CAST(SUM(CASE WHEN e IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_elem_null,
+  CAST(SUM(CASE WHEN o IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_overflow
+FROM t GROUP BY event_type ORDER BY event_type
+""",
+)
+def fn_try_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI error-safe expression family (`try_cast` / `try_divide` /
+    `try_element_at` / `try_add`): malformed input, division by zero,
+    out-of-bounds access, and integer overflow become NULLs instead of
+    job-killing exceptions — the B10 coercion-mode story extended to
+    runtime errors (Debezium's `errors.tolerance=all` analog at the
+    expression level: one poison row must not fail a 100 TB batch).
+
+    Oracle mapping: DuckDB TRY_CAST is a direct twin; try_divide ↦
+    x / nullif(y, 0); try_element_at ↦ 1-based list index (OOB → NULL
+    natively); try_add's overflow leg is encoded as its expected
+    result (DuckDB raises on real overflow — the CASE states the
+    semantics being pinned). Every probe discriminates per row (mixed
+    success/failure), so the aggregate sums pin the element-level
+    behavior, not just counts."""
+    ev = table(spark, sf_dir, "events")
+    probes = ev.select(
+        "event_type",
+        F.expr(
+            "try_cast(concat(CAST(event_id AS STRING),"
+            " CASE WHEN value < 50 THEN 'x' ELSE '' END) AS BIGINT)"
+        ).alias("c"),
+        F.expr("try_divide(value, event_id % 3)").alias("d"),
+        F.expr(
+            "try_element_at(split(event_type, ''), CAST(1 + event_id % 7 AS INT))"
+        ).alias("e"),
+        F.expr(
+            "try_add(9223372036854775807,"
+            " CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)"
+        ).alias("o"),
+    )
+    return (
+        probes.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.count("c").alias("n_cast_ok"),
+            F.sum("c").cast("bigint").alias("sum_cast"),
+            F.sum(F.when(F.col("d").isNull(), 1).otherwise(0))
+            .cast("bigint").alias("n_div_null"),
+            F.sum(F.col("d").cast("decimal(38,10)"))
+            .cast("double").alias("sum_div"),
+            F.sum(F.when(F.col("e").isNull(), 1).otherwise(0))
+            .cast("bigint").alias("n_elem_null"),
+            F.sum(F.when(F.col("o").isNull(), 1).otherwise(0))
+            .cast("bigint").alias("n_overflow"),
+        )
+        .orderBy("event_type")
+    )

@@ -476,3 +476,84 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin_id")
     )
+
+
+@register(
+    "agg_approx_top_k",
+    oracle="""
+SELECT event_type AS item, CAST(COUNT(*) AS BIGINT) AS cnt
+FROM events
+GROUP BY event_type
+ORDER BY cnt DESC, item
+""",
+)
+def agg_approx_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D3+ heavy-hitter sketch via the built-in ``approx_top_k``
+    aggregate (Spark 4): one mergeable sketch pass, KB-sized state. The
+    differential check runs the sketch in its EXACT regime
+    (maxItemsTracked far above the key cardinality — the sketch tracks
+    every key, so counts equal GROUP BY), then re-sorts the exploded
+    output deterministically; k = full cardinality makes the selection
+    (not just the order) tie-proof. The estimation regime (cardinality
+    above the tracked budget) is the CMS query's territory
+    (t12_heavy_hitters_cms, error-bound-tested)."""
+    ev = table(spark, sf_dir, "events")
+    topk = ev.agg(
+        F.expr("approx_top_k(event_type, 5, 100000)").alias("tk")
+    )
+    return (
+        topk.select(F.explode("tk").alias("e"))
+        .select(
+            F.col("e.item").alias("item"),
+            F.col("e.count").alias("cnt"),
+        )
+        .orderBy(F.desc("cnt"), "item")
+    )
+
+
+@register(
+    "agg_theta_overlap",
+    oracle="""
+WITH tu AS (
+  SELECT DISTINCT event_type, user_id FROM events
+)
+SELECT a.event_type AS type_a, b.event_type AS type_b,
+       CAST(COUNT(*) AS BIGINT) AS overlap_users
+FROM tu a JOIN tu b
+  ON a.user_id = b.user_id AND a.event_type < b.event_type
+GROUP BY a.event_type, b.event_type
+ORDER BY type_a, type_b
+""",
+)
+def agg_theta_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience-overlap matrix via Theta sketches — the mergeable sketch
+    family that supports set INTERSECTION (HLL cannot): one sketch of
+    user_id per event type (5 KB-sized states), then pairwise
+    theta_intersection estimates on the 5×5 control-plane matrix.
+
+    The differential check pins the sketch in its exact regime:
+    distinct users (≤1.5k at sf0.1) sit far below the 2^14 nominal
+    entries, so sketches retain every hash and the intersection
+    estimate EQUALS the exact distinct overlap (oracle = distinct-pair
+    self-join). At 100 TB (billions of users) the same plan returns
+    ±1.6% estimates — but the corpus-side cost is unchanged: one scan,
+    one KB-sketch per group, pairwise ops on sketches, never on rows.
+    Sketch content is set-determined (smallest retained hashes), so
+    results are order- and partitioning-independent."""
+    ev = table(spark, sf_dir, "events")
+    sk = ev.groupBy("event_type").agg(
+        F.expr("theta_sketch_agg(user_id, 14)").alias("sk")
+    )
+    a = sk.select(F.col("event_type").alias("type_a"), F.col("sk").alias("ska"))
+    b = sk.select(F.col("event_type").alias("type_b"), F.col("sk").alias("skb"))
+    return (
+        a.join(b, F.col("type_a") < F.col("type_b"))
+        .select(
+            "type_a",
+            "type_b",
+            F.expr(
+                "theta_sketch_estimate(theta_intersection(ska, skb))"
+            ).cast("bigint").alias("overlap_users"),
+        )
+        .orderBy("type_a", "type_b")
+    )
