@@ -203,3 +203,88 @@ def sql_not_in_null_aware(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         tables=("customer", "supplier"),
     )
+
+
+@register(
+    "sql_recursive_cte",
+    oracle="""
+WITH RECURSIVE r AS (
+  SELECT CAST(0 AS BIGINT) AS k, CAST(0 AS BIGINT) AS depth
+  UNION ALL
+  SELECT p.p_partkey, r.depth + 1
+  FROM part p JOIN r ON (p.p_partkey - 1) // 2 = r.k
+  WHERE p.p_partkey > 0
+)
+SELECT depth, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+       CAST(SUM(k) AS BIGINT) AS sum_keys
+FROM r GROUP BY depth ORDER BY depth
+""",
+)
+def sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NATIVE ``WITH RECURSIVE`` on the engine side (Spark 4) walking
+    the binary-heap part hierarchy — both engines now run a genuine
+    recursive CTE over the same edge rule, checked level-by-level with
+    a key-sum fingerprint. Complements `iter_hierarchy_levels`, where
+    the Spark side is the iterative pointer-doubling loop and only the
+    ORACLE recursed: between the two, all four quadrants of
+    iterative/recursive × engine/oracle are hash-tied together.
+
+    Scale: each recursion step is one equi-join of the frontier against
+    the edge table + the union — the same shuffle shape as the manual
+    loop, with the engine managing the iteration; depth is
+    O(log |part|) here. Deep recursions still prefer the
+    pointer-doubling form (O(log depth) rounds vs O(depth))."""
+    return run_sql(
+        spark,
+        sf_dir,
+        """
+        WITH RECURSIVE r AS (
+          SELECT CAST(0 AS BIGINT) AS k, CAST(0 AS BIGINT) AS depth
+          UNION ALL
+          SELECT p.p_partkey, r.depth + 1
+          FROM part p JOIN r ON (p.p_partkey - 1) DIV 2 = r.k
+          WHERE p.p_partkey > 0
+        )
+        SELECT depth, COUNT(*) AS n_nodes,
+               SUM(k) AS sum_keys
+        FROM r GROUP BY depth ORDER BY depth
+        """,
+        tables=("part",),
+    )
+
+
+@register(
+    "sql_pipe_syntax",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       SUM(CAST(floor(l_extendedprice * 10000 + 0.5) AS BIGINT))
+         / CAST(10000 AS DOUBLE) AS gross
+FROM lineitem
+WHERE l_quantity < 25
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+""",
+)
+def sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL pipe syntax (Spark 4 `|>` operators): the same
+    scan→filter→aggregate→sort plan as the classic form, written as a
+    linear pipeline — each `|>` stage maps onto exactly one relational
+    operator, so the optimizer sees an identical tree (pushdown and
+    partial aggregation unchanged; the oracle IS the classic spelling
+    of the same query)."""
+    return run_sql(
+        spark,
+        sf_dir,
+        """
+        FROM lineitem
+        |> WHERE l_quantity < 25
+        |> AGGREGATE COUNT(*) AS n_items,
+             SUM(CAST(floor(l_extendedprice * 10000 + 0.5) AS BIGINT))
+               / CAST(10000 AS DOUBLE) AS gross
+           GROUP BY l_returnflag, l_linestatus
+        |> SELECT l_returnflag, l_linestatus, n_items, gross
+        |> ORDER BY l_returnflag, l_linestatus
+        """,
+        tables=("lineitem",),
+    )
