@@ -585,3 +585,112 @@ def fn_try_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "fn_sql_udf",
+    oracle="""
+SELECT l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       SUM(CAST(floor((l_extendedprice * (1.0 - l_discount)) * 10000 + 0.5)
+                AS BIGINT)) / CAST(10000 AS DOUBLE) AS disc_revenue,
+       SUM(CAST(floor((l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax))
+                      * 10000 + 0.5) AS BIGINT))
+         / CAST(10000 AS DOUBLE) AS charged
+FROM lineitem
+WHERE l_quantity < 10
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+)
+def fn_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-defined scalar functions (Spark 4 ``CREATE FUNCTION … RETURN
+    expr``): business logic named once in the catalog and reused across
+    queries — unlike Python UDFs these are INLINED into the plan at
+    analysis time, so whole-stage codegen, pushdown, and partial
+    aggregation are identical to writing the expression by hand (the
+    oracle is exactly that hand-inlined form). The zero-cost way to
+    share expression logic at 100 TB; K1's row-at-a-time Python UDF is
+    the priced alternative."""
+    from ..catalog import register_views
+
+    register_views(spark, sf_dir, ("lineitem",))
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION fx_money(x DOUBLE) "
+        "RETURNS BIGINT RETURN CAST(floor(x * 10000 + 0.5) AS BIGINT)"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION disc_price(p DOUBLE, d DOUBLE) "
+        "RETURNS DOUBLE RETURN p * (1.0 - d)"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION charge(p DOUBLE, d DOUBLE, t DOUBLE) "
+        "RETURNS DOUBLE RETURN p * (1.0 - d) * (1.0 + t)"
+    )
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               COUNT(*) AS n,
+               SUM(fx_money(disc_price(l_extendedprice, l_discount)))
+                 / CAST(10000 AS DOUBLE) AS disc_revenue,
+               SUM(fx_money(charge(l_extendedprice, l_discount, l_tax)))
+                 / CAST(10000 AS DOUBLE) AS charged
+        FROM lineitem
+        WHERE l_quantity < 10
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+        """
+    )
+
+
+@register(
+    "fn_collation",
+    oracle="""
+WITH m AS (
+  SELECT event_type,
+         CASE WHEN event_id % 2 = 0
+              THEN upper(substring(event_type, 1, 1)) || substring(event_type, 2)
+              ELSE event_type END AS mixed
+  FROM events
+)
+SELECT event_type,
+       CAST(COUNT(DISTINCT mixed) AS BIGINT) AS n_variants_binary,
+       CAST(COUNT(DISTINCT lower(mixed)) AS BIGINT) AS n_variants_ci,
+       CAST(SUM(CASE WHEN mixed = event_type THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_exact_eq,
+       CAST(COUNT(*) AS BIGINT) AS n_ci_eq
+FROM m GROUP BY event_type ORDER BY event_type
+""",
+)
+def fn_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collation-aware comparison (Spark 4 ``COLLATE UTF8_LCASE``):
+    case-insensitivity expressed as a COLUMN PROPERTY instead of
+    lower()-wrapping every predicate — distinct counts, equality, and
+    grouping all follow the collation. The oracle spells the same
+    semantics with explicit lower() (equivalent for this data; the
+    collation form additionally survives into sort orders and join keys
+    without rewriting expressions)."""
+    ev = table(spark, sf_dir, "events")
+    mixed = F.expr(
+        "CASE WHEN event_id % 2 = 0"
+        " THEN concat(upper(substring(event_type, 1, 1)),"
+        "             substring(event_type, 2))"
+        " ELSE event_type END"
+    )
+    m = ev.select("event_type", mixed.alias("mixed"))
+    return (
+        m.groupBy("event_type")
+        .agg(
+            F.countDistinct("mixed").alias("n_variants_binary"),
+            F.expr("COUNT(DISTINCT mixed COLLATE UTF8_LCASE)")
+            .alias("n_variants_ci"),
+            F.sum(F.when(F.col("mixed") == F.col("event_type"), 1).otherwise(0))
+            .cast("bigint").alias("n_exact_eq"),
+            F.sum(
+                F.when(
+                    F.expr("mixed COLLATE UTF8_LCASE = event_type"), 1
+                ).otherwise(0)
+            ).cast("bigint").alias("n_ci_eq"),
+        )
+        .orderBy("event_type")
+    )

@@ -469,3 +469,8 @@ def test_new_family_plan_shapes(spark):
     pcd = _plan(q["w_count_distinct_running"](spark, SF_SMOKE))
     assert pcd.count("Window") == 2  # flag window + running-sum window
     assert "collect_set" not in pcd  # no per-row distinct-set state
+
+    pudf = _plan(q["fn_sql_udf"](spark, SF_SMOKE))
+    assert "BatchEvalPython" not in pudf  # SQL UDFs inline, never Python
+    assert "ArrowEvalPython" not in pudf
+    assert pudf.count("HashAggregate") >= 2  # partial+final survives inlining
