@@ -169,3 +169,20 @@ def parquet_sink(stream_df: DataFrame, path: str, checkpoint: str,
         .outputMode(output_mode)
         .start()
     )
+
+
+def distinct_user_counts(df: DataFrame, ts_col: str = "ts") -> DataFrame:
+    """Streaming audience size: running COUNT(DISTINCT user) per event
+    type — the stream twin of the batch `w_count_distinct_running`
+    final values, composed the streaming-native way: stateful
+    first-occurrence dedup on (type, user) feeding an update-mode
+    count (a streaming aggregate may not follow
+    dropDuplicatesWithinWatermark's event-time column, so the dedup
+    here is the unbounded-state dropDuplicates — at 100 TB, bound the
+    key space or use the watermarked form + windowed counts).
+    State per distinct key is O(1); output in update mode."""
+    return (
+        df.dropDuplicates(["event_type", "user_id"])
+        .groupBy("event_type")
+        .count()
+    )

@@ -221,3 +221,42 @@ def test_cep_stream_matches_batch(spark):
         all_queries()["e9_sequence_pattern"](spark, SF_SMOKE).toPandas()
     )
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_stream_distinct_users_equals_batch(spark):
+    """The streaming running-distinct-count twin: final update-mode
+    counts equal the batch COUNT(DISTINCT user_id) per type (and the
+    final value of the batch w_count_distinct_running window query)."""
+    from debezium_incubator_spark.streaming.pipeline import (
+        distinct_user_counts,
+    )
+
+    stream = events_file_stream(spark, SF_SMOKE)
+    run_available_now(
+        distinct_user_counts(stream), "t_distinct_users",
+        output_mode="update",
+    )
+    got = (
+        spark.sql(
+            "SELECT event_type, max(count) AS n FROM t_distinct_users"
+            " GROUP BY event_type"
+        )
+        .toPandas().sort_values("event_type").reset_index(drop=True)
+    )
+    want = (
+        table(spark, SF_SMOKE, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .toPandas().sort_values("event_type").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # ties to the batch window query: its per-type maximum running value
+    # is the same audience size
+    from debezium_incubator_spark.registry import all_queries
+
+    w = all_queries()["w_count_distinct_running"](spark, SF_SMOKE).toPandas()
+    final = (
+        w.groupby("event_type").distinct_users_so_far.max()
+        .sort_index().to_numpy()
+    )
+    assert list(final) == list(want.n)
