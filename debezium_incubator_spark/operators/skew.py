@@ -14,8 +14,11 @@ final agg on key.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..registry import register
 
 
 def salted_join(
@@ -72,3 +75,72 @@ def two_phase_agg(
         ]
     )
     return final
+
+
+@register(
+    "join_salted",
+    oracle="""
+SELECT c.c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       SUM(CAST(floor(o.o_totalprice * 10000 + 0.5) AS BIGINT))
+         / CAST(10000 AS DOUBLE) AS revenue
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_mktsegment
+ORDER BY c.c_mktsegment
+""",
+)
+def join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The salted join as a driver-verifiable query: orders (the
+    "skewed" side) salted over 8 buckets, customer exploded 8×, joined
+    on (custkey, salt) — results MUST equal the plain join (the oracle
+    is the unsalted spelling; salting redistributes, never changes
+    semantics). At 100 TB this is the manual fix for a hot key AQE
+    cannot re-plan (already-reused exchange, streaming side)."""
+    o = table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    c = table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    joined = salted_join(o, c, "o_custkey")
+    fx = "CAST(floor(o_totalprice * 10000 + 0.5) AS BIGINT)"
+    return (
+        joined.groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_orders"),
+            (F.sum(F.expr(fx)) / F.lit(10000.0)).alias("revenue"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+@register(
+    "agg_salted_two_phase",
+    oracle="""
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       SUM(CAST(floor(value * 10000 + 0.5) AS BIGINT))
+         / CAST(10000 AS DOUBLE) AS total_value
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+""",
+)
+def agg_salted_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase (salted) aggregation as a driver-verifiable query:
+    partial agg on (event_type, salt-of-row), final on event_type —
+    equal to the direct aggregate (the oracle) by the associativity of
+    count/sum; the fixed-point money form keeps the equality EXACT
+    (integer partials re-associate losslessly where double partials
+    would drift). The explicit fallback for aggregates without
+    map-side combine over hot keys."""
+    ev = table(spark, sf_dir, "events").select("event_type", "value").withColumn(
+        "__fx", F.expr("CAST(floor(value * 10000 + 0.5) AS BIGINT)")
+    )
+    out = two_phase_agg(
+        ev, "event_type",
+        [("event_type", "count", "sum", "n"), ("__fx", "sum", "sum", "fx_sum")],
+    )
+    return out.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n"),
+        (F.col("fx_sum") / F.lit(10000.0)).alias("total_value"),
+    ).orderBy("event_type")

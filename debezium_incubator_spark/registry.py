@@ -154,6 +154,7 @@ def load_all() -> None:
         pruning,
         scans,
         setops,
+        skew,
         sorts,
         tpch_extra,
         tpch_more,
