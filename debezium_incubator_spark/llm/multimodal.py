@@ -330,3 +330,40 @@ def audio_features(media: DataFrame, kernel=decode_wav) -> DataFrame:
             )
 
     return media.mapInPandas(run, AUDIO_SCHEMA)
+
+
+def decode_features_arrow(media: DataFrame, kernel=fake_decode_features) -> DataFrame:
+    """J8/K7 decode via ``mapInArrow`` — the Arrow-native sibling of
+    :func:`decode_features`: batches stay as Arrow RecordBatches end to
+    end (no pandas materialization, no index/dtype coercion), which is
+    the cheapest Python seam Spark offers for binary-payload kernels.
+    Same kernel contract and output schema as the pandas path; the
+    equality test pins the two seams to identical results."""
+    import pyarrow as pa
+
+    def run(batches):
+        for batch in batches:
+            tbl = pa.Table.from_batches([batch])
+            payloads = tbl.column("payload").to_pylist()
+            metas = tbl.column("meta").to_pylist()
+            feats = [kernel(p) for p in payloads]
+            yield pa.RecordBatch.from_pydict(
+                {
+                    "doc_id": tbl.column("doc_id").combine_chunks(),
+                    "source": pa.array([m["source"] for m in metas]),
+                    "width": pa.array(
+                        [f["width"] for f in feats], type=pa.int32()
+                    ),
+                    "height": pa.array(
+                        [f["height"] for f in feats], type=pa.int32()
+                    ),
+                    "checksum": pa.array(
+                        [f["checksum"] for f in feats], type=pa.int32()
+                    ),
+                    "n_bytes": pa.array(
+                        [f["n_bytes"] for f in feats], type=pa.int64()
+                    ),
+                }
+            )
+
+    return media.mapInArrow(run, DECODED_SCHEMA)

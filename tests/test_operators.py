@@ -476,3 +476,21 @@ def test_multimodal_wav_decode_seam(spark):
         bad = bytearray(make_wav(8000, 1, [1, 2, 3]))
         struct.pack_into("<H", bad, 20, 3)  # IEEE-float fmt tag
         decode_wav(bytes(bad))
+
+
+def test_decode_arrow_equals_pandas_seam(spark):
+    """K7 mapInArrow: the Arrow-native decode seam produces exactly the
+    rows of the mapInPandas seam (same kernel, same schema) — the two
+    Python batch interfaces are interchangeable for binary kernels."""
+    from debezium_incubator_spark.catalog import table
+    from debezium_incubator_spark.llm.multimodal import (
+        decode_features,
+        decode_features_arrow,
+        to_media_table,
+    )
+
+    media = to_media_table(table(spark, SF_SMOKE, "documents").limit(200))
+    a = decode_features_arrow(media).toPandas().sort_values("doc_id").reset_index(drop=True)
+    p = decode_features(media).toPandas().sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, p)
+    assert decode_features_arrow(media).schema == decode_features(media).schema
