@@ -333,8 +333,11 @@ def cdc_materialize_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT c_mktsegment,
        CAST(COUNT(*) AS BIGINT) AS n_rows,
        bit_xor(CAST('0x' || substring(md5(concat_ws('|',
-           c_custkey, c_name, c_nationkey,
-           CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT))), 1, 15) AS BIGINT)
+           coalesce(CAST(c_custkey AS VARCHAR), '<null>'),
+           coalesce(CAST(c_name AS VARCHAR), '<null>'),
+           coalesce(CAST(c_nationkey AS VARCHAR), '<null>'),
+           coalesce(CAST(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)
+                         AS VARCHAR), '<null>'))), 1, 15) AS BIGINT)
        ) AS checksum
 FROM customer
 GROUP BY c_mktsegment
@@ -350,6 +353,13 @@ def cdc_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     either table: both sides compute (group, count, checksum) locally
     and compare KB-sized summaries.
 
+    Canonical form: every field is coalesce(CAST(col AS STRING),
+    '<null>') before joining with '|' — concat_ws silently SKIPS null
+    arguments on both engines, which would let rows differing only in
+    WHICH field is null collide. The remaining caveat (documented, not
+    defended): a value containing the literal '|' or '<null>' can still
+    alias; a production deployment would length-prefix or escape.
+
     Scale: one hash aggregate — XOR is commutative/associative, so the
     partial-final plan is exact under any partitioning and any row
     order; a 100 TB table reduces to one row per group. Differential
@@ -357,8 +367,12 @@ def cdc_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     string (same md5-prefix scheme as dedup_minhash_portable)."""
     c = table(spark, sf_dir, "customer")
     row_hash = (
-        "CAST(conv(substring(md5(concat_ws('|', c_custkey, c_name,"
-        " c_nationkey, CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT))),"
+        "CAST(conv(substring(md5(concat_ws('|',"
+        " coalesce(CAST(c_custkey AS STRING), '<null>'),"
+        " coalesce(CAST(c_name AS STRING), '<null>'),"
+        " coalesce(CAST(c_nationkey AS STRING), '<null>'),"
+        " coalesce(CAST(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)"
+        " AS STRING), '<null>'))),"
         " 1, 15), 16, 10) AS BIGINT)"
     )
     return (

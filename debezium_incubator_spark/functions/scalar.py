@@ -531,7 +531,7 @@ SELECT event_type,
   CAST(COUNT(c) AS BIGINT) AS n_cast_ok,
   CAST(SUM(c) AS BIGINT) AS sum_cast,
   CAST(SUM(CASE WHEN d IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_div_null,
-  CAST(SUM(CAST(d AS DECIMAL(38,10))) AS DOUBLE) AS sum_div,
+  SUM(CAST(floor(d * 10000000000 + 0.5) AS BIGINT)) / CAST(10000000000 AS DOUBLE) AS sum_div,
   CAST(SUM(CASE WHEN e IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_elem_null,
   CAST(SUM(CASE WHEN o IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_overflow
 FROM t GROUP BY event_type ORDER BY event_type
@@ -576,8 +576,13 @@ def fn_try_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("c").cast("bigint").alias("sum_cast"),
             F.sum(F.when(F.col("d").isNull(), 1).otherwise(0))
             .cast("bigint").alias("n_div_null"),
-            F.sum(F.col("d").cast("decimal(38,10)"))
-            .cast("double").alias("sum_div"),
+            # Fixed-point (10 dp) sum: floor(d*1e10+0.5) is pure IEEE
+            # double math spelled identically on both engines — no
+            # reliance on double->DECIMAL conversion rounding modes.
+            F.expr(
+                "SUM(CAST(floor(d * 10000000000 + 0.5) AS BIGINT))"
+                " / CAST(10000000000 AS DOUBLE)"
+            ).alias("sum_div"),
             F.sum(F.when(F.col("e").isNull(), 1).otherwise(0))
             .cast("bigint").alias("n_elem_null"),
             F.sum(F.when(F.col("o").isNull(), 1).otherwise(0))

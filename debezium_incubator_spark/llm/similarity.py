@@ -19,6 +19,7 @@ fixture scale the JVM expression path is faster than Python round-trips.
 
 from __future__ import annotations
 
+import atexit
 import hashlib
 
 from pyspark.sql import Column, DataFrame, SparkSession
@@ -314,7 +315,61 @@ def lsh_candidate_pairs(e: DataFrame) -> DataFrame:
     )
 
 
-@register("sim_lsh_topk")
+def _lsh_oracle() -> str:
+    """DuckDB twin of the FULL LSH pipeline. The hyperplanes are
+    deterministic SHA-256 constants (dyadic rationals — repr()
+    round-trips exactly), so they inline as literals; every dot product
+    is the same left fold both engines use (list_prepend-0.0 reduce ==
+    F.aggregate), so sign bits, band ids, the candidate-pair set, and
+    the rerank order are all bit-identical. This upgrades sim_lsh_topk
+    from rows-only to a true differential check of sieve + rerank."""
+    planes = _hyperplanes(64)
+    rows = ",\n".join(
+        f"  ({p}, [{', '.join(repr(x) for x in row)}]::DOUBLE[])"
+        for p, row in enumerate(planes)
+    )
+    return f"""
+WITH planes(plane_id, pv) AS (VALUES
+{rows}
+), e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), n AS (
+  SELECT vec_id, v,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             list_transform(v, x -> x * x)), (s, x) -> s + x) AS nsq
+  FROM e
+), bits AS (
+  SELECT e.vec_id, p.plane_id,
+         CASE WHEN list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                list_transform(range(1, 65), i -> e.v[i] * p.pv[i])),
+                (s, x) -> s + x) > 0 THEN 1 ELSE 0 END AS bit
+  FROM e CROSS JOIN planes p
+), bands AS (
+  SELECT vec_id, plane_id // {LSH_ROWS_PER_BAND} AS band_id,
+         SUM(bit * (1 << (plane_id % {LSH_ROWS_PER_BAND}))) AS band_val
+  FROM bits GROUP BY vec_id, plane_id // {LSH_ROWS_PER_BAND}
+), cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.band_val = b.band_val
+   AND a.vec_id < b.vec_id
+), rer AS (
+  SELECT c.vec_a, c.vec_b,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             list_transform(range(1, 65), i -> na.v[i] * nb.v[i])),
+             (s, x) -> s + x) / (sqrt(na.nsq) * sqrt(nb.nsq)) AS cos_raw
+  FROM cand c
+  JOIN n na ON na.vec_id = c.vec_a
+  JOIN n nb ON nb.vec_id = c.vec_b
+)
+SELECT vec_a, vec_b, ROUND(cos_raw, 6) AS cos_sim
+FROM rer
+ORDER BY cos_raw DESC, vec_a, vec_b
+LIMIT 20
+"""
+
+
+@register("sim_lsh_topk", oracle=_lsh_oracle())
 def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate all-pairs top-20: multi-band hyperplane LSH generates
     candidate pairs (within-bucket self-join — sub-quadratic), then the
@@ -323,8 +378,12 @@ def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     for — asserted by the planted-duplicate recall test), but genuinely
     partial on corpora with no high-similarity structure, where no
     sub-quadratic sieve can find "nearest of the unrelated" pairs —
-    s1_cosine_topk is the exact path there. Deterministic (seeded
-    planes) → rows-only check."""
+    s1_cosine_topk is the exact path there.
+
+    Differentially checked end-to-end (round-4 upgrade from rows-only):
+    the SHA-256 hyperplanes inline as SQL literals and the oracle
+    replays sign bits → band packing → bucket self-join → exact-cosine
+    rerank with bit-identical folds (see _lsh_oracle)."""
     e = _vectors(spark, sf_dir).withColumn("nsq", norm_sq("v"))
     cands = lsh_candidate_pairs(e)
     a = e.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"),
@@ -473,6 +532,19 @@ def ivf_probe(spark: SparkSession, index_dir: str, query_v: list[float],
 
 
 _IVF_INDEX_DIRS: dict[str, str] = {}
+
+
+def _cleanup_ivf_index_dirs() -> None:
+    """atexit hook: the per-process persisted indexes live in /tmp and
+    the driver/sweep harness never cleans them explicitly."""
+    import shutil
+
+    for d in _IVF_INDEX_DIRS.values():
+        shutil.rmtree(d, ignore_errors=True)
+    _IVF_INDEX_DIRS.clear()
+
+
+atexit.register(_cleanup_ivf_index_dirs)
 
 
 @register("sim_ivf_probe")

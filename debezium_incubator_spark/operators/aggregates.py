@@ -494,12 +494,17 @@ def agg_approx_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     (maxItemsTracked far above the key cardinality — the sketch tracks
     every key, so counts equal GROUP BY), then re-sorts the exploded
     output deterministically; k = full cardinality makes the selection
-    (not just the order) tie-proof. The estimation regime (cardinality
-    above the tracked budget) is the CMS query's territory
-    (t12_heavy_hitters_cms, error-bound-tested)."""
+    (not just the order) tie-proof. k is DERIVED from the data (one
+    1-row control-plane count-distinct), not hardcoded — a regenerated
+    fixture with more event types stays in the tie-proof full-selection
+    regime instead of silently becoming a truncated tie-sensitive
+    top-k. The estimation regime (cardinality above the tracked budget)
+    is the CMS query's territory (t12_heavy_hitters_cms,
+    error-bound-tested)."""
     ev = table(spark, sf_dir, "events")
+    k = ev.select(F.countDistinct("event_type")).first()[0]
     topk = ev.agg(
-        F.expr("approx_top_k(event_type, 5, 100000)").alias("tk")
+        F.expr(f"approx_top_k(event_type, {int(k)}, 100000)").alias("tk")
     )
     return (
         topk.select(F.explode("tk").alias("e"))

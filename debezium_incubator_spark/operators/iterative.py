@@ -126,6 +126,14 @@ def iter_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                     + F.expr("COALESCE(s, 0) * 85 DIV 100")
                 ).cast("bigint").alias("rf"),
             )
+            # Truncate lineage each round (same policy as
+            # hierarchy.py / clustering.py): without this, the plan
+            # nests one join+agg per iteration and the optimizer
+            # re-analyzes the whole chain every round — safe at
+            # ITERS=5, quadratic planning blowup if ITERS grows.
+            # Checkpointing is plan-only; values are unchanged, which
+            # the unrolled-CTE oracle pins.
+            .localCheckpoint(eager=True)
         )
     return ranks.select(
         F.col("k").alias("nation"),

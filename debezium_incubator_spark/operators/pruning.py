@@ -35,6 +35,7 @@ complements DPP's directory-level skipping.
 
 from __future__ import annotations
 
+import atexit
 import os
 import tempfile
 
@@ -71,6 +72,9 @@ def partitioned_sink(
 # One partitioned copy of `events` per (process, sf_dir) — the same
 # persisted-artifact lifecycle as the IVF index (llm/similarity.py):
 # build once into a temp dir, then every registered query probes it.
+# The copies are removed at interpreter exit (atexit on cleanup(),
+# below) so repeated driver/sweep runs do not accumulate directories
+# in /tmp.
 _EVENTS_PART_DIRS: dict[str, str] = {}
 
 
@@ -204,12 +208,17 @@ def runtime_filter_conf(
 
 
 def cleanup() -> None:
-    """Drop the per-process partitioned copies (test hygiene)."""
+    """Drop the per-process partitioned copies. Registered atexit so
+    the driver/sweep harness (which never calls it explicitly) does not
+    leak one directory per (process, sf_dir) into /tmp."""
     import shutil
 
     for d in _EVENTS_PART_DIRS.values():
         shutil.rmtree(d, ignore_errors=True)
     _EVENTS_PART_DIRS.clear()
+
+
+atexit.register(cleanup)
 
 
 def _dir_partitions(path: str, col: str) -> list[str]:

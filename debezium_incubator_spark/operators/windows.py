@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from ..catalog import table
+from ..exprs import round4x
 from ..registry import register
 
 
@@ -308,11 +309,12 @@ WITH w AS (
   FROM events
 )
 SELECT event_id, event_type, ts, value,
-       ROUND(
+       floor((
          list_sum(list_transform(range(1, len(vs)+1),
                                  k -> vs[k] * pow(0.5, len(vs)-k)))
          / list_sum(list_transform(range(1, len(vs)+1),
-                                   k -> pow(0.5, len(vs)-k))), 4) AS ewma
+                                   k -> pow(0.5, len(vs)-k)))
+       ) * 10000 + 0.5) / CAST(10000 AS DOUBLE) AS ewma
 FROM w ORDER BY event_id
 """,
 )
@@ -326,9 +328,11 @@ def w_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     Parity note: with decay = 0.5 every weight is a power of two, so
     each multiply is an EXACT binary scaling — both engines fold the
     identical value sequence left-to-right and the pre-division sums
-    are bit-identical; the single division and ROUND(,4) are then
-    deterministic. A non-dyadic decay would need the fixed-point
-    policy instead.
+    are bit-identical. The final 4dp rounding still uses the repo's
+    round4x fixed-point form (floor(x*10^4+0.5)/10^4) on BOTH sides,
+    not engine-native ROUND: Spark's BigDecimal HALF_UP and DuckDB's
+    double-arithmetic round are different algorithms, and the round4x
+    policy removes the half-boundary hazard regardless of fixture.
 
     Scale: one window shuffle on the partition key; the frame is O(8)
     per row regardless of history length (the recursive EWMA form is
@@ -341,6 +345,15 @@ def w_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rowsBetween(-7, 0)
     )
     vs = F.collect_list("value").over(w)
+    num = (
+        "aggregate(zip_with(vs, sequence(size(vs)-1, 0, -1),"
+        " (v, k) -> v * pow(0.5, k)), CAST(0 AS DOUBLE),"
+        " (acc, x) -> acc + x)"
+    )
+    den = (
+        "aggregate(sequence(size(vs)-1, 0, -1),"
+        " CAST(0 AS DOUBLE), (acc, k) -> acc + pow(0.5, k))"
+    )
     return (
         ev.select("event_id", "event_type", "ts", "value", vs.alias("vs"))
         .select(
@@ -348,18 +361,7 @@ def w_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type",
             "ts",
             "value",
-            F.round(
-                F.expr(
-                    "aggregate(zip_with(vs, sequence(size(vs)-1, 0, -1),"
-                    " (v, k) -> v * pow(0.5, k)), CAST(0 AS DOUBLE),"
-                    " (acc, x) -> acc + x)"
-                )
-                / F.expr(
-                    "aggregate(sequence(size(vs)-1, 0, -1),"
-                    " CAST(0 AS DOUBLE), (acc, k) -> acc + pow(0.5, k))"
-                ),
-                4,
-            ).alias("ewma"),
+            round4x(f"({num}) / ({den})").alias("ewma"),
         )
         .orderBy("event_id")
     )
