@@ -112,12 +112,60 @@ def connected_components(
     return labels
 
 
-@register("dedup_clusters")
+_CLUSTERS_ORACLE = """
+WITH RECURSIVE toks AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS ts FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, sh FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, greatest(len(ts) - 1, 1)),
+                  i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS sh
+    FROM toks WHERE len(ts) >= 3
+  )
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), edges AS (
+  SELECT i.doc_a, i.doc_b
+  FROM inter i
+  JOIN sizes sa ON sa.doc_id = i.doc_a
+  JOIN sizes sb ON sb.doc_id = i.doc_b
+  WHERE i.i / (sa.n + sb.n - i.i) >= 0.1
+), sym AS (
+  SELECT doc_a AS a, doc_b AS b FROM edges
+  UNION
+  SELECT doc_b, doc_a FROM edges
+), reach(a, b) AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+  WHERE s.b <> r.a
+)
+SELECT doc_id, cluster_id, doc_id = cluster_id AS is_representative
+FROM (
+  SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id FROM reach GROUP BY a
+)
+ORDER BY cluster_id, doc_id
+"""
+
+
+@register("dedup_clusters", oracle=_CLUSTERS_ORACLE)
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup clusters over exact 3-gram Jaccard edges (j ≥ 0.1):
-    (doc_id, cluster_id, is_representative). Deterministic (min-id
-    labels) → rows-only check; the edge generation itself is
-    oracle-checked as dedup_ngram_jaccard."""
+    (doc_id, cluster_id, is_representative).
+
+    Differentially checked (round-4 upgrade from rows-only): the oracle
+    rebuilds the same edge set in SQL (the dedup_ngram_jaccard CTEs)
+    and resolves components by brute-force transitive closure (WITH
+    RECURSIVE reachability; label = min reachable id) — so the
+    large-star/small-star O(log n) algorithm is hash-checked against
+    the textbook fixpoint definition of connectivity, not just against
+    its own determinism. Closure cost is O(Σ component²) — fine for an
+    oracle (near-dup components are small cliques), never the engine
+    path."""
     d = table(spark, sf_dir, "documents")
     sh = (
         d.filter(F.size(F.split(F.lower("text"), " ")) >= 3)

@@ -568,6 +568,132 @@ def sim_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- IVF mechanics, portably (differential twin for the KMeans paths) ----
+
+_IVF_DOT = (
+    "list_reduce(list_prepend(CAST(0.0 AS DOUBLE),"
+    " list_transform(range(1, len({a}) + 1), i -> {a}[i] * {b}[i])),"
+    " (s, x) -> s + x)"
+)
+
+_IVF_PORTABLE_ORACLE = f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), n AS (
+  SELECT vec_id, v,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             list_transform(v, x -> x * x)), (s, x) -> s + x) AS nsq
+  FROM e
+), seeds AS (
+  SELECT vec_id AS seed_id, v AS sv, nsq AS snsq
+  FROM n WHERE vec_id BETWEEN 1 AND 8
+), q AS (
+  SELECT v AS qv, nsq AS qn FROM n WHERE vec_id = 0
+), assign AS (
+  SELECT vec_id, seed_id,
+         row_number() OVER (PARTITION BY vec_id ORDER BY dist, seed_id) AS rn
+  FROM (
+    SELECT n.vec_id, s.seed_id,
+           n.nsq - 2 * {_IVF_DOT.format(a="n.v", b="s.sv")} + s.snsq AS dist
+    FROM n CROSS JOIN seeds s
+  )
+), cells AS (
+  SELECT vec_id, seed_id AS cell FROM assign WHERE rn = 1
+), probe AS (
+  SELECT seed_id AS cell FROM (
+    SELECT s.seed_id,
+           row_number() OVER (
+             ORDER BY q.qn - 2 * {_IVF_DOT.format(a="s.sv", b="q.qv")} + s.snsq,
+                      s.seed_id) AS rn
+    FROM seeds s, q
+  ) WHERE rn <= 2
+), cand AS (
+  SELECT c.vec_id, c.cell
+  FROM cells c JOIN probe p ON c.cell = p.cell
+  WHERE c.vec_id <> 0
+), cos AS (
+  SELECT cand.vec_id, cand.cell,
+         {_IVF_DOT.format(a="n.v", b="q.qv")}
+           / (sqrt(n.nsq) * sqrt(q.qn)) AS cos_raw
+  FROM cand JOIN n ON n.vec_id = cand.vec_id, q
+)
+SELECT vec_id, CAST(cell AS BIGINT) AS cell, ROUND(cos_raw, 6) AS cos_sim
+FROM cos ORDER BY cos_raw DESC, vec_id LIMIT 10
+"""
+
+
+@register("sim_ivf_portable", oracle=_IVF_PORTABLE_ORACLE)
+def sim_ivf_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF mechanics (coarse-quantize → route query to nprobe
+    nearest cells → exact top-k inside probed cells) with a DETERMINISTIC
+    portable quantizer, so the whole structure is differentially
+    checked: cells are defined by argmin squared-L2 distance to 8 seed
+    vectors (the embeddings of vec_id 1–8 — data the oracle can see),
+    distance folds are the repo's bit-reproducible left folds, and ties
+    break on seed id. sim_ivf_knn / sim_ivf_probe run the SAME structure
+    under a trained KMeans quantizer (better cells, engine-specific →
+    rows-only + plan/recall tests); this twin is the candidate-set
+    differential the round-3 verdict asked for: assignment, routing, and
+    in-cell exact rerank each hash-checked against SQL.
+
+    Scale posture matches the persisted path: assignment is one
+    broadcast-join pass (8 seed rows), routing is control-plane, the
+    rerank touches only probed cells."""
+    nprobe, k = 2, 10
+    e = _vectors(spark, sf_dir).withColumn("nsq", norm_sq("v"))
+    seeds = (
+        e.filter(F.col("vec_id").between(1, 8))
+        .select(
+            F.col("vec_id").alias("seed_id"),
+            F.col("v").alias("sv"),
+            F.col("nsq").alias("snsq"),
+        )
+    )
+    q = e.filter(F.col("vec_id") == 0).select(
+        F.col("v").alias("qv"), F.col("nsq").alias("qn")
+    )
+
+    from pyspark.sql.window import Window as W
+
+    dist = F.col("nsq") - 2 * dot("v", "sv") + F.col("snsq")
+    assign = (
+        e.crossJoin(F.broadcast(seeds))
+        .withColumn("dist", dist)
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("vec_id").orderBy("dist", "seed_id")
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "v", "nsq", F.col("seed_id").alias("cell"))
+    )
+    qdist = F.col("qn") - 2 * dot("sv", "qv") + F.col("snsq")
+    probe = (
+        seeds.crossJoin(F.broadcast(q))
+        .withColumn("qdist", qdist)
+        .withColumn(
+            "rn", F.row_number().over(W.orderBy("qdist", "seed_id"))
+        )
+        .filter(F.col("rn") <= nprobe)
+        .select(F.col("seed_id").alias("cell"))
+    )
+    cos_raw = dot("v", "qv") / (F.sqrt("nsq") * F.sqrt("qn"))
+    return (
+        assign.join(F.broadcast(probe), "cell")
+        .filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .withColumn("cos_raw", cos_raw)
+        .orderBy(F.desc("cos_raw"), "vec_id")
+        .limit(k)
+        .select(
+            "vec_id",
+            F.col("cell").cast("bigint").alias("cell"),
+            F.round("cos_raw", 6).alias("cos_sim"),
+        )
+    )
+
+
 # --- label centroids (grouped vector aggregation) ------------------------
 
 @register(
@@ -613,17 +739,24 @@ def sim_label_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def quantize_embedding(v, bits: int = 8) -> Column:
     """Symmetric per-vector int8 quantization: scale = max|x| / 127,
-    q_i = round(x_i / scale). Shrinks vector storage/shuffle bytes 4×
-    (float32→int8; 8× vs float64) — at 100 TB the scan is the cost, so
-    this is the single biggest ANN lever. Expression-level (no Python);
-    returns struct{q: array<tinyint>, scale: double}."""
+    q_i = floor(x_i / scale + 0.5). Shrinks vector storage/shuffle bytes
+    4× (float32→int8; 8× vs float64) — at 100 TB the scan is the cost,
+    so this is the single biggest ANN lever. Expression-level (no
+    Python); returns struct{q: array<tinyint>, scale: double}.
+
+    The rounding is the repo's portable half-up form (floor(x+0.5), not
+    engine ROUND): pure IEEE double ops both engines compute
+    identically, which is what lets sim_quantized_knn carry a full
+    DuckDB differential oracle instead of a rows-only check."""
     qmax = float(2 ** (bits - 1) - 1)
     absmax = F.aggregate(
         F.transform(v, lambda x: F.abs(x)), F.lit(0.0),
         lambda s, x: F.greatest(s, x),
     )
     scale = absmax / F.lit(qmax)
-    q = F.transform(v, lambda x: F.round(x / scale).cast("tinyint"))
+    q = F.transform(
+        v, lambda x: F.floor(x / scale + F.lit(0.5)).cast("tinyint")
+    )
     return F.struct(q.alias("q"), scale.alias("scale"))
 
 
@@ -632,12 +765,50 @@ def dequantize_embedding(qs) -> Column:
     return F.transform(qs["q"], lambda x: x.cast("double") * qs["scale"])
 
 
-@register("sim_quantized_knn")
+_QUANT_ORACLE = """
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), sc AS (
+  SELECT vec_id, v,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             list_transform(v, x -> abs(x))), (s, x) -> greatest(s, x))
+           / 127.0 AS scale
+  FROM e
+), dq AS (
+  SELECT vec_id,
+         list_transform(v, x -> floor(x / scale + 0.5) * scale) AS w
+  FROM sc
+), n AS (
+  SELECT vec_id, w,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             list_transform(w, x -> x * x)), (s, x) -> s + x) AS nsq
+  FROM dq
+), qv AS (
+  SELECT w AS qw, nsq AS qn FROM n WHERE vec_id = 0
+), cos AS (
+  SELECT n.vec_id,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             list_transform(range(1, len(n.w) + 1), i -> n.w[i] * qv.qw[i])),
+             (s, x) -> s + x) / (sqrt(n.nsq) * sqrt(qv.qn)) AS cos_raw
+  FROM n, qv WHERE n.vec_id <> 0
+)
+SELECT vec_id, ROUND(cos_raw, 6) AS cos_sim
+FROM cos ORDER BY cos_raw DESC, vec_id LIMIT 10
+"""
+
+
+@register("sim_quantized_knn", oracle=_QUANT_ORACLE)
 def sim_quantized_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KNN of vec_id=0 over int8-quantized vectors: quantize (4-8× less
-    I/O), dequantize, exact cosine on the reconstruction. Deterministic
-    → rows-only; the recall-vs-exact bound is pinned by
-    test_quantized_knn_recall."""
+    I/O), dequantize, exact cosine on the reconstruction.
+
+    Fully differentially checked (round-4 upgrade from rows-only): the
+    quantizer is pure portable IEEE arithmetic (absmax fold → scale →
+    floor-half-up → reconstruct), so the oracle replays quantize →
+    dequantize → cosine with bit-identical folds and the top-10 must
+    hash-match — the quantization LOSS itself is what's being pinned,
+    not just the ranking. The recall-vs-exact bound is additionally
+    pinned by test_quantized_knn_recall."""
     e = _vectors(spark, sf_dir).withColumn(
         "qs", quantize_embedding(F.col("v"))
     ).withColumn("dq", dequantize_embedding(F.col("qs"))).drop("v")

@@ -508,6 +508,53 @@ def t12_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "term STRING, exact BIGINT, estimate BIGINT")
 
 
+@register(
+    "t12_cms_exact",
+    oracle="""
+WITH t AS (
+  SELECT unnest(string_split(lower(text), ' ')) AS term FROM documents
+), cnt AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS exact FROM t GROUP BY term
+)
+SELECT term, exact, exact AS estimate
+FROM cnt ORDER BY exact DESC, term LIMIT 10
+""",
+)
+def t12_cms_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The t12 count-min pipeline pinned in the sketch's EXACT regime:
+    eps 10^-4 gives width 20000 ≫ the corpus vocabulary, so the
+    probability that some term collides with another in ALL depth=7 hash
+    rows is (V²/2w)^7-scale — effectively zero, and deterministic for
+    the fixed seed anyway. In that regime min-over-rows returns the true
+    count and the estimate column EQUALS exact, so the whole build →
+    serialize → JVM point-query path is differentially checked (oracle
+    states estimate = exact). t12_heavy_hitters_cms keeps the
+    production eps (overestimate-bounded, error-bound-tested) — same
+    operator, collision behavior exercised there."""
+    d = table(spark, sf_dir, "documents")
+    t = d.select(F.explode(tokens()).alias("term"))
+    sk_row = t.agg(
+        F.expr(
+            "count_min_sketch(term, CAST(0.0001 AS DOUBLE), "
+            "CAST(0.99 AS DOUBLE), 42)"
+        ).alias("sk")
+    ).first()
+    top = (
+        t.groupBy("term")
+        .agg(F.count("*").alias("exact"))
+        .orderBy(F.desc("exact"), F.asc("term"))
+        .limit(10)
+        .collect()
+    )
+    jvm = spark.sparkContext._jvm
+    bio = jvm.java.io.ByteArrayInputStream(bytes(sk_row.sk))
+    cms = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(bio)
+    rows = [
+        (r.term, int(r.exact), int(cms.estimateCount(r.term))) for r in top
+    ]
+    return spark.createDataFrame(rows, "term STRING, exact BIGINT, estimate BIGINT")
+
+
 # --- t13: n-gram novelty (repetition / boilerplate filter) ---------------
 
 _SHINGLE_CTE = """

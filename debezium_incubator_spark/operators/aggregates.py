@@ -562,3 +562,135 @@ def agg_theta_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("type_a", "type_b")
     )
+
+
+# --- D3/D9 exact-regime differential twins --------------------------------
+#
+# The sketch queries above (agg_approx_distinct, agg_hll_mergeable,
+# agg_approx_percentile) are rows-only: DuckDB's sketches differ, so the
+# ESTIMATES legitimately diverge. These twins pin the same Spark
+# operators in their EXACT regime — inputs small enough that the sketch
+# guarantees collapse to equality — so the machinery (partial
+# aggregation, sketch merge, final estimate) is differentially checked
+# against plain COUNT(DISTINCT) / value-at-rank oracles, the same
+# template agg_approx_top_k and agg_theta_overlap use.
+
+
+@register(
+    "agg_approx_distinct_exact",
+    oracle="""
+SELECT l_returnflag,
+       CAST(COUNT(DISTINCT l_linestatus) AS BIGINT) AS nd_status,
+       CAST(COUNT(DISTINCT l_quantity) AS BIGINT) AS nd_qty,
+       CAST(COUNT(DISTINCT CAST(floor(l_discount * 100 + 0.5) AS BIGINT)) AS BIGINT) AS nd_disc,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+""",
+)
+def agg_approx_distinct_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ approx_count_distinct in its exact regime: with rsd 0.005
+    the register array is ~2^16 wide, and linear counting on n ≪ m
+    occupied registers rounds to the exact cardinality as long as no two
+    values collide in a register (deterministic for fixed data — and
+    cardinalities here are 2 / 50 / ≤11 against 65k registers, so the
+    estimate EQUALS the exact count; the 211-cardinality probe already
+    loses a register at sf0.1, which is why these columns stay small).
+    The high-cardinality estimation regime stays rows-only as
+    agg_approx_distinct — same operator, same merge path, sketch
+    behavior differentially pinned HERE."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_linestatus", 0.005).alias("nd_status"),
+            F.approx_count_distinct("l_quantity", 0.005).alias("nd_qty"),
+            F.approx_count_distinct(
+                F.expr("CAST(floor(l_discount * 100 + 0.5) AS BIGINT)"), 0.005
+            ).alias("nd_disc"),
+            F.count("*").alias("n"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "agg_hll_exact",
+    oracle="""
+SELECT event_type,
+       CAST(COUNT(DISTINCT user_id % 97) AS BIGINT) AS exact_users,
+       CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days
+FROM events GROUP BY event_type ORDER BY event_type
+""",
+)
+def agg_hll_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The agg_hll_mergeable two-level rollup (daily DataSketches HLL of
+    user buckets → hll_union_agg per event type) pinned in the sketch's
+    exact regime: Apache DataSketches HLL starts in coupon-list/set mode,
+    which counts distinct 26-bit coupons EXACTLY until it promotes to
+    dense HLL (hundreds of items at lgK=12). user_id % 97 keeps every
+    daily sketch and every union in that mode, so the merged estimate is
+    the exact distinct count and hll_sketch_estimate rounds to it — the
+    full persist-daily-sketches → union-without-rescan path checked
+    against COUNT(DISTINCT). Estimation regime: agg_hll_mergeable
+    (rows-only, same operators)."""
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day"), "event_type").agg(
+        F.hll_sketch_agg(F.expr("user_id % 97")).alias("sk")
+    )
+    return (
+        daily.groupBy("event_type")
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("exact_users"),
+            F.count("*").alias("n_days"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "agg_approx_percentile_exact",
+    oracle="""
+WITH t AS (
+  SELECT l_returnflag, l_extendedprice, l_quantity,
+         row_number() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice) AS rp,
+         row_number() OVER (PARTITION BY l_returnflag ORDER BY l_quantity) AS rq,
+         COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+  FROM lineitem
+)
+SELECT l_returnflag,
+       MIN(l_extendedprice) FILTER (rp = CAST(ceil(0.5  * n) AS BIGINT)) AS p50_price,
+       MIN(l_extendedprice) FILTER (rp = CAST(ceil(0.95 * n) AS BIGINT)) AS p95_price,
+       MIN(l_quantity)      FILTER (rq = CAST(ceil(0.5  * n) AS BIGINT)) AS med_qty
+FROM t GROUP BY l_returnflag ORDER BY l_returnflag
+""",
+)
+def agg_approx_percentile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greenwald-Khanna approx_percentile in its exact regime: the GK
+    summary guarantees rank error ≤ N/accuracy, so with accuracy 10^7
+    and N ≤ 5·10^6 the error is < 0.5 ranks — the returned sample IS the
+    element at the target rank, which Spark resolves as rank
+    ceil(p·N) in ascending order (verified at both fixture scales; the
+    bound, not the fixture, is what makes this stable). The oracle
+    states that rank directly via row_number. Ties are harmless: any
+    row of a tie run carries the same value. The sketch-estimation
+    regime stays rows-only as agg_approx_percentile — same operator,
+    same mergeable partials."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.expr(
+                "approx_percentile(l_extendedprice, array(0.5, 0.95), 10000000)"
+            ).alias("p"),
+            F.expr("approx_percentile(l_quantity, 0.5, 10000000)").alias(
+                "med_qty"
+            ),
+        )
+        .select(
+            "l_returnflag",
+            F.col("p")[0].alias("p50_price"),
+            F.col("p")[1].alias("p95_price"),
+            "med_qty",
+        )
+        .orderBy("l_returnflag")
+    )

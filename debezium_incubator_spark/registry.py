@@ -98,14 +98,20 @@ PRIORITY: list[str] = [
     # §2F sorts / limits / sampling (F1 via q1 above)
     "sort_topk_offset",      # F2 + F5 combo
     "sort_sample",           # F4 (deterministic hash-sample)
-    "sort_within_partitions",  # F3 (identity oracle)
+    # round-4 recomposition: sort_within_partitions (F3, identity
+    # oracle — weakest in-window check) and e3_sliding_window (I3; the
+    # I family keeps e1/e4/cdc_dedup_stream/cdc_materialize) demoted to
+    # the sweep in favor of D3's exact-regime sketch twin and the
+    # portable IVF candidate-set differential — two families the window
+    # previously could not audit at all.
+    "agg_approx_distinct_exact",  # D3 (HLL++ in its exact regime)
+    "sim_ivf_portable",      # J4 IVF mechanics (assignment/routing/rerank)
     # §2G set ops
     "set_ops_combined",      # G1+G2+G3+G4 combo
     # §2H scalar families (H10 via cast_coerce above)
     "fn_scalar_combo",       # H1+H2+H3+H4 combo
     "fn_nested_combo",       # H5+H6+H7+H9 combo
     # §2I streaming batch twins (I2 via e1, I5 via cdc_dedup_stream)
-    "e3_sliding_window",     # I3
     "e4_session_window",     # I4
     # §2K pandas-UDF / UDTF matrix (K1 row-at-a-time is the documented
     # anti-pattern — deliberately outside the audited window)
