@@ -41,6 +41,15 @@ def _bucket(keys: list[str], n_buckets: int):
     return F.pmod(F.xxhash64(*keys), F.lit(n_buckets)).cast("int")
 
 
+def _atomic_write(path: str, content: str) -> None:
+    """Crash-atomic small-file write: sibling .tmp + os.replace (POSIX
+    rename atomicity). Readers never observe a partial file."""
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        f.write(content)
+    os.replace(tmp, path)
+
+
 def _read_manifest(state_dir: str) -> dict[int, int] | None:
     marker = os.path.join(state_dir, "_LATEST")
     if not os.path.exists(marker):
@@ -93,11 +102,18 @@ def apply_changes_partitioned(
         .parquet(os.path.join(state_dir, f"v{epoch}"))
     )
     manifest.update({b: epoch for b in touched})
+    # Both commit files land by ATOMIC RENAME (write sibling .tmp, then
+    # os.replace): a truncate-in-place `open(..., "w")` can leave a torn
+    # manifest or — far worse — a torn _LATEST pointer if the writer
+    # dies mid-write, bricking every reader. With rename-commit, a crash
+    # at ANY byte leaves either the old file or the new one, never a
+    # partial (fault-injection-tested in tests/test_upsert.py).
     mf = f"manifest_v{epoch}.json"
-    with open(os.path.join(state_dir, mf), "w") as f:
-        json.dump({str(k): v for k, v in manifest.items()}, f)
-    with open(os.path.join(state_dir, "_LATEST"), "w") as f:
-        f.write(mf)  # commit point
+    _atomic_write(
+        os.path.join(state_dir, mf),
+        json.dumps({str(k): v for k, v in manifest.items()}),
+    )
+    _atomic_write(os.path.join(state_dir, "_LATEST"), mf)  # commit point
 
 
 def read_state_partitioned(

@@ -21,6 +21,17 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 
+def _commit_pointer(state_dir: str, version: str) -> None:
+    """Crash-atomic _LATEST update: sibling .tmp + os.replace. A
+    truncate-in-place write could leave a torn pointer that bricks every
+    reader; rename-commit leaves either the old pointer or the new one,
+    never a partial."""
+    tmp = os.path.join(state_dir, "_LATEST.tmp")
+    with open(tmp, "w") as f:
+        f.write(version)
+    os.replace(tmp, os.path.join(state_dir, "_LATEST"))
+
+
 def _latest_path(state_dir: str) -> str | None:
     marker = os.path.join(state_dir, "_LATEST")
     if os.path.exists(marker):
@@ -74,9 +85,20 @@ def read_state_at(
     every micro-batch commits an immutable version, any historical state
     remains queryable until versions are GC'd. At 100 TB, versions are
     per-partition manifests rather than full copies, but the read
-    contract (resolve version <= t, scan it) is identical."""
-    versions = [v for v in list_versions(state_dir) if v <= epoch]
+    contract (resolve version <= t, scan it) is identical.
+
+    Raises ValueError if `epoch` predates the vacuum horizon (committed
+    versions exist but all are newer): "that history was GC'd" must be
+    loud, not an empty result a consumer could mistake for "no state
+    existed then". Returns None only when NO version is committed."""
+    committed = list_versions(state_dir)
+    versions = [v for v in committed if v <= epoch]
     if not versions:
+        if committed:
+            raise ValueError(
+                f"epoch {epoch} predates the vacuum horizon of {state_dir}; "
+                f"oldest retained version is v{committed[0]}"
+            )
         return None
     df = spark.read.parquet(os.path.join(state_dir, f"v{versions[-1]}"))
     if not include_tombstones:
@@ -110,8 +132,7 @@ def apply_changes_batch(
     )
     out = os.path.join(state_dir, f"v{epoch}")
     new_state.write.mode("overwrite").parquet(out)
-    with open(os.path.join(state_dir, "_LATEST"), "w") as f:
-        f.write(f"v{epoch}")
+    _commit_pointer(state_dir, f"v{epoch}")
 
 
 def start_upsert_stream(
@@ -175,8 +196,7 @@ def apply_scd2_batch(
         new_hist = untouched.unionByName(rebuilt)
     out = os.path.join(state_dir, f"v{epoch}")
     new_hist.write.mode("overwrite").parquet(out)
-    with open(os.path.join(state_dir, "_LATEST"), "w") as f:
-        f.write(f"v{epoch}")
+    _commit_pointer(state_dir, f"v{epoch}")
 
 
 def start_scd2_stream(

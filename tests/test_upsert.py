@@ -234,9 +234,14 @@ def test_time_travel_read_state_at(spark):
         assert at0 == {(1, 10.0), (2, 20.0)}
         assert at1 == {(1, 15.0), (2, 20.0)}
         assert at2 == {(1, 15.0)}  # k=2 deleted; tombstone filtered
-        # epoch between commits resolves downward; before history → None
+        # epoch between commits resolves downward; before the retained
+        # horizon raises loudly (round-4 contract: GC'd-or-never-existed
+        # history must not read as an empty state)
         assert read_state_at(spark, state, 10) is not None
-        assert read_state_at(spark, state, -1) is None
+        import pytest
+
+        with pytest.raises(ValueError, match="predates"):
+            read_state_at(spark, state, -1)
 
         # simulate crash: version dir written but marker not advanced
         import shutil
@@ -448,3 +453,128 @@ def test_vacuum_versions_monolithic(spark):
         assert removed == ["v0"]
         assert list_versions(state) == [1, 2]
         assert read_state(spark, state).first().v == 3.0
+
+
+def test_crash_before_manifest_commit_is_invisible_and_replayable(spark):
+    """Fault injection for the manifest-last atomic-commit claim
+    (partitioned_state.py): kill the writer AFTER the bucket parquet
+    write but BEFORE the manifest/_LATEST commit. Readers must still see
+    the previous epoch (uncommitted data is unreachable), and replaying
+    the same epoch after restart must converge to exactly the state a
+    no-failure run produces."""
+    from unittest import mock
+
+    from debezium_incubator_spark.streaming import partitioned_state as ps
+
+    ev = _changes(spark)
+    b1 = ev.filter(F.col("event_id") % 2 == 0)
+    b2 = ev.filter(F.col("event_id") % 2 == 1)
+    args = dict(keys=["user_id"], position=["ts", "event_id"], n_buckets=8)
+
+    def snap(state):
+        df = ps.read_state_partitioned(spark, state)
+        return (
+            df.select("user_id", "value").toPandas()
+            .sort_values("user_id").reset_index(drop=True)
+        )
+
+    with tempfile.TemporaryDirectory() as ref, \
+            tempfile.TemporaryDirectory() as state:
+        # reference: both epochs, no failure
+        ps.apply_changes_partitioned(spark, b1, 0, ref, **args)
+        ps.apply_changes_partitioned(spark, b2, 1, ref, **args)
+        want = snap(ref)
+
+        ps.apply_changes_partitioned(spark, b1, 0, state, **args)
+        epoch0 = snap(state)
+        # crash point: manifest serialization fails -> no commit files
+        with mock.patch.object(
+            ps.json, "dumps", side_effect=RuntimeError("killed mid-batch")
+        ):
+            try:
+                ps.apply_changes_partitioned(spark, b2, 1, state, **args)
+                raise AssertionError("fault injection did not fire")
+            except RuntimeError:
+                pass
+        # torn v1 data exists on disk, but the commit point was never
+        # reached: readers still serve epoch 0
+        assert os.path.isdir(os.path.join(state, "v1"))
+        assert not os.path.exists(os.path.join(state, "manifest_v1.json"))
+        with open(os.path.join(state, "_LATEST")) as f:
+            assert f.read().strip() == "manifest_v0.json"
+        pd.testing.assert_frame_equal(snap(state), epoch0)
+
+        # restart: foreachBatch re-delivers the same epoch; the rewrite
+        # is deterministic and the overwrite replaces the torn files
+        ps.apply_changes_partitioned(spark, b2, 1, state, **args)
+        pd.testing.assert_frame_equal(snap(state), want)
+
+
+def test_crash_between_manifest_and_pointer_is_replayable(spark):
+    """Second crash window: the epoch manifest was written but _LATEST
+    (the commit point) was not updated. The orphan manifest must not be
+    served, and epoch replay converges."""
+    from debezium_incubator_spark.streaming import partitioned_state as ps
+
+    ev = _changes(spark)
+    b1 = ev.filter(F.col("event_id") % 2 == 0)
+    b2 = ev.filter(F.col("event_id") % 2 == 1)
+    args = dict(keys=["user_id"], position=["ts", "event_id"], n_buckets=8)
+
+    def snap(state):
+        df = ps.read_state_partitioned(spark, state)
+        return (
+            df.select("user_id", "value").toPandas()
+            .sort_values("user_id").reset_index(drop=True)
+        )
+
+    with tempfile.TemporaryDirectory() as ref, \
+            tempfile.TemporaryDirectory() as state:
+        ps.apply_changes_partitioned(spark, b1, 0, ref, **args)
+        ps.apply_changes_partitioned(spark, b2, 1, ref, **args)
+        want = snap(ref)
+
+        ps.apply_changes_partitioned(spark, b1, 0, state, **args)
+        epoch0 = snap(state)
+        # run epoch 1 fully, then roll the pointer back: equivalent to a
+        # crash after manifest_v1.json landed but before _LATEST moved
+        ps.apply_changes_partitioned(spark, b2, 1, state, **args)
+        with open(os.path.join(state, "_LATEST"), "w") as f:
+            f.write("manifest_v0.json")
+        assert os.path.exists(os.path.join(state, "manifest_v1.json"))
+        pd.testing.assert_frame_equal(snap(state), epoch0)
+
+        ps.apply_changes_partitioned(spark, b2, 1, state, **args)
+        pd.testing.assert_frame_equal(snap(state), want)
+
+
+def test_vacuum_respects_time_travel_horizon(spark):
+    """Point-in-time reads under GC: a version inside the kept horizon
+    keeps serving after vacuum; a vacuumed epoch raises (never an empty
+    result that could be mistaken for 'no state existed then')."""
+    import pytest
+
+    from debezium_incubator_spark.streaming.upsert import (
+        apply_changes_batch,
+        read_state_at,
+        vacuum_versions,
+    )
+
+    b = lambda rows: spark.createDataFrame(
+        rows, "k LONG, pos LONG, v DOUBLE, __op STRING"
+    )
+    with tempfile.TemporaryDirectory() as state:
+        apply_changes_batch(spark, b([(1, 1, 1.0, "c")]), 0, state, ["k"], ["pos"])
+        apply_changes_batch(spark, b([(1, 2, 2.0, "u")]), 1, state, ["k"], ["pos"])
+        apply_changes_batch(spark, b([(1, 3, 3.0, "u")]), 2, state, ["k"], ["pos"])
+        # pre-vacuum: every epoch is time-travelable
+        assert read_state_at(spark, state, 0).first().v == 1.0
+        assert read_state_at(spark, state, 1).first().v == 2.0
+        removed = vacuum_versions(state, keep_last=2)
+        assert removed == ["v0"]
+        # kept version still serves the same point-in-time result
+        assert read_state_at(spark, state, 1).first().v == 2.0
+        assert read_state_at(spark, state, 2).first().v == 3.0
+        # vacuumed epoch fails loudly
+        with pytest.raises(ValueError, match="vacuum horizon"):
+            read_state_at(spark, state, 0)
