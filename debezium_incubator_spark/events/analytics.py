@@ -340,11 +340,18 @@ def e10_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer arithmetic (sum((2i−n−1)·x)); the only divisions are the
     final two, gated by the tie-free round4x policy."""
     ev = table(spark, sf_dir, "events")
-    freq = ev.groupBy("event_type", "user_id").agg(F.count("*").alias("x"))
-    wr = W.partitionBy("event_type").orderBy("x", "user_id")
-    wp = W.partitionBy("event_type")
+    return key_skew_profile(ev, "event_type", "user_id")
+
+
+def key_skew_profile(df: DataFrame, group: str, key: str) -> DataFrame:
+    """Op-level form of the e10 profiler (reused by the Zipf stress
+    tests): per `group`, the skew statistics of the `key` frequency
+    distribution — (n_keys, n_rows, top_share, gini)."""
+    freq = df.groupBy(group, key).agg(F.count("*").alias("x"))
+    wr = W.partitionBy(group).orderBy("x", key)
+    wp = W.partitionBy(group)
     ranked = freq.select(
-        "event_type",
+        group,
         "x",
         F.row_number().over(wr).alias("i"),
         F.count("*").over(wp).alias("n"),
@@ -353,7 +360,7 @@ def e10_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     num = F.sum((2 * F.col("i") - F.col("n") - 1) * F.col("x"))
     return (
-        ranked.groupBy("event_type")
+        ranked.groupBy(group)
         .agg(
             F.max("n").cast("bigint").alias("n_keys"),
             F.max("total").cast("bigint").alias("n_rows"),
@@ -367,5 +374,5 @@ def e10_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / F.lit(10000.0)
             ).alias("gini"),
         )
-        .orderBy("event_type")
+        .orderBy(group)
     )
