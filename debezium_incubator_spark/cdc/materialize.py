@@ -135,6 +135,116 @@ def cdc_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("user_id")
 
 
+# --- Oracle LOB semantics: unavailable-value placeholder resolution ------
+#
+# Debezium's Oracle connector with lob.enabled=false (the default) emits
+# the configured unavailable.value.placeholder (default
+# "__debezium_unavailable_value") for CLOB/BLOB/NCLOB columns on any
+# UPDATE that does not modify the LOB — the redo log simply doesn't
+# carry untouched LOB bodies. A consumer materializing state must
+# resolve placeholders by inheriting the key's most recent REAL write of
+# that column (which may legitimately be NULL).
+
+UNAVAILABLE_VALUE = "__debezium_unavailable_value"
+
+
+def resolve_unavailable(
+    df: DataFrame,
+    keys: list[str],
+    position: list[str],
+    lob_cols: list[str],
+    placeholder: str = UNAVAILABLE_VALUE,
+) -> DataFrame:
+    """Replace placeholder LOB values with the last real write per key
+    in position order — pure window expressions, one shuffle shared with
+    the materialization that follows.
+
+    The real-NULL vs placeholder distinction matters: an explicit write
+    of NULL must be inherited as NULL by later placeholders, not skipped
+    in favor of an older non-null body. Wrapping each real write in a
+    single-field struct makes a NULL write a NON-null struct, so
+    last(..., ignorenulls=True) skips only placeholders."""
+    w = (
+        W.partitionBy(*keys)
+        .orderBy(*[F.asc(p) for p in position])
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    for c in lob_cols:
+        is_real = F.col(c).isNull() | (F.col(c) != F.lit(placeholder))
+        wrapped = F.when(is_real, F.struct(F.col(c).alias("v")))
+        df = df.withColumn(c, F.last(wrapped, ignorenulls=True).over(w)["v"])
+    return df
+
+
+@register(
+    "cdc_lob_merge",
+    oracle=f"""
+WITH ch AS (
+  SELECT user_id, event_id, ts,
+         CASE event_type WHEN 'signup' THEN 'c' WHEN 'error' THEN 'd'
+              WHEN 'view' THEN 'r' ELSE 'u' END AS op,
+         CASE
+           WHEN event_type IN ('signup', 'view')
+             THEN 'doc-' || CAST(user_id AS VARCHAR) || '-' || CAST(event_id AS VARCHAR)
+           WHEN event_type IN ('click', 'purchase') AND event_id % 3 = 0
+             THEN 'rev-' || CAST(event_id AS VARCHAR)
+           WHEN event_type IN ('click', 'purchase') AND event_id % 3 = 1
+             THEN '{UNAVAILABLE_VALUE}'
+         END AS doc
+  FROM events
+), res AS (
+  SELECT user_id, event_id, ts, op,
+         (last_value(
+            CASE WHEN doc IS NULL OR doc <> '{UNAVAILABLE_VALUE}'
+                 THEN struct_pack(v := doc) END IGNORE NULLS)
+          OVER (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)).v AS doc
+  FROM ch
+), latest AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM res
+)
+SELECT user_id, doc AS current_doc, event_id AS last_event_id
+FROM latest WHERE rn = 1 AND op <> 'd'
+ORDER BY user_id
+""",
+)
+def cdc_lob_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle lob.enabled=false consumer fold: a change stream whose
+    updates mostly DON'T carry the CLOB body (placeholder) is
+    materialized to current state with the LOB resolved to each key's
+    last real write — including inheritance of explicit NULL writes
+    (updates with event_id%3=2 write NULL; later placeholders must stay
+    NULL). The oracle replays the same inheritance with
+    last_value(...IGNORE NULLS) over the same struct wrapper.
+
+    Scale: the resolve window and the materialize window share one
+    shuffle on the key; state never stores placeholders, so downstream
+    consumers see complete rows without a LOB side-lookup."""
+    ev = table(spark, sf_dir, "events").withColumn("__op", F.expr(OP_CASE))
+    doc = F.expr(
+        f"""CASE
+          WHEN event_type IN ('signup', 'view')
+            THEN concat('doc-', CAST(user_id AS STRING), '-', CAST(event_id AS STRING))
+          WHEN event_type IN ('click', 'purchase') AND event_id % 3 = 0
+            THEN concat('rev-', CAST(event_id AS STRING))
+          WHEN event_type IN ('click', 'purchase') AND event_id % 3 = 1
+            THEN '{UNAVAILABLE_VALUE}'
+        END"""
+    )
+    ch = ev.select("user_id", "event_id", "ts", "__op", doc.alias("doc"))
+    res = resolve_unavailable(
+        ch, keys=["user_id"], position=["ts", "event_id"], lob_cols=["doc"]
+    )
+    state = materialize_latest(res, keys=["user_id"], position=["ts", "event_id"])
+    return state.select(
+        "user_id",
+        F.col("doc").alias("current_doc"),
+        F.col("event_id").alias("last_event_id"),
+    ).orderBy("user_id")
+
+
 # --- I5 batch analog: exact dedup of an at-least-once stream -------------
 
 @register(

@@ -297,3 +297,54 @@ def test_random_schema_roundtrip_all_dialects():
             assert [f.name for f in got.fields] == want_names, (dialect, seed)
             assert got["added"].dataType == newty
             assert len(reg.versions["t"]) == 4
+
+
+# --- Oracle LOB capture semantics (lob.enabled=false placeholder) ---------
+
+def test_oracle_lob_ddl_and_placeholder_resolution(spark):
+    """End-to-end LOB story: an Oracle CREATE TABLE with CLOB/BLOB
+    columns replays into the registry as string/binary, and a change
+    stream whose updates carry the unavailable-value placeholder
+    resolves to each key's last real LOB write — including inheritance
+    of an explicit NULL write (the struct-wrapper distinction)."""
+    from pyspark.sql import functions as F
+
+    from debezium_incubator_spark.cdc.materialize import (
+        UNAVAILABLE_VALUE,
+        resolve_unavailable,
+    )
+
+    reg = SchemaRegistry()
+    ctx = DialectContext(dialect="oracle")
+    apply_ddl(
+        reg,
+        "CREATE TABLE docs (id NUMBER(10), body CLOB, img BLOB)",
+        ctx,
+    )
+    schema = reg.latest("docs")
+    assert schema["body"].dataType == T.StringType()
+    assert schema["img"].dataType == T.BinaryType()
+
+    ph = UNAVAILABLE_VALUE
+    rows = [
+        # key 1: create -> placeholder update -> inherits the create body
+        (1, 1, "v1", "c"),
+        (1, 2, ph, "u"),
+        # key 2: create -> explicit NULL write -> placeholder: stays NULL
+        (2, 1, "v1", "c"),
+        (2, 2, None, "u"),
+        (2, 3, ph, "u"),
+        # key 3: placeholder FIRST (update before any captured body):
+        # resolves to NULL, not an invented value
+        (3, 1, ph, "u"),
+    ]
+    df = spark.createDataFrame(rows, "id LONG, pos LONG, body STRING, __op STRING")
+    from pyspark.sql.window import Window as W
+
+    resolved = resolve_unavailable(
+        df, keys=["id"], position=["pos"], lob_cols=["body"]
+    ).withColumn("mx", F.max("pos").over(W.partitionBy("id")))
+    got = {
+        r.id: r.body for r in resolved.filter(F.col("pos") == F.col("mx")).collect()
+    }
+    assert got == {1: "v1", 2: None, 3: None}
