@@ -24,7 +24,6 @@ from pyspark.sql import functions as F
 
 from ..catalog import table
 from ..registry import register
-from .dedup import shingles
 
 
 def connected_components(
@@ -166,26 +165,10 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     its own determinism. Closure cost is O(Σ component²) — fine for an
     oracle (near-dup components are small cliques), never the engine
     path."""
+    from .dedup import ngram_jaccard_pairs
+
     d = table(spark, sf_dir, "documents")
-    sh = (
-        d.filter(F.size(F.split(F.lower("text"), " ")) >= 3)
-        .select("doc_id", F.explode(F.array_distinct(shingles("text"))).alias("sh"))
-        .distinct()
-    )
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    a, b = sh.alias("a"), sh.alias("b")
-    inter = (
-        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count("*").alias("i"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
-    jac = F.col("i") / (F.col("na") + F.col("nb") - F.col("i"))
-    edges = (
-        inter.join(sa, "doc_a").join(sb, "doc_b").filter(jac >= 0.1)
-        .select("doc_a", "doc_b")
-    )
+    edges = ngram_jaccard_pairs(d, min_jaccard=0.1).select("doc_a", "doc_b")
     comps = connected_components(edges)
     return (
         comps.withColumn(

@@ -175,9 +175,7 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- J2-exact: n-gram Jaccard similarity (oracle-checked) ----------------
 
-@register(
-    "dedup_ngram_jaccard",
-    oracle="""
+_NGRAM_ORACLE = """
 WITH toks AS (
   SELECT doc_id, string_split(lower(text), ' ') AS ts FROM documents
 ), sh AS (
@@ -201,21 +199,43 @@ JOIN sizes sa ON sa.doc_id = i.doc_a
 JOIN sizes sb ON sb.doc_id = i.doc_b
 WHERE i.i / (sa.n + sb.n - i.i) >= 0.1
 ORDER BY doc_a, doc_b
-""",
-)
-def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact 3-gram Jaccard over shingle SETS, computed relationally:
-    explode distinct shingles → self-equi-join on shingle → |A∩B| /
-    (|A|+|B|−|A∩B|). This is the verification stage after LSH candidate
-    generation; at 100 TB you run it only on candidate pairs, never
-    all-pairs (the equi-join here IS the bounded version: docs sharing
-    no shingle never meet)."""
-    d = table(spark, sf_dir, "documents")
+"""
+
+
+def ngram_jaccard_pairs(
+    d: DataFrame,
+    min_jaccard: float = 0.1,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Exact k-gram Jaccard pair generation over (doc_id, text): explode
+    distinct shingles → self-equi-join on shingle → |A∩B| /
+    (|A|+|B|−|A∩B|) ≥ min_jaccard. Returns (doc_a, doc_b, jaccard).
+
+    ``max_df`` is THE scale knob (found empirically by the round-4 scale
+    probe): the equi-join's pair space is Σ df(shingle)², so a shingle
+    appearing in f documents alone contributes f² candidate rows —
+    ubiquitous shingles (stopword runs, boilerplate) make the join
+    quadratic in corpus size while carrying zero dedup signal (sharing
+    'of the and' identifies nothing). Dropping shingles with document
+    frequency > max_df bounds per-shingle fan-out, making the join
+    O(corpus · max_df); Jaccard is then over the FILTERED shingle sets
+    on both sides of the ratio (near-dup pairs share rare shingles, so
+    recall is unaffected — this is the standard frequent-shingle
+    treatment in web-dedup pipelines). None = no cap (the small-fixture
+    default; the driver fixture's 31-word vocabulary makes every
+    shingle frequent, so a cap there would gut the signal)."""
     sh = (
         d.filter(F.size(F.split(F.lower("text"), " ")) >= 3)
         .select("doc_id", F.explode(F.array_distinct(shingles("text"))).alias("sh"))
         .distinct()
     )
+    if max_df is not None:
+        keep = (
+            sh.groupBy("sh").agg(F.count("*").alias("df"))
+            .filter(F.col("df") <= max_df)
+            .select("sh")
+        )
+        sh = sh.join(keep, "sh")
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -230,9 +250,73 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         inter.join(sa, "doc_a")
         .join(sb, "doc_b")
-        .filter(jac >= 0.1)
-        .select("doc_a", "doc_b", (F.floor(jac * 10000 + 0.5) / F.lit(10000.0)).alias("jaccard"))
-        .orderBy("doc_a", "doc_b")
+        .filter(jac >= min_jaccard)
+        .select(
+            "doc_a",
+            "doc_b",
+            (F.floor(jac * 10000 + 0.5) / F.lit(10000.0)).alias("jaccard"),
+        )
+    )
+
+
+@register("dedup_ngram_jaccard", oracle=_NGRAM_ORACLE)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard over shingle SETS, computed relationally:
+    explode distinct shingles → self-equi-join on shingle → |A∩B| /
+    (|A|+|B|−|A∩B|). This is the verification stage after LSH candidate
+    generation; at 100 TB you run it only on candidate pairs, never
+    all-pairs (the equi-join here IS the bounded version: docs sharing
+    no shingle never meet) — AND with a document-frequency cap on
+    shingles (see ngram_jaccard_pairs: uncapped, the join is quadratic
+    in Σ df²; dedup_ngram_capped is the capped twin)."""
+    d = table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(d).orderBy("doc_a", "doc_b")
+
+
+@register(
+    "dedup_ngram_capped",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS ts FROM documents
+), sh0 AS (
+  SELECT DISTINCT doc_id, sh FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, greatest(len(ts) - 1, 1)),
+                  i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS sh
+    FROM toks WHERE len(ts) >= 3
+  )
+), keep AS (
+  SELECT sh FROM sh0 GROUP BY sh HAVING COUNT(*) <= 20
+), sh AS (
+  SELECT sh0.doc_id, sh0.sh FROM sh0 JOIN keep USING (sh)
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT i.doc_a, i.doc_b,
+       floor(i.i / (sa.n + sb.n - i.i) * 10000 + 0.5) / CAST(10000 AS DOUBLE) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.doc_a
+JOIN sizes sb ON sb.doc_id = i.doc_b
+WHERE i.i / (sa.n + sb.n - i.i) >= 0.5
+ORDER BY doc_a, doc_b
+""",
+)
+def dedup_ngram_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The frequency-capped Jaccard twin (max_df=20, j ≥ 0.5): the
+    100 TB spelling of dedup_ngram_jaccard, differentially checked —
+    the oracle applies the identical df-cap before sizing, so the
+    capped SEMANTICS (Jaccard over filtered shingle sets), not just the
+    mechanism, is hash-pinned. On the 31-word-vocabulary fixture the
+    cap bites hard (most shingles are frequent), which makes it a sharp
+    test: both engines must agree on exactly which shingles survive and
+    every resulting ratio."""
+    d = table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(d, min_jaccard=0.5, max_df=20).orderBy(
+        "doc_a", "doc_b"
     )
 
 

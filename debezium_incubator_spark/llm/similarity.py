@@ -294,14 +294,28 @@ def lsh_band_values(v, planes: list[list[float]],
     return F.array(*bands)
 
 
-def lsh_candidate_pairs(e: DataFrame) -> DataFrame:
+def lsh_candidate_pairs(
+    e: DataFrame,
+    bands: int = LSH_BANDS,
+    rows_per_band: int = LSH_ROWS_PER_BAND,
+) -> DataFrame:
     """Candidate (vec_a, vec_b) pairs sharing at least one LSH band
     bucket. Input needs columns (vec_id, v); the self-join runs only
-    within (band_id, band_val) buckets — the sub-quadratic sieve."""
-    planes = _hyperplanes(64)
+    within (band_id, band_val) buckets — the sub-quadratic sieve.
+
+    ``rows_per_band`` MUST grow with the corpus (the round-4 scale
+    probe's finding): a band has 2^r buckets, so expected bucket
+    occupancy is n/2^r and candidate volume is B·n²/2^r — with r fixed
+    the sieve is quadratic BY CONSTRUCTION (measured 24× wall at 10×
+    data with r=4). Scaling r ≈ log2(n / target_bucket_size) keeps
+    bucket occupancy — and therefore per-bucket pair work — constant;
+    raise B alongside to hold recall (collision prob for similarity s
+    is 1-(1-s^r)^B). The module defaults are small-fixture settings;
+    the registered query pins them for oracle parity."""
+    planes = _hyperplanes(64, bands * rows_per_band)
     banded = e.select(
         "vec_id",
-        F.posexplode(lsh_band_values(F.col("v"), planes)).alias(
+        F.posexplode(lsh_band_values(F.col("v"), planes, rows_per_band)).alias(
             "band_id", "band_val"
         ),
     )

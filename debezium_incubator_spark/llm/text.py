@@ -594,28 +594,40 @@ def t13_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     occur in NO other document — the standard repetition/boilerplate
     filter in training-data curation (low novelty ⇒ templated text).
 
-    Scale: one explode + two hash aggregates + an equi-join on the
-    shingle key; document frequency is a map-side-combinable count, and
-    nothing is quadratic in documents. Tie-free floor-rounding and a
-    doc_id tie-break keep the LIMIT deterministic (parity policy)."""
+    Scale (rewritten join-free after the round-4 scale probe): the naive
+    spelling joins every shingle instance back to the df table — a
+    corpus-sized equi-join on long strings that falls off a cliff the
+    moment the df side outgrows the broadcast threshold (measured 24×
+    wall at 10× data). But no join is needed: a df=1 shingle belongs to
+    exactly ONE document, so min(doc_id) inside the frequency aggregate
+    IS that owner — n_unique is a second tiny aggregate over the
+    filtered df table, and n_sh is a per-row expression
+    (size ∘ array_distinct), no explode at all. What remains: one
+    explode + one hash aggregate over shingles + a per-doc-sized join
+    (measured 4× wall at 10× data, sub-linear). Tie-free floor-rounding
+    and a doc_id tie-break keep the LIMIT deterministic (parity
+    policy)."""
     from .dedup import shingles
 
-    d = table(spark, sf_dir, "documents")
-    sh = (
-        d.filter(F.size(tokens()) >= 3)
-        .select(
+    d = table(spark, sf_dir, "documents").filter(F.size(tokens()) >= 3)
+    n_doc = d.select(
+        "doc_id", F.size(F.array_distinct(shingles("text"))).alias("n_sh")
+    )
+    uniq = (
+        d.select(
             "doc_id",
             F.explode(F.array_distinct(shingles("text"))).alias("sh"),
         )
-    )
-    dfreq = sh.groupBy("sh").agg(F.count("*").alias("df"))
-    per = (
-        sh.join(dfreq, "sh")
+        .groupBy("sh")
+        .agg(F.count("*").alias("df"), F.min("doc_id").alias("doc_id"))
+        .filter(F.col("df") == 1)
         .groupBy("doc_id")
-        .agg(
-            F.count("*").alias("n_sh"),
-            F.sum(F.when(F.col("df") == 1, 1).otherwise(0)).alias("n_unique"),
-        )
+        .agg(F.count("*").alias("n_unique"))
+    )
+    per = n_doc.join(uniq, "doc_id", "left").select(
+        "doc_id",
+        "n_sh",
+        F.coalesce("n_unique", F.lit(0)).cast("bigint").alias("n_unique"),
     )
     from ..exprs import round4x
 
