@@ -1,0 +1,100 @@
+"""Foundation tests for the empirical scale probe (SCALEPROBE.md):
+the fixture generator must be deterministic, schema-faithful to the
+driver fixture, and must actually contain the planted near-dup signal
+the dedup tier is probed on."""
+
+from __future__ import annotations
+
+import tempfile
+
+import duckdb
+import pytest
+
+from scripts.gen_scale_fixture import generate
+
+TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+
+@pytest.fixture(scope="module")
+def gen_dir():
+    with tempfile.TemporaryDirectory() as td:
+        generate(td, 0.02)
+        yield td
+
+
+def test_generator_is_deterministic(gen_dir):
+    con = duckdb.connect()
+    with tempfile.TemporaryDirectory() as td2:
+        generate(td2, 0.02)
+        for t in TABLES:
+            a = con.execute(
+                f"SELECT COUNT(*), bit_xor(hash(COLUMNS(*)::VARCHAR)) "
+                f"FROM read_parquet('{gen_dir}/{t}.parquet')"
+            ).fetchall()
+            b = con.execute(
+                f"SELECT COUNT(*), bit_xor(hash(COLUMNS(*)::VARCHAR)) "
+                f"FROM read_parquet('{td2}/{t}.parquet')"
+            ).fetchall()
+            assert a == b, f"{t} not deterministic"
+    con.close()
+
+
+def test_schemas_match_driver_fixture(gen_dir, spark):
+    from debezium_incubator_spark.catalog import table
+
+    for t in TABLES:
+        want = table(spark, "/root/testdata/sf0.001", t).schema
+        got = table(spark, gen_dir, t).schema
+        assert [(f.name, f.dataType) for f in got.fields] == [
+            (f.name, f.dataType) for f in want.fields
+        ], f"{t} schema drift"
+
+
+def test_planted_near_dups_are_found_by_capped_jaccard(gen_dir, spark):
+    """Docs at ids (i-1, i) for i in 50,100,... are planted near-dups
+    (first word changed). The frequency-capped Jaccard — the 100 TB
+    spelling — must recover the overwhelming majority of them, proving
+    the df-cap drops only ubiquitous (signal-free) shingles."""
+    from pyspark.sql import functions as F
+
+    from debezium_incubator_spark.catalog import table
+    from debezium_incubator_spark.llm.dedup import ngram_jaccard_pairs
+
+    d = table(spark, gen_dir, "documents")
+    n_doc = d.count()
+    planted = {(i - 1, i) for i in range(50, n_doc, 50)}
+    pairs = ngram_jaccard_pairs(d, min_jaccard=0.5, max_df=20)
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in pairs.select("doc_a", "doc_b").collect()
+    }
+    recall = len(planted & got) / len(planted)
+    assert recall >= 0.9, f"planted-dup recall {recall} (found {len(got)})"
+
+
+def test_embeddings_planted_dups_cosine(gen_dir, spark):
+    """Embedding near-dups (sigma-0.01 perturbations every 50 ids) must
+    appear as >0.99-cosine pairs — the signal the LSH/ANN probes rely
+    on."""
+    from pyspark.sql import functions as F
+
+    from debezium_incubator_spark.catalog import table
+    from debezium_incubator_spark.llm.similarity import dot, norm_sq
+
+    e = table(spark, gen_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    ).withColumn("nsq", norm_sq("v"))
+    a = e.select(F.col("vec_id").alias("ia"), F.col("v").alias("va"),
+                 F.col("nsq").alias("na"))
+    b = e.select(F.col("vec_id").alias("ib"), F.col("v").alias("vb"),
+                 F.col("nsq").alias("nb"))
+    planted = a.join(
+        b, (F.col("ib") == F.col("ia") + 1) & (F.col("ib") % 50 == 0)
+    ).withColumn(
+        "cos", dot("va", "vb") / (F.sqrt("na") * F.sqrt("nb"))
+    )
+    rows = planted.select("cos").collect()
+    assert rows and all(r.cos > 0.99 for r in rows)
