@@ -88,3 +88,22 @@ def normalize_ns_timestamps(df: DataFrame, cols: list[str]) -> DataFrame:
             c, F.expr(f"CAST(timestamp_micros({c} DIV 1000) AS TIMESTAMP_NTZ)")
         )
     return df
+
+
+def spread(df: DataFrame, min_parts: int | None = None) -> DataFrame:
+    """Rebalance a NARROW input before compute-heavy per-row work.
+
+    A 30 MB parquet table is one scan partition (files.maxPartitionBytes
+    = 128 MB), so an expression that costs far more than the scan — the
+    shingle transform is ~6 µs/shingle — runs on one core while 31 idle.
+    At 100 TB inputs arrive in thousands of splits and this is a no-op
+    (partition count already ≥ parallelism); on narrow inputs one small
+    round-robin shuffle of the RAW rows buys full-width execution of the
+    expensive downstream expressions. Found by the round-4 scale probe:
+    shingle-tier queries ran 4× under their potential at g1.
+    """
+    sc = df.sparkSession.sparkContext
+    target = min_parts or sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df

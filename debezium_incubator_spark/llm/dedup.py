@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import table
+from ..catalog import spread, table
 from ..registry import register
 
 NUM_PERM = 16
@@ -64,7 +64,7 @@ def minhash_signatures(
     """MinHash signature per doc: num_perm seeded xxhash64 permutations
     over the distinct shingle set, all computed in ONE aggregation pass
     (each permutation is an agg column → single shuffle)."""
-    sh = df.select(
+    sh = spread(df).select(
         F.col(id_col), F.explode(F.array_distinct(shingles(text_col))).alias("sh")
     )
     aggs = [
@@ -225,7 +225,8 @@ def ngram_jaccard_pairs(
     default; the driver fixture's 31-word vocabulary makes every
     shingle frequent, so a cap there would gut the signal)."""
     sh = (
-        d.filter(F.size(F.split(F.lower("text"), " ")) >= 3)
+        spread(d)  # shingle transform is compute-bound; widen narrow scans
+        .filter(F.size(F.split(F.lower("text"), " ")) >= 3)
         .select("doc_id", F.explode(F.array_distinct(shingles("text"))).alias("sh"))
         .distinct()
     )

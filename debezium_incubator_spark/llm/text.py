@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import table
+from ..catalog import spread, table
 from ..exprs import dec_sum, round4
 from ..registry import register
 
@@ -609,7 +609,9 @@ def t13_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     policy)."""
     from .dedup import shingles
 
-    d = table(spark, sf_dir, "documents").filter(F.size(tokens()) >= 3)
+    d = spread(table(spark, sf_dir, "documents")).filter(
+        F.size(tokens()) >= 3
+    )
     n_doc = d.select(
         "doc_id", F.size(F.array_distinct(shingles("text"))).alias("n_sh")
     )
