@@ -246,6 +246,62 @@ def mm_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "mm_decode_portable",
+    oracle="""
+WITH f AS (
+  SELECT source,
+         ascii(text[1]) % 64 + 1 AS width,
+         ascii(text[-1]) % 64 + 1 AS height,
+         list_sum(list_transform(range(1, least(strlen(text), 256) + 1),
+                  i -> ascii(text[i]))) % 65536 AS checksum,
+         strlen(text) AS n_bytes
+  FROM documents
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_assets,
+       CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+       floor(CAST(SUM(width) AS DOUBLE) / COUNT(*) * 10000 + 0.5)
+         / CAST(10000 AS DOUBLE) AS avg_width,
+       CAST(SUM(height) AS BIGINT) AS sum_height,
+       CAST(SUM(checksum) AS BIGINT) AS sum_checksum
+FROM f GROUP BY source ORDER BY source
+""",
+)
+def mm_decode_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differential twin for the J8 decode seam (round-4 upgrade): the
+    synthesized payload is the UTF-8 bytes of `text` and the stand-in
+    kernel's features are pure byte arithmetic, so the ORACLE can
+    recompute width/height/checksum/n_bytes character-wise in SQL while
+    the engine runs the real pipeline — binary column construction →
+    Arrow mapInPandas batches → Python kernel → per-source aggregation.
+    Hash equality proves the Arrow round trip is byte-faithful and the
+    batch iteration loses/duplicates nothing.
+
+    Parity note: byte-vs-codepoint equivalence holds because the
+    fixture text is ASCII (vocabulary words + spaces); a regenerated
+    non-ASCII fixture would fail this sweep loudly rather than
+    silently drifting (the checksum sums pin EVERY payload, not just
+    extrema). mm_decode_stats stays rows-only as the generic-binary
+    exhibit; this is its portable twin, like dedup_minhash_portable."""
+    docs = table(spark, sf_dir, "documents")
+    decoded = decode_features(to_media_table(docs))
+    return (
+        decoded.groupBy("source")
+        .agg(
+            F.count("*").alias("n_assets"),
+            F.sum("n_bytes").cast("bigint").alias("total_bytes"),
+            F.expr(
+                "floor(CAST(SUM(width) AS DOUBLE) / COUNT(*) * 10000 + 0.5)"
+                " / CAST(10000 AS DOUBLE)"
+            ).alias("avg_width"),
+            F.sum("height").cast("bigint").alias("sum_height"),
+            F.sum("checksum").cast("bigint").alias("sum_checksum"),
+        )
+        .orderBy("source")
+    )
+
+
 # --- audio modality (real zero-dep format: WAV/RIFF + PCM16) -------------
 
 def make_wav(sample_rate: int, channels: int, samples: list[int]) -> bytes:
