@@ -227,6 +227,47 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "mm_frame_portable",
+    oracle="""
+WITH f AS (
+  SELECT doc_id, strlen(text) AS n,
+         greatest(strlen(text) // 64, 1) AS nf
+  FROM documents
+), s AS (
+  SELECT doc_id, list_transform(range(0, nf, 4), i -> i) AS idxs, n
+  FROM f
+)
+SELECT doc_id,
+       CAST(len(idxs) AS BIGINT) AS n_frames,
+       CAST(idxs[-1] AS INT) AS last_idx,
+       CAST(list_sum(list_transform(idxs,
+            i -> least(greatest(n - i * 64, 0), 64))) AS BIGINT) AS sampled_bytes
+FROM s ORDER BY doc_id
+""",
+)
+def mm_frame_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differential twin for the J8 frame-sampling fan-out (1 row in →
+    N rows out through mapInPandas): the byte-window framing rule
+    (nf = max(len/64, 1) frames, every 4th sampled, window i carries
+    min(64, len−64i) bytes) is recomputed arithmetically in SQL from
+    strlen(text), so the Arrow fan-out's row multiplicity, indices, and
+    byte accounting are all hash-pinned. ASCII byte/codepoint caveat as
+    in mm_decode_portable. mm_frame_sample stays the rows-only
+    generic-binary exhibit."""
+    media = to_media_table(table(spark, sf_dir, "documents"))
+    frames = sample_frames(media)
+    return (
+        frames.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_frames"),
+            F.max("frame_idx").alias("last_idx"),
+            F.sum(F.length("frame")).cast("bigint").alias("sampled_bytes"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 @register("mm_decode_stats")
 def mm_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rows-only: full multimodal pipeline — binary payload column +
