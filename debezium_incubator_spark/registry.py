@@ -78,7 +78,10 @@ PRIORITY: list[str] = [
     "cdc_scd2_history",
     "cdc_dedup_stream",      # I5 batch twin
     "route_content_based",   # B4
-    "route_outbox",          # B6 (B5 regex-rename stays in the sweep)
+    # round-4: route_outbox (B6) demoted to the sweep so J8 multimodal —
+    # never before auditable (rows-only until the portable decode twin
+    # landed) — gets its first driver-audited slot.
+    "mm_decode_portable",    # J8 Arrow decode seam (portable twin)
     # §2C joins
     "join_broadcast",        # C1
     "join_outer",            # C3
