@@ -245,6 +245,46 @@ def cdc_lob_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("user_id")
 
 
+def apply_changes_lob_batch(
+    spark: SparkSession,
+    batch: DataFrame,
+    epoch: int,
+    state_dir: str,
+    keys: list[str],
+    position: list[str],
+    lob_cols: list[str],
+    op_col: str = "__op",
+) -> None:
+    """Streaming (foreachBatch) form of the LOB-aware CDC apply: merge a
+    micro-batch whose updates may carry the unavailable-value
+    placeholder into versioned state, resolving placeholders against
+    BOTH in-batch writes and the persisted state's last real values.
+
+    The trick is ordering: state rows (already resolved, at their
+    original positions) union with the raw batch, then ONE
+    resolve-then-fold pass per key — a placeholder in the batch
+    inherits from whichever real write is latest, whether it arrived
+    in this batch or ten epochs ago. State never stores placeholders,
+    so the inheritance chain re-roots every epoch and per-batch cost is
+    O(touched keys' rows), not O(history). Fault posture identical to
+    apply_changes_batch (versioned dirs + atomic _LATEST)."""
+    from ..streaming.upsert import _commit_pointer, read_state
+    import os
+
+    current = read_state(spark, state_dir, include_tombstones=True)
+    merged = batch if current is None else current.unionByName(batch)
+    resolved = resolve_unavailable(merged, keys, position, lob_cols)
+    w = W.partitionBy(*keys).orderBy(*[F.desc(p) for p in position])
+    new_state = (
+        resolved.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    out = os.path.join(state_dir, f"v{epoch}")
+    new_state.write.mode("overwrite").parquet(out)
+    _commit_pointer(state_dir, f"v{epoch}")
+
+
 # --- I5 batch analog: exact dedup of an at-least-once stream -------------
 
 @register(

@@ -578,3 +578,60 @@ def test_vacuum_respects_time_travel_horizon(spark):
         # vacuumed epoch fails loudly
         with pytest.raises(ValueError, match="vacuum horizon"):
             read_state_at(spark, state, 0)
+
+
+def test_streaming_lob_apply_matches_batch_resolve(spark):
+    """Oracle-LOB streaming twin: two-epoch incremental apply with
+    placeholder resolution against persisted state must converge to the
+    same table as a one-shot resolve-then-fold over all changes —
+    including a placeholder whose last real write arrived in an EARLIER
+    epoch, and an explicit NULL write that later placeholders inherit."""
+    from debezium_incubator_spark.cdc.materialize import (
+        UNAVAILABLE_VALUE as PH,
+        apply_changes_lob_batch,
+        materialize_latest,
+        resolve_unavailable,
+    )
+    from debezium_incubator_spark.streaming.upsert import read_state
+
+    schema = "k LONG, pos LONG, body STRING, __op STRING"
+    b1 = spark.createDataFrame(
+        [
+            (1, 1, "v1", "c"),      # real body in epoch 0
+            (2, 1, "w1", "c"),
+            (3, 1, None, "c"),      # real NULL from the start
+        ],
+        schema,
+    )
+    b2 = spark.createDataFrame(
+        [
+            (1, 2, PH, "u"),        # must inherit "v1" across epochs
+            (2, 2, None, "u"),      # explicit NULL write
+            (2, 3, PH, "u"),        # must inherit the NULL, not "w1"
+            (3, 2, PH, "u"),        # inherits NULL
+        ],
+        schema,
+    )
+    with tempfile.TemporaryDirectory() as state:
+        apply_changes_lob_batch(
+            spark, b1, 0, state, ["k"], ["pos"], lob_cols=["body"]
+        )
+        apply_changes_lob_batch(
+            spark, b2, 1, state, ["k"], ["pos"], lob_cols=["body"]
+        )
+        got = (
+            read_state(spark, state)
+            .select("k", "body")
+            .toPandas().sort_values("k").reset_index(drop=True)
+        )
+    allc = b1.unionByName(b2)
+    want = (
+        materialize_latest(
+            resolve_unavailable(allc, ["k"], ["pos"], ["body"]),
+            ["k"], ["pos"],
+        )
+        .select("k", "body")
+        .toPandas().sort_values("k").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want)
+    assert dict(zip(got.k, got.body)) == {1: "v1", 2: None, 3: None}
