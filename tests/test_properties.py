@@ -101,3 +101,42 @@ def test_asof_join_matches_pandas_merge_asof(spark, left, right):
     pd.testing.assert_frame_equal(
         got, want, check_dtype=False, check_exact=False, atol=1e-6
     )
+
+
+BODY = st.one_of(
+    st.none(),                                   # explicit NULL write
+    st.just("__debezium_unavailable_value"),     # placeholder
+    st.text(alphabet="abc", min_size=1, max_size=3),  # real body
+)
+
+LOB_CHANGES = st.lists(
+    st.tuples(KEYS, POS, BODY), min_size=1, max_size=25
+).map(lambda rows: list({(r[0], r[1]): r for r in rows}.values()))
+
+
+@settings(max_examples=12, deadline=None)
+@given(LOB_CHANGES)
+def test_resolve_unavailable_matches_python_fold(spark, rows):
+    """Property: for ANY interleaving of real / NULL / placeholder
+    writes, the windowed struct-wrapper resolution equals a sequential
+    Python fold carrying the last NON-placeholder value (which may be
+    None) per key in position order."""
+    from debezium_incubator_spark.cdc.materialize import (
+        UNAVAILABLE_VALUE,
+        resolve_unavailable,
+    )
+
+    df = spark.createDataFrame(rows, "k LONG, pos LONG, body STRING")
+    got = {
+        (r.k, r.pos): r.body
+        for r in resolve_unavailable(
+            df, keys=["k"], position=["pos"], lob_cols=["body"]
+        ).collect()
+    }
+    want = {}
+    last: dict = {}
+    for k, pos, body in sorted(rows, key=lambda r: (r[0], r[1])):
+        if body != UNAVAILABLE_VALUE:
+            last[k] = body
+        want[(k, pos)] = last.get(k)
+    assert got == want
