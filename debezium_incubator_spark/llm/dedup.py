@@ -328,8 +328,10 @@ def simhash_signatures(df: DataFrame, id_col: str = "doc_id",
     """64-bit SimHash per doc: per distinct token, xxhash64 → ±1 vote per
     bit position; signature bit i set iff the summed vote is positive.
     All expression-level (the 64× bit explosion over tokens is bounded
-    and JVM-side)."""
-    tok = df.select(
+    and JVM-side; the input is spread() first — tokens × 64 bit-rows is
+    the most compute-amplified path in the module and must not run on a
+    single narrow scan split)."""
+    tok = spread(df).select(
         F.col(id_col),
         F.explode(F.array_distinct(F.split(F.lower(text_col), " "))).alias("t"),
     ).withColumn("h", F.xxhash64("t"))
