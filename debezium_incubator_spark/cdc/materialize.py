@@ -164,13 +164,23 @@ def resolve_unavailable(
     in favor of an older non-null body. Wrapping each real write in a
     single-field struct makes a NULL write a NON-null struct, so
     last(..., ignorenulls=True) skips only placeholders."""
+    from pyspark.sql import types as T
+
     w = (
         W.partitionBy(*keys)
         .orderBy(*[F.asc(p) for p in position])
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     for c in lob_cols:
-        is_real = F.col(c).isNull() | (F.col(c) != F.lit(placeholder))
+        # BLOB columns carry the placeholder as its UTF-8 bytes
+        # (Debezium renders the same sentinel string into binary
+        # payloads) — build the literal in the column's own type so the
+        # comparison never relies on implicit binary<->string casts.
+        if isinstance(df.schema[c].dataType, T.BinaryType):
+            ph = F.lit(placeholder.encode("utf-8"))
+        else:
+            ph = F.lit(placeholder)
+        is_real = F.col(c).isNull() | (F.col(c) != ph)
         wrapped = F.when(is_real, F.struct(F.col(c).alias("v")))
         df = df.withColumn(c, F.last(wrapped, ignorenulls=True).over(w)["v"])
     return df

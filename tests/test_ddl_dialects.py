@@ -348,3 +348,32 @@ def test_oracle_lob_ddl_and_placeholder_resolution(spark):
         r.id: r.body for r in resolved.filter(F.col("pos") == F.col("mx")).collect()
     }
     assert got == {1: "v1", 2: None, 3: None}
+
+
+def test_blob_placeholder_resolution_binary_typed(spark):
+    """BLOB leg of the LOB story: the placeholder arrives as UTF-8
+    bytes in a BINARY column; resolution must compare in binary (no
+    implicit casts) and inherit the last real byte payload."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window as W
+
+    from debezium_incubator_spark.cdc.materialize import (
+        UNAVAILABLE_VALUE,
+        resolve_unavailable,
+    )
+
+    ph = UNAVAILABLE_VALUE.encode("utf-8")
+    rows = [
+        (1, 1, b"\x00\x01\xff", "c"),
+        (1, 2, ph, "u"),              # inherits the binary payload
+        (2, 1, ph, "u"),              # no prior capture -> NULL
+    ]
+    df = spark.createDataFrame(rows, "id LONG, pos LONG, img BINARY, __op STRING")
+    resolved = resolve_unavailable(
+        df, keys=["id"], position=["pos"], lob_cols=["img"]
+    ).withColumn("mx", F.max("pos").over(W.partitionBy("id")))
+    got = {
+        r.id: (bytes(r.img) if r.img is not None else None)
+        for r in resolved.filter(F.col("pos") == F.col("mx")).collect()
+    }
+    assert got == {1: b"\x00\x01\xff", 2: None}
