@@ -126,3 +126,16 @@ def test_scaled_lsh_keeps_recall_on_planted_dups(gen_dir, spark):
     got = {(x.vec_a, x.vec_b) for x in cands.collect()}
     recall = len(planted & got) / len(planted)
     assert recall >= 0.9, f"scaled-LSH planted recall {recall}"
+
+
+def test_spread_widens_narrow_and_leaves_wide_alone(spark):
+    from debezium_incubator_spark.catalog import spread
+
+    narrow = spark.range(1000).coalesce(1)
+    wide = spark.range(1000).repartition(64)
+    target = spark.sparkContext.defaultParallelism
+    assert spread(narrow).rdd.getNumPartitions() == target
+    # already at/above parallelism: identity (no extra shuffle)
+    assert spread(wide) is wide
+    # row preservation
+    assert spread(narrow).count() == 1000
