@@ -645,9 +645,11 @@ def t13_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- t14: benchmark decontamination (n-gram containment) -----------------
 
-@register(
-    "t14_decontaminate",
-    oracle=_SHINGLE_CTE + """,
+# Shared by t14 (broadcast-set membership) and t22 (Bloom pre-filter +
+# exact confirm): both spellings compute the SAME exact containment, so
+# one SQL twin checks both — which is the point of t22's design (the
+# Bloom filter may only change WORK, never the answer).
+_DECONTAM_ORACLE = _SHINGLE_CTE + """,
 bench AS (
   SELECT DISTINCT sh FROM sh WHERE doc_id % 20 = 0
 ), per AS (
@@ -663,7 +665,12 @@ SELECT doc_id, n_sh, n_hit,
 FROM per
 ORDER BY containment DESC, doc_id
 LIMIT 100
-""",
+"""
+
+
+@register(
+    "t14_decontaminate",
+    oracle=_DECONTAM_ORACLE,
 )
 def t14_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: containment of each training doc's
