@@ -645,10 +645,11 @@ def t13_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- t14: benchmark decontamination (n-gram containment) -----------------
 
-# Shared by t14 (broadcast-set membership) and t22 (Bloom pre-filter +
-# exact confirm): both spellings compute the SAME exact containment, so
-# one SQL twin checks both — which is the point of t22's design (the
-# Bloom filter may only change WORK, never the answer).
+# Shared by t14 (broadcast-set membership) and t22_decontam_bloom (Bloom
+# pre-filter + exact confirm, defined below): both spellings compute the
+# SAME exact containment, so one SQL twin checks both — which is the
+# point of t22's design (the Bloom filter may only change WORK, never
+# the answer).
 _DECONTAM_ORACLE = _SHINGLE_CTE + """,
 bench AS (
   SELECT DISTINCT sh FROM sh WHERE doc_id % 20 = 0
@@ -702,6 +703,118 @@ def t14_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     per = (
         sh.filter(F.col("doc_id") % 20 != 0)
         .join(F.broadcast(bench), "sh", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_sh"),
+            F.sum(F.coalesce("hit", F.lit(0))).alias("n_hit"),
+        )
+    )
+    from ..exprs import round4x
+
+    return (
+        per.select(
+            "doc_id", "n_sh", "n_hit",
+            round4x("CAST(n_hit AS DOUBLE) / n_sh").alias("containment"),
+        )
+        .orderBy(F.desc("containment"), "doc_id")
+        .limit(100)
+    )
+
+
+# --- t22: decontamination with a Bloom pre-filter -------------------------
+
+BLOOM_M_BITS = 1 << 20  # bitmap width (1 Mbit = 16k words of 64)
+BLOOM_K = 3             # hash functions
+
+
+def bloom_build(keys: DataFrame, col: str) -> DataFrame:
+    """Aggregate a key column into a 1-row Bloom bitmap: MAP<word_idx,
+    bits> over BLOOM_M_BITS bits, BLOOM_K positions per key
+    (pmod(xxhash64(seed_i, key), m)). Pure expressions — the build is
+    one explode + one bit_or aggregate + one map_from_entries; the
+    result row broadcasts at 16 KB-per-set-word scale regardless of key
+    count."""
+    pos = F.array(*[
+        F.pmod(F.xxhash64(F.lit(i), F.col(col)), F.lit(BLOOM_M_BITS))
+        for i in range(BLOOM_K)
+    ])
+    return (
+        keys.select(F.explode(pos).alias("p"))
+        .select((F.col("p") / 64).cast("long").alias("word"),
+                (F.col("p") % 64).cast("int").alias("bit"))
+        .groupBy("word")
+        .agg(F.bit_or(F.expr("shiftleft(1L, bit)")).alias("bits"))
+        .agg(F.map_from_entries(F.collect_list(F.struct("word", "bits")))
+             .alias("bloom"))
+    )
+
+
+def bloom_maybe(col, bloom_col="bloom"):
+    """Membership probe against a bloom_build() bitmap column: true iff
+    every one of the BLOOM_K bit positions is set (no false negatives;
+    false positives bounded by m/k sizing)."""
+    def bit_set(i):
+        p = F.pmod(F.xxhash64(F.lit(i), F.col(col)), F.lit(BLOOM_M_BITS))
+        word = F.coalesce(
+            F.element_at(F.col(bloom_col), (p / 64).cast("long")),
+            F.lit(0).cast("long"),
+        )
+        # NB: the seed literal must stay INT to hash identically to the
+        # build side (xxhash64 hashes INT and LONG literals differently)
+        mask = F.expr(
+            f"shiftleft(1L, CAST(pmod(xxhash64({i}, {col}),"
+            f" {BLOOM_M_BITS}) % 64 AS INT))"
+        )
+        return word.bitwiseAND(mask) != 0
+
+    cond = bit_set(0)
+    for i in range(1, BLOOM_K):
+        cond = cond & bit_set(i)
+    return cond
+
+
+@register("t22_decontam_bloom", oracle=_DECONTAM_ORACLE)
+def t22_decontam_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t14's decontamination with a Bloom PRE-FILTER: corpus shingles
+    first probe a 1 Mbit bitmap of the benchmark set (pure expressions,
+    no join); only probable members carry into the exact broadcast
+    confirm, which removes the Bloom's false positives. Answer-identical
+    to t14 by construction — the shared oracle hash-checks that the
+    filter changed work, never results.
+
+    Scale rationale: at 100 TB the exact benchmark set may be GBs (too
+    big to broadcast cheaply, or the join becomes a corpus-wide
+    shuffle), while the Bloom bitmap is KBs at any benchmark size. The
+    pre-filter drops the overwhelmingly-clean corpus rows before they
+    touch the join, shrinking probe volume (broadcast case) or shuffle
+    volume (sort-merge case) to ~the contaminated fraction + fpp. Here
+    the maybe-condition is part of the join predicate, so the plan stays
+    one scan wide."""
+    from .dedup import shingles
+
+    d = table(spark, sf_dir, "documents")
+    sh = (
+        d.filter(F.size(tokens()) >= 3)
+        .select(
+            "doc_id",
+            F.explode(F.array_distinct(shingles("text"))).alias("sh"),
+        )
+    )
+    bench = sh.filter(F.col("doc_id") % 20 == 0).select("sh").distinct()
+    bloom = bloom_build(bench, "sh")
+    probe = (
+        sh.filter(F.col("doc_id") % 20 != 0)
+        .crossJoin(F.broadcast(bloom))
+        .withColumn("maybe", bloom_maybe("sh"))
+        .drop("bloom")
+    )
+    bench_b = bench.select(F.col("sh").alias("sh_b"), F.lit(1).alias("hit"))
+    per = (
+        probe.join(
+            F.broadcast(bench_b),
+            probe["maybe"] & (probe["sh"] == bench_b["sh_b"]),
+            "left",
+        )
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_sh"),

@@ -70,7 +70,11 @@ PRIORITY: list[str] = [
     "scan_filter_pushdown",  # A4
     "connector_snapshot",    # A5 (include/exclude front end)
     "filter_predicate",      # B3
-    "mask_columns",          # B7 (B8 truncate stays in the sweep)
+    # round-5 recomposition: mask_columns (B7 — masking/truncate remain
+    # sweep-oracled and the B family keeps filter/cast/route slots) gives
+    # its slot to dedup_ngram_capped, round-4's scale-critical semantics
+    # (max_df fan-out cap — the fix for the quadratic shingle join).
+    "dedup_ngram_capped",    # J2 capped shingle join (scale-hardened)
     "join_dpp",              # L39 dynamic partition pruning (star schema)
     "cast_coerce",           # B10 + H10
     # CDC pipeline (A2 envelope + B2 unwrap exercised inside materialize)
