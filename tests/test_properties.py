@@ -140,3 +140,70 @@ def test_resolve_unavailable_matches_python_fold(spark, rows):
             last[k] = body
         want[(k, pos)] = last.get(k)
     assert got == want
+
+
+# --- portable hash layer (the trust anchor of every portable twin) -------
+
+# Arbitrary unicode minus NUL (DuckDB VARCHAR rejects embedded NUL
+# bytes; Spark would accept them — an input neither twin ever sees since
+# tokens come from parquet text columns with the same constraint).
+HASH_STRINGS = st.lists(
+    st.text(max_size=40).filter(lambda s: "\x00" not in s),
+    min_size=1,
+    max_size=20,
+    unique=True,
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(HASH_STRINGS)
+def test_portable_hash_spark_duck_python_agreement(spark, strings):
+    """Property (round-4 verdict item 8): `_phash_spark` and
+    `_phash_duck` — the 60-bit md5-prefix hash every portable
+    differential twin rests on — produce bit-identical values for
+    ARBITRARY unicode strings, and both equal an independent
+    hashlib-based Python reference (so a shared md5/hex quirk in the
+    two engines could not hide). Covers several permutation seeds
+    including the top one (p7 exercises the seed-prefix concat)."""
+    import hashlib
+
+    import duckdb as _duckdb
+
+    from debezium_incubator_spark.llm.dedup import _phash_duck, _phash_spark
+
+    perms = [0, 3, 7]
+
+    def ref(s: str, p: int) -> int:
+        return int(
+            hashlib.md5(f"p{p}|{s}".encode("utf-8")).hexdigest()[:15], 16
+        )
+
+    rows = [(i, s) for i, s in enumerate(strings)]
+    sdf = spark.createDataFrame(rows, "id LONG, s STRING")
+    got_spark = {
+        (r.id, p): r[f"h{p}"]
+        for r in sdf.select(
+            "id",
+            *[F.expr(_phash_spark("s", p)).alias(f"h{p}") for p in perms],
+        ).collect()
+        for p in perms
+    }
+
+    con = _duckdb.connect()
+    try:
+        import pandas as _pd
+
+        con.register("t", _pd.DataFrame(rows, columns=["id", "s"]))
+        cols = ", ".join(f"{_phash_duck('s', p)} AS h{p}" for p in perms)
+        duck = con.execute(f"SELECT id, {cols} FROM t ORDER BY id").df()
+    finally:
+        con.close()
+    got_duck = {
+        (int(r["id"]), p): int(r[f"h{p}"])
+        for _, r in duck.iterrows()
+        for p in perms
+    }
+
+    want = {(i, p): ref(s, p) for i, s in rows for p in perms}
+    assert got_spark == want
+    assert got_duck == want
