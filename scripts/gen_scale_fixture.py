@@ -193,10 +193,56 @@ def generate(out_dir: str, scale: float) -> None:
                       ("embedding", pa.list_(pa.float32())),
                       ("label", pa.int32())]))
 
+    generate_changes(out_dir, scale)
+
+
+def generate_changes(out_dir: str, scale: float) -> None:
+    """Change-stream fixture for the CDC-apply scale probe (round-4
+    verdict item 4): a keyed update log shaped like an unwrapped CDC
+    topic. Own rng stream (SEED+1) so it can be (re)generated standalone
+    without disturbing the main tables' determinism.
+
+    Shape at scale s: 1M*s rows over 500k*s keys — keyspace ~2x smaller
+    than the row count so most keys see multiple versions (the fold has
+    real work). Columns: k (key), pos (global commit position), v
+    (payload), body (LOB column: ~10% Debezium unavailable-value
+    placeholders + ~5% explicit NULLs, exercising inheritance), __op
+    (80/15/5 u/c/d). The probe slices deltas out of the tail by fixed
+    ABSOLUTE key cutoffs (k < 150 → ~50 rows at every scale), so the
+    fixed-delta measurement holds the delta constant while state grows
+    10x."""
+    os.makedirs(out_dir, exist_ok=True)
+    rng = np.random.default_rng(SEED + 1)
+    n_keys = int(500_000 * scale)
+    n_chg = 2 * n_keys
+    k = rng.integers(0, n_keys, n_chg)
+    opr = rng.random(n_chg)
+    op = np.where(opr < 0.80, "u", np.where(opr < 0.95, "c", "d"))
+    br = rng.random(n_chg)
+    body = [
+        None if b < 0.05
+        else "__debezium_unavailable_value" if b < 0.15  # noqa: placeholder
+        else f"body{p % 1000}"
+        for p, b in enumerate(br)
+    ]
+    _write(out_dir, "changes",
+           {"k": k.astype(np.int64),
+            "pos": np.arange(n_chg, dtype=np.int64),
+            "v": np.round(rng.uniform(0, 1000, n_chg), 3),
+            "body": body,
+            "__op": op},
+           pa.schema([("k", pa.int64()), ("pos", pa.int64()),
+                      ("v", pa.float64()), ("body", pa.string()),
+                      ("__op", pa.string())]))
+
 
 if __name__ == "__main__":
     import sys
 
     out, scale = sys.argv[1], float(sys.argv[2])
-    generate(out, scale)
-    print(f"generated scale={scale} at {out}")
+    if len(sys.argv) > 3 and sys.argv[3] == "changes":
+        generate_changes(out, scale)
+        print(f"generated changes-only scale={scale} at {out}")
+    else:
+        generate(out, scale)
+        print(f"generated scale={scale} at {out}")

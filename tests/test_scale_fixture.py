@@ -15,6 +15,9 @@ from scripts.gen_scale_fixture import generate
 TABLES = (
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings",
+    # probe-only change-stream table (no driver counterpart — excluded
+    # from the schema-fidelity test below)
+    "changes",
 )
 
 
@@ -46,6 +49,8 @@ def test_schemas_match_driver_fixture(gen_dir, spark):
     from debezium_incubator_spark.catalog import table
 
     for t in TABLES:
+        if t == "changes":
+            continue
         want = table(spark, "/root/testdata/sf0.001", t).schema
         got = table(spark, gen_dir, t).schema
         assert [(f.name, f.dataType) for f in got.fields] == [
@@ -129,6 +134,7 @@ def test_scaled_lsh_keeps_recall_on_planted_dups(gen_dir, spark):
 
 
 def test_spread_widens_narrow_and_leaves_wide_alone(spark):
+    from debezium_incubator_spark import catalog
     from debezium_incubator_spark.catalog import spread
 
     narrow = spark.range(1000).coalesce(1)
@@ -139,3 +145,64 @@ def test_spread_widens_narrow_and_leaves_wide_alone(spark):
     assert spread(wide) is wide
     # row preservation
     assert spread(narrow).count() == 1000
+    # the partition-count probe is memoized per logical plan: a repeat
+    # call (even on a NEW DataFrame object of the same plan) must hit
+    # the cache, never the physical-plan conversion
+    narrow2 = spark.range(1000).coalesce(1)
+    key = (id(spark), narrow2.semanticHash())
+    assert key in catalog._SPREAD_CACHE
+    catalog._SPREAD_CACHE[key] = 999  # poison: cache hit -> no repartition
+    try:
+        assert spread(narrow2) is narrow2
+    finally:
+        catalog._SPREAD_CACHE[key] = 1
+    # distinct explicit partitioning hashes differently (no collision)
+    assert spark.range(1000).repartition(2).semanticHash() != narrow2.semanticHash()
+
+
+def test_changes_fixture_shape(gen_dir, spark):
+    """The CDC-probe change log: deterministic slice cutoffs must carry
+    real work — the fixed-key-cutoff delta is nonempty and ~constant
+    across scales by construction (k uniform; cutoff absolute)."""
+    chg = spark.read.parquet(f"{gen_dir}/changes.parquet")
+    n = chg.count()
+    assert n == 2 * int(500_000 * 0.02)
+    from pyspark.sql import functions as F
+
+    tail = chg.filter(F.col("pos") >= int(n * 0.9))
+    d = tail.filter(F.col("k") < 150)
+    assert 0 < d.count() < 100  # ~30 expected at every scale
+    ops = {r["__op"] for r in chg.select("__op").distinct().collect()}
+    assert ops == {"c", "u", "d"}
+    bodies = chg.select("body").toPandas()["body"]
+    assert bodies.isna().any()
+    assert (bodies == "__debezium_unavailable_value").any()
+
+
+def test_partitioned_write_emits_one_file_per_bucket(spark, tmp_path):
+    """Scale posture of the touched-bucket apply: rows are clustered on
+    the bucket column before the dynamic-partition write, so each
+    touched bucket lands as exactly ONE parquet file — without the
+    clustering, the window fold's key-hash distribution makes every
+    task write into every bucket dir (tasks x buckets near-empty files
+    per epoch; found by the round-5 CDC scale probe)."""
+    import os
+
+    from debezium_incubator_spark.streaming.partitioned_state import (
+        BUCKET_COL,
+        apply_changes_partitioned,
+    )
+
+    rows = [(i, i, float(i), "u") for i in range(200)]
+    df = spark.createDataFrame(rows, "k LONG, pos LONG, v DOUBLE, __op STRING")
+    state = str(tmp_path / "state")
+    apply_changes_partitioned(
+        spark, df, 0, state, ["k"], ["pos"], n_buckets=8
+    )
+    vdir = os.path.join(state, "v0")
+    bucket_dirs = [d for d in os.listdir(vdir) if d.startswith(BUCKET_COL)]
+    assert len(bucket_dirs) == 8  # 200 uniform keys touch all 8
+    for b in bucket_dirs:
+        files = [f for f in os.listdir(os.path.join(vdir, b))
+                 if f.endswith(".parquet")]
+        assert len(files) == 1, f"{b}: {files}"
