@@ -28,8 +28,10 @@ pagination); chunks are independent → resumable and parallelizable.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from ..registry import register
 
 
 def chunk_bounds(df: DataFrame, key: str, n_chunks: int) -> list[tuple]:
@@ -94,3 +96,118 @@ def incremental_snapshot(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+# --- Ad-hoc BLOCKING snapshot (signal type='blocking') -------------------
+#
+# Debezium's second signal-driven snapshot kind: instead of chunked
+# interleaving, streaming pauses, the requested tables are read as one
+# consistent image, and streaming RESUMES FROM THE PRE-SNAPSHOT POSITION
+# (Debezium documents that events committed while the snapshot ran may
+# be delivered twice after it). The consumer therefore sees the overlap
+# window (L, H] twice — once reflected inside the snapshot image, once
+# replayed — and correctness rests on the position-ordered fold being
+# idempotent under that duplication. Reconstructed per SURVEY.md §0 (the
+# archived checkout has no source); semantics from the public Debezium
+# blocking-snapshot documentation.
+
+
+def blocking_snapshot_delivery(
+    changes: DataFrame,
+    key: str,
+    pos_col: str,
+    low_pos: int,
+    high_pos: int,
+    op_col: str = "__op",
+) -> DataFrame:
+    """Everything the consumer receives around a blocking snapshot:
+    the full change stream, PLUS the replayed overlap window
+    (low_pos, high_pos] (streaming resumed from the pre-snapshot
+    position ``low_pos``), PLUS the snapshot image — latest state per
+    key as of ``high_pos``, stamped op='r' at position ``high_pos``.
+    ``__src`` marks image rows 0 / stream rows 1 so the fold can break
+    the one real tie (a stream event at exactly ``high_pos`` vs the
+    image row that already reflects it) deterministically."""
+    from .materialize import materialize_latest
+
+    image = (
+        materialize_latest(
+            changes.filter(F.col(pos_col) <= high_pos),
+            [key], [pos_col], op_col,
+        )
+        .withColumn(pos_col, F.lit(high_pos).cast("long"))
+        .withColumn(op_col, F.lit("r"))
+        .withColumn("__src", F.lit(0))
+    )
+    stream = changes.withColumn("__src", F.lit(1))
+    replay = changes.filter(
+        (F.col(pos_col) > low_pos) & (F.col(pos_col) <= high_pos)
+    ).withColumn("__src", F.lit(1))
+    return stream.unionByName(replay).unionByName(image)
+
+
+def resolve_blocking_delivery(
+    delivered: DataFrame,
+    key: str,
+    pos_col: str,
+    op_col: str = "__op",
+) -> DataFrame:
+    """The consumer-side overlap dedup: one position-ordered fold.
+    Duplicated overlap events are byte-identical rows, so whichever
+    copy row_number keeps, the surviving content is the same; the image
+    row at position H loses to a real event at H (``__src`` desc) —
+    both carry the same value since the image already reflects it, but
+    the tiebreak keeps the plan deterministic. Keys whose latest
+    delivered op is a delete drop out (a replayed delete can never
+    resurrect: the image has no row for a deleted key, so the delete
+    event itself stays latest)."""
+    from pyspark.sql.window import Window as W
+
+    w = W.partitionBy(key).orderBy(F.desc(pos_col), F.desc("__src"))
+    return (
+        delivered.withColumn("__rn", F.row_number().over(w))
+        .filter((F.col("__rn") == 1) & (F.col(op_col) != "d"))
+        .drop("__rn", "__src")
+    )
+
+
+@register(
+    "cdc_blocking_snapshot",
+    oracle="""
+WITH mapped AS (
+  SELECT user_id, event_id AS pos, value,
+         CASE event_type WHEN 'signup' THEN 'c' WHEN 'error' THEN 'd'
+              WHEN 'view' THEN 'r' ELSE 'u' END AS op
+  FROM events
+)
+SELECT user_id, value FROM (
+  SELECT user_id, value, op,
+         row_number() OVER (PARTITION BY user_id ORDER BY pos DESC) AS rn
+  FROM mapped
+) WHERE rn = 1 AND op <> 'd'
+ORDER BY user_id
+""",
+)
+def cdc_blocking_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocking-snapshot overlap-window dedup, differentially proven:
+    the Spark side runs the FULL duplicated delivery — stream + replayed
+    (L, H] overlap + 'r' image at H — through the consumer fold, while
+    the oracle computes plain latest-state directly from the log. Hash
+    equality IS the proof that duplicate delivery around a blocking
+    snapshot changes work, never answers (same structure as t22 sharing
+    t14's oracle). L/H are placed at 60%/80% of the log so the overlap
+    window carries ~20% of events including deletes."""
+    from ..catalog import table
+    from .envelope import OP_CASE
+
+    ev = table(spark, sf_dir, "events").select(
+        "user_id",
+        F.col("event_id").alias("pos"),
+        "value",
+        F.expr(OP_CASE).alias("__op"),
+    )
+    max_pos = ev.agg(F.max("pos")).first()[0]  # control-plane scalar
+    low, high = int(max_pos * 0.6), int(max_pos * 0.8)
+    delivered = blocking_snapshot_delivery(ev, "user_id", "pos", low, high)
+    state = resolve_blocking_delivery(delivered, "user_id", "pos")
+    return state.select("user_id", "value").orderBy("user_id")

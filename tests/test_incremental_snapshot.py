@@ -78,3 +78,75 @@ def test_chunk_bounds_cover_key_space(spark):
     # contiguous, non-overlapping (lo, hi] ranges
     for (a, b), (c, d) in zip(bounds, bounds[1:]):
         assert b == c and a < b and c < d
+
+
+def test_blocking_snapshot_signal_flow_dedups_overlap(spark):
+    """End-to-end signal path for the ad-hoc BLOCKING snapshot: an
+    execute-snapshot signal with data.type='blocking' dispatches a
+    handler that runs the pause → image-at-H → resume-from-L protocol.
+    The consumer's delivery genuinely contains the overlap window twice
+    (asserted), yet the fold equals plain latest-state — the
+    overlap-window dedup proof the blocking kind requires (Debezium
+    documents possible duplicate events after a blocking snapshot)."""
+    from debezium_incubator_spark.cdc.incremental_snapshot import (
+        blocking_snapshot_delivery,
+        resolve_blocking_delivery,
+    )
+    from debezium_incubator_spark.cdc.signals import dispatch_signals
+
+    ch = _changes(spark).cache()
+    max_pos = ch.agg(F.max("pos")).first()[0]
+    low, high = int(max_pos * 0.6), int(max_pos * 0.8)
+
+    result = {}
+
+    def run_blocking(sig: dict) -> None:
+        assert sig["snapshot_kind"] == "blocking"
+        assert sig["data_collections"] == ["public.events"]
+        delivered = blocking_snapshot_delivery(
+            ch, "user_id", "pos", low, high
+        ).cache()
+        result["delivered"] = delivered
+        result["state"] = resolve_blocking_delivery(
+            delivered, "user_id", "pos"
+        )
+
+    sig_rows = spark.createDataFrame(
+        [(
+            "sig-1", "execute-snapshot",
+            '{"data-collections": ["public.events"], "type": "blocking"}',
+        )],
+        "id STRING, type STRING, data STRING",
+    )
+    actions = dispatch_signals(
+        sig_rows, handlers={"execute-snapshot": run_blocking}
+    )
+    assert actions == [{
+        "id": "sig-1", "type": "execute-snapshot", "handled": True,
+        "data_collections": ["public.events"],
+    }]
+
+    # the overlap window is really delivered twice (and contains deletes,
+    # so resurrection is genuinely at stake)
+    overlap = result["delivered"].filter(
+        (F.col("pos") > low) & (F.col("pos") <= high) & (F.col("__src") == 1)
+    )
+    n_overlap_events = ch.filter(
+        (F.col("pos") > low) & (F.col("pos") <= high)
+    ).count()
+    assert n_overlap_events > 0
+    assert overlap.count() == 2 * n_overlap_events
+    assert overlap.filter(F.col("__op") == "d").count() > 0
+
+    got = (
+        result["state"].select("user_id", "value")
+        .toPandas().sort_values("user_id").reset_index(drop=True)
+    )
+    want = (
+        materialize_latest(ch, ["user_id"], ["pos"])
+        .select("user_id", "value")
+        .toPandas().sort_values("user_id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    ch.unpersist()
+    result["delivered"].unpersist()

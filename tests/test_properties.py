@@ -207,3 +207,42 @@ def test_portable_hash_spark_duck_python_agreement(spark, strings):
     want = {(i, p): ref(s, p) for i, s in rows for p in perms}
     assert got_spark == want
     assert got_duck == want
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    CHANGES,
+    st.integers(min_value=0, max_value=50),
+    st.integers(min_value=0, max_value=50),
+)
+def test_blocking_snapshot_fold_idempotent_under_any_watermarks(
+    spark, rows, a, b
+):
+    """Property: for ANY change log and ANY blocking-snapshot window
+    (L, H], the duplicated delivery (stream + replayed overlap + image
+    at H) folds to exactly plain latest-state — overlap dedup can never
+    lose an event, duplicate an effect, or resurrect a delete,
+    regardless of where the snapshot lands relative to the log."""
+    from debezium_incubator_spark.cdc.incremental_snapshot import (
+        blocking_snapshot_delivery,
+        resolve_blocking_delivery,
+    )
+
+    low, high = min(a, b), max(a, b)
+    df = spark.createDataFrame(rows, "k LONG, pos LONG, v DOUBLE, __op STRING")
+    got = (
+        resolve_blocking_delivery(
+            blocking_snapshot_delivery(df, "k", "pos", low, high), "k", "pos"
+        )
+        .select("k", "v").toPandas()
+        .sort_values("k").reset_index(drop=True)
+    )
+    pdf = pd.DataFrame(rows, columns=["k", "pos", "v", "__op"])
+    last = pdf.sort_values(["k", "pos"]).groupby("k").tail(1)
+    want = (
+        last[last["__op"] != "d"][["k", "v"]]
+        .sort_values("k").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got, want, check_dtype=False, check_exact=False, atol=1e-6
+    )
