@@ -214,3 +214,67 @@ def vacuum_partitioned(state_dir: str, keep_last: int = 1) -> list[str]:
         if not any(n.startswith(f"{BUCKET_COL}=") for n in os.listdir(vdir)):
             shutil.rmtree(vdir)
     return removed
+
+
+def compact_state(
+    spark: SparkSession,
+    state_dir: str,
+    epoch: int,
+    keys: list[str],
+    n_buckets: int,
+    drop_tombstones: bool = False,
+    op_col: str = "__op",
+) -> dict | None:
+    """Maintenance compaction: rewrite EVERY live bucket under one new
+    epoch and commit, collapsing version sprawl (a long-running upsert
+    stream leaves each bucket's file in whichever epoch last touched
+    it, so reads fan out across many v-dirs and vacuum can reclaim
+    nothing older than the most-scattered reference). After compaction
+    the manifest points every bucket at ``epoch`` and
+    ``vacuum_partitioned`` reclaims all prior epochs. O(state) by
+    design — maintenance cadence, not per-batch; same atomic
+    rename-commit as the apply path, so a crash mid-compaction leaves
+    the old state fully live.
+
+    ``drop_tombstones=True`` additionally drops delete markers. Only
+    safe when upstream delivery is position-monotonic: a tombstone
+    guards against an idempotent REPLAY of an older position
+    resurrecting the key (the fold would pick the stale row if the
+    newer delete is gone). Default keeps them.
+
+    Returns {"buckets", "rows", "dropped_tombstones"} or None if no
+    committed state exists."""
+    manifest = _read_manifest(state_dir)
+    if not manifest:
+        return None
+    paths = [
+        os.path.join(state_dir, f"v{v}", f"{BUCKET_COL}={b}")
+        for b, v in manifest.items()
+    ]
+    df = spark.read.parquet(*paths).withColumn(
+        BUCKET_COL, _bucket(keys, n_buckets)
+    )
+    dropped = 0
+    if drop_tombstones:
+        dropped = df.filter(F.col(op_col) == "d").count()
+        df = df.filter(F.col(op_col) != "d")
+    # one file per bucket, full-width write parallelism
+    (
+        df.repartition(n_buckets, F.col(BUCKET_COL))
+        .write.mode("overwrite")
+        .partitionBy(BUCKET_COL)
+        .parquet(os.path.join(state_dir, f"v{epoch}"))
+    )
+    new_manifest = {b: epoch for b in manifest}
+    mf = f"manifest_v{epoch}.json"
+    _atomic_write(
+        os.path.join(state_dir, mf),
+        json.dumps({str(k): v for k, v in new_manifest.items()}),
+    )
+    _atomic_write(os.path.join(state_dir, "_LATEST"), mf)
+    rows = spark.read.parquet(os.path.join(state_dir, f"v{epoch}")).count()
+    return {
+        "buckets": len(new_manifest),
+        "rows": rows,
+        "dropped_tombstones": dropped,
+    }

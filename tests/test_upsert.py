@@ -635,3 +635,100 @@ def test_streaming_lob_apply_matches_batch_resolve(spark):
     )
     pd.testing.assert_frame_equal(got, want)
     assert dict(zip(got.k, got.body)) == {1: "v1", 2: None, 3: None}
+
+
+def test_compact_state_collapses_epochs_and_preserves_state(spark, tmp_path):
+    """Maintenance compaction: after epochs scatter buckets across many
+    v-dirs, compact_state rewrites every live bucket under ONE epoch
+    (one file per bucket), state is unchanged, and vacuum then reclaims
+    every older epoch — which it could NOT do before compaction while
+    old epochs were still referenced by untouched buckets."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from debezium_incubator_spark.streaming.partitioned_state import (
+        BUCKET_COL,
+        apply_changes_partitioned,
+        compact_state,
+        read_state_partitioned,
+        vacuum_partitioned,
+    )
+
+    state = str(tmp_path / "state")
+    nb = 8
+
+    def batch(lo, hi, ep, op="u"):
+        # pos grows with the epoch so later batches really supersede
+        return spark.createDataFrame(
+            [(k, 1000 * ep + k, float(k), op) for k in range(lo, hi)],
+            "k LONG, pos LONG, v DOUBLE, __op STRING",
+        )
+
+    # epoch 0 seeds all buckets; epochs 1-3 touch shrinking key ranges,
+    # leaving untouched buckets pointing at older epochs
+    apply_changes_partitioned(
+        spark, batch(0, 64, 0), 0, state, ["k"], ["pos"], nb
+    )
+    apply_changes_partitioned(
+        spark, batch(0, 24, 1), 1, state, ["k"], ["pos"], nb
+    )
+    apply_changes_partitioned(
+        spark, batch(0, 8, 2), 2, state, ["k"], ["pos"], nb
+    )
+    # one delete -> a tombstone survives in state
+    apply_changes_partitioned(
+        spark, batch(3, 4, 3, op="d"), 3, state, ["k"], ["pos"], nb
+    )
+    before = (
+        read_state_partitioned(spark, state)
+        .select("k", "v").toPandas().sort_values("k").reset_index(drop=True)
+    )
+    v_dirs = lambda: sorted(  # noqa: E731
+        d for d in os.listdir(state) if d.startswith("v") and d[1:].isdigit()
+    )
+    assert len(v_dirs()) == 4
+
+    stats = compact_state(spark, state, 10, ["k"], nb)
+    assert stats["buckets"] == nb and stats["dropped_tombstones"] == 0
+
+    after = (
+        read_state_partitioned(spark, state)
+        .select("k", "v").toPandas().sort_values("k").reset_index(drop=True)
+    )
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(after, before)
+    # tombstone retained by default (guards replayed stale positions)
+    assert (
+        read_state_partitioned(spark, state, include_tombstones=True)
+        .filter(F.col("__op") == "d").count() == 1
+    )
+
+    removed = vacuum_partitioned(state, keep_last=1)
+    assert removed  # old manifests/epochs actually reclaimed
+    assert v_dirs() == ["v10"]
+    # one file per bucket in the compacted epoch
+    vdir = os.path.join(state, "v10")
+    buckets = [d for d in os.listdir(vdir) if d.startswith(BUCKET_COL)]
+    assert len(buckets) == nb
+    for b in buckets:
+        files = [f for f in os.listdir(os.path.join(vdir, b))
+                 if f.endswith(".parquet")]
+        assert len(files) == 1
+    # state still reads correctly post-vacuum
+    pd.testing.assert_frame_equal(
+        read_state_partitioned(spark, state)
+        .select("k", "v").toPandas().sort_values("k").reset_index(drop=True),
+        before,
+    )
+
+    # drop_tombstones: the delete marker goes away and is counted
+    stats2 = compact_state(
+        spark, state, 11, ["k"], nb, drop_tombstones=True
+    )
+    assert stats2["dropped_tombstones"] == 1
+    assert (
+        read_state_partitioned(spark, state, include_tombstones=True)
+        .filter(F.col("__op") == "d").count() == 0
+    )
