@@ -1238,3 +1238,86 @@ def t21_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("zipf_slope"),
         F.round(F.expr("regr_r2(ln(freq), ln(rnk))"), 4).alias("r2"),
     )
+
+
+# --- t23: temperature-weighted source mixing -----------------------------
+
+@register(
+    "t23_source_mixture",
+    oracle="""
+WITH c AS (
+  SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source
+), den AS (
+  SELECT SUM(sqrt(CAST(n_docs AS DOUBLE))) AS den FROM c
+), s AS (
+  SELECT d.source, COUNT(*) AS sampled_n
+  FROM documents d JOIN c ON d.source = c.source
+  WHERE CAST(CAST('0x' || substring(md5('p0|' || CAST(doc_id AS VARCHAR)), 1, 15)
+             AS BIGINT) AS DOUBLE) / 1152921504606846976.0
+        < 4.0 * sqrt(CAST(n_docs AS DOUBLE)) / n_docs
+  GROUP BY d.source
+)
+SELECT c.source,
+       CAST(c.n_docs AS BIGINT) AS n_docs,
+       ROUND(sqrt(CAST(c.n_docs AS DOUBLE)) / den.den, 4) AS q,
+       CAST(COALESCE(s.sampled_n, 0) AS BIGINT) AS sampled_n
+FROM c CROSS JOIN den LEFT JOIN s ON c.source = s.source
+ORDER BY c.source
+""",
+)
+def t23_source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-weighted source mixing — the corpus-composition step
+    of LLM training-data prep (alpha = 0.5, the standard "unigram
+    smoothing" temperature: small sources are up-weighted relative to
+    proportional sampling, q_s ∝ sqrt(n_s)). Two halves, both exact:
+
+    - the MIXTURE WEIGHTS q_s = sqrt(n_s) / Σ sqrt(n_s) (continuous →
+      plain ROUND(,4) per the parity policy);
+    - a REALIZED deterministic sample at per-source rate 4/sqrt(n_s):
+      doc kept iff phash(doc_id)/2^60 < 4·sqrt(n_s)/n_s. The threshold
+      is parity-SAFE by construction: sqrt is IEEE exact-rounded, the
+      multiply/divide happen in one fixed order on both engines, and
+      the 60-bit hash→double conversion rounds identically — so no
+      cross-engine boundary flip can change a count (unlike a
+      threshold derived from the Σ sqrt denominator, whose summation
+      order differs between engines).
+
+    Scale posture: weights are one map-side-combined groupBy over the
+    corpus + a 20-row broadcast; the sample is a stateless per-row
+    predicate (no shuffle beyond the count agg). At 100 TB the same
+    plan holds — the mixing table stays KB-sized however large the
+    corpus."""
+    from .dedup import _phash_spark
+
+    d = table(spark, sf_dir, "documents").select("source", "doc_id")
+    counts = d.groupBy("source").agg(F.count("*").alias("n_docs"))
+    den = counts.agg(
+        F.sum(F.sqrt(F.col("n_docs").cast("double"))).alias("den")
+    )
+    q = counts.crossJoin(F.broadcast(den))
+    sampled = (
+        d.join(F.broadcast(counts), "source")
+        .withColumn(
+            "h", F.expr(_phash_spark("CAST(doc_id AS STRING)", 0))
+        )
+        .filter(
+            F.col("h").cast("double") / F.lit(float(1 << 60))
+            < F.lit(4.0) * F.sqrt(F.col("n_docs").cast("double"))
+            / F.col("n_docs")
+        )
+        .groupBy("source")
+        .agg(F.count("*").alias("sampled_n"))
+    )
+    return (
+        q.join(sampled, "source", "left")
+        .select(
+            "source",
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+            F.round(
+                F.sqrt(F.col("n_docs").cast("double")) / F.col("den"), 4
+            ).alias("q"),
+            F.coalesce("sampled_n", F.lit(0)).cast("bigint")
+            .alias("sampled_n"),
+        )
+        .orderBy("source")
+    )
