@@ -179,25 +179,36 @@ def probe_scale(spark, sf_dir: str) -> dict:
     return out
 
 
+# dir-basename -> fixture scale, for auto-generation of missing fixtures
+SCALES = {"g0.1": 0.1, "g1": 1.0, "g3": 3.0}
+
+
 def main() -> None:
-    g01 = sys.argv[1] if len(sys.argv) > 1 else os.path.join(
+    """argv: [lo_dir hi_dir [out_json]] — defaults g0.1 -> g1 into
+    SCALEPROBE_CDC.json; a second pair (e.g. g1 -> g3) writes its own
+    out_json. Labels in the output come from the dir basenames."""
+    lo = sys.argv[1] if len(sys.argv) > 1 else os.path.join(
         REPO, ".scaleprobe", "g0.1")
-    g1 = sys.argv[2] if len(sys.argv) > 2 else os.path.join(
+    hi = sys.argv[2] if len(sys.argv) > 2 else os.path.join(
         REPO, ".scaleprobe", "g1")
-    for d, s in ((g01, 0.1), (g1, 1.0)):
+    out_json = sys.argv[3] if len(sys.argv) > 3 else "SCALEPROBE_CDC.json"
+    lo_name = os.path.basename(lo.rstrip("/"))
+    hi_name = os.path.basename(hi.rstrip("/"))
+    for d in (lo, hi):
         if not os.path.exists(os.path.join(d, "changes.parquet")):
             from scripts.gen_scale_fixture import generate_changes
 
+            s = SCALES[os.path.basename(d.rstrip("/"))]
             print(f"generating changes fixture at {d} (scale {s})",
                   flush=True)
             generate_changes(d, s)
     spark = get_spark("cdcprobe")
     spark.sparkContext.setLogLevel("ERROR")
-    print(f"== probe at {g01}", flush=True)
-    r01 = probe_scale(spark, g01)
+    print(f"== probe at {lo}", flush=True)
+    r01 = probe_scale(spark, lo)
     print(json.dumps(r01, indent=1), flush=True)
-    print(f"== probe at {g1}", flush=True)
-    r1 = probe_scale(spark, g1)
+    print(f"== probe at {hi}", flush=True)
+    r1 = probe_scale(spark, hi)
     print(json.dumps(r1, indent=1), flush=True)
 
     def ratio(key: str) -> float:
@@ -205,16 +216,16 @@ def main() -> None:
 
     result = {
         "metric": "cdc_apply_scale_probe",
-        "scales": {"g0.1": g01, "g1": g1},
+        "scales": {lo_name: lo, hi_name: hi},
         "protocol": (
             "engine defaults (AQE on); bootstrap = first 90% of the log; "
             "deltas sliced from the tail by fixed absolute key cutoff "
             "(constant across scales); 1 discarded warm apply, min of 2 "
             "timed real epochs; n_buckets = state_keys/1024 per scale"
         ),
-        "g0.1": r01,
-        "g1": r1,
-        "fixed_delta_state_10x": {
+        lo_name: r01,
+        hi_name: r1,
+        "fixed_delta_state_scaleup": {
             "partitioned_ratio": ratio("partitioned_apply_small_sec"),
             "monolithic_ratio": ratio("monolithic_apply_small_sec"),
             "lob_ratio": ratio("lob_apply_small_sec"),
@@ -224,26 +235,26 @@ def main() -> None:
                 "small-state forms; partitioned is the scale path)"
             ),
         },
-        "delta_10x_same_state": {
-            "g1_small_sec": r1["partitioned_apply_small_sec"],
-            "g1_big_sec": r1["partitioned_apply_big_sec"],
+        "delta_10x_same_hi_state": {
+            "hi_small_sec": r1["partitioned_apply_small_sec"],
+            "hi_big_sec": r1["partitioned_apply_big_sec"],
             "ratio": round(
                 r1["partitioned_apply_big_sec"]
                 / max(r1["partitioned_apply_small_sec"], 1e-9), 2
             ),
             "prediction": "<= ~10 (linear in delta keys, plus fixed floor)",
         },
-        "scd2_full_log_10x_ratio": ratio("scd2_full_log_sec"),
+        "scd2_full_log_scaleup_ratio": ratio("scd2_full_log_sec"),
     }
     violations = []
-    if result["fixed_delta_state_10x"]["partitioned_ratio"] >= 4:
+    if result["fixed_delta_state_scaleup"]["partitioned_ratio"] >= 4:
         violations.append("partitioned_apply_not_flat_in_state")
-    if result["delta_10x_same_state"]["ratio"] >= 15:
+    if result["delta_10x_same_hi_state"]["ratio"] >= 15:
         violations.append("partitioned_apply_superlinear_in_delta")
-    if result["scd2_full_log_10x_ratio"] >= 15:
+    if result["scd2_full_log_scaleup_ratio"] >= 15:
         violations.append("scd2_superlinear")
     result["violations"] = violations
-    with open(os.path.join(REPO, "SCALEPROBE_CDC.json"), "w") as f:
+    with open(os.path.join(REPO, out_json), "w") as f:
         json.dump(result, f, indent=1)
     print(json.dumps(result))
     if violations:
