@@ -246,3 +246,61 @@ def test_blocking_snapshot_fold_idempotent_under_any_watermarks(
     pd.testing.assert_frame_equal(
         got, want, check_dtype=False, check_exact=False, atol=1e-6
     )
+
+
+@settings(max_examples=6, deadline=None)
+@given(CHANGES, st.randoms(use_true_random=False))
+def test_partitioned_apply_out_of_order_batches_converge(spark, rows, rnd):
+    """Property: deliver the change log to the bucket-partitioned state
+    in ANY order, grouped into ANY batches, optionally with a
+    maintenance compaction in the middle — the final state equals the
+    position-ordered sequential fold. This is the at-least-once /
+    out-of-order guarantee the tombstone-retention rule exists for:
+    the fold always keeps the max-position row per key, so late
+    delivery of an older position can never supersede, and a compacted
+    state still repels it (tombstones survive compaction by
+    default)."""
+    import shutil
+    import tempfile
+
+    from debezium_incubator_spark.streaming.partitioned_state import (
+        apply_changes_partitioned,
+        compact_state,
+        read_state_partitioned,
+    )
+
+    state = tempfile.mkdtemp(prefix="dis_prop_state_")
+    try:
+        shuffled = list(rows)
+        rnd.shuffle(shuffled)
+        n_batches = rnd.randint(1, min(4, len(shuffled)))
+        cuts = (
+            sorted(rnd.sample(range(1, len(shuffled)), n_batches - 1))
+            if len(shuffled) > 1 else []
+        )
+        batches = [
+            shuffled[a:b]
+            for a, b in zip([0] + cuts, cuts + [len(shuffled)])
+        ]
+        for i, b in enumerate(batches):
+            df = spark.createDataFrame(
+                b, "k LONG, pos LONG, v DOUBLE, __op STRING"
+            )
+            apply_changes_partitioned(
+                spark, df, i, state, ["k"], ["pos"], n_buckets=4
+            )
+            if i == 0 and len(batches) > 1 and rnd.random() < 0.5:
+                compact_state(spark, state, 100, ["k"], 4)
+        got = {
+            r.k: (r.pos, r.v)
+            for r in read_state_partitioned(spark, state).collect()
+        }
+    finally:
+        shutil.rmtree(state, ignore_errors=True)
+    last: dict = {}
+    for k, pos, v, op in sorted(rows, key=lambda r: (r[0], r[1])):
+        last[k] = (pos, v, op)
+    want = {
+        k: (pos, v) for k, (pos, v, op) in last.items() if op != "d"
+    }
+    assert got == want
