@@ -73,6 +73,7 @@ def incremental_snapshot(
     pos_col: str,
     bounds: list[tuple],
     watermarks: list[tuple],
+    channel=None,
 ) -> DataFrame:
     """Full chunked snapshot: union of reconciled chunks, each stamped
     ``op='r'`` at position = its chunk's low watermark (so the
@@ -84,17 +85,40 @@ def incremental_snapshot(
     simulation replays changes up to ``pos``. ``watermarks[i] =
     (L_i, H_i)`` bracket chunk i's read, exactly DBLog's low/high
     watermark protocol.
+
+    ``channel`` (optional ``notifications.NotificationChannel``)
+    receives the public Debezium progress notifications: STARTED, one
+    TABLE_SCAN_COMPLETED per chunk (with the chunk bounds + watermarks
+    in additional_data), COMPLETED.
     """
+    if channel is not None:
+        from .notifications import AGGREGATE_INCREMENTAL
+
+        channel.notify(
+            AGGREGATE_INCREMENTAL, "STARTED",
+            position=watermarks[0][0], total_chunks=len(bounds),
+        )
     parts = []
-    for b, (lw, hw) in zip(bounds, watermarks):
+    for i, (b, (lw, hw)) in enumerate(zip(bounds, watermarks)):
         parts.append(
             snapshot_chunk(snapshot_at(hw), key, b, changes, pos_col, lw, hw)
             .withColumn("__op", F.lit("r"))
             .withColumn(pos_col, F.lit(lw).cast("long"))
         )
+        if channel is not None:
+            channel.notify(
+                AGGREGATE_INCREMENTAL, "TABLE_SCAN_COMPLETED",
+                position=hw, chunk=i, chunk_from=b[0], chunk_to=b[1],
+                low_watermark=lw, high_watermark=hw,
+            )
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
+    if channel is not None:
+        channel.notify(
+            AGGREGATE_INCREMENTAL, "COMPLETED",
+            position=watermarks[-1][1], total_chunks=len(bounds),
+        )
     return out
 
 
@@ -119,6 +143,7 @@ def blocking_snapshot_delivery(
     low_pos: int,
     high_pos: int,
     op_col: str = "__op",
+    channel=None,
 ) -> DataFrame:
     """Everything the consumer receives around a blocking snapshot:
     the full change stream, PLUS the replayed overlap window
@@ -130,6 +155,13 @@ def blocking_snapshot_delivery(
     image row that already reflects it) deterministically."""
     from .materialize import materialize_latest
 
+    if channel is not None:
+        from .notifications import AGGREGATE_BLOCKING
+
+        channel.notify(
+            AGGREGATE_BLOCKING, "STARTED",
+            position=low_pos, resume_position=low_pos,
+        )
     image = (
         materialize_latest(
             changes.filter(F.col(pos_col) <= high_pos),
@@ -143,6 +175,12 @@ def blocking_snapshot_delivery(
     replay = changes.filter(
         (F.col(pos_col) > low_pos) & (F.col(pos_col) <= high_pos)
     ).withColumn("__src", F.lit(1))
+    if channel is not None:
+        channel.notify(
+            AGGREGATE_BLOCKING, "COMPLETED",
+            position=high_pos, image_position=high_pos,
+            overlap_from=low_pos, overlap_to=high_pos,
+        )
     return stream.unionByName(replay).unionByName(image)
 
 

@@ -1,0 +1,67 @@
+"""Debezium notification channel (outbound): the connector-side twin of
+the signal channel. Public Debezium emits JSON notifications
+``{id, aggregate_type, type, additional_data, timestamp}`` about
+connector lifecycle — most prominently incremental-snapshot progress
+(aggregate_type "Incremental Snapshot"; types STARTED /
+TABLE_SCAN_COMPLETED / COMPLETED / ABORTED / PAUSED / RESUMED) — to a
+configured channel (sink topic, log, JMX). Reconstructed per SURVEY.md
+§0 (the archived checkout has no source); semantics from the public
+Debezium notification documentation.
+
+Spark mapping: notifications are control-plane rows (a handful per
+snapshot, never data-plane scale). The channel is an in-process
+collector whose contents convert to a typed DataFrame for sinking via
+any batch/stream writer. IDs are deterministic sequence numbers and
+timestamps are caller-supplied positions, NOT wall-clock — the engine's
+determinism policy (replayable, testable) applies to the control plane
+too.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+AGGREGATE_INCREMENTAL = "Incremental Snapshot"
+AGGREGATE_BLOCKING = "Blocking Snapshot"
+
+NOTIFICATION_SCHEMA = T.StructType([
+    T.StructField("id", T.StringType()),
+    T.StructField("aggregate_type", T.StringType()),
+    T.StructField("type", T.StringType()),
+    T.StructField("additional_data", T.MapType(T.StringType(), T.StringType())),
+    T.StructField("timestamp", T.LongType()),
+])
+
+
+class NotificationChannel:
+    """In-process notification collector with deterministic ids
+    (``n-<seq>``). ``timestamp`` is the stream position the event
+    refers to (deterministic), mirroring how every other control-plane
+    artifact in this engine is keyed by position rather than
+    wall-clock."""
+
+    def __init__(self) -> None:
+        self._rows: list[tuple] = []
+
+    def notify(
+        self,
+        aggregate_type: str,
+        type_: str,
+        position: int = 0,
+        **additional: object,
+    ) -> None:
+        self._rows.append((
+            f"n-{len(self._rows)}",
+            aggregate_type,
+            type_,
+            {k: str(v) for k, v in additional.items()},
+            int(position),
+        ))
+
+    @property
+    def rows(self) -> list[tuple]:
+        return list(self._rows)
+
+    def to_df(self, spark: SparkSession) -> DataFrame:
+        return spark.createDataFrame(self._rows, NOTIFICATION_SCHEMA)

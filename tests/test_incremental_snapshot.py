@@ -150,3 +150,62 @@ def test_blocking_snapshot_signal_flow_dedups_overlap(spark):
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
     ch.unpersist()
     result["delivered"].unpersist()
+
+
+def test_notification_channel_reports_snapshot_progress(spark):
+    """Outbound notification channel (the connector-side twin of the
+    signal channel): an incremental snapshot emits STARTED, one
+    TABLE_SCAN_COMPLETED per chunk with the chunk bounds + watermarks,
+    then COMPLETED; a blocking snapshot emits STARTED (with the resume
+    position) and COMPLETED (with the overlap window). IDs are
+    deterministic sequence numbers and timestamps are stream positions
+    — replayable control plane, no wall-clock."""
+    from debezium_incubator_spark.cdc.incremental_snapshot import (
+        blocking_snapshot_delivery,
+        chunk_bounds,
+        incremental_snapshot,
+    )
+    from debezium_incubator_spark.cdc.notifications import (
+        AGGREGATE_BLOCKING,
+        AGGREGATE_INCREMENTAL,
+        NotificationChannel,
+    )
+
+    ch = _changes(spark).cache()
+    max_pos = ch.agg(F.max("pos")).first()[0]
+    hs = [int(max_pos * f) for f in (0.5, 1.0)]
+    watermarks = [(0, hs[0]), (hs[0], hs[1])]
+    bounds = chunk_bounds(ch, "user_id", 2)
+
+    def snapshot_at(pos):
+        return materialize_latest(
+            ch.filter(F.col("pos") <= pos), ["user_id"], ["pos"]
+        ).select("user_id", "value")
+
+    chan = NotificationChannel()
+    incremental_snapshot(
+        snapshot_at, ch, key="user_id", pos_col="pos",
+        bounds=bounds, watermarks=watermarks, channel=chan,
+    ).count()
+    blocking_snapshot_delivery(
+        ch, "user_id", "pos", int(max_pos * 0.6), int(max_pos * 0.8),
+        channel=chan,
+    ).count()
+
+    ndf = chan.to_df(spark).toPandas()
+    assert list(ndf["id"]) == [f"n-{i}" for i in range(len(ndf))]
+    inc = ndf[ndf["aggregate_type"] == AGGREGATE_INCREMENTAL]
+    assert list(inc["type"]) == [
+        "STARTED", "TABLE_SCAN_COMPLETED", "TABLE_SCAN_COMPLETED",
+        "COMPLETED",
+    ]
+    scans = inc[inc["type"] == "TABLE_SCAN_COMPLETED"]
+    assert [int(d["chunk"]) for d in scans["additional_data"]] == [0, 1]
+    assert [int(d["high_watermark"]) for d in scans["additional_data"]] == hs
+    assert int(inc.iloc[-1]["timestamp"]) == hs[-1]
+    blk = ndf[ndf["aggregate_type"] == AGGREGATE_BLOCKING]
+    assert list(blk["type"]) == ["STARTED", "COMPLETED"]
+    done = blk[blk["type"] == "COMPLETED"].iloc[0]
+    assert done["additional_data"]["overlap_from"] == str(int(max_pos * 0.6))
+    assert done["additional_data"]["overlap_to"] == str(int(max_pos * 0.8))
+    ch.unpersist()
