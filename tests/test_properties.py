@@ -304,3 +304,55 @@ def test_partitioned_apply_out_of_order_batches_converge(spark, rows, rnd):
         k: (pos, v) for k, (pos, v, op) in last.items() if op != "d"
     }
     assert got == want
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=(1 << 60) - 1),  # 60-bit hash
+        st.integers(min_value=1, max_value=10_000_000),     # n_docs
+    ),
+    min_size=1, max_size=30,
+))
+def test_t23_sampling_threshold_is_engine_invariant(spark, pairs):
+    """Property behind t23_source_mixture's parity-safety claim: the
+    sampling decision h/2^60 < 4*sqrt(n)/n is bit-identical across
+    Python doubles, Spark SQL, and DuckDB for ARBITRARY 60-bit hashes
+    and corpus sizes — sqrt is IEEE exact-rounded, the operation order
+    is fixed, and the int->double conversions round identically, so no
+    engine pair can disagree on any single decision (a disagreement
+    would shift a COUNT and break the oracle hash)."""
+    import math
+
+    import duckdb as _duckdb
+
+    want = [
+        float(h) / float(1 << 60) < 4.0 * math.sqrt(float(n)) / float(n)
+        for h, n in pairs
+    ]
+
+    rows = [(i, h, n) for i, (h, n) in enumerate(pairs)]
+    sdf = spark.createDataFrame(rows, "id LONG, h LONG, n LONG")
+    got_spark = [
+        bool(r.dec) for r in sdf.selectExpr(
+            "id",
+            "CAST(h AS DOUBLE) / 1152921504606846976.0"
+            " < 4.0 * sqrt(CAST(n AS DOUBLE)) / n AS dec",
+        ).orderBy("id").collect()
+    ]
+
+    con = _duckdb.connect()
+    try:
+        import pandas as _pd
+
+        con.register("t", _pd.DataFrame(rows, columns=["id", "h", "n"]))
+        got_duck = [
+            bool(b) for (b,) in con.execute(
+                "SELECT CAST(h AS DOUBLE) / 1152921504606846976.0"
+                " < 4.0 * sqrt(CAST(n AS DOUBLE)) / n FROM t ORDER BY id"
+            ).fetchall()
+        ]
+    finally:
+        con.close()
+    assert got_spark == want
+    assert got_duck == want
