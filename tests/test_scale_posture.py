@@ -474,3 +474,25 @@ def test_new_family_plan_shapes(spark):
     assert "BatchEvalPython" not in pudf  # SQL UDFs inline, never Python
     assert "ArrowEvalPython" not in pudf
     assert pudf.count("HashAggregate") >= 2  # partial+final survives inlining
+
+
+def test_round5_curation_plan_shapes(spark):
+    """Plan audit for the round-5 curation queries — the broadcast-cliff
+    lesson (r4's t13 silently flipped broadcast->SMJ at 10x) applied
+    proactively:
+    - t22_decontam_bloom: the Bloom bitmap AND the exact confirm set
+      both broadcast (two BroadcastHashJoin/NestedLoop sides, zero
+      SortMergeJoin — corpus shingles are never shuffled for a join);
+    - t23_source_mixture: the mixing table joins broadcast, no
+      SortMergeJoin anywhere (the corpus is scanned, aggregated
+      map-side, and probed against KB-scale broadcasts only)."""
+    from debezium_incubator_spark.registry import all_queries
+
+    q = all_queries()
+    p22 = _plan(q["t22_decontam_bloom"](spark, SF_SMOKE))
+    assert "SortMergeJoin" not in p22
+    assert "BroadcastHashJoin" in p22 or "BroadcastNestedLoopJoin" in p22
+
+    p23 = _plan(q["t23_source_mixture"](spark, SF_SMOKE))
+    assert "SortMergeJoin" not in p23
+    assert "BroadcastHashJoin" in p23
