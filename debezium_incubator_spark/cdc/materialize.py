@@ -282,7 +282,11 @@ def apply_changes_lob_batch(
     import os
 
     current = read_state(spark, state_dir, include_tombstones=True)
-    merged = batch if current is None else current.unionByName(batch)
+    # allowMissingColumns: see apply_changes_batch — widened batches
+    # merge cleanly, older state rows surface NULL for new columns
+    merged = batch if current is None else current.unionByName(
+        batch, allowMissingColumns=True
+    )
     resolved = resolve_unavailable(merged, keys, position, lob_cols)
     w = W.partitionBy(*keys).orderBy(*[F.desc(p) for p in position])
     new_state = (

@@ -84,10 +84,17 @@ def apply_changes_partitioned(
     ]
     merged = batch
     if current_paths:
-        current = spark.read.parquet(*current_paths).withColumn(
+        # mergeSchema: buckets live in DIFFERENT epochs, which can have
+        # different schemas after a mid-stream DDL widening — without it
+        # the read picks one file's schema and silently drops the rest
+        current = spark.read.option(
+            "mergeSchema", "true"
+        ).parquet(*current_paths).withColumn(
             BUCKET_COL, _bucket(keys, n_buckets)
         )
-        merged = current.unionByName(batch)
+        # allowMissingColumns: schema-widened batches (mid-stream DDL
+        # ADD COLUMN) merge cleanly; old bucket rows surface NULL
+        merged = current.unionByName(batch, allowMissingColumns=True)
     w = W.partitionBy(*keys).orderBy(*[F.desc(p) for p in position])
     folded = (
         merged.withColumn("__rn", F.row_number().over(w))
@@ -138,7 +145,9 @@ def read_state_partitioned(
         os.path.join(state_dir, f"v{v}", f"{BUCKET_COL}={b}")
         for b, v in manifest.items()
     ]
-    df = spark.read.parquet(*paths)
+    # mergeSchema: see apply_changes_partitioned — cross-epoch buckets
+    # may differ in schema after a mid-stream DDL widening
+    df = spark.read.option("mergeSchema", "true").parquet(*paths)
     if not include_tombstones:
         df = df.filter(F.col(op_col) != "d").drop(op_col)
     return df
@@ -251,7 +260,9 @@ def compact_state(
         os.path.join(state_dir, f"v{v}", f"{BUCKET_COL}={b}")
         for b, v in manifest.items()
     ]
-    df = spark.read.parquet(*paths).withColumn(
+    # mergeSchema: see apply_changes_partitioned — cross-epoch buckets
+    # may differ in schema after a mid-stream DDL widening
+    df = spark.read.option("mergeSchema", "true").parquet(*paths).withColumn(
         BUCKET_COL, _bucket(keys, n_buckets)
     )
     dropped = 0

@@ -123,7 +123,14 @@ def apply_changes_batch(
     "batch replaces state" anti-join would get wrong. Tombstones stay in
     state (see read_state); GC them past a retention horizon at scale."""
     current = read_state(spark, state_dir, include_tombstones=True)
-    merged = batch if current is None else current.unionByName(batch)
+    # allowMissingColumns: a schema-WIDENED batch (mid-stream ALTER
+    # TABLE ADD COLUMN replayed by the DDL history) merges cleanly —
+    # pre-widening state rows surface NULL for the new column; a
+    # narrower batch (producer behind the registry) gets NULL too.
+    # Renames/drops are the schema registry's job upstream.
+    merged = batch if current is None else current.unionByName(
+        batch, allowMissingColumns=True
+    )
     w = W.partitionBy(*keys).orderBy(*[F.desc(p) for p in position])
     new_state = (
         merged.withColumn("__rn", F.row_number().over(w))
@@ -191,9 +198,10 @@ def apply_scd2_batch(
             touched, keys, "left_semi"
         )
         rebuilt = scd2_history(
-            prior_changes.unionByName(batch), keys, position, op_col
+            prior_changes.unionByName(batch, allowMissingColumns=True),
+            keys, position, op_col,
         )
-        new_hist = untouched.unionByName(rebuilt)
+        new_hist = untouched.unionByName(rebuilt, allowMissingColumns=True)
     out = os.path.join(state_dir, f"v{epoch}")
     new_hist.write.mode("overwrite").parquet(out)
     _commit_pointer(state_dir, f"v{epoch}")

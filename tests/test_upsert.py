@@ -732,3 +732,60 @@ def test_compact_state_collapses_epochs_and_preserves_state(spark, tmp_path):
         read_state_partitioned(spark, state, include_tombstones=True)
         .filter(F.col("__op") == "d").count() == 0
     )
+
+
+def test_schema_widened_batch_merges_into_state(spark, tmp_path):
+    """Mid-stream DDL widening (ALTER TABLE ADD COLUMN, replayed by the
+    schema history): a batch carrying a NEW column merges into existing
+    state in BOTH apply forms — pre-widening rows surface NULL for the
+    new column, post-widening rows carry it, and the partitioned form's
+    cross-epoch reads reconcile the differing bucket schemas
+    (mergeSchema). A subsequent NARROWER batch (producer behind the
+    registry) also applies, its missing column NULL."""
+    from pyspark.sql import functions as F
+
+    from debezium_incubator_spark.streaming.partitioned_state import (
+        apply_changes_partitioned,
+        read_state_partitioned,
+    )
+    from debezium_incubator_spark.streaming.upsert import (
+        apply_changes_batch,
+        read_state,
+    )
+
+    b1 = spark.createDataFrame(
+        [(1, 10, 1.0, "u"), (2, 11, 2.0, "u")],
+        "k LONG, pos LONG, v DOUBLE, __op STRING",
+    )
+    b2 = spark.createDataFrame(  # widened: new column v2
+        [(2, 20, 2.5, "x2", "u"), (3, 21, 3.0, "x3", "u")],
+        "k LONG, pos LONG, v DOUBLE, v2 STRING, __op STRING",
+    )
+    b3 = spark.createDataFrame(  # narrower again (stale producer)
+        [(4, 30, 4.0, "u")],
+        "k LONG, pos LONG, v DOUBLE, __op STRING",
+    )
+
+    for name, apply_fn, read_fn in [
+        ("mono",
+         lambda b, e, d: apply_changes_batch(spark, b, e, d, ["k"], ["pos"]),
+         lambda d: read_state(spark, d)),
+        ("part",
+         lambda b, e, d: apply_changes_partitioned(
+             spark, b, e, d, ["k"], ["pos"], n_buckets=4),
+         lambda d: read_state_partitioned(spark, d)),
+    ]:
+        state = str(tmp_path / name)
+        apply_fn(b1, 0, state)
+        apply_fn(b2, 1, state)
+        apply_fn(b3, 2, state)
+        got = {
+            r.k: (r.v, r.v2)
+            for r in read_fn(state).select("k", "v", "v2").collect()
+        }
+        assert got == {
+            1: (1.0, None),     # pre-widening row: new column NULL
+            2: (2.5, "x2"),     # superseded by the widened batch
+            3: (3.0, "x3"),
+            4: (4.0, None),     # narrower late batch: missing col NULL
+        }, (name, got)
