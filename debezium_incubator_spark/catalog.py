@@ -128,3 +128,51 @@ def spread(df: DataFrame, min_parts: int | None = None) -> DataFrame:
     if n < target:
         return df.repartition(target)
     return df
+
+
+def read_snapshot(
+    spark: SparkSession,
+    path: str,
+    fmt: str = "parquet",
+    schema=None,
+) -> DataFrame:
+    """Format-agnostic snapshot scan (§2A): the scan tier does not care
+    whether a staging extract landed as parquet, ORC, CSV, or JSON —
+    the same declarative plan runs over any of them. Schema handling is
+    explicit where the format can't carry one:
+
+    - parquet/orc: self-describing; ``schema`` optional (pass it to
+      pin column order / enforce a contract). Predicate pushdown skips
+      I/O (row-group/stripe statistics) and column pruning skips
+      unread columns entirely.
+    - csv: ``schema`` REQUIRED (never infer on a 100 TB extract — an
+      inference pass reads the data twice); header=false, columns bind
+      by position. Spark still pushes filters and pruned columns into
+      the scan, but they short-circuit PARSING only — every byte is
+      still read (no statistics to skip by).
+    - json (jsonlines): ``schema`` REQUIRED for the same reason; same
+      parser-level pushdown, same full-I/O caveat.
+
+    At 100 TB that I/O difference IS the architecture argument for
+    columnar staging: a filtered scan over parquet/ORC reads only the
+    matching row groups; the same query over CSV/JSON reads every byte
+    once (pushdown merely cheapens the per-row parse — plan-audited in
+    tests/test_formats.py)."""
+    fmt = fmt.lower()
+    if fmt in ("csv", "json") and schema is None:
+        raise ValueError(
+            f"{fmt} snapshots require an explicit schema "
+            "(inference would read the extract twice)"
+        )
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    if fmt == "csv":
+        return reader.option("header", "false").csv(path)
+    if fmt == "json":
+        return reader.json(path)
+    if fmt == "orc":
+        return reader.orc(path)
+    if fmt == "parquet":
+        return reader.parquet(path)
+    raise ValueError(f"unsupported snapshot format: {fmt}")
