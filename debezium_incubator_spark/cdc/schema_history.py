@@ -32,6 +32,15 @@ sources were Oracle, Db2, and Cassandra
   ``ALTER TABLE t ADD (a T, b T) / MODIFY (…) / DROP (a, b)``.
 - ``db2``: ``VARGRAPHIC/GRAPHIC/DBCLOB/DECFLOAT``, ``CHAR(n) FOR BIT
   DATA``, ``ALTER COLUMN c SET DATA TYPE t``.
+- ``sqlserver`` (T-SQL, the Debezium connector dialect beyond the
+  incubator trio): ``NVARCHAR(n|MAX)/NTEXT/UNIQUEIDENTIFIER/
+  SQL_VARIANT/DATETIME2/SMALLDATETIME/DATETIMEOFFSET/MONEY/SMALLMONEY/
+  VARBINARY(MAX)/IMAGE/ROWVERSION/HIERARCHYID``; ``TIMESTAMP`` is the
+  rowversion binary (NOT a timestamp — dialect-gated), ``TINYINT`` is
+  unsigned 0-255 → int16, ``FLOAT`` defaults to float(53) → double;
+  bracketed identifiers with spaces (``[dbo].[Order Details]``),
+  ``IDENTITY(s,i)`` modifiers, and the keyword-less retype
+  ``ALTER TABLE t ALTER COLUMN c TYPE [NOT NULL]``.
 - ``cassandra`` (CQL): scalar types (``text/varint/counter/timeuuid/
   inet/duration/…``), collections ``list<t>/set<t>/map<k,v>/
   tuple<…>/frozen<…>`` → Spark Array/Map/Struct, ``CREATE TYPE`` /
@@ -63,7 +72,7 @@ class DialectContext:
     user-defined-type registry and the raw column-type strings needed to
     re-resolve dependent tables when an ALTER TYPE lands."""
 
-    dialect: str = "generic"  # generic | mysql | postgres | oracle | db2 | cassandra
+    dialect: str = "generic"  # generic | mysql | postgres | oracle | db2 | sqlserver | cassandra
     udts: dict[str, T.StructType] = field(default_factory=dict)
     # table -> column -> raw type string (recorded for cassandra only)
     column_types: dict[str, dict[str, str]] = field(default_factory=dict)
@@ -140,6 +149,19 @@ _TYPE_MAP: dict[str, T.DataType] = {
     "RAW": T.BinaryType(),
     "BINARY_FLOAT": T.FloatType(),
     "BINARY_DOUBLE": T.DoubleType(),
+    # SQL Server (unique T-SQL spellings are dialect-safe globally)
+    "NTEXT": T.StringType(),
+    "UNIQUEIDENTIFIER": T.StringType(),
+    "SQL_VARIANT": T.StringType(),
+    "DATETIME2": T.TimestampNTZType(),
+    "SMALLDATETIME": T.TimestampNTZType(),
+    "DATETIMEOFFSET": T.TimestampType(),  # carries offset -> instant
+    "MONEY": T.DecimalType(19, 4),
+    "SMALLMONEY": T.DecimalType(10, 4),
+    "IMAGE": T.BinaryType(),
+    "ROWVERSION": T.BinaryType(),
+    "HIERARCHYID": T.BinaryType(),
+    "GEOGRAPHY": T.BinaryType(),
     # Db2
     "GRAPHIC": T.StringType(),
     "VARGRAPHIC": T.StringType(),
@@ -171,6 +193,13 @@ def parse_sql_type(type_str: str, dialect: str = "generic",
     if not m:
         raise ValueError(f"unparseable SQL type: {type_str!r}")
     base, args = m.group(1), m.group(2)
+    if dialect == "sqlserver":
+        if base == "TIMESTAMP":
+            return T.BinaryType()  # T-SQL TIMESTAMP IS rowversion
+        if base == "TINYINT":
+            return T.ShortType()   # T-SQL tinyint is unsigned 0-255
+        if base == "FLOAT":
+            return T.DoubleType()  # FLOAT defaults to float(53)
     unsigned = " UNSIGNED" in s
     if base == "TIMESTAMP" and "TIME ZONE" in s:
         # Oracle TIMESTAMP WITH [LOCAL] TIME ZONE → instant semantics
@@ -422,7 +451,7 @@ def _table_name(raw: str) -> str:
 # --- statement parsing ----------------------------------------------------
 
 _RE_CREATE = re.compile(
-    r"^\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?(?P<tbl>[^\s(]+)\s*(?=\()",
+    r"^\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?(?P<tbl>(?:`[^`]*`|\[[^\]]*\]|\"[^\"]*\"|[^\s(;])+)\s*(?=\()",
     re.IGNORECASE | re.DOTALL,
 )
 _RE_CREATE_TYPE = re.compile(
@@ -434,11 +463,11 @@ _RE_ALTER_TYPE = re.compile(
     re.IGNORECASE | re.DOTALL,
 )
 _RE_ALTER = re.compile(
-    r"^\s*ALTER\s+TABLE\s+(?:ONLY\s+)?(?P<tbl>[^\s]+)\s+(?P<rest>.*)$",
+    r"^\s*ALTER\s+TABLE\s+(?:ONLY\s+)?(?P<tbl>(?:`[^`]*`|\[[^\]]*\]|\"[^\"]*\"|[^\s(;])+)\s+(?P<rest>.*)$",
     re.IGNORECASE | re.DOTALL,
 )
 _RE_DROP = re.compile(
-    r"^\s*(?:DROP|TRUNCATE)\s+TABLE\s+(?:IF\s+EXISTS\s+)?(?P<tbl>[^\s;]+)",
+    r"^\s*(?:DROP|TRUNCATE)\s+TABLE\s+(?:IF\s+EXISTS\s+)?(?P<tbl>(?:`[^`]*`|\[[^\]]*\]|\"[^\"]*\"|[^\s(;])+)",
     re.IGNORECASE,
 )
 _RE_RENAME_TABLE = re.compile(
@@ -605,6 +634,16 @@ def _apply_alter_clause(
         if nf is not None:
             record[name] = tstr
         return [nf if f.name == name and nf else f for f in fields], True
+
+    if ctx.dialect == "sqlserver":
+        m = re.match(rf"ALTER\s+COLUMN\s+{_IDENT}\s+(.*)", c,
+                     re.IGNORECASE | re.DOTALL)
+        if m:  # T-SQL retype: ALTER COLUMN c NVARCHAR(100) [NOT NULL]
+            name = _ident(m.groups()[:4])
+            nf, tstr = _parse_column_def_ex(f"[{name}] {m.group(5)}", ctx)
+            if nf is not None:
+                record[name] = tstr
+            return [nf if f.name == name and nf else f for f in fields], True
 
     m = re.match(
         rf"ALTER\s+(?:COLUMN\s+)?{_IDENT}\s+(?:SET\s+DATA\s+)?TYPE\s+(.*)", c,

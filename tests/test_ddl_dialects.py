@@ -377,3 +377,61 @@ def test_blob_placeholder_resolution_binary_typed(spark):
         for r in resolved.filter(F.col("pos") == F.col("mx")).collect()
     }
     assert got == {1: b"\x00\x01\xff", 2: None}
+
+
+# --- SQL Server (T-SQL) ---------------------------------------------------
+
+def test_sqlserver_types():
+    cases = {
+        "NVARCHAR(100)": T.StringType(),
+        "NVARCHAR(MAX)": T.StringType(),
+        "NTEXT": T.StringType(),
+        "UNIQUEIDENTIFIER": T.StringType(),
+        "SQL_VARIANT": T.StringType(),
+        "DATETIME2(7)": T.TimestampNTZType(),
+        "SMALLDATETIME": T.TimestampNTZType(),
+        "DATETIMEOFFSET(3)": T.TimestampType(),
+        "MONEY": T.DecimalType(19, 4),
+        "SMALLMONEY": T.DecimalType(10, 4),
+        "VARBINARY(MAX)": T.BinaryType(),
+        "IMAGE": T.BinaryType(),
+        "ROWVERSION": T.BinaryType(),
+        "TIMESTAMP": T.BinaryType(),   # T-SQL TIMESTAMP IS rowversion
+        "TINYINT": T.ShortType(),      # unsigned 0-255 → int16
+        "FLOAT": T.DoubleType(),       # defaults to float(53)
+        "REAL": T.FloatType(),
+        "BIT": T.BooleanType(),
+        "HIERARCHYID": T.BinaryType(),
+    }
+    for s, want in cases.items():
+        assert parse_sql_type(s, "sqlserver") == want, s
+    # the same TIMESTAMP spelling stays a timestamp everywhere else
+    assert parse_sql_type("TIMESTAMP", "generic") == T.TimestampNTZType()
+
+
+def test_sqlserver_replay_bracketed_identifiers_and_alter_column():
+    reg = replay_history(
+        [
+            "CREATE TABLE [dbo].[Order Details] ("
+            "[id] INT IDENTITY(1,1) NOT NULL, "
+            "[unit price] MONEY, "
+            "[row ver] ROWVERSION, "
+            "[note] NVARCHAR(255), "
+            "[placed] DATETIME2(7), "
+            "CONSTRAINT [PK_od] PRIMARY KEY ([id]))",
+            "ALTER TABLE [dbo].[Order Details] ALTER COLUMN [note] NVARCHAR(MAX) NOT NULL",
+            "ALTER TABLE [dbo].[Order Details] ADD [guid] UNIQUEIDENTIFIER",
+            "ALTER TABLE [dbo].[Order Details] DROP COLUMN [row ver]",
+        ],
+        dialect="sqlserver",
+    )
+    latest = reg.latest("order details")
+    assert latest["id"].dataType == T.IntegerType()
+    assert not latest["id"].nullable
+    assert latest["unit price"].dataType == T.DecimalType(19, 4)
+    assert latest["note"].dataType == T.StringType()
+    assert not latest["note"].nullable  # ALTER COLUMN retype + NOT NULL
+    assert latest["placed"].dataType == T.TimestampNTZType()
+    assert latest["guid"].dataType == T.StringType()
+    assert "row ver" not in latest.fieldNames()
+    assert len(reg.versions["order details"]) == 4
