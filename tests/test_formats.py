@@ -86,3 +86,38 @@ def test_csv_json_require_schema(format_dirs):
     for fmt in ("csv", "json"):
         with pytest.raises(ValueError, match="explicit schema"):
             read_snapshot(spark, dirs[fmt], fmt)
+
+
+def test_csv_snapshot_streams_like_batch(format_dirs):
+    """The format tier holds under Structured Streaming: a readStream
+    over the CSV extract (schema-explicit, availableNow) produces the
+    same aggregate as the batch scan — the snapshot format is
+    orthogonal to batch-vs-stream execution."""
+    spark, schema, dirs = format_dirs
+    want = _agg(read_snapshot(spark, dirs["csv"], "csv", schema=schema))
+    stream = (
+        spark.readStream.schema(schema)
+        .option("header", "false")
+        .csv(dirs["csv"])
+    )
+    agg = (
+        stream.filter(F.col("l_quantity") > 25)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("l_quantity").cast("bigint")).alias("qty"),
+        )
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("csv_stream_agg")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = (
+        spark.table("csv_stream_agg").toPandas()
+        .sort_values("l_returnflag").reset_index(drop=True)
+    )
+    assert got.equals(want.sort_values("l_returnflag").reset_index(drop=True))
