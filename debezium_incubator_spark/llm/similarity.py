@@ -601,6 +601,57 @@ def build_ivf_index(source: DataFrame, index_dir: str, nlist: int = IVF_NLIST,
     cents.coalesce(1).write.mode("overwrite").parquet(f"{index_dir}/centroids")
 
 
+def ivf_index_append(spark: SparkSession, index_dir: str,
+                     batch: DataFrame) -> int:
+    """Incremental IVF maintenance: assign NEW vectors (vec_id,
+    v:array<double>) to the EXISTING centroids and append them into the
+    cluster-partitioned vector store — no KMeans refit, no rewrite of
+    existing cells. Probes see appended vectors immediately (they read
+    partition directories).
+
+    Assignment is expression-level: per centroid a left-fold squared-L2
+    (the same fold ivf_probe routes with), argmin via array_min over
+    (dist, cluster) structs — lexicographic ordering breaks ties toward
+    the lower cluster id, matching the probe's routing. The centroid
+    table is control-plane (nlist rows, read driver-side and inlined as
+    literals); at nlist beyond a few hundred, switch to a broadcast
+    join + groupBy-argmin instead of plan literals. The append write
+    touches ONLY the new vectors' cluster directories (dynamic
+    partition append, one file per touched cluster).
+
+    Rebuild cadence remains a deployment decision: appends do not move
+    centroids, so a heavily drifted corpus eventually wants a refit —
+    the same tradeoff every production IVF index (FAISS et al.)
+    documents. Returns the number of appended rows."""
+    cents = sorted(
+        spark.read.parquet(f"{index_dir}/centroids").collect(),
+        key=lambda r: r.cluster,
+    )
+    structs = []
+    for r in cents:
+        clit = F.array(*[F.lit(float(x)) for x in r.centroid])
+        d = F.aggregate(
+            F.zip_with("v", clit, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0), lambda acc, x: acc + x,
+        )
+        structs.append(
+            F.struct(d.alias("d"), F.lit(int(r.cluster)).alias("c"))
+        )
+    best = F.array_min(F.array(*structs))
+    assigned = (
+        batch.withColumn("nsq", norm_sq("v"))
+        .withColumn("cluster", best["c"])
+        .select("vec_id", "v", "nsq", "cluster")
+    )
+    n = assigned.count()
+    (
+        assigned.repartition(len(cents), "cluster")
+        .write.mode("append").partitionBy("cluster")
+        .parquet(f"{index_dir}/vectors")
+    )
+    return n
+
+
 def ivf_probe(spark: SparkSession, index_dir: str, query_v: list[float],
               k: int = 10, nprobe: int = IVF_NPROBE,
               exclude_vec_id: int | None = None) -> DataFrame:

@@ -125,3 +125,49 @@ def test_ivf_index_build_is_idempotent(spark):
         build_ivf_index(src, index_dir)
         n2 = spark.read.parquet(os.path.join(index_dir, "vectors")).count()
         assert n1 == n2 == src.count()
+
+
+def test_ivf_index_append_routes_and_self_retrieves(spark, tmp_path):
+    """Incremental maintenance: build on half the corpus, append the
+    other half — no refit, existing cells untouched. Invariants:
+    (a) total stored rows = full corpus; (b) every appended vector's
+    stored cluster equals the python argmin over the PERSISTED
+    centroids (same fold, ties to lower id); (c) self-retrieval — a
+    probe with an appended vector's own embedding returns that vec_id
+    at rank 1 with cosine 1.0 (the query routes to its own argmin
+    cell, where the append placed it)."""
+    from debezium_incubator_spark.llm.similarity import (
+        _sq_l2,
+        ivf_index_append,
+    )
+
+    src = _vectors(spark, SF_SMOKE)
+    built = src.filter(F.col("vec_id") % 2 == 0)
+    appended = src.filter(F.col("vec_id") % 2 == 1)
+    index_dir = str(tmp_path / "ivf")
+    build_ivf_index(built, index_dir, nlist=8)
+    n_app = ivf_index_append(spark, index_dir, appended)
+    assert n_app == appended.count()
+
+    vecs = spark.read.parquet(f"{index_dir}/vectors")
+    assert vecs.count() == src.count()
+
+    cents = sorted(
+        spark.read.parquet(f"{index_dir}/centroids").collect(),
+        key=lambda r: r.cluster,
+    )
+    sample = (
+        spark.read.option("basePath", f"{index_dir}/vectors")
+        .parquet(f"{index_dir}/vectors")
+        .filter(F.col("vec_id") % 2 == 1)
+        .limit(20).collect()
+    )
+    assert sample
+    for r in sample:
+        want = min((_sq_l2(c.centroid, r.v), c.cluster) for c in cents)[1]
+        assert r.cluster == want, r.vec_id
+
+    q = appended.limit(1).first()
+    top = ivf_probe(spark, index_dir, list(q.v), k=3, nprobe=1).collect()
+    assert top[0].vec_id == q.vec_id
+    assert abs(float(top[0].cos_sim) - 1.0) < 1e-9
