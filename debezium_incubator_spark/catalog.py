@@ -97,8 +97,13 @@ def normalize_ns_timestamps(df: DataFrame, cols: list[str]) -> DataFrame:
 # path. Assumption (documented): scan-split-shaping confs
 # (files.maxPartitionBytes) don't change mid-process for the same plan;
 # repartition/coalesce nodes are part of the hashed plan, so plans with
-# different explicit partitioning never collide.
-_SPREAD_CACHE: dict[tuple[int, int], int] = {}
+# different explicit partitioning never collide. Session identity is the
+# JVM applicationId (stable, never recycled within a process) rather
+# than id(session) — a stopped session's id() can be REUSED by a new
+# session object, which would inherit a stale partition count. Bounded:
+# the cache resets wholesale past _SPREAD_CACHE_MAX distinct plans.
+_SPREAD_CACHE: dict[tuple[str, int], int] = {}
+_SPREAD_CACHE_MAX = 4096
 
 
 def spread(df: DataFrame, min_parts: int | None = None) -> DataFrame:
@@ -120,10 +125,12 @@ def spread(df: DataFrame, min_parts: int | None = None) -> DataFrame:
     """
     sc = df.sparkSession.sparkContext
     target = min_parts or sc.defaultParallelism
-    key = (id(df.sparkSession), df.semanticHash())
+    key = (sc.applicationId, df.semanticHash())
     n = _SPREAD_CACHE.get(key)
     if n is None:
         n = df.rdd.getNumPartitions()
+        if len(_SPREAD_CACHE) >= _SPREAD_CACHE_MAX:
+            _SPREAD_CACHE.clear()
         _SPREAD_CACHE[key] = n
     if n < target:
         return df.repartition(target)

@@ -270,20 +270,35 @@ def compact_state(
         dropped = df.filter(F.col(op_col) == "d").count()
         df = df.filter(F.col(op_col) != "d")
     # one file per bucket, full-width write parallelism
+    vdir = os.path.join(state_dir, f"v{epoch}")
     (
         df.repartition(n_buckets, F.col(BUCKET_COL))
         .write.mode("overwrite")
         .partitionBy(BUCKET_COL)
-        .parquet(os.path.join(state_dir, f"v{epoch}"))
+        .parquet(vdir)
     )
-    new_manifest = {b: epoch for b in manifest}
+    # The manifest MUST reflect the buckets ACTUALLY written, not the old
+    # manifest's ids: (1) drop_tombstones can empty a bucket entirely —
+    # no dir is written for it, and a stale manifest entry would make
+    # every subsequent read raise path-not-found; (2) compacting with a
+    # different n_buckets re-buckets rows into NEW ids — keeping the old
+    # ids both points reads at missing dirs and silently orphans the
+    # newly written buckets (data loss). Listing the partition dirs of
+    # the epoch just written is the ground truth for both.
+    new_manifest = {
+        int(d.split("=")[1]): epoch
+        for d in os.listdir(vdir)
+        if d.startswith(f"{BUCKET_COL}=")
+    } if os.path.isdir(vdir) else {}
     mf = f"manifest_v{epoch}.json"
     _atomic_write(
         os.path.join(state_dir, mf),
         json.dumps({str(k): v for k, v in new_manifest.items()}),
     )
     _atomic_write(os.path.join(state_dir, "_LATEST"), mf)
-    rows = spark.read.parquet(os.path.join(state_dir, f"v{epoch}")).count()
+    rows = (
+        spark.read.parquet(vdir).count() if new_manifest else 0
+    )
     return {
         "buckets": len(new_manifest),
         "rows": rows,

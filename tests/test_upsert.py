@@ -789,3 +789,113 @@ def test_schema_widened_batch_merges_into_state(spark, tmp_path):
             3: (3.0, "x3"),
             4: (4.0, None),     # narrower late batch: missing col NULL
         }, (name, got)
+
+
+def test_compact_state_drops_fully_tombstoned_bucket_from_manifest(
+    spark, tmp_path
+):
+    """Round-6 ADVICE regression: when drop_tombstones=True empties a
+    bucket ENTIRELY (every key in it deleted), no partition dir is
+    written for it under the compaction epoch — the manifest must drop
+    the bucket rather than keep a dangling reference that makes every
+    subsequent read raise path-not-found."""
+    from debezium_incubator_spark.streaming.partitioned_state import (
+        _read_manifest,
+        apply_changes_partitioned,
+        compact_state,
+        read_state_partitioned,
+    )
+
+    state = str(tmp_path / "state")
+    nb = 4
+    up = spark.createDataFrame(
+        [(k, 10 + k, float(k), "u") for k in range(16)],
+        "k LONG, pos LONG, v DOUBLE, __op STRING",
+    )
+    apply_changes_partitioned(spark, up, 0, state, ["k"], ["pos"], nb)
+
+    # find one bucket's full key membership via the same hash the state
+    # uses, then delete every key in it (tombstones at higher positions)
+    from pyspark.sql import functions as F
+
+    from debezium_incubator_spark.streaming.partitioned_state import _bucket
+
+    keys_by_bucket = {}
+    for r in up.withColumn("b", _bucket(["k"], nb)).select("k", "b").collect():
+        keys_by_bucket.setdefault(r.b, []).append(r.k)
+    victim_bucket, victim_keys = next(
+        (b, ks) for b, ks in sorted(keys_by_bucket.items()) if ks
+    )
+    dels = spark.createDataFrame(
+        [(k, 100 + k, 0.0, "d") for k in victim_keys],
+        "k LONG, pos LONG, v DOUBLE, __op STRING",
+    )
+    apply_changes_partitioned(spark, dels, 1, state, ["k"], ["pos"], nb)
+
+    stats = compact_state(spark, state, 5, ["k"], nb, drop_tombstones=True)
+    assert stats["dropped_tombstones"] == len(victim_keys)
+    manifest = _read_manifest(state)
+    assert victim_bucket not in manifest, (
+        "fully-tombstoned bucket must leave the manifest"
+    )
+    # the state is still READABLE (the old bug raised path-not-found
+    # here) and contains exactly the surviving keys
+    got = read_state_partitioned(spark, state)
+    assert sorted(r.k for r in got.select("k").collect()) == sorted(
+        set(range(16)) - set(victim_keys)
+    )
+    assert got.filter(F.col("v").isNull()).count() == 0
+
+
+def test_compact_state_rebuckets_with_new_bucket_count(spark, tmp_path):
+    """Round-6 ADVICE regression: compacting with a DIFFERENT n_buckets
+    re-buckets rows into new bucket ids; the manifest must track the
+    buckets actually written (the old bug kept stale ids — reads hit
+    missing dirs and the new buckets were silently orphaned)."""
+    import pandas as pd
+
+    from debezium_incubator_spark.streaming.partitioned_state import (
+        _read_manifest,
+        apply_changes_partitioned,
+        compact_state,
+        read_state_partitioned,
+    )
+
+    state = str(tmp_path / "state")
+    up = spark.createDataFrame(
+        [(k, 10 + k, float(k), "u") for k in range(64)],
+        "k LONG, pos LONG, v DOUBLE, __op STRING",
+    )
+    apply_changes_partitioned(spark, up, 0, state, ["k"], ["pos"], 4)
+    before = (
+        read_state_partitioned(spark, state)
+        .select("k", "v").toPandas().sort_values("k").reset_index(drop=True)
+    )
+
+    # grow the bucket count 4 -> 16 (the operational reason the
+    # parameter exists: state grew, rewrite granularity must shrink)
+    compact_state(spark, state, 7, ["k"], 16)
+    manifest = _read_manifest(state)
+    # manifest = exactly the NEW bucket ids the rows actually hash to
+    # (a hash-empty bucket gets no dir and no manifest entry)
+    from debezium_incubator_spark.streaming.partitioned_state import _bucket
+
+    want_buckets = {
+        r.b for r in up.withColumn("b", _bucket(["k"], 16)).select("b").collect()
+    }
+    assert set(manifest) == want_buckets and set(manifest.values()) == {7}
+    after = (
+        read_state_partitioned(spark, state)
+        .select("k", "v").toPandas().sort_values("k").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(after, before)
+
+    # subsequent batches apply at the NEW granularity and fold correctly
+    upd = spark.createDataFrame(
+        [(3, 1000, 33.0, "u")], "k LONG, pos LONG, v DOUBLE, __op STRING"
+    )
+    apply_changes_partitioned(spark, upd, 8, state, ["k"], ["pos"], 16)
+    got = {
+        r.k: r.v for r in read_state_partitioned(spark, state).collect()
+    }
+    assert got[3] == 33.0 and got[5] == 5.0
