@@ -54,12 +54,21 @@ def snapshot_chunk(
     pos_col: str,
     low_watermark: int,
     high_watermark: int,
+    condition: str | None = None,
 ) -> DataFrame:
     """One reconciled chunk: rows in (lo, hi] minus keys that changed
     between the chunk's low and high watermarks (those keys' truth is
-    the change event, which the downstream fold already has)."""
+    the change event, which the downstream fold already has).
+
+    ``condition`` is a SQL predicate (Debezium's signal
+    ``additional-conditions`` filter for this collection) ANDed into the
+    chunk scan — Catalyst pushes both the PK range and the predicate to
+    the source, so a filtered ad-hoc snapshot reads only matching row
+    groups."""
     lo, hi = bounds
     chunk = snapshot_df.filter((F.col(key) > lo) & (F.col(key) <= hi))
+    if condition:
+        chunk = chunk.filter(F.expr(condition))
     in_window = changes.filter(
         (F.col(pos_col) > low_watermark) & (F.col(pos_col) <= high_watermark)
     ).select(key).distinct()
@@ -89,7 +98,13 @@ def incremental_snapshot(
     ``channel`` (optional ``notifications.NotificationChannel``)
     receives the public Debezium progress notifications: STARTED, one
     TABLE_SCAN_COMPLETED per chunk (with the chunk bounds + watermarks
-    in additional_data), COMPLETED.
+    in additional_data), COMPLETED. NOTE: this function assembles one
+    LAZY plan, so these notifications mark plan assembly, not scan
+    execution — fine for the differential oracle, wrong for operational
+    monitoring. Use ``snapshot_lifecycle.ChunkedSnapshotRunner`` when
+    notifications must track actual execution (it materializes each
+    chunk and notifies after the write; it is also the pausable/
+    resumable/stoppable path).
     """
     if channel is not None:
         from .notifications import AGGREGATE_INCREMENTAL
@@ -152,7 +167,10 @@ def blocking_snapshot_delivery(
     key as of ``high_pos``, stamped op='r' at position ``high_pos``.
     ``__src`` marks image rows 0 / stream rows 1 so the fold can break
     the one real tie (a stream event at exactly ``high_pos`` vs the
-    image row that already reflects it) deterministically."""
+    image row that already reflects it) deterministically. Channel
+    notifications here mark plan assembly (lazy plan — see
+    ``incremental_snapshot``); use the lifecycle runner for
+    execution-tracking notifications."""
     from .materialize import materialize_latest
 
     if channel is not None:

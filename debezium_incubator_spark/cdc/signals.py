@@ -39,14 +39,20 @@ KNOWN_SIGNALS = (
 
 def parse_signals(raw: DataFrame) -> DataFrame:
     """Typed signal rows; ``data`` stays a JSON string (its shape is
-    signal-type-specific), with the common fields lifted out."""
+    signal-type-specific), with the common fields lifted out.
+    ``additional-conditions`` (public Debezium: predicate-filtered
+    ad-hoc snapshots) surfaces as an array of (data_collection, filter)
+    structs — the filter is a SQL predicate the snapshot scan applies
+    to that collection's chunks."""
     return raw.select(
         "id",
         "type",
         "data",
         F.from_json(
             "data",
-            "`data-collections` ARRAY<STRING>, `type` STRING",
+            "`data-collections` ARRAY<STRING>, `type` STRING, "
+            "`additional-conditions` ARRAY<STRUCT<"
+            "`data-collection` STRING, `filter` STRING>>",
         ).alias("_d"),
     ).select(
         "id",
@@ -54,6 +60,13 @@ def parse_signals(raw: DataFrame) -> DataFrame:
         "data",
         F.col("_d.data-collections").alias("data_collections"),
         F.coalesce(F.col("_d.type"), F.lit("incremental")).alias("snapshot_kind"),
+        F.transform(
+            F.col("_d.additional-conditions"),
+            lambda c: F.struct(
+                c["data-collection"].alias("data_collection"),
+                c["filter"].alias("filter"),
+            ),
+        ).alias("additional_conditions"),
     )
 
 
@@ -84,6 +97,10 @@ def dispatch_signals(
                     "data": json.loads(row.data) if row.data else {},
                     "data_collections": row.data_collections or [],
                     "snapshot_kind": row.snapshot_kind,
+                    "additional_conditions": {
+                        c.data_collection: c.filter
+                        for c in (row.additional_conditions or [])
+                    },
                 }
             )
             entry["handled"] = True

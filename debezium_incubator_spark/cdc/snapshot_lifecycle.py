@@ -1,0 +1,214 @@
+"""Signal-driven lifecycle control for the chunked incremental snapshot
+(public Debezium: ``pause-snapshot`` / ``resume-snapshot`` /
+``stop-snapshot`` signals act on an in-flight incremental snapshot;
+the notification channel reports PAUSED / RESUMED / ABORTED alongside
+the per-chunk progress events. Reconstructed per SURVEY.md §0 — the
+archived checkout at /root/reference contains no source; semantics from
+the public Debezium signaling + notification documentation).
+
+``incremental_snapshot`` (incremental_snapshot.py) assembles the whole
+snapshot as ONE lazy plan — right for the differential oracle, but its
+notifications fire at plan-construction time and a lazy plan cannot be
+paused: nothing has run yet. This module is the EXECUTION-time twin:
+
+- each chunk is materialized to ``work_dir/chunk_{i}`` (parquet write =
+  a real Spark action), so TABLE_SCAN_COMPLETED marks actual scan
+  progress, matching Debezium's semantics;
+- a ``_BOOKMARK`` file (atomic rename commit, same protocol as the
+  partitioned-state manifests) records the next chunk after every
+  completed one — pause/crash/stop all resume from it;
+- the chunk loop polls a control callback BETWEEN chunks (Debezium
+  reads the signal table between chunk queries in exactly this way),
+  so pause/stop take effect at the next chunk boundary — a chunk is
+  the atomic unit of work.
+
+Scale: per-chunk materialization is what makes a 100 TB snapshot
+operable — bounded work between commit points, resumable after any
+fault, and the chunk parquet doubles as the snapshot's output staging
+(readers union the chunk dirs; no re-scan on resume).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..streaming.partitioned_state import _atomic_write
+from .incremental_snapshot import snapshot_chunk
+from .notifications import AGGREGATE_INCREMENTAL
+
+RUNNING = "running"
+PAUSED = "paused"
+ABORTED = "aborted"
+COMPLETED = "completed"
+
+
+class ChunkedSnapshotRunner:
+    """Drives a chunked incremental snapshot with pause/resume/stop.
+
+    Parameters mirror ``incremental_snapshot``; ``condition`` is the
+    signal's ``additional-conditions`` predicate for this collection.
+    ``run()`` executes chunks from the current bookmark until done,
+    paused, or stopped, and returns the terminal status.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        snapshot_at,
+        changes: DataFrame,
+        key: str,
+        pos_col: str,
+        bounds: list[tuple],
+        watermarks: list[tuple],
+        work_dir: str,
+        channel=None,
+        condition: str | None = None,
+    ) -> None:
+        self.spark = spark
+        self.snapshot_at = snapshot_at
+        self.changes = changes
+        self.key = key
+        self.pos_col = pos_col
+        self.bounds = bounds
+        self.watermarks = watermarks
+        self.work_dir = work_dir
+        self.channel = channel
+        self.condition = condition
+        self._pause_requested = False
+        self._stop_requested = False
+        os.makedirs(work_dir, exist_ok=True)
+
+    # -- control plane (signal handlers flip flags; the chunk loop acts
+    #    on them at the next chunk boundary) ---------------------------
+
+    def request_pause(self) -> None:
+        self._pause_requested = True
+
+    def request_resume(self) -> None:
+        self._pause_requested = False
+
+    def request_stop(self) -> None:
+        self._stop_requested = True
+
+    def signal_handlers(self) -> dict:
+        """Handlers for ``dispatch_signals``: the three lifecycle signal
+        types act on THIS runner."""
+        return {
+            "pause-snapshot": lambda sig: self.request_pause(),
+            "resume-snapshot": lambda sig: self.request_resume(),
+            "stop-snapshot": lambda sig: self.request_stop(),
+        }
+
+    # -- bookmark (atomic-rename committed, like every other pointer
+    #    file in this engine) ------------------------------------------
+
+    def _bookmark_path(self) -> str:
+        return os.path.join(self.work_dir, "_BOOKMARK")
+
+    def _read_bookmark(self) -> dict:
+        p = self._bookmark_path()
+        if not os.path.exists(p):
+            return {"next_chunk": 0, "status": RUNNING}
+        with open(p) as f:
+            return json.load(f)
+
+    def _write_bookmark(self, next_chunk: int, status: str) -> None:
+        _atomic_write(
+            self._bookmark_path(),
+            json.dumps({"next_chunk": next_chunk, "status": status}),
+        )
+
+    @property
+    def status(self) -> str:
+        return self._read_bookmark()["status"]
+
+    def _notify(self, type_: str, position: int, **extra) -> None:
+        if self.channel is not None:
+            self.channel.notify(
+                AGGREGATE_INCREMENTAL, type_, position=position, **extra
+            )
+
+    # -- execution ------------------------------------------------------
+
+    def run(self, poll=None) -> str:
+        """Execute chunks from the bookmark. ``poll`` (optional
+        zero-arg callable) is invoked BETWEEN chunks — wire it to drain
+        a signal source through ``dispatch_signals(...,
+        handlers=self.signal_handlers())`` so lifecycle signals take
+        effect mid-snapshot, exactly Debezium's between-chunk signal
+        read. Returns the status after this call: completed / paused /
+        aborted."""
+        bm = self._read_bookmark()
+        if bm["status"] == ABORTED:
+            return ABORTED
+        if bm["status"] == COMPLETED:
+            return COMPLETED
+        start = bm["next_chunk"]
+        if bm["status"] == PAUSED:
+            if self._pause_requested:
+                return PAUSED  # no resume signal yet
+            self._write_bookmark(start, RUNNING)
+            self._notify(
+                "RESUMED", self.watermarks[start][0], next_chunk=start
+            )
+        elif start == 0:
+            self._notify(
+                "STARTED", self.watermarks[0][0],
+                total_chunks=len(self.bounds),
+            )
+        for i in range(start, len(self.bounds)):
+            if poll is not None:
+                poll()
+            if self._stop_requested:
+                self._write_bookmark(i, ABORTED)
+                self._notify("ABORTED", self.watermarks[i][0], next_chunk=i)
+                return ABORTED
+            if self._pause_requested:
+                self._write_bookmark(i, PAUSED)
+                self._notify("PAUSED", self.watermarks[i][0], next_chunk=i)
+                return PAUSED
+            b, (lw, hw) = self.bounds[i], self.watermarks[i]
+            chunk = (
+                snapshot_chunk(
+                    self.snapshot_at(hw), self.key, b, self.changes,
+                    self.pos_col, lw, hw, condition=self.condition,
+                )
+                .withColumn("__op", F.lit("r"))
+                .withColumn(self.pos_col, F.lit(lw).cast("long"))
+            )
+            # the parquet write IS the action: the notification below
+            # reports a scan that actually ran (ADVICE r5: the lazy
+            # path's plan-time notifications diverge from Debezium)
+            chunk.write.mode("overwrite").parquet(
+                os.path.join(self.work_dir, f"chunk_{i}")
+            )
+            self._write_bookmark(i + 1, RUNNING)
+            self._notify(
+                "TABLE_SCAN_COMPLETED", hw, chunk=i,
+                chunk_from=b[0], chunk_to=b[1],
+                low_watermark=lw, high_watermark=hw,
+            )
+        self._write_bookmark(len(self.bounds), COMPLETED)
+        self._notify(
+            "COMPLETED", self.watermarks[-1][1],
+            total_chunks=len(self.bounds),
+        )
+        return COMPLETED
+
+    def result(self) -> DataFrame:
+        """The reconciled snapshot: union of all persisted chunks.
+        Raises unless the snapshot completed."""
+        st = self.status
+        if st != COMPLETED:
+            raise RuntimeError(
+                f"snapshot is '{st}'; result() requires '{COMPLETED}'"
+            )
+        paths = [
+            os.path.join(self.work_dir, f"chunk_{i}")
+            for i in range(len(self.bounds))
+        ]
+        return self.spark.read.parquet(*paths)

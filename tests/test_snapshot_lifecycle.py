@@ -1,0 +1,217 @@
+"""Signal-driven lifecycle of the chunked incremental snapshot:
+pause-snapshot halts chunk scans at the next boundary, resume-snapshot
+continues from the persisted bookmark (result identical to an
+uninterrupted snapshot), stop-snapshot aborts — with the
+PAUSED/RESUMED/ABORTED notification sequence asserted, emitted at
+EXECUTION time (after the chunk's write), not plan assembly."""
+
+from __future__ import annotations
+
+import os
+
+import pandas as pd
+
+from pyspark.sql import functions as F
+
+from debezium_incubator_spark.catalog import table
+from debezium_incubator_spark.cdc.envelope import OP_CASE
+from debezium_incubator_spark.cdc.incremental_snapshot import chunk_bounds
+from debezium_incubator_spark.cdc.materialize import materialize_latest
+from debezium_incubator_spark.cdc.notifications import NotificationChannel
+from debezium_incubator_spark.cdc.signals import dispatch_signals
+from debezium_incubator_spark.cdc.snapshot_lifecycle import (
+    ABORTED,
+    COMPLETED,
+    PAUSED,
+    ChunkedSnapshotRunner,
+)
+
+from .conftest import SF_SMOKE
+
+
+def _changes(spark):
+    return table(spark, SF_SMOKE, "events").select(
+        "user_id",
+        F.col("event_id").alias("pos"),
+        "value",
+        F.expr(OP_CASE).alias("__op"),
+    )
+
+
+def _fixture(spark, ch, n_chunks=4):
+    max_pos = ch.agg(F.max("pos")).first()[0]
+    hs = [int(max_pos * (i + 1) / n_chunks) for i in range(n_chunks)]
+    watermarks = [(0, hs[0])] + list(zip(hs, hs[1:]))
+    bounds = chunk_bounds(ch, "user_id", n_chunks)
+
+    calls = []
+
+    def snapshot_at(pos):
+        calls.append(pos)
+        return materialize_latest(
+            ch.filter(F.col("pos") <= pos), ["user_id"], ["pos"]
+        ).select("user_id", "value")
+
+    return bounds, watermarks, snapshot_at, calls
+
+
+def _signal(spark, sid, stype, data="null"):
+    return spark.createDataFrame(
+        [(sid, stype, data)], "id STRING, type STRING, data STRING"
+    )
+
+
+def test_pause_resume_completes_from_bookmark(spark, tmp_path):
+    ch = _changes(spark).cache()
+    bounds, watermarks, snapshot_at, calls = _fixture(spark, ch)
+    chan = NotificationChannel()
+    runner = ChunkedSnapshotRunner(
+        spark, snapshot_at, ch, "user_id", "pos", bounds, watermarks,
+        str(tmp_path / "snap"), channel=chan,
+    )
+
+    # a pause-snapshot signal arrives between chunk 1 and chunk 2,
+    # delivered through the REAL signal dispatch path
+    pending = [None, None, _signal(spark, "s1", "pause-snapshot")]
+
+    def poll():
+        if pending and (sig := pending.pop(0)) is not None:
+            dispatch_signals(sig, handlers=runner.signal_handlers())
+
+    assert runner.run(poll=poll) == PAUSED
+    assert runner.status == PAUSED
+    # exactly two chunk scans ran, two chunk dirs persisted, none after
+    assert len(calls) == 2
+    chunk_dirs = sorted(
+        d for d in os.listdir(tmp_path / "snap") if d.startswith("chunk_")
+    )
+    assert chunk_dirs == ["chunk_0", "chunk_1"]
+    assert [t for (_, _, t, _, _) in chan.rows] == [
+        "STARTED", "TABLE_SCAN_COMPLETED", "TABLE_SCAN_COMPLETED", "PAUSED",
+    ]
+    # paused bookmark points at the next chunk to run
+    assert chan.rows[-1][3]["next_chunk"] == "2"
+
+    # run() while still paused (no resume signal) is a no-op
+    assert runner.run() == PAUSED
+    assert len(calls) == 2
+
+    # resume-snapshot → completion from the bookmark (chunks 2, 3 only)
+    dispatch_signals(
+        _signal(spark, "s2", "resume-snapshot"),
+        handlers=runner.signal_handlers(),
+    )
+    assert runner.run() == COMPLETED
+    assert len(calls) == 4
+    assert [t for (_, _, t, _, _) in chan.rows] == [
+        "STARTED", "TABLE_SCAN_COMPLETED", "TABLE_SCAN_COMPLETED", "PAUSED",
+        "RESUMED", "TABLE_SCAN_COMPLETED", "TABLE_SCAN_COMPLETED",
+        "COMPLETED",
+    ]
+
+    # the paused-then-resumed snapshot folds to EXACTLY the state an
+    # uninterrupted run produces (which equals plain latest state)
+    combined = runner.result().select(
+        "user_id", "pos", "value", "__op"
+    ).unionByName(ch.select("user_id", "pos", "value", "__op"))
+    got = (
+        materialize_latest(combined, ["user_id"], ["pos"])
+        .select("user_id", "value")
+        .toPandas().sort_values("user_id").reset_index(drop=True)
+    )
+    want = (
+        materialize_latest(ch, ["user_id"], ["pos"])
+        .select("user_id", "value")
+        .toPandas().sort_values("user_id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    ch.unpersist()
+
+
+def test_stop_snapshot_aborts(spark, tmp_path):
+    ch = _changes(spark).cache()
+    bounds, watermarks, snapshot_at, calls = _fixture(spark, ch)
+    chan = NotificationChannel()
+    runner = ChunkedSnapshotRunner(
+        spark, snapshot_at, ch, "user_id", "pos", bounds, watermarks,
+        str(tmp_path / "snap"), channel=chan,
+    )
+    pending = [None, _signal(spark, "s1", "stop-snapshot")]
+
+    def poll():
+        if pending and (sig := pending.pop(0)) is not None:
+            dispatch_signals(sig, handlers=runner.signal_handlers())
+
+    assert runner.run(poll=poll) == ABORTED
+    assert len(calls) == 1  # chunk 0 ran, the stop landed before chunk 1
+    assert [t for (_, _, t, _, _) in chan.rows] == [
+        "STARTED", "TABLE_SCAN_COMPLETED", "ABORTED",
+    ]
+    # aborted is terminal: no further scans, result() refuses
+    assert runner.run() == ABORTED
+    assert len(calls) == 1
+    try:
+        runner.result()
+        raise AssertionError("result() must refuse on an aborted snapshot")
+    except RuntimeError as e:
+        assert "aborted" in str(e)
+    ch.unpersist()
+
+
+def test_execute_snapshot_additional_conditions_e2e(spark, tmp_path):
+    """Predicate-filtered ad-hoc snapshot (Debezium's
+    additional-conditions): the signal carries a SQL filter per
+    collection; the chunk scans apply it; the delivered snapshot +
+    the (same-predicate) stream fold to exactly the predicate-filtered
+    latest state. The predicate is on the KEY (immutable), so the
+    filter commutes with reconciliation."""
+    ch = _changes(spark).cache()
+    bounds, watermarks, snapshot_at, _ = _fixture(spark, ch)
+    result = {}
+
+    def run_filtered(sig: dict) -> None:
+        cond = sig["additional_conditions"]["public.events"]
+        runner = ChunkedSnapshotRunner(
+            spark, snapshot_at, ch, "user_id", "pos", bounds, watermarks,
+            str(tmp_path / "snap"), condition=cond,
+        )
+        assert runner.run() == COMPLETED
+        result["snap"] = runner.result()
+        result["cond"] = cond
+
+    sig_rows = spark.createDataFrame(
+        [(
+            "sig-1", "execute-snapshot",
+            '{"data-collections": ["public.events"],'
+            ' "additional-conditions": [{"data-collection": "public.events",'
+            ' "filter": "user_id % 3 = 0"}]}',
+        )],
+        "id STRING, type STRING, data STRING",
+    )
+    actions = dispatch_signals(
+        sig_rows, handlers={"execute-snapshot": run_filtered}
+    )
+    assert actions[0]["handled"]
+
+    # every snapshot row honors the predicate
+    assert result["snap"].filter(~F.expr(result["cond"])).count() == 0
+    combined = result["snap"].select(
+        "user_id", "pos", "value", "__op"
+    ).unionByName(
+        ch.filter(F.expr(result["cond"]))
+        .select("user_id", "pos", "value", "__op")
+    )
+    got = (
+        materialize_latest(combined, ["user_id"], ["pos"])
+        .select("user_id", "value")
+        .toPandas().sort_values("user_id").reset_index(drop=True)
+    )
+    want = (
+        materialize_latest(ch.filter(F.expr(result["cond"])),
+                           ["user_id"], ["pos"])
+        .select("user_id", "value")
+        .toPandas().sort_values("user_id").reset_index(drop=True)
+    )
+    assert len(want) > 0
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    ch.unpersist()
