@@ -83,6 +83,7 @@ def incremental_snapshot(
     bounds: list[tuple],
     watermarks: list[tuple],
     channel=None,
+    condition: str | None = None,
 ) -> DataFrame:
     """Full chunked snapshot: union of reconciled chunks, each stamped
     ``op='r'`` at position = its chunk's low watermark (so the
@@ -116,7 +117,8 @@ def incremental_snapshot(
     parts = []
     for i, (b, (lw, hw)) in enumerate(zip(bounds, watermarks)):
         parts.append(
-            snapshot_chunk(snapshot_at(hw), key, b, changes, pos_col, lw, hw)
+            snapshot_chunk(snapshot_at(hw), key, b, changes, pos_col, lw, hw,
+                           condition=condition)
             .withColumn("__op", F.lit("r"))
             .withColumn(pos_col, F.lit(lw).cast("long"))
         )
@@ -267,3 +269,68 @@ def cdc_blocking_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     delivered = blocking_snapshot_delivery(ev, "user_id", "pos", low, high)
     state = resolve_blocking_delivery(delivered, "user_id", "pos")
     return state.select("user_id", "value").orderBy("user_id")
+
+
+@register(
+    "cdc_adhoc_snapshot_filtered",
+    oracle="""
+WITH mapped AS (
+  SELECT user_id, event_id AS pos, value,
+         CASE event_type WHEN 'signup' THEN 'c' WHEN 'error' THEN 'd'
+              WHEN 'view' THEN 'r' ELSE 'u' END AS op
+  FROM events
+  WHERE user_id % 3 = 0
+)
+SELECT user_id, value FROM (
+  SELECT user_id, value, op,
+         row_number() OVER (PARTITION BY user_id ORDER BY pos DESC) AS rn
+  FROM mapped
+) WHERE rn = 1 AND op <> 'd'
+ORDER BY user_id
+""",
+)
+def cdc_adhoc_snapshot_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate-filtered ad-hoc incremental snapshot (Debezium signal
+    ``additional-conditions``), differentially proven: the Spark side
+    runs the FULL chunked DBLog protocol — 4 PK-range chunks, each
+    scanned at a later stream position with the signal's filter pushed
+    into the chunk scan, watermark-reconciled against in-window changes
+    — then folds chunks + the (same-predicate) stream. The oracle is
+    plain predicate-filtered latest-state from the log; hash equality
+    proves chunked+filtered snapshotting changes delivery, never
+    answers. The predicate is on the KEY (immutable), so it commutes
+    with reconciliation; bounds come from approxQuantile but the fold
+    is invariant to chunk boundaries, so parity holds for ANY bounds."""
+    from ..catalog import table
+    from .envelope import OP_CASE
+    from .materialize import materialize_latest
+
+    cond = "user_id % 3 = 0"
+    ch = table(spark, sf_dir, "events").select(
+        "user_id",
+        F.col("event_id").alias("pos"),
+        "value",
+        F.expr(OP_CASE).alias("__op"),
+    )
+    max_pos = ch.agg(F.max("pos")).first()[0]  # control-plane scalar
+    hs = [int(max_pos * f) for f in (0.25, 0.5, 0.75, 1.0)]
+    watermarks = [(0, hs[0])] + list(zip(hs, hs[1:]))
+    bounds = chunk_bounds(ch, "user_id", 4)
+
+    def snapshot_at(pos):
+        return materialize_latest(
+            ch.filter(F.col("pos") <= pos), ["user_id"], ["pos"]
+        ).select("user_id", "value")
+
+    snap = incremental_snapshot(
+        snapshot_at, ch, key="user_id", pos_col="pos",
+        bounds=bounds, watermarks=watermarks, condition=cond,
+    )
+    combined = snap.select("user_id", "pos", "value", "__op").unionByName(
+        ch.filter(F.expr(cond)).select("user_id", "pos", "value", "__op")
+    )
+    return (
+        materialize_latest(combined, ["user_id"], ["pos"])
+        .select("user_id", "value")
+        .orderBy("user_id")
+    )

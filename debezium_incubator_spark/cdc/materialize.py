@@ -630,3 +630,62 @@ def cdc_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_live") > 0)
         .orderBy("event_type")
     )
+
+
+@register(
+    "cdc_txn_reassembly",
+    oracle="""
+WITH d AS (
+  SELECT event_id % 256 AS tx_id, ts
+  FROM events WHERE event_type <> 'error'
+), m AS (
+  SELECT event_id % 256 AS tx_id, MIN(ts) AS tx_ts,
+         COUNT(*) AS event_count
+  FROM events GROUP BY 1
+)
+SELECT d.tx_id,
+       CAST(COUNT(*) AS BIGINT) AS delivered,
+       CAST(MAX(m.event_count) AS BIGINT) AS expected,
+       CAST(COUNT(*) = CAST(MAX(m.event_count) AS BIGINT) AS INT) AS complete
+FROM d
+JOIN m ON d.tx_id = m.tx_id
+      AND d.ts >= m.tx_ts AND d.ts <= m.tx_ts + INTERVAL 3650 DAYS
+GROUP BY d.tx_id
+ORDER BY d.tx_id
+""",
+)
+def cdc_txn_reassembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transaction-metadata reassembly (SURVEY §1.1), batch twin of the
+    watermarked stream-stream join ``streaming.joins.transaction_
+    reassembly`` — the SAME function runs here on batch frames
+    (withWatermark is a no-op in batch, the interval-join condition is
+    identical), so the oracle differentially checks the join logic the
+    streaming path uses. Debezium's BEGIN/END metadata topic carries
+    (tx_id, event_count); consumers attach it to data events and gate
+    on completeness. The fixture makes completeness REAL: transactions
+    are event_id%256 groups, the delivered stream drops 'error' events,
+    the metadata counts ALL events — so ~60% of transactions are
+    genuinely incomplete and the complete flag separates them."""
+    from ..streaming.joins import transaction_reassembly
+
+    ev = table(spark, sf_dir, "events")
+    d = ev.filter(F.col("event_type") != "error").select(
+        (F.col("event_id") % 256).alias("tx_id"), "ts"
+    )
+    m = ev.groupBy((F.col("event_id") % 256).alias("tx_id")).agg(
+        F.min("ts").alias("tx_ts"), F.count("*").alias("event_count")
+    )
+    out = transaction_reassembly(
+        d, m, tx_col="tx_id", max_tx_span="INTERVAL 3650 DAYS"
+    )
+    return (
+        out.groupBy("tx_id")
+        .agg(
+            F.count("*").alias("delivered"),
+            F.max("tx_event_count").alias("expected"),
+        )
+        .withColumn(
+            "complete", (F.col("delivered") == F.col("expected")).cast("int")
+        )
+        .orderBy("tx_id")
+    )

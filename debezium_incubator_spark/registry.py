@@ -88,7 +88,11 @@ PRIORITY: list[str] = [
     "mm_decode_portable",    # J8 Arrow decode seam (portable twin)
     # §2C joins
     "join_broadcast",        # C1
-    "join_outer",            # C3
+    # round-6 recomposition: join_outer (C3 — stays sweep-oracled, and
+    # the family keeps full_outer coverage there) gives its slot to the
+    # round-5 flagship cdc_blocking_snapshot (overlap-window dedup proof
+    # for the signal-driven blocking snapshot kind).
+    "cdc_blocking_snapshot",
     "join_semi",             # C4
     "join_anti",             # C5
     "join_theta",            # C6

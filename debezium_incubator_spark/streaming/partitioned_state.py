@@ -153,6 +153,63 @@ def read_state_partitioned(
     return df
 
 
+def read_state_partitioned_at(
+    spark: SparkSession, state_dir: str, epoch: int,
+    include_tombstones: bool = False, op_col: str = "__op",
+) -> DataFrame | None:
+    """Point-in-time read of the bucket-partitioned state: resolve the
+    largest COMMITTED manifest <= ``epoch`` (a manifest counts only if
+    it is, or precedes, the one ``_LATEST`` points at — a crash between
+    manifest write and pointer update must stay invisible, mirroring
+    upsert.list_versions) and assemble state from its bucket → epoch
+    references. This is the manifest-pick analog of upsert's full-copy
+    ``read_state_at``: at 100 TB the historical state is reachable
+    through KB-scale manifests, never a second copy of the data.
+
+    Raises ValueError when ``epoch`` predates the vacuum horizon —
+    either every retained manifest is newer, or the resolved manifest
+    references bucket dirs that vacuum already reclaimed ("that history
+    was GC'd" must be loud, not an empty result). Returns None only
+    when no manifest was ever committed."""
+    marker = os.path.join(state_dir, "_LATEST")
+    if not os.path.exists(marker):
+        return None
+    with open(marker) as f:
+        committed_name = f.read().strip()
+    committed_epoch = int(committed_name.split("_v")[1].split(".")[0])
+    manifests = sorted(
+        int(n.split("_v")[1].split(".")[0])
+        for n in os.listdir(state_dir)
+        if n.startswith("manifest_v") and n.endswith(".json")
+    )
+    manifests = [m for m in manifests if m <= committed_epoch]
+    eligible = [m for m in manifests if m <= epoch]
+    if not eligible:
+        raise ValueError(
+            f"epoch {epoch} predates the vacuum horizon of {state_dir}; "
+            f"oldest retained manifest is v{manifests[0]}"
+        )
+    with open(
+        os.path.join(state_dir, f"manifest_v{eligible[-1]}.json")
+    ) as f:
+        manifest = {int(k): int(v) for k, v in json.load(f).items()}
+    paths = [
+        os.path.join(state_dir, f"v{v}", f"{BUCKET_COL}={b}")
+        for b, v in manifest.items()
+    ]
+    missing = [p for p in paths if not os.path.isdir(p)]
+    if missing:
+        raise ValueError(
+            f"state at epoch {epoch} is past the vacuum horizon: manifest "
+            f"v{eligible[-1]} references reclaimed buckets "
+            f"(e.g. {missing[0]})"
+        )
+    df = spark.read.option("mergeSchema", "true").parquet(*paths)
+    if not include_tombstones:
+        df = df.filter(F.col(op_col) != "d").drop(op_col)
+    return df
+
+
 def start_partitioned_upsert_stream(
     changes: DataFrame,
     state_dir: str,

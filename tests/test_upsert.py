@@ -899,3 +899,55 @@ def test_compact_state_rebuckets_with_new_bucket_count(spark, tmp_path):
         r.k: r.v for r in read_state_partitioned(spark, state).collect()
     }
     assert got[3] == 33.0 and got[5] == 5.0
+
+
+def test_partitioned_time_travel_and_vacuum_horizon(spark, tmp_path):
+    """read_state_partitioned_at resolves the largest committed
+    manifest <= epoch (a manifest pick, not a data copy) and raises
+    LOUDLY past the vacuum horizon — both when every retained manifest
+    is newer and when the resolved manifest references reclaimed bucket
+    dirs (mirrors test_vacuum_respects_time_travel_horizon for the
+    monolithic layout)."""
+    import pytest
+
+    from debezium_incubator_spark.streaming.partitioned_state import (
+        apply_changes_partitioned,
+        read_state_partitioned_at,
+        vacuum_partitioned,
+    )
+
+    state = str(tmp_path / "state")
+    nb = 4
+
+    def batch(rows, ep):
+        return spark.createDataFrame(
+            [(k, 1000 * ep + k, v, "u") for k, v in rows],
+            "k LONG, pos LONG, v DOUBLE, __op STRING",
+        )
+
+    apply_changes_partitioned(
+        spark, batch([(1, 1.0), (2, 2.0)], 0), 0, state, ["k"], ["pos"], nb
+    )
+    apply_changes_partitioned(
+        spark, batch([(2, 20.0), (3, 3.0)], 1), 1, state, ["k"], ["pos"], nb
+    )
+    apply_changes_partitioned(
+        spark, batch([(1, 100.0)], 2), 2, state, ["k"], ["pos"], nb
+    )
+
+    at = lambda e: {  # noqa: E731
+        r.k: r.v for r in read_state_partitioned_at(spark, state, e).collect()
+    }
+    assert at(0) == {1: 1.0, 2: 2.0}
+    assert at(1) == {1: 1.0, 2: 20.0, 3: 3.0}
+    # epoch 5 > newest manifest: resolves to the latest committed state
+    assert at(5) == {1: 100.0, 2: 20.0, 3: 3.0}
+
+    # empty dir: no state was ever committed -> None, not an error
+    assert read_state_partitioned_at(spark, str(tmp_path / "nope"), 0) is None
+
+    # vacuum to the latest manifest only: older epochs are GC'd
+    vacuum_partitioned(state, keep_last=1)
+    assert at(5) == {1: 100.0, 2: 20.0, 3: 3.0}  # current still reads
+    with pytest.raises(ValueError, match="vacuum horizon"):
+        read_state_partitioned_at(spark, state, 0)
