@@ -297,6 +297,75 @@ def snapshot_mode_plan(props: dict[str, str],
     return {"run_snapshot": run_snapshot, "run_stream": run_stream}
 
 
+def connector_bootstrap(
+    spark: SparkSession,
+    props: dict[str, str],
+    changes: DataFrame,
+    key: str,
+    pos_col: str,
+    snapshot_pos: int,
+    state_exists: bool = False,
+    op_col: str = "__op",
+) -> dict:
+    """E2e composition of the connector's phases for one captured table,
+    driven by ``snapshot.mode`` (Debezium startup semantics):
+
+    1. SCHEMA phase — always runs, every mode (even ``never`` registers
+       the captured schema so the stream can be decoded).
+    2. SNAPSHOT phase — when the mode's plan says so: the table image
+       as of ``snapshot_pos`` (latest state folded from the log up to
+       it), stamped ``op='r'`` at that position — exactly what an
+       initial backfill SELECT sees.
+    3. STREAMING phase — when the plan says so: change events with
+       position > ``snapshot_pos`` (offsets begin where the snapshot
+       ended), folded together with the backfill into current state.
+
+    Mode consequences a consumer observes (asserted in
+    tests/test_streaming.py): ``no_data``/``never`` emit ZERO op='r'
+    rows yet the stream still folds (keys untouched after
+    ``snapshot_pos`` are simply absent — "start fresh from the log");
+    ``initial_only`` stops after the backfill (state = the snapshot
+    image, no later change applied); ``when_needed`` backfills only
+    when no committed state exists.
+
+    Returns ``{"mode", "run_snapshot", "run_stream", "schema",
+    "backfill", "state"}`` — ``backfill`` is None when the snapshot
+    phase is skipped; ``state`` is the folded outcome of whichever
+    phases ran."""
+    from .cdc.materialize import materialize_latest
+
+    plan = snapshot_mode_plan(props, state_exists)
+    out: dict = {
+        "mode": props.get("snapshot.mode", "initial"),
+        **plan,
+        "schema": changes.schema,  # schema phase: always registered
+        "backfill": None,
+        "state": None,
+    }
+    delivered = None
+    if plan["run_snapshot"]:
+        out["backfill"] = (
+            materialize_latest(
+                changes.filter(F.col(pos_col) <= snapshot_pos),
+                [key], [pos_col], op_col,
+            )
+            .withColumn(pos_col, F.lit(snapshot_pos).cast("long"))
+            .withColumn(op_col, F.lit("r"))
+        )
+        delivered = out["backfill"]
+    if plan["run_stream"]:
+        stream = changes.filter(F.col(pos_col) > snapshot_pos)
+        delivered = (
+            stream if delivered is None
+            else delivered.unionByName(stream)
+        )
+    if delivered is not None:
+        out["state"] = materialize_latest(
+            delivered, [key], [pos_col], op_col
+        )
+    return out
+
+
 def streaming_options(props: dict[str, str]) -> dict[str, str]:
     """Debezium batching/backpressure tuning → Spark reader options
     (SURVEY.md §4.1 row 4: max.batch.size etc. are Debezium's only
