@@ -675,8 +675,14 @@ def cdc_txn_reassembly(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = ev.groupBy((F.col("event_id") % 256).alias("tx_id")).agg(
         F.min("ts").alias("tx_ts"), F.count("*").alias("event_count")
     )
+    # broadcast the METADATA side (one row per transaction — KB-to-MB at
+    # any scale) rather than letting size stats pick: at test SF the
+    # optimizer happily broadcasts the DATA side, which at 100 TB is the
+    # fact stream. The hint travels with the DataFrame through the
+    # shared join function; the streaming caller passes unhinted streams
+    # (stream-stream joins cannot broadcast) and is unaffected.
     out = transaction_reassembly(
-        d, m, tx_col="tx_id", max_tx_span="INTERVAL 3650 DAYS"
+        d, F.broadcast(m), tx_col="tx_id", max_tx_span="INTERVAL 3650 DAYS"
     )
     return (
         out.groupBy("tx_id")
