@@ -314,7 +314,13 @@ def cdc_adhoc_snapshot_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     max_pos = ch.agg(F.max("pos")).first()[0]  # control-plane scalar
     hs = [int(max_pos * f) for f in (0.25, 0.5, 0.75, 1.0)]
-    watermarks = [(0, hs[0])] + list(zip(hs, hs[1:]))
+    # narrow DBLog-style watermark brackets (L noted just before the
+    # chunk SELECT, H just after): with quarter-log-wide windows every
+    # hot key churns in-window and reconciliation empties the chunks —
+    # the fold would then be trivially stream-only. Narrow brackets
+    # leave most image rows alive, so parity genuinely proves the fold
+    # prefers later change events over op='r' images.
+    watermarks = [(max(h - 5, 0), h) for h in hs]
     bounds = chunk_bounds(ch, "user_id", 4)
 
     def snapshot_at(pos):

@@ -67,6 +67,7 @@ class ChunkedSnapshotRunner:
         work_dir: str,
         channel=None,
         condition: str | None = None,
+        collection: str | None = None,
     ) -> None:
         self.spark = spark
         self.snapshot_at = snapshot_at
@@ -78,7 +79,9 @@ class ChunkedSnapshotRunner:
         self.work_dir = work_dir
         self.channel = channel
         self.condition = condition
+        self.collection = collection
         self._pause_requested = False
+        self._resume_requested = False
         self._stop_requested = False
         os.makedirs(work_dir, exist_ok=True)
 
@@ -90,6 +93,7 @@ class ChunkedSnapshotRunner:
 
     def request_resume(self) -> None:
         self._pause_requested = False
+        self._resume_requested = True
 
     def request_stop(self) -> None:
         self._stop_requested = True
@@ -128,6 +132,8 @@ class ChunkedSnapshotRunner:
 
     def _notify(self, type_: str, position: int, **extra) -> None:
         if self.channel is not None:
+            if self.collection is not None:
+                extra["data_collection"] = self.collection
             self.channel.notify(
                 AGGREGATE_INCREMENTAL, type_, position=position, **extra
             )
@@ -149,8 +155,12 @@ class ChunkedSnapshotRunner:
             return COMPLETED
         start = bm["next_chunk"]
         if bm["status"] == PAUSED:
-            if self._pause_requested:
-                return PAUSED  # no resume signal yet
+            # paused is durable: a restarted process (fresh runner, all
+            # in-memory flags lost) must NOT silently resume — only an
+            # explicit resume-snapshot signal does
+            if not self._resume_requested:
+                return PAUSED
+            self._resume_requested = False
             self._write_bookmark(start, RUNNING)
             self._notify(
                 "RESUMED", self.watermarks[start][0], next_chunk=start
@@ -212,3 +222,54 @@ class ChunkedSnapshotRunner:
             for i in range(len(self.bounds))
         ]
         return self.spark.read.parquet(*paths)
+
+
+def execute_snapshot(
+    spark: SparkSession,
+    sig: dict,
+    sources: dict[str, dict],
+    work_root: str,
+    channel=None,
+    poll=None,
+) -> dict[str, ChunkedSnapshotRunner]:
+    """Orchestrate one ``execute-snapshot`` signal end to end: one
+    runner per requested data-collection, processed SEQUENTIALLY in
+    signal order (Debezium runs a single incremental snapshot at a
+    time; a collection's chunks complete before the next collection
+    starts), each with the signal's ``additional-conditions`` filter
+    for that collection and per-collection notifications
+    (``data_collection`` in additional_data).
+
+    ``sig`` is the dict ``dispatch_signals`` hands to handlers;
+    ``sources[name]`` supplies the per-collection plumbing:
+    ``{snapshot_at, changes, key, pos_col, bounds, watermarks}``.
+    Unknown collections raise — a signal naming an uncaptured table is
+    a caller error, not something to skip silently. Returns the runner
+    per collection (callers read ``.result()`` / ``.status``); a
+    pause/stop arriving through ``poll`` leaves later collections
+    un-started, exactly like Debezium's single-queue processing."""
+    runners: dict[str, ChunkedSnapshotRunner] = {}
+    conditions = sig.get("additional_conditions", {})
+    for coll in sig["data_collections"]:
+        if coll not in sources:
+            raise ValueError(
+                f"execute-snapshot names uncaptured collection '{coll}'"
+            )
+        src = sources[coll]
+        runner = ChunkedSnapshotRunner(
+            spark,
+            src["snapshot_at"],
+            src["changes"],
+            src["key"],
+            src["pos_col"],
+            src["bounds"],
+            src["watermarks"],
+            os.path.join(work_root, coll.replace(".", "__")),
+            channel=channel,
+            condition=conditions.get(coll),
+            collection=coll,
+        )
+        runners[coll] = runner
+        if runner.run(poll=poll) != COMPLETED:
+            break  # paused/stopped: later collections stay queued
+    return runners

@@ -41,7 +41,12 @@ def _changes(spark):
 def _fixture(spark, ch, n_chunks=4):
     max_pos = ch.agg(F.max("pos")).first()[0]
     hs = [int(max_pos * (i + 1) / n_chunks) for i in range(n_chunks)]
-    watermarks = [(0, hs[0])] + list(zip(hs, hs[1:]))
+    # DBLog watermarks bracket the chunk SELECT *narrowly* (L is noted
+    # just before the read, H just after): a window of ±5 positions.
+    # A quarter-log-wide window would reconcile away EVERY chunk row on
+    # this 15-hot-key fixture (all keys change inside any wide window),
+    # leaving a degenerate empty snapshot.
+    watermarks = [(max(h - 5, 0), h) for h in hs]
     bounds = chunk_bounds(ch, "user_id", n_chunks)
 
     calls = []
@@ -214,4 +219,120 @@ def test_execute_snapshot_additional_conditions_e2e(spark, tmp_path):
     )
     assert len(want) > 0
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    ch.unpersist()
+
+
+def test_crash_recovery_resumes_from_bookmark(spark, tmp_path):
+    """A process crash mid-snapshot (simulated: the runner object is
+    thrown away, every in-memory flag lost) resumes from the persisted
+    bookmark: a FRESH runner over the same work_dir re-runs NO completed
+    chunk, emits no second STARTED, and a paused bookmark stays paused
+    until an explicit resume-snapshot — restart must not silently
+    resume what an operator paused."""
+    ch = _changes(spark).cache()
+    bounds, watermarks, snapshot_at, calls = _fixture(spark, ch)
+    wd = str(tmp_path / "snap")
+
+    r1 = ChunkedSnapshotRunner(
+        spark, snapshot_at, ch, "user_id", "pos", bounds, watermarks, wd
+    )
+    # "crash" after chunk 1: pause gives us a clean two-chunk bookmark,
+    # then the object is discarded (flags die with the process)
+    pending = [None, None]
+
+    def poll():
+        if not pending:
+            r1.request_pause()
+        else:
+            pending.pop(0)
+
+    assert r1.run(poll=poll) == PAUSED
+    assert len(calls) == 2
+    del r1
+
+    chan = NotificationChannel()
+    r2 = ChunkedSnapshotRunner(
+        spark, snapshot_at, ch, "user_id", "pos", bounds, watermarks, wd,
+        channel=chan,
+    )
+    # durable pause: fresh process may NOT auto-resume
+    assert r2.run() == PAUSED
+    assert len(calls) == 2 and chan.rows == []
+    r2.request_resume()
+    assert r2.run() == COMPLETED
+    assert len(calls) == 4  # chunks 0/1 never re-scanned
+    assert [t for (_, _, t, _, _) in chan.rows] == [
+        "RESUMED", "TABLE_SCAN_COMPLETED", "TABLE_SCAN_COMPLETED",
+        "COMPLETED",
+    ]
+    assert r2.result().count() > 0
+    ch.unpersist()
+
+
+def test_execute_snapshot_multi_collection(spark, tmp_path):
+    """One execute-snapshot signal naming TWO collections: sequential
+    per-collection runners, per-collection notifications
+    (data_collection in additional_data), additional-conditions applied
+    only to the collection they name, and an uncaptured collection
+    raising loudly."""
+    import pytest
+
+    from debezium_incubator_spark.cdc.snapshot_lifecycle import (
+        execute_snapshot,
+    )
+
+    ch = _changes(spark).cache()
+    bounds, watermarks, snapshot_at, _ = _fixture(spark, ch)
+    src = {
+        "snapshot_at": snapshot_at, "changes": ch, "key": "user_id",
+        "pos_col": "pos", "bounds": bounds, "watermarks": watermarks,
+    }
+    sources = {"public.events": src, "public.events_b": dict(src)}
+    result = {}
+    chan = NotificationChannel()
+
+    def handler(sig):
+        result["runners"] = execute_snapshot(
+            spark, sig, sources, str(tmp_path / "snaps"), channel=chan
+        )
+
+    sig_rows = spark.createDataFrame(
+        [(
+            "sig-1", "execute-snapshot",
+            '{"data-collections": ["public.events", "public.events_b"],'
+            ' "additional-conditions": [{"data-collection": "public.events_b",'
+            ' "filter": "user_id % 2 = 0"}]}',
+        )],
+        "id STRING, type STRING, data STRING",
+    )
+    dispatch_signals(sig_rows, handlers={"execute-snapshot": handler})
+
+    runners = result["runners"]
+    assert list(runners) == ["public.events", "public.events_b"]
+    assert all(r.status == COMPLETED for r in runners.values())
+    # the condition bound only to the collection that named it
+    assert runners["public.events"].condition is None
+    assert runners["public.events_b"].condition == "user_id % 2 = 0"
+    assert (
+        runners["public.events_b"].result()
+        .filter(F.expr("user_id % 2 <> 0")).count() == 0
+    )
+    assert runners["public.events"].result().count() > \
+        runners["public.events_b"].result().count()
+    # per-collection notification streams, strictly sequential
+    colls = [d.get("data_collection") for (_, _, _, d, _) in chan.rows]
+    first_b = colls.index("public.events_b")
+    assert set(colls[:first_b]) == {"public.events"}
+    assert set(colls[first_b:]) == {"public.events_b"}
+    types_a = [t for (_, _, t, d, _) in chan.rows
+               if d.get("data_collection") == "public.events"]
+    assert types_a[0] == "STARTED" and types_a[-1] == "COMPLETED"
+
+    # uncaptured collection: loud error
+    with pytest.raises(ValueError, match="uncaptured"):
+        execute_snapshot(
+            spark,
+            {"data_collections": ["public.nope"], "additional_conditions": {}},
+            sources, str(tmp_path / "snaps2"),
+        )
     ch.unpersist()
