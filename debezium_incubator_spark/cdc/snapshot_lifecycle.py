@@ -273,3 +273,109 @@ def execute_snapshot(
         if runner.run(poll=poll) != COMPLETED:
             break  # paused/stopped: later collections stay queued
     return runners
+
+
+class SnapshotCoordinator:
+    """Collection-scoped lifecycle for a multi-collection incremental
+    snapshot (public Debezium stop-snapshot semantics: a stop signal
+    CARRYING data-collections removes just those collections from the
+    in-flight snapshot; a stop without collections aborts the whole
+    snapshot; pause/resume always act on the whole snapshot).
+
+    ``run(sig)`` processes the signal's collections sequentially —
+    re-invoking it after a pause resumes from wherever work stopped
+    (completed collections' runners return instantly from their
+    bookmarks; nothing is re-scanned)."""
+
+    def __init__(self, spark, sources: dict[str, dict], work_root: str,
+                 channel=None) -> None:
+        self.spark = spark
+        self.sources = sources
+        self.work_root = work_root
+        self.channel = channel
+        self.runners: dict[str, ChunkedSnapshotRunner] = {}
+        self._removed: set[str] = set()
+        self._stop_all = False
+        self._current: ChunkedSnapshotRunner | None = None
+
+    def signal_handlers(self) -> dict:
+        def stop(sig: dict) -> None:
+            colls = sig.get("data_collections") or []
+            if not colls:
+                self._stop_all = True
+                if self._current is not None:
+                    self._current.request_stop()
+            else:
+                self._removed.update(colls)
+                if (
+                    self._current is not None
+                    and self._current.collection in colls
+                ):
+                    self._current.request_stop()
+
+        def pause(sig: dict) -> None:
+            if self._current is not None:
+                self._current.request_pause()
+
+        def resume(sig: dict) -> None:
+            if self._current is not None:
+                self._current.request_resume()
+
+        return {
+            "pause-snapshot": pause,
+            "resume-snapshot": resume,
+            "stop-snapshot": stop,
+        }
+
+    def _runner_for(self, coll: str, condition: str | None):
+        if coll not in self.runners:
+            if coll not in self.sources:
+                raise ValueError(
+                    f"execute-snapshot names uncaptured collection '{coll}'"
+                )
+            src = self.sources[coll]
+            self.runners[coll] = ChunkedSnapshotRunner(
+                self.spark, src["snapshot_at"], src["changes"], src["key"],
+                src["pos_col"], src["bounds"], src["watermarks"],
+                os.path.join(self.work_root, coll.replace(".", "__")),
+                channel=self.channel,
+                condition=condition,
+                collection=coll,
+            )
+        return self.runners[coll]
+
+    def run(self, sig: dict, poll=None) -> dict[str, str]:
+        """Process the signal's collections in order; returns the final
+        status per collection ('removed' for collections a scoped stop
+        took out before/while they ran)."""
+        conditions = sig.get("additional_conditions", {})
+        status: dict[str, str] = {}
+        for coll in sig["data_collections"]:
+            if poll is not None:
+                poll()
+            if self._stop_all or coll in self._removed:
+                status[coll] = "removed"
+                if self.channel is not None:
+                    self.channel.notify(
+                        AGGREGATE_INCREMENTAL, "ABORTED",
+                        data_collection=coll, reason="stop-snapshot",
+                    )
+                continue
+            runner = self._runner_for(coll, conditions.get(coll))
+            self._current = runner
+            st = runner.run(poll=poll)
+            if st != PAUSED:
+                # keep _current on a PAUSED runner: a resume-snapshot
+                # arriving BETWEEN coordinator.run() invocations must
+                # still find its target
+                self._current = None
+            # a scoped stop that landed while this collection ran shows
+            # up as its runner aborting — report it as removed
+            status[coll] = (
+                "removed"
+                if st == ABORTED and (coll in self._removed or self._stop_all)
+                else st
+            )
+            if st == PAUSED:
+                break  # whole-snapshot pause: later collections queued
+        return status

@@ -336,3 +336,114 @@ def test_execute_snapshot_multi_collection(spark, tmp_path):
             sources, str(tmp_path / "snaps2"),
         )
     ch.unpersist()
+
+
+def test_coordinator_scoped_stop_removes_only_named_collections(
+    spark, tmp_path
+):
+    """Debezium stop-snapshot scoping: a stop signal CARRYING
+    data-collections removes just those from the in-flight snapshot
+    (here: arrives while collection A runs, names B → A completes, B is
+    never scanned and reports 'removed' with an ABORTED notification,
+    C completes); a stop WITHOUT collections aborts everything still
+    outstanding."""
+    from debezium_incubator_spark.cdc.snapshot_lifecycle import (
+        SnapshotCoordinator,
+    )
+
+    ch = _changes(spark).cache()
+    bounds, watermarks, snapshot_at, calls = _fixture(spark, ch)
+    src = {
+        "snapshot_at": snapshot_at, "changes": ch, "key": "user_id",
+        "pos_col": "pos", "bounds": bounds, "watermarks": watermarks,
+    }
+    sources = {"db.a": dict(src), "db.b": dict(src), "db.c": dict(src)}
+    chan = NotificationChannel()
+    coord = SnapshotCoordinator(
+        spark, sources, str(tmp_path / "s1"), channel=chan
+    )
+    sig = {
+        "data_collections": ["db.a", "db.b", "db.c"],
+        "additional_conditions": {},
+    }
+    # scoped stop naming db.b arrives during db.a's second chunk window
+    pending = [None, None, _signal(
+        spark, "s1", "stop-snapshot", '{"data-collections": ["db.b"]}'
+    )]
+
+    def poll():
+        if pending and (s := pending.pop(0)) is not None:
+            dispatch_signals(s, handlers=coord.signal_handlers())
+
+    status = coord.run(sig, poll=poll)
+    assert status == {
+        "db.a": COMPLETED, "db.b": "removed", "db.c": COMPLETED,
+    }
+    # db.b never scanned: a + c each ran 4 chunks
+    assert len(calls) == 8
+    assert "db.b" not in coord.runners
+    removed_notes = [
+        (t, d) for (_, _, t, d, _) in chan.rows
+        if d.get("data_collection") == "db.b"
+    ]
+    assert removed_notes == [("ABORTED", {
+        "data_collection": "db.b", "reason": "stop-snapshot",
+    })]
+
+    # unscoped stop: aborts the running collection, removes the rest
+    calls.clear()
+    coord2 = SnapshotCoordinator(spark, sources, str(tmp_path / "s2"))
+    # poll fires once before the collection and once before each chunk:
+    # [coord, chunk0, STOP-before-chunk1]
+    pending2 = [None, None, _signal(spark, "s2", "stop-snapshot")]
+
+    def poll2():
+        if pending2 and (s := pending2.pop(0)) is not None:
+            dispatch_signals(s, handlers=coord2.signal_handlers())
+
+    status2 = coord2.run(sig, poll=poll2)
+    assert status2 == {
+        "db.a": "removed", "db.b": "removed", "db.c": "removed",
+    }
+    assert len(calls) == 1  # db.a's first chunk only, then the stop
+    ch.unpersist()
+
+
+def test_coordinator_pause_resume_spans_collections(spark, tmp_path):
+    """Whole-snapshot pause during collection A leaves B queued; a
+    resume-snapshot arriving BETWEEN coordinator.run() invocations
+    reaches the paused runner, and the second run() finishes A from its
+    bookmark and then runs B — nothing re-scanned."""
+    from debezium_incubator_spark.cdc.snapshot_lifecycle import (
+        SnapshotCoordinator,
+    )
+
+    ch = _changes(spark).cache()
+    bounds, watermarks, snapshot_at, calls = _fixture(spark, ch)
+    src = {
+        "snapshot_at": snapshot_at, "changes": ch, "key": "user_id",
+        "pos_col": "pos", "bounds": bounds, "watermarks": watermarks,
+    }
+    sources = {"db.a": dict(src), "db.b": dict(src)}
+    coord = SnapshotCoordinator(spark, sources, str(tmp_path / "s"))
+    sig = {"data_collections": ["db.a", "db.b"], "additional_conditions": {}}
+
+    # [coord, chunk0, chunk1, PAUSE-before-chunk2]
+    pending = [None, None, None, _signal(spark, "p1", "pause-snapshot")]
+
+    def poll():
+        if pending and (s := pending.pop(0)) is not None:
+            dispatch_signals(s, handlers=coord.signal_handlers())
+
+    status = coord.run(sig, poll=poll)
+    assert status == {"db.a": PAUSED}  # db.b still queued
+    assert len(calls) == 2
+
+    dispatch_signals(
+        _signal(spark, "p2", "resume-snapshot"),
+        handlers=coord.signal_handlers(),
+    )
+    status = coord.run(sig)
+    assert status == {"db.a": COMPLETED, "db.b": COMPLETED}
+    assert len(calls) == 8  # a: its 2 remaining chunks, b: all 4 — no re-scan
+    ch.unpersist()
