@@ -149,7 +149,9 @@ def test_spread_widens_narrow_and_leaves_wide_alone(spark):
     # call (even on a NEW DataFrame object of the same plan) must hit
     # the cache, never the physical-plan conversion
     narrow2 = spark.range(1000).coalesce(1)
-    key = (id(spark), narrow2.semanticHash())
+    # round 6: keyed on applicationId (stable across the app, immune to
+    # id() reuse after a stopped session is GC'd), not id(session)
+    key = (spark.sparkContext.applicationId, narrow2.semanticHash())
     assert key in catalog._SPREAD_CACHE
     catalog._SPREAD_CACHE[key] = 999  # poison: cache hit -> no repartition
     try:
