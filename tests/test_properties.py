@@ -356,3 +356,60 @@ def test_t23_sampling_threshold_is_engine_invariant(spark, pairs):
         con.close()
     assert got_spark == want
     assert got_duck == want
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    CHANGES,
+    st.lists(st.integers(min_value=0, max_value=3), min_size=0, max_size=2),
+    st.lists(st.tuples(POS, POS), min_size=3, max_size=3),
+)
+def test_incremental_snapshot_reconciles_under_any_watermarks(
+    spark, rows, cuts, wm_raw
+):
+    """Property: for ANY change log, ANY PK chunking, and ANY watermark
+    placement (each chunk's (L, H] bracket arbitrary — wide, narrow,
+    overlapping, before/after the whole log), the DBLog fold of
+    (reconciled chunks + full stream) equals plain latest-state. This
+    generalizes the fixture tests: watermark pathologies (a bracket
+    wider than the log reconciles away the whole chunk; one past the
+    log's end makes the image win everywhere) must never change the
+    answer — chunk images and change events always agree at the fold."""
+    from debezium_incubator_spark.cdc.incremental_snapshot import (
+        incremental_snapshot,
+    )
+
+    edges = [-1] + sorted(set(cuts)) + [4]
+    bounds = list(zip(edges, edges[1:]))
+    watermarks = [(min(a, b), max(a, b)) for a, b in wm_raw][: len(bounds)]
+    while len(watermarks) < len(bounds):
+        watermarks.append(watermarks[-1])
+
+    df = spark.createDataFrame(rows, "k LONG, pos LONG, v DOUBLE, __op STRING")
+
+    def snapshot_at(p):
+        return materialize_latest(
+            df.filter(F.col("pos") <= p), ["k"], ["pos"]
+        ).select("k", "v")
+
+    snap = incremental_snapshot(
+        snapshot_at, df, key="k", pos_col="pos",
+        bounds=bounds, watermarks=watermarks,
+    )
+    combined = snap.select("k", "pos", "v", "__op").unionByName(
+        df.select("k", "pos", "v", "__op")
+    )
+    got = (
+        materialize_latest(combined, ["k"], ["pos"])
+        .select("k", "v").toPandas()
+        .sort_values("k").reset_index(drop=True)
+    )
+    pdf = pd.DataFrame(rows, columns=["k", "pos", "v", "__op"])
+    last = pdf.sort_values(["k", "pos"]).groupby("k").tail(1)
+    want = (
+        last[last["__op"] != "d"][["k", "v"]]
+        .sort_values("k").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got, want, check_dtype=False, check_exact=False, atol=1e-6
+    )
