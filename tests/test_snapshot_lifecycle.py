@@ -447,3 +447,97 @@ def test_coordinator_pause_resume_spans_collections(spark, tmp_path):
     assert status == {"db.a": COMPLETED, "db.b": COMPLETED}
     assert len(calls) == 8  # a: its 2 remaining chunks, b: all 4 — no re-scan
     ch.unpersist()
+
+
+def test_connector_main_loop_no_data_plus_adhoc_snapshot_converges(
+    spark, tmp_path
+):
+    """The assembled Debezium story (§1.1 capstone): a connector starts
+    with snapshot.mode=no_data (schema only, no backfill) and folds the
+    live change stream into bucket-partitioned state; keys that never
+    change after the start position are MISSING — until an
+    execute-snapshot signal arrives mid-stream, its chunked runner
+    reads the current table image, and the op='r' chunks are applied
+    into the SAME state as just another epoch. After the remaining
+    stream epochs, state equals exactly what snapshot.mode=initial
+    would have produced — including a post-snapshot delete overriding
+    the image. Every piece is the production path: signal dispatch →
+    coordinator → runner with persisted chunks → partitioned apply."""
+    from debezium_incubator_spark.cdc.snapshot_lifecycle import (
+        SnapshotCoordinator,
+    )
+    from debezium_incubator_spark.streaming.partitioned_state import (
+        apply_changes_partitioned,
+        read_state_partitioned,
+    )
+
+    # synthetic log with a REAL backfill gap: keys 0..19 created at
+    # pos 0..19; keys 10..19 updated at pos 110..119; key 3 deleted at
+    # pos 300 (after the snapshot will run); connector starts at S=90
+    rows = [(k, k, float(k), "c") for k in range(20)]
+    rows += [(k, 100 + k, k + 0.5, "u") for k in range(10, 20)]
+    rows += [(3, 300, None, "d")]
+    ch = spark.createDataFrame(
+        rows, "user_id LONG, pos LONG, value DOUBLE, __op STRING"
+    )
+    state = str(tmp_path / "state")
+
+    # epoch 1: stream from S to the snapshot point (pos in (90, 200])
+    apply_changes_partitioned(
+        spark, ch.filter("pos > 90 AND pos <= 200"), 1, state,
+        ["user_id"], ["pos"], n_buckets=4,
+    )
+    pre = read_state_partitioned(spark, state)
+    assert sorted(r.user_id for r in pre.collect()) == list(range(10, 20)), \
+        "no_data start: never-restreamed keys must be missing pre-snapshot"
+
+    # mid-stream execute-snapshot signal → coordinator → runner; the
+    # snapshot reads the table AS OF pos 200 in 2 PK chunks
+    def snapshot_at(p):
+        return materialize_latest(
+            ch.filter(F.col("pos") <= p), ["user_id"], ["pos"]
+        ).select("user_id", "value")
+
+    sources = {"db.t": {
+        "snapshot_at": snapshot_at, "changes": ch, "key": "user_id",
+        "pos_col": "pos", "bounds": [(-1, 9), (9, 19)],
+        "watermarks": [(195, 200), (195, 200)],
+    }}
+    coord = SnapshotCoordinator(spark, sources, str(tmp_path / "snap"))
+    done = {}
+
+    def handler(sig):
+        done["status"] = coord.run(sig)
+
+    dispatch_signals(
+        _signal(
+            spark, "sig-1", "execute-snapshot",
+            '{"data-collections": ["db.t"]}',
+        ),
+        handlers={"execute-snapshot": handler},
+    )
+    assert done["status"] == {"db.t": COMPLETED}
+
+    # epoch 2: the snapshot's op='r' chunks apply as a normal batch
+    apply_changes_partitioned(
+        spark, coord.runners["db.t"].result(), 2, state,
+        ["user_id"], ["pos"], n_buckets=4,
+    )
+    # epoch 3: the rest of the stream — including the delete of key 3,
+    # which must override its freshly-snapshotted image
+    apply_changes_partitioned(
+        spark, ch.filter("pos > 200"), 3, state,
+        ["user_id"], ["pos"], n_buckets=4,
+    )
+
+    got = {
+        r.user_id: r.value
+        for r in read_state_partitioned(spark, state).collect()
+    }
+    want = {
+        r.user_id: r.value
+        for r in materialize_latest(ch, ["user_id"], ["pos"]).collect()
+    }
+    assert got == want          # == snapshot.mode=initial outcome
+    assert 3 not in got         # post-snapshot delete beat the image
+    assert got[0] == 0.0 and got[15] == 15.5
