@@ -95,7 +95,11 @@ PRIORITY: list[str] = [
     "cdc_blocking_snapshot",
     "join_semi",             # C4
     "join_anti",             # C5
-    "join_theta",            # C6
+    # round-6: join_theta (C6 — sweep-oracled + plan-audited) gives its
+    # slot to cdc_txn_reassembly, the §1.1 transaction-metadata
+    # reassembly twin (round-5 verdict missing-item #4: previously
+    # test-only; now the driver audits its differential directly).
+    "cdc_txn_reassembly",    # C10 batch twin / §1.1 txn metadata
     "join_range",            # C7
     "join_asof",             # C8 (C9 cross stays in the sweep)
     # §2D aggregations

@@ -541,3 +541,35 @@ def test_connector_main_loop_no_data_plus_adhoc_snapshot_converges(
     assert got == want          # == snapshot.mode=initial outcome
     assert 3 not in got         # post-snapshot delete beat the image
     assert got[0] == 0.0 and got[15] == 15.5
+
+
+def test_chunk_scan_pushes_key_range_and_condition_to_parquet(
+    spark, tmp_path
+):
+    """The DBLog scale argument depends on chunk scans being INDEX
+    RANGE scans, not table scans: the PK-range predicate and the
+    signal's additional-conditions filter must reach the parquet source
+    (PushedFilters), so a chunk reads only its row groups. At 100 TB a
+    chunk that scanned the whole table would make the snapshot
+    quadratic in chunks x table."""
+    from debezium_incubator_spark.cdc.incremental_snapshot import (
+        snapshot_chunk,
+    )
+
+    src = str(tmp_path / "t")
+    spark.range(0, 10000).selectExpr(
+        "id AS k", "CAST(id AS DOUBLE) AS v", "id % 7 AS grp"
+    ).write.parquet(src)
+    snap = spark.read.parquet(src)
+    changes = spark.createDataFrame([], "k LONG, pos LONG")
+    chunk = snapshot_chunk(
+        snap, "k", (1000, 2000), changes, "pos", 10, 20,
+        condition="grp = 3",
+    )
+    plan = chunk._jdf.queryExecution().executedPlan().toString()
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert pushed, plan
+    pf = pushed[0]
+    assert "GreaterThan(k,1000)" in pf
+    assert "LessThanOrEqual(k,2000)" in pf
+    assert "EqualTo(grp,3)" in pf
