@@ -60,6 +60,89 @@ def _read_manifest(state_dir: str) -> dict[int, int] | None:
         return {int(k): int(v) for k, v in json.load(f).items()}
 
 
+def _write_stats(spark: SparkSession, state_dir: str, epoch: int,
+                 vdir: str) -> dict[int, int]:
+    """Per-bucket PHYSICAL row counts (tombstones included) of the
+    buckets written under ``epoch`` → ``stats_v{epoch}.json``, committed
+    by atomic rename BEFORE the manifest (commit order: data → stats →
+    manifest → _LATEST, so a committed manifest always has its stats).
+    This is the table-format statistics idea (Iceberg/Delta manifests
+    carry row counts): planning questions — total state size, bucket
+    skew, when to grow ``n_buckets`` via ``compact_state`` — are
+    answered from KB-scale JSON, never a state scan. The counting job
+    reads back only THIS epoch's delta (touched buckets), O(batch)."""
+    if not os.path.isdir(vdir) or not any(
+        d.startswith(f"{BUCKET_COL}=") for d in os.listdir(vdir)
+    ):
+        counts: dict[int, int] = {}
+    else:
+        counts = {
+            int(r[BUCKET_COL]): int(r["cnt"])
+            for r in spark.read.parquet(vdir)
+            .groupBy(BUCKET_COL)
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .collect()
+        }
+    _atomic_write(
+        os.path.join(state_dir, f"stats_v{epoch}.json"),
+        json.dumps({str(k): v for k, v in counts.items()}),
+    )
+    return counts
+
+
+def bucket_row_counts(spark: SparkSession, state_dir: str) -> dict[int, int]:
+    """Current per-bucket physical row counts, resolved manifest-style:
+    bucket b's count comes from the stats file of the epoch that last
+    wrote b. Falls back to counting a bucket's parquet directly when its
+    epoch predates the stats feature (legacy states stay readable)."""
+    manifest = _read_manifest(state_dir) or {}
+    by_epoch: dict[int, list[int]] = {}
+    for b, e in manifest.items():
+        by_epoch.setdefault(e, []).append(b)
+    out: dict[int, int] = {}
+    for e, buckets in by_epoch.items():
+        sp = os.path.join(state_dir, f"stats_v{e}.json")
+        if os.path.exists(sp):
+            with open(sp) as f:
+                stats = {int(k): int(v) for k, v in json.load(f).items()}
+        else:
+            stats = {}
+        for b in buckets:
+            if b in stats:
+                out[b] = stats[b]
+            else:  # legacy epoch without stats: count that bucket once
+                out[b] = spark.read.parquet(
+                    os.path.join(state_dir, f"v{e}", f"{BUCKET_COL}={b}")
+                ).count()
+    return out
+
+
+def state_row_count(spark: SparkSession, state_dir: str) -> int:
+    """Total physical rows in current state from manifest stats — the
+    O(KB) answer to "how big is my state" that at 100 TB replaces a
+    full scan."""
+    return sum(bucket_row_counts(spark, state_dir).values())
+
+
+def bucket_skew(spark: SparkSession, state_dir: str) -> dict:
+    """Planning signal from stats alone: ``max/mean`` bucket-size ratio
+    plus the extremes. A ratio far above ~2 says the bucketing is too
+    coarse (or keys are skewed) — the operational trigger for
+    ``compact_state`` with a larger ``n_buckets``."""
+    counts = bucket_row_counts(spark, state_dir)
+    if not counts:
+        return {"buckets": 0, "rows": 0, "max": 0, "mean": 0.0, "ratio": 0.0}
+    vals = list(counts.values())
+    mean = sum(vals) / len(vals)
+    return {
+        "buckets": len(vals),
+        "rows": sum(vals),
+        "max": max(vals),
+        "mean": mean,
+        "ratio": (max(vals) / mean) if mean else 0.0,
+    }
+
+
 def apply_changes_partitioned(
     spark: SparkSession,
     batch: DataFrame,
@@ -112,12 +195,14 @@ def apply_changes_partitioned(
     # bucket wholly in one task → exactly one file per touched bucket,
     # and per-bucket write parallelism = touched buckets. Same move
     # Iceberg/Delta make (cluster by partition expression before write).
+    vdir = os.path.join(state_dir, f"v{epoch}")
     (
         folded.repartition(max(len(touched), 1), F.col(BUCKET_COL))
         .write.mode("overwrite")
         .partitionBy(BUCKET_COL)
-        .parquet(os.path.join(state_dir, f"v{epoch}"))
+        .parquet(vdir)
     )
+    _write_stats(spark, state_dir, epoch, vdir)
     manifest.update({b: epoch for b in touched})
     # Both commit files land by ATOMIC RENAME (write sibling .tmp, then
     # os.replace): a truncate-in-place `open(..., "w")` can leave a torn
@@ -183,6 +268,13 @@ def read_state_partitioned_at(
         if n.startswith("manifest_v") and n.endswith(".json")
     )
     manifests = [m for m in manifests if m <= committed_epoch]
+    if not manifests:
+        # _LATEST exists but its manifest is gone: corrupted/hand-pruned
+        # state — loud, never a silent empty read
+        raise ValueError(
+            f"{state_dir} has a _LATEST pointer but no committed "
+            f"manifest files (pointer: {committed_name})"
+        )
     eligible = [m for m in manifests if m <= epoch]
     if not eligible:
         raise ValueError(
@@ -265,6 +357,15 @@ def vacuum_partitioned(state_dir: str, keep_last: int = 1) -> list[str]:
         if name not in kept_names:
             os.remove(os.path.join(state_dir, name))
             removed.append(name)
+    # stats files share v-dir liveness: keep stats_v{e} while any kept
+    # manifest still references epoch e, reclaim otherwise
+    live_epochs = {v for (_, v) in live}
+    for entry in os.listdir(state_dir):
+        if entry.startswith("stats_v") and entry.endswith(".json"):
+            e = int(entry[len("stats_v"):-len(".json")])
+            if e not in live_epochs:
+                os.remove(os.path.join(state_dir, entry))
+                removed.append(entry)
     for entry in os.listdir(state_dir):
         if not (entry.startswith("v") and entry[1:].isdigit()):
             continue
@@ -347,15 +448,14 @@ def compact_state(
         for d in os.listdir(vdir)
         if d.startswith(f"{BUCKET_COL}=")
     } if os.path.isdir(vdir) else {}
+    counts = _write_stats(spark, state_dir, epoch, vdir)
     mf = f"manifest_v{epoch}.json"
     _atomic_write(
         os.path.join(state_dir, mf),
         json.dumps({str(k): v for k, v in new_manifest.items()}),
     )
     _atomic_write(os.path.join(state_dir, "_LATEST"), mf)
-    rows = (
-        spark.read.parquet(vdir).count() if new_manifest else 0
-    )
+    rows = sum(counts.values())
     return {
         "buckets": len(new_manifest),
         "rows": rows,

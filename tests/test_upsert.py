@@ -951,3 +951,87 @@ def test_partitioned_time_travel_and_vacuum_horizon(spark, tmp_path):
     assert at(5) == {1: 100.0, 2: 20.0, 3: 3.0}  # current still reads
     with pytest.raises(ValueError, match="vacuum horizon"):
         read_state_partitioned_at(spark, state, 0)
+
+
+def test_manifest_stats_answer_counts_without_scans(spark, tmp_path):
+    """Per-bucket row stats ride the commit protocol (data → stats →
+    manifest → _LATEST): bucket_row_counts / state_row_count /
+    bucket_skew answer from KB-scale JSON and must equal a physical
+    recount after multi-epoch applies (tombstones counted — physical
+    rows), survive compaction with a DIFFERENT n_buckets, and vacuum
+    must reclaim exactly the stats of dead epochs while keeping every
+    referenced one."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from debezium_incubator_spark.streaming.partitioned_state import (
+        apply_changes_partitioned,
+        bucket_row_counts,
+        bucket_skew,
+        compact_state,
+        read_state_partitioned,
+        state_row_count,
+        vacuum_partitioned,
+    )
+
+    state = str(tmp_path / "state")
+    nb = 4
+
+    def batch(rows, ep, op="u"):
+        return spark.createDataFrame(
+            [(k, 1000 * ep + k, float(k), op) for k in rows],
+            "k LONG, pos LONG, v DOUBLE, __op STRING",
+        )
+
+    apply_changes_partitioned(
+        spark, batch(range(32), 0), 0, state, ["k"], ["pos"], nb
+    )
+    apply_changes_partitioned(
+        spark, batch(range(8), 1), 1, state, ["k"], ["pos"], nb
+    )
+    apply_changes_partitioned(  # a tombstone: physical row, logical gone
+        spark, batch([3], 2, op="d"), 2, state, ["k"], ["pos"], nb
+    )
+
+    def physical():
+        df = read_state_partitioned(spark, state, include_tombstones=True)
+        from debezium_incubator_spark.streaming.partitioned_state import (
+            _bucket,
+        )
+
+        return {
+            r.b: r.cnt
+            for r in df.withColumn("b", _bucket(["k"], nb))
+            .groupBy("b").agg(F.count(F.lit(1)).alias("cnt")).collect()
+        }
+
+    assert bucket_row_counts(spark, state) == physical()
+    assert state_row_count(spark, state) == 32  # 32 keys, folds kept 1 row each
+    sk = bucket_skew(spark, state)
+    assert sk["rows"] == 32 and sk["buckets"] == nb and sk["ratio"] >= 1.0
+
+    # compaction with a LARGER bucket count: stats re-derive at the new
+    # granularity and still match physical truth
+    compact_state(spark, state, 10, ["k"], 16)
+    from debezium_incubator_spark.streaming.partitioned_state import _bucket
+
+    df = read_state_partitioned(spark, state, include_tombstones=True)
+    phys16 = {
+        r.b: r.cnt
+        for r in df.withColumn("b", _bucket(["k"], 16))
+        .groupBy("b").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    assert bucket_row_counts(spark, state) == phys16
+    assert state_row_count(spark, state) == 32
+
+    # vacuum: dead epochs' stats reclaimed, the live epoch's kept
+    removed = vacuum_partitioned(state, keep_last=1)
+    assert {"stats_v0.json", "stats_v1.json", "stats_v2.json"} <= set(removed)
+    assert os.path.exists(os.path.join(state, "stats_v10.json"))
+    assert state_row_count(spark, state) == 32
+
+    # legacy fallback: delete the stats file — counts still resolve by
+    # reading the bucket parquet (pre-feature states stay readable)
+    os.remove(os.path.join(state, "stats_v10.json"))
+    assert bucket_row_counts(spark, state) == phys16
