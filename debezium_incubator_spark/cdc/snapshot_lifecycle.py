@@ -247,32 +247,15 @@ def execute_snapshot(
     a caller error, not something to skip silently. Returns the runner
     per collection (callers read ``.result()`` / ``.status``); a
     pause/stop arriving through ``poll`` leaves later collections
-    un-started, exactly like Debezium's single-queue processing."""
-    runners: dict[str, ChunkedSnapshotRunner] = {}
-    conditions = sig.get("additional_conditions", {})
-    for coll in sig["data_collections"]:
-        if coll not in sources:
-            raise ValueError(
-                f"execute-snapshot names uncaptured collection '{coll}'"
-            )
-        src = sources[coll]
-        runner = ChunkedSnapshotRunner(
-            spark,
-            src["snapshot_at"],
-            src["changes"],
-            src["key"],
-            src["pos_col"],
-            src["bounds"],
-            src["watermarks"],
-            os.path.join(work_root, coll.replace(".", "__")),
-            channel=channel,
-            condition=conditions.get(coll),
-            collection=coll,
-        )
-        runners[coll] = runner
-        if runner.run(poll=poll) != COMPLETED:
-            break  # paused/stopped: later collections stay queued
-    return runners
+    un-started, exactly like Debezium's single-queue processing.
+
+    Thin wrapper over :class:`SnapshotCoordinator` — one code path owns
+    the sequencing/stop-scoping semantics; use the coordinator directly
+    when lifecycle signals should target it (scoped stops, cross-
+    collection pause/resume)."""
+    coord = SnapshotCoordinator(spark, sources, work_root, channel=channel)
+    coord.run(sig, poll=poll)
+    return coord.runners
 
 
 class SnapshotCoordinator:
