@@ -14,6 +14,7 @@ rows, never data-plane scale).
 from __future__ import annotations
 
 import json
+import os
 from typing import Callable
 
 from pyspark.sql import DataFrame
@@ -70,15 +71,54 @@ def parse_signals(raw: DataFrame) -> DataFrame:
     )
 
 
+class SignalLedger:
+    """Durable processed-signal ids (public Debezium marks signals
+    processed so a restart/replayed batch never re-executes one — an
+    execute-snapshot dispatched twice would re-run a whole snapshot).
+    One id per line, appended with fsync after each dispatch; append of
+    a line is atomic on POSIX for these sizes and replaying a partially
+    recorded batch is safe because dispatch itself skips recorded ids.
+    Control-plane scale: thousands of lines, not data-plane."""
+
+    def __init__(self, path: str) -> None:
+        self.path = path
+        self._seen: set[str] = set()
+        if os.path.exists(path):
+            with open(path) as f:
+                self._seen = {ln.strip() for ln in f if ln.strip()}
+
+    def __contains__(self, sig_id: str) -> bool:
+        return sig_id in self._seen
+
+    def record(self, sig_id: str) -> None:
+        if sig_id in self._seen:
+            return
+        with open(self.path, "a") as f:
+            f.write(sig_id + "\n")
+            f.flush()
+            os.fsync(f.fileno())
+        self._seen.add(sig_id)
+
+
 def dispatch_signals(
     signals: DataFrame,
     handlers: dict[str, Callable[[dict], None]] | None = None,
+    ledger: SignalLedger | None = None,
 ) -> list[dict]:
     """Process a micro-batch of signal rows in id order: invoke the
     handler per known type, record an action log (unknown types are
     logged and skipped — a bad signal must not stop the connector,
-    matching the DLQ philosophy). Driver-side by design: signals are
-    control-plane rows (O(1) per batch)."""
+    matching the DLQ philosophy). A handler EXCEPTION is likewise
+    contained: recorded on the action entry (``error``), never
+    propagated into the connector loop. Driver-side by design: signals
+    are control-plane rows (O(1) per batch).
+
+    ``ledger`` (optional :class:`SignalLedger`) makes dispatch
+    idempotent across restarts/replayed micro-batches: already-recorded
+    ids are skipped (``skipped: duplicate``), handled ids are recorded
+    AFTER their handler returns — a crash mid-handler re-dispatches on
+    replay, which every lifecycle handler tolerates (runner bookmarks
+    make re-runs no-ops)."""
     handlers = handlers or {}
     actions: list[dict] = []
     for row in parse_signals(signals).orderBy("id").collect():
@@ -88,21 +128,30 @@ def dispatch_signals(
             "handled": False,
             "data_collections": row.data_collections,
         }
+        if ledger is not None and row.id in ledger:
+            entry["skipped"] = "duplicate"
+            actions.append(entry)
+            continue
         if row.type not in KNOWN_SIGNALS:
             entry["error"] = f"unknown signal type '{row.type}'"
         elif h := handlers.get(row.type):
-            h(
-                {
-                    "id": row.id,
-                    "data": json.loads(row.data) if row.data else {},
-                    "data_collections": row.data_collections or [],
-                    "snapshot_kind": row.snapshot_kind,
-                    "additional_conditions": {
-                        c.data_collection: c.filter
-                        for c in (row.additional_conditions or [])
-                    },
-                }
-            )
-            entry["handled"] = True
+            try:
+                h(
+                    {
+                        "id": row.id,
+                        "data": json.loads(row.data) if row.data else {},
+                        "data_collections": row.data_collections or [],
+                        "snapshot_kind": row.snapshot_kind,
+                        "additional_conditions": {
+                            c.data_collection: c.filter
+                            for c in (row.additional_conditions or [])
+                        },
+                    }
+                )
+                entry["handled"] = True
+            except Exception as e:  # noqa: BLE001 — containment is the contract
+                entry["error"] = f"handler failed: {e}"
+        if ledger is not None and (entry["handled"] or "error" in entry):
+            ledger.record(row.id)
         actions.append(entry)
     return actions

@@ -573,3 +573,56 @@ def test_chunk_scan_pushes_key_range_and_condition_to_parquet(
     assert "GreaterThan(k,1000)" in pf
     assert "LessThanOrEqual(k,2000)" in pf
     assert "EqualTo(grp,3)" in pf
+
+
+def test_signal_ledger_makes_dispatch_idempotent_and_contains_errors(
+    spark, tmp_path
+):
+    """Replayed micro-batches must not re-execute signals (Debezium
+    marks signals processed): with a SignalLedger, a second dispatch of
+    the same batch skips every id as 'duplicate' and the handler runs
+    exactly once — including across a PROCESS RESTART (fresh ledger
+    object over the same file). A handler exception is contained on the
+    action entry, recorded in the ledger (no retry storm), and does not
+    stop later signals in the batch."""
+    from debezium_incubator_spark.cdc.signals import SignalLedger
+
+    ledger = SignalLedger(str(tmp_path / "signals.ledger"))
+    runs = []
+
+    def ok(sig):
+        runs.append(sig["id"])
+
+    def boom(sig):
+        raise RuntimeError("snapshot source unreachable")
+
+    batch = spark.createDataFrame(
+        [
+            ("sig-a", "execute-snapshot", '{"data-collections": ["t"]}'),
+            ("sig-b", "pause-snapshot", "null"),
+            ("sig-c", "execute-snapshot", '{"data-collections": ["t"]}'),
+        ],
+        "id STRING, type STRING, data STRING",
+    )
+    handlers = {"execute-snapshot": ok, "pause-snapshot": boom}
+    a1 = dispatch_signals(batch, handlers=handlers, ledger=ledger)
+    assert [e["handled"] for e in a1] == [True, False, True]
+    assert "handler failed: snapshot source unreachable" == a1[1]["error"]
+    assert runs == ["sig-a", "sig-c"]  # the failure didn't stop sig-c
+
+    # same batch replayed: everything skipped, handlers NOT re-run
+    a2 = dispatch_signals(batch, handlers=handlers, ledger=ledger)
+    assert [e.get("skipped") for e in a2] == ["duplicate"] * 3
+    assert runs == ["sig-a", "sig-c"]
+
+    # restart: a FRESH ledger over the same file still remembers
+    ledger2 = SignalLedger(str(tmp_path / "signals.ledger"))
+    a3 = dispatch_signals(batch, handlers=handlers, ledger=ledger2)
+    assert [e.get("skipped") for e in a3] == ["duplicate"] * 3
+    assert runs == ["sig-a", "sig-c"]
+
+    # a genuinely new signal still dispatches
+    extra = _signal(spark, "sig-d", "execute-snapshot",
+                    '{"data-collections": ["t"]}')
+    a4 = dispatch_signals(extra, handlers=handlers, ledger=ledger2)
+    assert a4[0]["handled"] and runs == ["sig-a", "sig-c", "sig-d"]
