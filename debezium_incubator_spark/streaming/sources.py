@@ -100,3 +100,44 @@ def events_file_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     if ts_type == "bigint":  # parquet timestamp[ns] under nanosAsLong
         return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
     return raw.withColumn("ts", F.col("ts").cast("timestamp"))
+
+
+def signal_file_stream(spark: SparkSession, signal_dir: str) -> DataFrame:
+    """Signal-channel stream (public Debezium: a designated signal
+    table/topic the connector watches; SURVEY §1.1). Signals are "just
+    another tiny stream unioned into the control loop" — here a
+    jsonlines directory source with the fixed (id, type, data) signal
+    schema. Pair with ``start_signal_dispatch_stream`` to drain each
+    micro-batch through ``cdc.signals.dispatch_signals``."""
+    from ..cdc.signals import SIGNAL_SCHEMA
+
+    return spark.readStream.schema(SIGNAL_SCHEMA).json(signal_dir)
+
+
+def start_signal_dispatch_stream(
+    signals: DataFrame,
+    handlers: dict,
+    ledger=None,
+    checkpoint: str | None = None,
+    on_actions=None,
+):
+    """foreachBatch driver for the signal channel: every micro-batch of
+    signal rows goes through ``dispatch_signals`` on the DRIVER
+    (control plane — a handful of rows). Exactly-once execution rests
+    on TWO layers, mirroring the engine's data-plane story: Spark's
+    checkpoint dedupes batches on clean restarts, and the
+    ``SignalLedger`` dedupes signal IDS across replayed batches (a
+    crash between handler and checkpoint commit re-delivers the batch;
+    the ledger is what stops the re-execution). ``on_actions`` (optional
+    callable) receives each batch's action log for observability."""
+    from ..cdc.signals import dispatch_signals
+
+    def handle(batch: DataFrame, epoch: int) -> None:
+        actions = dispatch_signals(batch, handlers=handlers, ledger=ledger)
+        if on_actions is not None:
+            on_actions(epoch, actions)
+
+    writer = signals.writeStream.foreachBatch(handle).trigger(availableNow=True)
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer.start()

@@ -626,3 +626,69 @@ def test_signal_ledger_makes_dispatch_idempotent_and_contains_errors(
                     '{"data-collections": ["t"]}')
     a4 = dispatch_signals(extra, handlers=handlers, ledger=ledger2)
     assert a4[0]["handled"] and runs == ["sig-a", "sig-c", "sig-d"]
+
+
+def test_signal_channel_stream_dispatches_once_across_restarts(
+    spark, tmp_path
+):
+    """The signal channel as a REAL stream (§1.1): signal rows land as
+    jsonlines files in a watched directory; each availableNow run
+    drains them through dispatch_signals on the driver. The ledger
+    layer guarantees a signal executes ONCE even when the stream
+    restarts WITHOUT its checkpoint (the worst replay case: every file
+    re-delivered) — and new files arriving later still dispatch."""
+    import json as _json
+    import os
+
+    from debezium_incubator_spark.cdc.signals import SignalLedger
+    from debezium_incubator_spark.streaming.sources import (
+        signal_file_stream,
+        start_signal_dispatch_stream,
+    )
+
+    sig_dir = str(tmp_path / "signals")
+    os.makedirs(sig_dir)
+
+    def drop(name, rows):
+        with open(os.path.join(sig_dir, name), "w") as f:
+            for r in rows:
+                f.write(_json.dumps(r) + "\n")
+
+    drop("b1.json", [
+        {"id": "sig-1", "type": "execute-snapshot",
+         "data": '{"data-collections": ["t"]}'},
+        {"id": "sig-2", "type": "log", "data": '{"message": "hi"}'},
+    ])
+
+    runs, logs = [], []
+    handlers = {
+        "execute-snapshot": lambda s: runs.append(s["id"]),
+        "log": lambda s: logs.append(s["data"]["message"]),
+    }
+    ledger = SignalLedger(str(tmp_path / "ledger"))
+    all_actions = []
+
+    def run_stream(checkpoint):
+        q = start_signal_dispatch_stream(
+            signal_file_stream(spark, sig_dir), handlers, ledger=ledger,
+            checkpoint=checkpoint,
+            on_actions=lambda ep, acts: all_actions.extend(acts),
+        )
+        q.awaitTermination()
+
+    run_stream(str(tmp_path / "cp1"))
+    assert runs == ["sig-1"] and logs == ["hi"]
+
+    # restart with a FRESH checkpoint: every file re-delivered, ledger
+    # must stop re-execution
+    run_stream(str(tmp_path / "cp2"))
+    assert runs == ["sig-1"] and logs == ["hi"]
+    assert [a.get("skipped") for a in all_actions].count("duplicate") == 2
+
+    # a NEW signal file still dispatches on the next run
+    drop("b2.json", [
+        {"id": "sig-3", "type": "execute-snapshot",
+         "data": '{"data-collections": ["t"]}'},
+    ])
+    run_stream(str(tmp_path / "cp2"))
+    assert runs == ["sig-1", "sig-3"]
