@@ -40,8 +40,7 @@ def chunk_bounds(df: DataFrame, key: str, n_chunks: int) -> list[tuple]:
     skewed key distributions)."""
     qs = [i / n_chunks for i in range(1, n_chunks)]
     cuts = df.approxQuantile(key, qs, 0.01)
-    lo = df.agg(F.min(key)).first()[0]
-    hi = df.agg(F.max(key)).first()[0]
+    lo, hi = df.agg(F.min(key), F.max(key)).first()  # one driver job, not two
     edges = [lo - 1] + sorted(set(int(c) for c in cuts)) + [hi]
     return [(edges[i], edges[i + 1]) for i in range(len(edges) - 1)]
 

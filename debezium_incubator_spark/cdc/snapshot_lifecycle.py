@@ -362,3 +362,58 @@ class SnapshotCoordinator:
             if st == PAUSED:
                 break  # whole-snapshot pause: later collections queued
         return status
+
+
+def make_execute_snapshot_handler(
+    spark: SparkSession,
+    sources: dict[str, dict],
+    work_root: str,
+    channel=None,
+    results: dict | None = None,
+):
+    """One handler for the ``execute-snapshot`` signal type that routes
+    on the signal's ``data.type`` (``snapshot_kind``), the way the
+    public connector does:
+
+    - ``incremental`` (default): chunked DBLog snapshot via
+      :class:`SnapshotCoordinator` — pausable/stoppable, per-collection
+      conditions, persisted chunks.
+    - ``blocking``: consistent image per collection via
+      ``blocking_snapshot_delivery`` over the collection's
+      ``blocking_window`` (the (resume_position, image_position) pair
+      the source tracks); the returned delivery carries the duplicated
+      overlap the consumer fold dedupes.
+
+    ``results`` (optional dict) collects per-signal outcomes keyed by
+    signal id: ``{"kind", "status"|"deliveries"}``. Wire into
+    ``dispatch_signals(handlers={"execute-snapshot": handler})`` or the
+    streaming channel."""
+    from .incremental_snapshot import blocking_snapshot_delivery
+
+    def handler(sig: dict) -> None:
+        out: dict = {"kind": sig["snapshot_kind"]}
+        if sig["snapshot_kind"] == "blocking":
+            deliveries = {}
+            for coll in sig["data_collections"]:
+                if coll not in sources:
+                    raise ValueError(
+                        f"execute-snapshot names uncaptured collection "
+                        f"'{coll}'"
+                    )
+                src = sources[coll]
+                low, high = src["blocking_window"]
+                deliveries[coll] = blocking_snapshot_delivery(
+                    src["changes"], src["key"], src["pos_col"], low, high,
+                    channel=channel,
+                )
+            out["deliveries"] = deliveries
+        else:
+            coord = SnapshotCoordinator(
+                spark, sources, work_root, channel=channel
+            )
+            out["status"] = coord.run(sig)
+            out["runners"] = coord.runners
+        if results is not None:
+            results[sig["id"]] = out
+
+    return handler

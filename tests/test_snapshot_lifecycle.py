@@ -692,3 +692,54 @@ def test_signal_channel_stream_dispatches_once_across_restarts(
     ])
     run_stream(str(tmp_path / "cp2"))
     assert runs == ["sig-1", "sig-3"]
+
+
+def test_execute_snapshot_handler_routes_on_snapshot_kind(spark, tmp_path):
+    """One handler for the execute-snapshot signal TYPE routes on the
+    signal's data.type the way the connector does: kind 'incremental'
+    runs the chunked coordinator; kind 'blocking' produces the
+    consistent-image delivery (whose fold equals latest state, overlap
+    and all). Both dispatched through the real signal path."""
+    from debezium_incubator_spark.cdc.incremental_snapshot import (
+        resolve_blocking_delivery,
+    )
+    from debezium_incubator_spark.cdc.snapshot_lifecycle import (
+        make_execute_snapshot_handler,
+    )
+
+    ch = _changes(spark).cache()
+    bounds, watermarks, snapshot_at, _ = _fixture(spark, ch)
+    max_pos = ch.agg(F.max("pos")).first()[0]
+    sources = {"db.t": {
+        "snapshot_at": snapshot_at, "changes": ch, "key": "user_id",
+        "pos_col": "pos", "bounds": bounds, "watermarks": watermarks,
+        "blocking_window": (int(max_pos * 0.6), int(max_pos * 0.8)),
+    }}
+    results = {}
+    handler = make_execute_snapshot_handler(
+        spark, sources, str(tmp_path / "w"), results=results
+    )
+    batch = spark.createDataFrame(
+        [
+            ("sig-inc", "execute-snapshot",
+             '{"data-collections": ["db.t"]}'),
+            ("sig-blk", "execute-snapshot",
+             '{"data-collections": ["db.t"], "type": "blocking"}'),
+        ],
+        "id STRING, type STRING, data STRING",
+    )
+    acts = dispatch_signals(batch, handlers={"execute-snapshot": handler})
+    assert all(a["handled"] for a in acts)
+
+    assert results["sig-inc"]["kind"] == "incremental"
+    assert results["sig-inc"]["status"] == {"db.t": COMPLETED}
+    assert results["sig-inc"]["runners"]["db.t"].result().count() > 0
+
+    assert results["sig-blk"]["kind"] == "blocking"
+    state = resolve_blocking_delivery(
+        results["sig-blk"]["deliveries"]["db.t"], "user_id", "pos"
+    )
+    want = materialize_latest(ch, ["user_id"], ["pos"])
+    got = {r.user_id: r.value for r in state.collect()}
+    assert got == {r.user_id: r.value for r in want.collect()}
+    ch.unpersist()
