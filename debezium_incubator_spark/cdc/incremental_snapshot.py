@@ -106,6 +106,12 @@ def incremental_snapshot(
     chunk and notifies after the write; it is also the pausable/
     resumable/stoppable path).
     """
+    if not bounds or len(bounds) != len(watermarks):
+        raise ValueError(
+            f"bounds ({len(bounds)}) and watermarks ({len(watermarks)}) "
+            "must be non-empty and equal-length (zip would silently drop "
+            "chunks on mismatch)"
+        )
     if channel is not None:
         from .notifications import AGGREGATE_INCREMENTAL
 

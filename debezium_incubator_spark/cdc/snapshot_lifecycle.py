@@ -80,6 +80,12 @@ class ChunkedSnapshotRunner:
         self.channel = channel
         self.condition = condition
         self.collection = collection
+        if not bounds or len(bounds) != len(watermarks):
+            raise ValueError(
+                f"bounds ({len(bounds)}) and watermarks "
+                f"({len(watermarks)}) must be non-empty and equal-length "
+                "(a silent zip-truncation here would drop chunks)"
+            )
         self._pause_requested = False
         self._resume_requested = False
         self._stop_requested = False
