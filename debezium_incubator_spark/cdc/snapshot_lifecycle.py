@@ -227,7 +227,12 @@ class ChunkedSnapshotRunner:
             os.path.join(self.work_dir, f"chunk_{i}")
             for i in range(len(self.bounds))
         ]
-        return self.spark.read.parquet(*paths)
+        # mergeSchema: a mid-snapshot DDL widening (ALTER TABLE ADD
+        # COLUMN between chunk reads — routine during an hours-long
+        # 100 TB snapshot) leaves earlier chunks narrower; without it
+        # the read adopts one chunk's schema and silently DROPS the new
+        # column (same failure the partitioned-state tier fixed in r5)
+        return self.spark.read.option("mergeSchema", "true").parquet(*paths)
 
 
 def execute_snapshot(

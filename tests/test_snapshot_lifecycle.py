@@ -743,3 +743,51 @@ def test_execute_snapshot_handler_routes_on_snapshot_kind(spark, tmp_path):
     got = {r.user_id: r.value for r in state.collect()}
     assert got == {r.user_id: r.value for r in want.collect()}
     ch.unpersist()
+
+
+def test_mid_snapshot_schema_widening_survives_in_result(spark, tmp_path):
+    """A DDL widening LANDING MID-SNAPSHOT (routine during an
+    hours-long 100 TB snapshot): chunks read before the ALTER are
+    narrower than chunks read after. result() must surface the union
+    schema — pre-widening chunk rows NULL for the new column, not a
+    silently dropped column (the same mergeSchema failure mode the
+    partitioned-state tier fixed for cross-epoch buckets)."""
+    rows = [(k, k, float(k), "u") for k in range(20)]
+    ch = spark.createDataFrame(
+        rows, "k LONG, pos LONG, v DOUBLE, __op STRING"
+    )
+    widened = {"on": False}
+
+    def snapshot_at(p):
+        base = materialize_latest(
+            ch.filter(F.col("pos") <= p), ["k"], ["pos"]
+        ).select("k", "v")
+        if widened["on"]:  # the source table gained a column
+            base = base.withColumn("v2", F.concat(F.lit("x"), F.col("k")))
+        return base
+
+    runner = ChunkedSnapshotRunner(
+        spark, snapshot_at, ch, "k", "pos",
+        bounds=[(-1, 9), (9, 19)], watermarks=[(95, 100), (95, 100)],
+        work_dir=str(tmp_path / "snap"),
+    )
+    # chunk 0 before the DDL, chunk 1 after — pause between them
+    pending = [None]
+
+    def poll():
+        if pending:
+            pending.pop()
+        else:
+            runner.request_pause()
+
+    assert runner.run(poll=poll) == PAUSED
+    widened["on"] = True
+    runner.request_resume()
+    assert runner.run() == COMPLETED
+
+    got = runner.result()
+    assert "v2" in got.columns
+    vals = {r.k: r.v2 for r in got.collect()}
+    assert all(vals[k] is None for k in vals if k <= 9)      # pre-DDL chunk
+    assert all(vals[k] == f"x{k}" for k in vals if k > 9)    # post-DDL chunk
+    assert len(vals) == 20
