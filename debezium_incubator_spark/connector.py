@@ -366,6 +366,38 @@ def connector_bootstrap(
     return out
 
 
+def incremental_snapshot_plan(props: dict[str, str],
+                              table_rows: int) -> dict[str, int]:
+    """``incremental.snapshot.chunk.size`` (public Debezium, default
+    1024 rows) → chunk count for ``cdc.incremental_snapshot.
+    chunk_bounds`` / the lifecycle runner. The chunk is the unit of
+    bounded work AND the commit granularity, so this one key is the
+    user's operability dial: smaller chunks = finer pause/resume and
+    smaller re-scan on fault, more commit overhead."""
+    size = int(props.get("incremental.snapshot.chunk.size", "1024"))
+    if size <= 0:
+        raise ValueError("incremental.snapshot.chunk.size must be positive")
+    return {
+        "chunk_size": size,
+        "n_chunks": max(1, -(-int(table_rows) // size)),  # ceil div
+    }
+
+
+def signal_config(props: dict[str, str]) -> dict:
+    """Signal-channel wiring keys (public Debezium): ``signal.data.
+    collection`` names the watched signal table/topic (→ the directory
+    ``streaming.sources.signal_file_stream`` tails in this engine);
+    ``signal.enabled.channels`` lists the active channels (``source``
+    = the signal table; ``file``/``kafka`` analogs map onto the same
+    stream source here)."""
+    return {
+        "collection": props.get("signal.data.collection"),
+        "enabled_channels": _csv(
+            props.get("signal.enabled.channels", "source")
+        ),
+    }
+
+
 def streaming_options(props: dict[str, str]) -> dict[str, str]:
     """Debezium batching/backpressure tuning → Spark reader options
     (SURVEY.md §4.1 row 4: max.batch.size etc. are Debezium's only

@@ -791,3 +791,48 @@ def test_mid_snapshot_schema_widening_survives_in_result(spark, tmp_path):
     assert all(vals[k] is None for k in vals if k <= 9)      # pre-DDL chunk
     assert all(vals[k] == f"x{k}" for k in vals if k > 9)    # post-DDL chunk
     assert len(vals) == 20
+
+
+def test_chunk_size_config_drives_runner(spark, tmp_path):
+    """The literal Debezium keys drive the new machinery:
+    incremental.snapshot.chunk.size sizes the chunk count the runner
+    executes (commit granularity = the user's operability dial), and
+    signal.data.collection / signal.enabled.channels wire the signal
+    channel."""
+    import pytest
+
+    from debezium_incubator_spark.connector import (
+        incremental_snapshot_plan,
+        signal_config,
+    )
+
+    ch = _changes(spark).cache()
+    n_rows = ch.count()  # 1000 at sf0.001
+    plan = incremental_snapshot_plan(
+        {"incremental.snapshot.chunk.size": "250"}, n_rows
+    )
+    assert plan == {"chunk_size": 250, "n_chunks": 4}
+    assert incremental_snapshot_plan({}, 10)["n_chunks"] == 1  # default 1024
+    with pytest.raises(ValueError):
+        incremental_snapshot_plan(
+            {"incremental.snapshot.chunk.size": "0"}, 10
+        )
+
+    # the configured chunk count is what the runner actually executes
+    bounds, watermarks, snapshot_at, calls = _fixture(
+        spark, ch, n_chunks=plan["n_chunks"]
+    )
+    runner = ChunkedSnapshotRunner(
+        spark, snapshot_at, ch, "user_id", "pos", bounds, watermarks,
+        str(tmp_path / "snap"),
+    )
+    assert runner.run() == COMPLETED
+    assert len(calls) == plan["n_chunks"]
+
+    sc = signal_config({
+        "signal.data.collection": "ops.debezium_signal",
+        "signal.enabled.channels": "source,file",
+    })
+    assert sc == {"collection": "ops.debezium_signal",
+                  "enabled_channels": ["source", "file"]}
+    ch.unpersist()
