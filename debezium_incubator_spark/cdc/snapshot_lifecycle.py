@@ -428,3 +428,111 @@ def make_execute_snapshot_handler(
             results[sig["id"]] = out
 
     return handler
+
+
+# --- Oracle-checked differential for the EXECUTION path -------------------
+#
+# The lazy `incremental_snapshot` plan has its own oracle
+# (cdc_adhoc_snapshot_filtered). This query puts the RUNNER — persisted
+# chunks, bookmark commits, an actual mid-run pause + resume — under the
+# same differential gate: an interrupted-and-resumed chunked snapshot,
+# folded with the live stream, must hash-equal plain latest-state from
+# the log. Same fixed-/tmp-artifact pattern as the IVF index audit
+# (llm/similarity.py IVF_AUDIT_DIR): rebuilt per invocation, removed at
+# interpreter exit.
+
+LIFECYCLE_AUDIT_DIR = "/tmp/dis_snapshot_lifecycle_current"
+
+
+def _cleanup_lifecycle_audit_dir() -> None:
+    import shutil
+
+    shutil.rmtree(LIFECYCLE_AUDIT_DIR, ignore_errors=True)
+
+
+import atexit  # noqa: E402
+
+atexit.register(_cleanup_lifecycle_audit_dir)
+
+from ..registry import register  # noqa: E402
+
+
+@register(
+    "cdc_lifecycle_snapshot",
+    oracle="""
+WITH mapped AS (
+  SELECT user_id, event_id AS pos, value,
+         CASE event_type WHEN 'signup' THEN 'c' WHEN 'error' THEN 'd'
+              WHEN 'view' THEN 'r' ELSE 'u' END AS op
+  FROM events
+)
+SELECT user_id, value FROM (
+  SELECT user_id, value, op,
+         row_number() OVER (PARTITION BY user_id ORDER BY pos DESC) AS rn
+  FROM mapped
+) WHERE rn = 1 AND op <> 'd'
+ORDER BY user_id
+""",
+)
+def cdc_lifecycle_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Execution-path differential for the lifecycle runner: a 4-chunk
+    snapshot is PAUSED after chunk 2 (real pause-snapshot semantics —
+    bookmark committed, run() returns), then resumed by a second run()
+    from the persisted bookmark; the chunk parquet staging + the live
+    stream fold to latest state. Hash equality against the plain
+    latest-state oracle proves the interrupted execution path — chunk
+    materialization, bookmark resume, op='r' stamping at each chunk's
+    low watermark — changes delivery, never answers. Deterministic:
+    fixed chunk count, narrow (H-5, H] brackets, pause point by chunk
+    index; artifacts at a fixed /tmp path, rebuilt per invocation,
+    atexit-cleaned."""
+    import shutil
+
+    from ..catalog import table
+    from .envelope import OP_CASE
+    from .incremental_snapshot import chunk_bounds
+    from .materialize import materialize_latest
+
+    ch = table(spark, sf_dir, "events").select(
+        "user_id",
+        F.col("event_id").alias("pos"),
+        "value",
+        F.expr(OP_CASE).alias("__op"),
+    )
+    max_pos = ch.agg(F.max("pos")).first()[0]  # control-plane scalar
+    hs = [int(max_pos * f) for f in (0.25, 0.5, 0.75, 1.0)]
+    watermarks = [(max(h - 5, 0), h) for h in hs]
+    bounds = chunk_bounds(ch, "user_id", 4)
+    while len(bounds) < len(watermarks):  # quantile-cut dedup at tiny SF
+        watermarks.pop()
+
+    def snapshot_at(pos):
+        return materialize_latest(
+            ch.filter(F.col("pos") <= pos), ["user_id"], ["pos"]
+        ).select("user_id", "value")
+
+    shutil.rmtree(LIFECYCLE_AUDIT_DIR, ignore_errors=True)
+    runner = ChunkedSnapshotRunner(
+        spark, snapshot_at, ch, "user_id", "pos", bounds, watermarks,
+        LIFECYCLE_AUDIT_DIR,
+    )
+    # a real mid-run interruption: pause lands before chunk 2
+    polls = {"n": 0}
+
+    def poll():
+        polls["n"] += 1
+        if polls["n"] == 3:  # before chunk index 2
+            runner.request_pause()
+
+    if runner.run(poll=poll) == PAUSED:  # 1-2 chunk fixtures may finish
+        runner.request_resume()
+        st = runner.run()
+        assert st == COMPLETED, st
+    combined = runner.result().select(
+        "user_id", "pos", "value", "__op"
+    ).unionByName(ch.select("user_id", "pos", "value", "__op"))
+    return (
+        materialize_latest(combined, ["user_id"], ["pos"])
+        .select("user_id", "value")
+        .orderBy("user_id")
+    )

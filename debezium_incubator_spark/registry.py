@@ -184,7 +184,13 @@ def load_all() -> None:
     from .functions import pandas_udfs, scalar, udtf  # noqa: F401
     from . import connector, sql  # noqa: F401
     from .events import analytics, timeseries  # noqa: F401
-    from .cdc import incremental_snapshot, materialize, routing, scd2  # noqa: F401
+    from .cdc import (  # noqa: F401
+        incremental_snapshot,
+        materialize,
+        routing,
+        scd2,
+        snapshot_lifecycle,
+    )
     from .llm import clustering  # noqa: F401
     from .llm import dedup, multimodal, similarity, text  # noqa: F401
 
