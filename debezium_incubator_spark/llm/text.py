@@ -1321,3 +1321,59 @@ def t23_source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "t24_epoch_shuffle",
+    oracle="""
+WITH keyed AS (
+  SELECT doc_id,
+         md5('ep1:' || CAST(doc_id AS VARCHAR)) AS ord_key
+  FROM documents
+), sharded AS (
+  SELECT doc_id, ord_key,
+         CAST(ascii(substr(ord_key, 1, 1)) % 4 AS INT) AS shard
+  FROM keyed
+)
+SELECT shard, doc_id,
+       CAST(row_number() OVER (
+         PARTITION BY shard ORDER BY ord_key, doc_id
+       ) AS BIGINT) AS pos
+FROM sharded
+ORDER BY shard, pos
+""",
+)
+def t24_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic epoch shuffle + shard assignment — the data-loader
+    primitive a distributed training job needs: every worker, engine,
+    and re-run must agree on example order WITHOUT coordination.
+    Order key = md5(epoch_seed || doc_id) (portable: identical bytes in
+    Spark and DuckDB — the engine-neutral analog of xxhash64-seeded
+    shuffling); shard = first hex nibble's ascii mod n_shards (portable
+    integer derivation — no engine hash involved); position =
+    row_number per shard over the hash order with doc_id tie-break
+    (md5 collisions are improbable but ties must not flip ranks).
+
+    Scale: one window per shard partition — the shuffle is BY SHARD
+    (each task sorts one training shard), which is exactly how the
+    loader consumes it; changing the seed string re-shuffles every
+    epoch with zero state. No RNG, no driver participation."""
+    docs = table(spark, sf_dir, "documents")
+    keyed = docs.select(
+        "doc_id",
+        F.md5(F.concat(F.lit("ep1:"), F.col("doc_id").cast("string")))
+        .alias("ord_key"),
+    )
+    sharded = keyed.withColumn(
+        "shard", (F.ascii(F.substring("ord_key", 1, 1)) % 4).cast("int")
+    )
+    from pyspark.sql.window import Window as W
+
+    w = W.partitionBy("shard").orderBy("ord_key", "doc_id")
+    return (
+        sharded.select(
+            "shard", "doc_id",
+            F.row_number().over(w).cast("long").alias("pos"),
+        )
+        .orderBy("shard", "pos")
+    )
