@@ -50,6 +50,34 @@ def _atomic_write(path: str, content: str) -> None:
     os.replace(tmp, path)
 
 
+class ConcurrentCommitError(RuntimeError):
+    """Two writers produced DIFFERENT manifests for the same epoch —
+    split-brain (e.g. two drivers resumed from the same checkpoint).
+    A crash-replay of the SAME batch is fine (byte-identical manifest,
+    idempotent); different content under one epoch id means the
+    histories diverged and continuing would silently lose one of them."""
+
+
+def _commit_manifest(state_dir: str, epoch: int, content: str) -> None:
+    """Epoch-manifest commit with a split-brain guard: if this epoch's
+    manifest already exists with DIFFERENT content, refuse loudly
+    (Delta/Iceberg solve the same race with conditional commits; on a
+    plain filesystem, content equality of the deterministic manifest is
+    the equivalent check — replays are byte-identical by construction,
+    divergent writers are not)."""
+    mf_path = os.path.join(state_dir, f"manifest_v{epoch}.json")
+    if os.path.exists(mf_path):
+        with open(mf_path) as f:
+            existing = f.read()
+        if existing != content:
+            raise ConcurrentCommitError(
+                f"epoch {epoch} already has a committed manifest with "
+                f"different content in {state_dir} — concurrent writer "
+                "detected; refusing to overwrite a diverged history"
+            )
+    _atomic_write(mf_path, content)
+
+
 def _read_manifest(state_dir: str) -> dict[int, int] | None:
     marker = os.path.join(state_dir, "_LATEST")
     if not os.path.exists(marker):
@@ -161,6 +189,26 @@ def apply_changes_partitioned(
     touched = sorted(
         r[BUCKET_COL] for r in batch.select(BUCKET_COL).distinct().collect()
     )
+    # Split-brain check BEFORE any data write: the manifest this apply
+    # WILL commit is already determined by (current manifest, touched,
+    # epoch). If this epoch's manifest exists with different content, a
+    # divergent writer got here first — refusing NOW protects its
+    # committed bucket dirs from our overwrite; refusing only at commit
+    # time would be too late. A replay of the same batch produces
+    # byte-identical content and passes (idempotency preserved).
+    expected_manifest = json.dumps(
+        {str(k): v for k, v in {**manifest,
+                                **{b: epoch for b in touched}}.items()}
+    )
+    mf_path = os.path.join(state_dir, f"manifest_v{epoch}.json")
+    if os.path.exists(mf_path):
+        with open(mf_path) as f:
+            if f.read() != expected_manifest:
+                raise ConcurrentCommitError(
+                    f"epoch {epoch} already has a committed manifest with "
+                    f"different content in {state_dir} — concurrent "
+                    "writer detected; refusing before overwriting its data"
+                )
     current_paths = [
         os.path.join(state_dir, f"v{manifest[b]}", f"{BUCKET_COL}={b}")
         for b in touched if b in manifest
@@ -209,12 +257,15 @@ def apply_changes_partitioned(
     # manifest or — far worse — a torn _LATEST pointer if the writer
     # dies mid-write, bricking every reader. With rename-commit, a crash
     # at ANY byte leaves either the old file or the new one, never a
-    # partial (fault-injection-tested in tests/test_upsert.py).
+    # partial (fault-injection-tested in tests/test_upsert.py). The
+    # manifest commit additionally refuses split-brain (same epoch,
+    # different content) — pre-checked above, re-checked here in case a
+    # racer landed between the check and this commit.
     mf = f"manifest_v{epoch}.json"
-    _atomic_write(
-        os.path.join(state_dir, mf),
-        json.dumps({str(k): v for k, v in manifest.items()}),
-    )
+    assert json.dumps(
+        {str(k): v for k, v in manifest.items()}
+    ) == expected_manifest
+    _commit_manifest(state_dir, epoch, expected_manifest)
     _atomic_write(os.path.join(state_dir, "_LATEST"), mf)  # commit point
 
 
@@ -414,6 +465,17 @@ def compact_state(
     manifest = _read_manifest(state_dir)
     if not manifest:
         return None
+    # compaction must target a NEW epoch: writing into an epoch the
+    # manifest still references would overwrite live bucket dirs WHILE
+    # reading them. (A crashed compaction replays fine — its epoch was
+    # never committed, so it's still > the committed epoch.)
+    committed = max(manifest.values())
+    if epoch <= committed:
+        raise ValueError(
+            f"compaction epoch {epoch} must exceed the newest committed "
+            f"epoch {committed} (writing into a live epoch would "
+            "overwrite bucket dirs the compaction is reading)"
+        )
     paths = [
         os.path.join(state_dir, f"v{v}", f"{BUCKET_COL}={b}")
         for b, v in manifest.items()
@@ -450,8 +512,8 @@ def compact_state(
     } if os.path.isdir(vdir) else {}
     counts = _write_stats(spark, state_dir, epoch, vdir)
     mf = f"manifest_v{epoch}.json"
-    _atomic_write(
-        os.path.join(state_dir, mf),
+    _commit_manifest(
+        state_dir, epoch,
         json.dumps({str(k): v for k, v in new_manifest.items()}),
     )
     _atomic_write(os.path.join(state_dir, "_LATEST"), mf)

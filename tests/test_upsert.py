@@ -487,9 +487,13 @@ def test_crash_before_manifest_commit_is_invisible_and_replayable(spark):
 
         ps.apply_changes_partitioned(spark, b1, 0, state, **args)
         epoch0 = snap(state)
-        # crash point: manifest serialization fails -> no commit files
+        # crash point: right after the bucket write, before any commit
+        # file (stats -> manifest -> pointer); _write_stats is the first
+        # post-write step. (Was json.dumps, but round-6's pre-write
+        # split-brain check moved the first dumps call BEFORE the data
+        # write, which made the injected crash fire too early.)
         with mock.patch.object(
-            ps.json, "dumps", side_effect=RuntimeError("killed mid-batch")
+            ps, "_write_stats", side_effect=RuntimeError("killed mid-batch")
         ):
             try:
                 ps.apply_changes_partitioned(spark, b2, 1, state, **args)
@@ -1035,3 +1039,42 @@ def test_manifest_stats_answer_counts_without_scans(spark, tmp_path):
     # reading the bucket parquet (pre-feature states stay readable)
     os.remove(os.path.join(state, "stats_v10.json"))
     assert bucket_row_counts(spark, state) == phys16
+
+
+def test_concurrent_commit_guard_allows_replay_rejects_divergence(
+    spark, tmp_path
+):
+    """Split-brain guard on the epoch-manifest commit: a crash-replay
+    of the SAME batch recommits byte-identical content (idempotent,
+    allowed — the existing replay guarantee), but a second writer
+    committing DIFFERENT content under the same epoch id (two drivers
+    resumed from one checkpoint) is refused loudly instead of silently
+    overwriting one history with the other."""
+    import pytest
+
+    from debezium_incubator_spark.streaming.partitioned_state import (
+        ConcurrentCommitError,
+        apply_changes_partitioned,
+        read_state_partitioned,
+    )
+
+    state = str(tmp_path / "state")
+    b1 = spark.createDataFrame(
+        [(1, 10, 1.0, "u"), (2, 11, 2.0, "u")],
+        "k LONG, pos LONG, v DOUBLE, __op STRING",
+    )
+    apply_changes_partitioned(spark, b1, 0, state, ["k"], ["pos"], 4)
+    # replay of the identical batch at the same epoch: allowed
+    apply_changes_partitioned(spark, b1, 0, state, ["k"], ["pos"], 4)
+    assert read_state_partitioned(spark, state).count() == 2
+
+    # divergent writer: different batch, same epoch id — refused
+    b_other = spark.createDataFrame(
+        [(99, 12, 9.0, "u")], "k LONG, pos LONG, v DOUBLE, __op STRING"
+    )
+    with pytest.raises(ConcurrentCommitError, match="epoch 0"):
+        apply_changes_partitioned(
+            spark, b_other, 0, state, ["k"], ["pos"], 4
+        )
+    # state remains the committed history
+    assert sorted(r.k for r in read_state_partitioned(spark, state).collect()) == [1, 2]
