@@ -1072,3 +1072,92 @@ def sim_batch_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("qid", "rn")
     )
+
+
+# --- SemDeDup: embedding-space semantic deduplication ---------------------
+#
+# Semantic dedup per Abbas et al. 2023 ("SemDeDup: Data-efficient
+# learning at web-scale through semantic deduplication", arXiv
+# 2303.09540): cluster the corpus embeddings with a coarse quantizer
+# (k-means — the SAME persisted IVF index the ANN tier uses), then
+# compare pairs ONLY within a cluster and drop all but one member of
+# each semantic-duplicate pair. Pairwise work is bounded per cell
+# (~(n/nlist)² per cell, nlist ∝ n at scale — never all-pairs), which
+# is exactly why the paper scales to web corpora.
+#
+# τ: production SemDeDup uses ~0.9+ on corpora with true semantic
+# duplicates. The synthetic embeddings table has NO planted near-dups
+# (measured max within-cell cosine at sf0.01 is 0.51), so the
+# registered query uses τ=0.4 — the top ~0.2% cosine tail — to keep
+# the differential check exercising a real, non-empty drop set at both
+# audit SFs. The threshold comparison is safe cross-engine because both
+# sides compute the identical sequential IEEE fold.
+
+SEMDEDUP_TAU = 0.4
+
+_SEMDEDUP_ORACLE = f"""
+WITH vecs AS (
+  SELECT vec_id, v, nsq, CAST(cluster AS BIGINT) AS cell
+  FROM read_parquet('{IVF_AUDIT_DIR}/vectors/*/*.parquet',
+                    hive_partitioning = true)
+), pairs AS (
+  SELECT b.vec_id, b.cell, a.vec_id AS kept,
+         {_FOLD.format(terms=(
+             "list_transform(range(1, len(a.v) + 1),"
+             " i -> a.v[i] * b.v[i])"
+         ))} / (sqrt(a.nsq) * sqrt(b.nsq)) AS cos_raw
+  FROM vecs a JOIN vecs b ON a.cell = b.cell AND a.vec_id < b.vec_id
+), qual AS (
+  SELECT vec_id, cell, kept, cos_raw,
+         row_number() OVER (PARTITION BY vec_id ORDER BY kept) AS rn
+  FROM pairs WHERE cos_raw >= {SEMDEDUP_TAU}
+)
+SELECT vec_id, cell, kept AS dup_of, ROUND(cos_raw, 6) AS cos_sim
+FROM qual WHERE rn = 1 ORDER BY vec_id
+"""
+
+
+@register("dedup_semantic", oracle=_SEMDEDUP_ORACLE)
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup over the persisted IVF index: a vector is REMOVED iff
+    some lower-id vector in the SAME k-means cell has cosine ≥ τ
+    with it; ``dup_of`` reports the smallest such keeper (min-id owner
+    rule — deterministic, same convention as t13's novelty owner).
+    τ=0.4 here (see module note — the synthetic corpus has no true
+    near-dups; production runs ~0.9).
+
+    Reads the cluster-partitioned index artifacts (not the raw table),
+    so the oracle recomputes the identical pair set from the identical
+    persisted assignment — the same differential pattern as
+    sim_ivf_knn/sim_ivf_probe. Cosine is the left-fold dot over the
+    precomputed ``nsq`` norms, bit-equal to the oracle's list_reduce.
+
+    100 TB posture: the self-join is an equi-join on ``cell`` (one
+    shuffle, cardinality nlist); per-task pair work is bounded by the
+    cell size the quantizer controls (nlist ∝ corpus size, the paper's
+    own scaling rule). No all-pairs path exists here."""
+    import os
+
+    from pyspark.sql.window import Window as W
+
+    index_dir = _ensure_ivf_index(spark, sf_dir)
+    vecs = spark.read.parquet(os.path.join(index_dir, "vectors")).select(
+        "vec_id", "v", "nsq", F.col("cluster").cast("bigint").alias("cell")
+    )
+    a = vecs.select(
+        F.col("vec_id").alias("kept"), F.col("cell").alias("ca"),
+        F.col("v").alias("va"), F.col("nsq").alias("na"),
+    )
+    cos_raw = dot("va", "v") / (F.sqrt("na") * F.sqrt("nsq"))
+    w = W.partitionBy("vec_id").orderBy("kept")
+    return (
+        vecs.join(a, (F.col("ca") == F.col("cell"))
+                  & (F.col("kept") < F.col("vec_id")))
+        .withColumn("cos_raw", cos_raw)
+        .filter(F.col("cos_raw") >= SEMDEDUP_TAU)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cell", F.col("kept").alias("dup_of"),
+                F.round("cos_raw", 6).alias("cos_sim"))
+        .orderBy("vec_id")
+    )
