@@ -155,3 +155,51 @@ def dispatch_signals(
             ledger.record(row.id)
         actions.append(entry)
     return actions
+
+
+def signals_from_change_stream(
+    raw: DataFrame, collection: str = "dbz.signal"
+) -> DataFrame:
+    """Source-table signal channel — public Debezium's PRIMARY channel:
+    ``signal.data.collection`` names a real table in the captured
+    database with columns ``(id, type, data)``; operators signal the
+    connector by INSERTing into it, and the rows arrive through the
+    same change stream as the data (total order with the data events —
+    a signal inserted after transaction T is seen after T's changes,
+    which file/Kafka channels cannot guarantee).
+
+    Input is the JSON wire shape (``value`` JSON string per change
+    event, any mixture of tables). Matching Debezium semantics:
+
+    - only the signal collection's events are considered (matched on
+      ``source.table`` — other tables' rows pass through untouched
+      elsewhere; this extractor never sees data-plane volume because
+      the filter prunes on a metadata field);
+    - only INSERTs (``op = 'c'``) act — updates/deletes to the signal
+      table and snapshot ``op = 'r'`` re-reads of old signal rows are
+      ignored (re-executing a signal on re-snapshot would be wrong);
+    - tombstones (NULL value) are dropped.
+
+    Output is SIGNAL_SCHEMA rows ordered upstream of
+    :func:`dispatch_signals`; the ledger still applies on top, so even
+    a signal row RE-DELIVERED by the log (connector offset rewind)
+    executes once.
+    """
+    v = F.from_json(
+        F.col("value").cast("string"),
+        "after STRUCT<id STRING, type STRING, data STRING>, "
+        "source STRUCT<table STRING>, op STRING",
+    )
+    return (
+        raw.filter(F.col("value").isNotNull())
+        .select(v.alias("v"))
+        .filter(
+            (F.col("v.source.table") == collection)
+            & (F.col("v.op") == "c")
+        )
+        .select(
+            F.col("v.after.id").alias("id"),
+            F.col("v.after.type").alias("type"),
+            F.col("v.after.data").alias("data"),
+        )
+    )

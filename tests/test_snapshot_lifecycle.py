@@ -836,3 +836,107 @@ def test_chunk_size_config_drives_runner(spark, tmp_path):
     assert sc == {"collection": "ops.debezium_signal",
                   "enabled_channels": ["source", "file"]}
     ch.unpersist()
+
+
+def test_source_table_signal_channel_extracts_inserts_only(spark, tmp_path):
+    """Public Debezium's primary signal channel is a CAPTURED TABLE
+    (`signal.data.collection`): signals ride the change stream itself.
+    Only INSERTs on that collection act — updates/deletes to the signal
+    table, snapshot re-reads of old signal rows (op='r'), other tables'
+    events, and tombstones are all ignored — and the ledger still
+    dedups a log-rewind re-delivery of the same signal row."""
+    import json as _json
+
+    from debezium_incubator_spark.cdc.signals import (
+        SignalLedger,
+        signals_from_change_stream,
+    )
+
+    def wire(table_name, op, after):
+        return _json.dumps(
+            {"after": after, "source": {"table": table_name}, "op": op}
+        )
+
+    sig = {"id": "sig-1", "type": "execute-snapshot",
+           "data": '{"data-collections": ["db.users"]}'}
+    old_sig = {"id": "sig-0", "type": "log", "data": "{}"}
+    rows = [
+        # data-plane event on another table: ignored
+        (wire("events", "c", {"id": "9", "type": "x", "data": "y"}),),
+        # snapshot re-read of a historic signal row: must NOT re-execute
+        (wire("dbz.signal", "r", old_sig),),
+        # the actual signal insert
+        (wire("dbz.signal", "c", sig),),
+        # operator UPDATE/DELETE on the signal table: ignored
+        (wire("dbz.signal", "u", dict(sig, id="sig-2")),),
+        (wire("dbz.signal", "d", None),),
+        # tombstone after the delete
+        (None,),
+    ]
+    raw = spark.createDataFrame(rows, "value STRING")
+    got = signals_from_change_stream(raw, "dbz.signal").collect()
+    assert [(r.id, r.type) for r in got] == [("sig-1", "execute-snapshot")]
+
+    # dispatch through the real path with a ledger; then re-deliver the
+    # SAME change rows (offset rewind) — the ledger dedups
+    ledger = SignalLedger(str(tmp_path / "ledger"))
+    seen = []
+    handlers = {"execute-snapshot": lambda req: seen.append(req["id"])}
+    a1 = dispatch_signals(
+        signals_from_change_stream(raw, "dbz.signal"), handlers, ledger
+    )
+    a2 = dispatch_signals(
+        signals_from_change_stream(raw, "dbz.signal"), handlers, ledger
+    )
+    assert seen == ["sig-1"]
+    assert a1[0]["handled"] and a2[0].get("skipped") == "duplicate"
+
+
+def test_source_table_signal_channel_streams(spark, tmp_path):
+    """The extractor is plan-level: the same function on a readStream
+    source dispatches through foreachBatch exactly as in batch (the
+    signal collection is just another table in the log)."""
+    import json as _json
+
+    from debezium_incubator_spark.cdc.signals import (
+        SignalLedger,
+        signals_from_change_stream,
+    )
+
+    src = tmp_path / "wire"
+    src.mkdir()
+    (src / "b0.json").write_text(
+        "\n".join(
+            _json.dumps({"value": v})
+            for v in [
+                _json.dumps({"after": {"id": "s-1", "type": "log",
+                                       "data": "{}"},
+                             "source": {"table": "dbz.signal"}, "op": "c"}),
+                _json.dumps({"after": {"id": "x", "type": "log",
+                                       "data": "{}"},
+                             "source": {"table": "events"}, "op": "c"}),
+            ]
+        )
+    )
+    raw = (
+        spark.readStream.schema("value STRING")
+        .json(str(src))
+    )
+    ledger = SignalLedger(str(tmp_path / "ledger"))
+    seen = []
+
+    def on_batch(batch_df, _bid):
+        dispatch_signals(
+            signals_from_change_stream(batch_df, "dbz.signal"),
+            {"log": lambda req: seen.append(req["id"])},
+            ledger,
+        )
+
+    q = (
+        raw.writeStream.foreachBatch(on_batch)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert seen == ["s-1"]
