@@ -121,13 +121,25 @@ def parse_envelope(raw: DataFrame, row_schema: T.StructType) -> DataFrame:
 
 
 def unwrap(env: DataFrame, drop_deletes: bool = False,
-           passthrough: list[str] | None = None) -> DataFrame:
+           passthrough: list[str] | None = None,
+           add_fields: list[str] | None = None) -> DataFrame:
     """B2 ExtractNewRecordState: flatten envelope → row + __op/__ts_ms/
     __deleted metadata columns; tombstones dropped; deletes keep the
     before-image (rewrite-deletes mode) unless ``drop_deletes``.
     ``passthrough`` carries record-metadata columns (e.g. ``topic``)
-    through the flatten, as Kafka Connect does."""
+    through the flatten, as Kafka Connect does.
+
+    ``add_fields`` mirrors the SMT's ``add.fields`` option: each entry
+    is an envelope field path (``op``, ``ts_ms``, ``source.table``,
+    ``source.pos``, ...) attached with Debezium's naming convention —
+    ``__`` prefix, dots → ``_`` (``source.table`` → ``__source_table``).
+    The default metadata columns above predate the option and stay."""
     extra = passthrough or []
+    paths = [p for p in (add_fields or [])
+             if p not in ("op", "ts_ms")]  # already attached as __op/__ts_ms
+    added_names = ["__" + p.replace(".", "_") for p in paths]
+    added = [F.col(f"value.{p}").alias(n)
+             for p, n in zip(paths, added_names)]
     out = (
         env.filter(F.col("value").isNotNull())
         .select(
@@ -136,13 +148,54 @@ def unwrap(env: DataFrame, drop_deletes: bool = False,
             F.col("value.ts_ms").alias("__ts_ms"),
             (F.col("value.op") == "d").alias("__deleted"),
             F.col("value.source.pos").alias("__pos"),
+            *added,
             *extra,
         )
-        .select("row.*", "__op", "__ts_ms", "__deleted", "__pos", *extra)
+        .select("row.*", "__op", "__ts_ms", "__deleted", "__pos",
+                *added_names, *extra)
     )
     if drop_deletes:
         out = out.filter(~F.col("__deleted"))
     return out
+
+
+def changed_record_state(env: DataFrame,
+                         row_schema: T.StructType) -> DataFrame:
+    """ExtractChangedRecordState SMT (public Debezium: emits, per
+    event, WHICH columns changed between the before and after images —
+    shipped as record headers; surfaced here as array columns, Spark's
+    native shape for list metadata).
+
+    Per field f of the row schema: changed iff ``before.f`` is NOT
+    null-safe-equal to ``after.f``. Consequently a create (before NULL)
+    marks every non-NULL after-field changed and a delete (after NULL)
+    marks every non-NULL before-field changed — matching the SMT's
+    "all columns" convention for image-less ops. Tombstones are
+    dropped (no images to compare). Purely expression-level: one
+    projection, no shuffle, whole-stage-codegen friendly."""
+    names = [f.name for f in row_schema.fields]
+    changed = F.filter(
+        F.array(*[
+            F.when(
+                ~F.col(f"value.before.{n}").eqNullSafe(
+                    F.col(f"value.after.{n}")),
+                F.lit(n),
+            )
+            for n in names
+        ]),
+        lambda x: x.isNotNull(),
+    )
+    return (
+        env.filter(F.col("value").isNotNull())
+        .select(
+            "key",
+            "value",
+            changed.alias("__changed"),
+            F.array_except(
+                F.array(*[F.lit(n) for n in names]), changed
+            ).alias("__unchanged"),
+        )
+    )
 
 
 # --- Avro wire format -----------------------------------------------------

@@ -695,3 +695,107 @@ def cdc_txn_reassembly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("tx_id")
     )
+
+
+# --- B2+: ExtractChangedRecordState + add.fields -------------------------
+
+@register(
+    "cdc_changed_columns",
+    oracle="""
+WITH v AS (
+  SELECT event_id, user_id, value, event_type,
+         lag(value) OVER (PARTITION BY user_id ORDER BY event_id) AS pv,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY event_id)
+           AS pt
+  FROM events
+)
+SELECT event_id,
+       concat_ws(',',
+         CASE WHEN NOT user_id IS NOT DISTINCT FROM user_id
+              THEN 'user_id' END,
+         CASE WHEN NOT pv IS NOT DISTINCT FROM value THEN 'value' END,
+         CASE WHEN NOT pt IS NOT DISTINCT FROM event_type
+              THEN 'event_type' END) AS changed,
+       (pv IS NOT DISTINCT FROM value)::INT
+         + (pt IS NOT DISTINCT FROM event_type)::INT
+         + 1 AS n_unchanged
+FROM v WHERE pv IS NOT NULL
+ORDER BY event_id
+""",
+)
+def cdc_changed_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExtractChangedRecordState differential: synthesize genuine
+    UPDATE envelopes (before = the user's previous (value, event_type)
+    version via lag, after = the current one — the fixture's own
+    deterministic version chain), run the generic SMT, and compare the
+    changed/unchanged column sets the SMT derives against the oracle's
+    lag-recomputation. user_id is the partition key, so it can never
+    appear in ``changed`` — the oracle's impossible first CASE pins
+    that. Output renders the arrays as a comma-joined string (fields
+    are compared in schema order on both sides)."""
+    from .envelope import changed_record_state
+
+    import pyspark.sql.types as T
+
+    schema = T.StructType([
+        T.StructField("user_id", T.LongType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("event_type", T.StringType()),
+    ])
+    ev = table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("event_id")
+    row = F.struct("user_id", "value", "event_type")
+    versioned = (
+        ev.withColumn("before_img", F.lag(row).over(w))
+        .filter(F.col("before_img").isNotNull())
+        .select(
+            F.struct(F.col("event_id").alias("id")).alias("key"),
+            F.struct(
+                F.col("before_img").alias("before"),
+                row.alias("after"),
+                F.lit("u").alias("op"),
+                F.col("event_id").alias("pos"),
+            ).alias("value"),
+        )
+    )
+    out = changed_record_state(versioned, schema)
+    return (
+        out.select(
+            F.col("key.id").alias("event_id"),
+            F.array_join("__changed", ",").alias("changed"),
+            F.size("__unchanged").alias("n_unchanged"),
+        )
+        .orderBy("event_id")
+    )
+
+
+@register(
+    "cdc_unwrap_add_fields",
+    oracle="""
+SELECT event_id, user_id, value,
+       CASE event_type WHEN 'signup' THEN 'c' WHEN 'error' THEN 'd'
+            WHEN 'view' THEN 'r' ELSE 'u' END AS __op,
+       'events' AS __source_table,
+       event_id AS __source_pos,
+       (CASE event_type WHEN 'signup' THEN 'c' WHEN 'error' THEN 'd'
+             WHEN 'view' THEN 'r' ELSE 'u' END = 'r') AS __source_snapshot
+FROM events
+ORDER BY event_id
+""",
+)
+def cdc_unwrap_add_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExtractNewRecordState with ``add.fields = source.table,
+    source.pos, source.snapshot`` (the SMT's metadata-attachment
+    option; Debezium naming: ``__source_table`` etc.). The oracle
+    recomputes every attached field from the fixture's envelope
+    construction rules."""
+    ev = table(spark, sf_dir, "events")
+    env = to_envelope(ev)
+    flat = unwrap(
+        env,
+        add_fields=["source.table", "source.pos", "source.snapshot"],
+    )
+    return flat.select(
+        "event_id", "user_id", "value", "__op",
+        "__source_table", "__source_pos", "__source_snapshot",
+    ).orderBy("event_id")
