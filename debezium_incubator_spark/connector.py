@@ -297,6 +297,27 @@ def snapshot_mode_plan(props: dict[str, str],
     return {"run_snapshot": run_snapshot, "run_stream": run_stream}
 
 
+def apply_skipped_operations(df: DataFrame, props: dict[str, str],
+                             op_col: str = "__op") -> DataFrame:
+    """``skipped.operations`` (public Debezium): comma-separated list
+    of operation types dropped DURING STREAMING — ``c`` (inserts),
+    ``u`` (updates), ``d`` (deletes), ``t`` (truncates); default ``t``;
+    ``none`` disables skipping entirely. Snapshot ``r`` events are not
+    skippable (the option governs streamed changes only, matching the
+    connector docs). One codegen'd NOT-IN filter — free at any scale."""
+    raw = props.get("skipped.operations", "t").strip()
+    if raw == "none" or not raw:
+        return df
+    ops = [o.strip() for o in raw.split(",") if o.strip()]
+    bad = set(ops) - {"c", "u", "d", "t"}
+    if bad:
+        raise ValueError(
+            f"skipped.operations: unknown op(s) {sorted(bad)} "
+            "(allowed: c, u, d, t, none)"
+        )
+    return df.filter(~F.col(op_col).isin(ops))
+
+
 def connector_bootstrap(
     spark: SparkSession,
     props: dict[str, str],
@@ -354,7 +375,9 @@ def connector_bootstrap(
         )
         delivered = out["backfill"]
     if plan["run_stream"]:
-        stream = changes.filter(F.col(pos_col) > snapshot_pos)
+        stream = apply_skipped_operations(
+            changes.filter(F.col(pos_col) > snapshot_pos), props, op_col
+        )
         delivered = (
             stream if delivered is None
             else delivered.unionByName(stream)

@@ -1377,3 +1377,90 @@ def t24_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard", "pos")
     )
+
+
+# --- t25: exact-substring (segment) dedup across the corpus --------------
+
+SUBSTR_DEDUP_K = 5  # words per segment; production ~50-token spans
+
+
+@register(
+    "t25_substring_dedup",
+    oracle=f"""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+), segs AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+         array_to_string(
+           words[(i*{SUBSTR_DEDUP_K}+1):(i*{SUBSTR_DEDUP_K}+{SUBSTR_DEDUP_K})],
+           ' ') AS seg
+  FROM w, unnest(range(0,
+        CAST(ceil(len(words) / {SUBSTR_DEDUP_K}.0) AS BIGINT))) AS t(i)
+), ranked AS (
+  SELECT doc_id, pos, seg,
+         row_number() OVER (PARTITION BY md5(seg)
+                            ORDER BY doc_id, pos) AS rn
+  FROM segs
+)
+SELECT doc_id,
+       count(*) AS n_segments,
+       CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       COALESCE(string_agg(CASE WHEN rn = 1 THEN seg END, ' '
+                           ORDER BY pos), '') AS cleaned
+FROM ranked GROUP BY doc_id ORDER BY doc_id
+""",
+)
+def t25_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring deduplication (the RefinedWeb / C4 cleaning
+    stage: remove text spans that occur verbatim elsewhere in the
+    corpus, keeping only the FIRST occurrence). Documents are segmented
+    into non-overlapping K-word spans; a span occurrence survives iff
+    it is the globally first (min (doc_id, pos)) occurrence of that
+    exact text; each doc is reassembled from its surviving spans.
+
+    Plan: segment expression-level (split + slice inside a transform —
+    no UDF), ONE shuffle partitioned on md5(span) (fixed-width key, not
+    the span text) for the first-occurrence window, then a per-doc
+    aggregate reassembles. Duplicate-heavy spans concentrate on few
+    hash keys, but the window only ranks — per-row work is O(1) and
+    AQE skew-split handles a pathological hot span. No joins, no
+    driver collection; linear in corpus size at any scale."""
+    from pyspark.sql.window import Window as W
+
+    K = SUBSTR_DEDUP_K
+    docs = table(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    nseg = F.ceil(F.size(words) / F.lit(float(K))).cast("int")
+    segs = F.transform(
+        F.sequence(F.lit(0), nseg - 1),
+        lambda i: F.array_join(F.slice(words, i * K + 1, K), " "),
+    )
+    e = docs.select("doc_id", F.posexplode(segs).alias("pos", "seg")).select(
+        "doc_id", F.col("pos").cast("long").alias("pos"), "seg",
+        F.md5("seg").alias("h"),
+    )
+    w = W.partitionBy("h").orderBy("doc_id", "pos")
+    ranked = e.withColumn("rn", F.row_number().over(w))
+    kept_struct = F.when(
+        F.col("rn") == 1, F.struct("pos", "seg")
+    )
+    return (
+        ranked.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_segments"),
+            F.sum((F.col("rn") == 1).cast("long")).alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.filter(
+                            F.collect_list(kept_struct),
+                            lambda x: x.isNotNull(),
+                        )
+                    ),
+                    lambda x: x.seg,
+                ),
+                " ",
+            ).alias("cleaned"),
+        )
+        .orderBy("doc_id")
+    )

@@ -139,3 +139,45 @@ def test_type_handling_modes(spark):
 
     with pytest.raises(ValueError, match="unsupported mode"):
         type_handling_casts(df, {"decimal.handling.mode": "bogus"})
+
+
+def test_skipped_operations(spark):
+    """`skipped.operations` drops the named op types from the streamed
+    phase only: skipping 'd' keeps a deleted key alive in folded state;
+    default ('t') and 'none' change nothing on a c/u/d log; snapshot
+    'r' rows are never skippable; unknown ops raise."""
+    import pytest
+
+    from debezium_incubator_spark.connector import (
+        apply_skipped_operations,
+        connector_bootstrap,
+    )
+
+    log = spark.createDataFrame(
+        [
+            (1, "a", 10, "c"),
+            (1, "a2", 11, "u"),
+            (2, "b", 12, "c"),
+            (2, None, 13, "d"),
+        ],
+        "k INT, v STRING, pos LONG, __op STRING",
+    )
+    # default 't' and 'none' are no-ops on a c/u/d log
+    assert apply_skipped_operations(log, {}).count() == 4
+    assert apply_skipped_operations(
+        log, {"skipped.operations": "none"}).count() == 4
+    # skip deletes → key 2 survives the fold
+    out = connector_bootstrap(
+        spark, {"snapshot.mode": "no_data", "skipped.operations": "d"},
+        log, key="k", pos_col="pos", snapshot_pos=0,
+    )
+    state = {r.k: r.v for r in out["state"].collect()}
+    assert state == {1: "a2", 2: "b"}
+    # without skipping, the delete wins
+    out2 = connector_bootstrap(
+        spark, {"snapshot.mode": "no_data"},
+        log, key="k", pos_col="pos", snapshot_pos=0,
+    )
+    assert {r.k: r.v for r in out2["state"].collect()} == {1: "a2"}
+    with pytest.raises(ValueError, match="skipped.operations"):
+        apply_skipped_operations(log, {"skipped.operations": "d,x"})
