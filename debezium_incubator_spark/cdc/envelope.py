@@ -406,3 +406,42 @@ def position_order(df: DataFrame, connector: str,
     for c in cols:
         df = df.withColumn(f"__pos_{c}", F.col(f"{source_col}.{c}"))
     return [f"__pos_{c}" for c in cols]
+
+
+def attach_transaction_metadata(env: DataFrame,
+                                tx_id) -> DataFrame:
+    """``provide.transaction.metadata`` (public Debezium): when
+    enabled, every change event's envelope gains a ``transaction``
+    block — ``id`` (the transaction identifier), ``total_order``
+    (the event's 1-based position within the transaction) and
+    ``data_collection_order`` (its position among the same table's
+    events in that transaction). ``tx_id`` is a Column mapping each
+    event to its transaction (from the source connector's
+    BEGIN/COMMIT framing; the fixture derives it from positions).
+
+    Both orders are row_numbers over the transaction partitions in
+    source-position order — two window passes sharing one shuffle key
+    family; at scale transactions are small and numerous, so the
+    windows are narrow and skew-free by construction."""
+    from pyspark.sql.window import Window as W
+
+    pos = F.col("value.source.pos")
+    wt = W.partitionBy("__tx_id").orderBy(pos)
+    wd = W.partitionBy("__tx_id", F.col("value.source.table")).orderBy(pos)
+    return (
+        env.withColumn("__tx_id", tx_id)
+        .withColumn(
+            "value",
+            F.col("value").withField(
+                "transaction",
+                F.struct(
+                    F.col("__tx_id").cast("string").alias("id"),
+                    F.row_number().over(wt).cast("long")
+                    .alias("total_order"),
+                    F.row_number().over(wd).cast("long")
+                    .alias("data_collection_order"),
+                ),
+            ),
+        )
+        .drop("__tx_id")
+    )

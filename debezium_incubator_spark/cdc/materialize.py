@@ -799,3 +799,51 @@ def cdc_unwrap_add_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "user_id", "value", "__op",
         "__source_table", "__source_pos", "__source_snapshot",
     ).orderBy("event_id")
+
+
+@register(
+    "cdc_txn_metadata",
+    oracle="""
+WITH e AS (
+  SELECT event_id, user_id, event_id // 100 AS tx,
+         CASE WHEN user_id % 2 = 0 THEN 'events_a'
+              ELSE 'events_b' END AS tbl
+  FROM events
+)
+SELECT event_id, CAST(tx AS VARCHAR) AS tx_id,
+       row_number() OVER (PARTITION BY tx ORDER BY event_id)
+         AS total_order,
+       row_number() OVER (PARTITION BY tx, tbl ORDER BY event_id)
+         AS dc_order
+FROM e ORDER BY event_id
+""",
+)
+def cdc_txn_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``provide.transaction.metadata`` differential: envelopes routed
+    across two logical tables get the transaction block attached
+    (id / total_order / data_collection_order); the oracle recomputes
+    both orders as row_numbers over the same (tx) and (tx, table)
+    partitions. Transactions are position blocks of 100 — small and
+    numerous, the shape the window strategy note in
+    attach_transaction_metadata assumes."""
+    from .envelope import attach_transaction_metadata
+
+    ev = table(spark, sf_dir, "events")
+    uid = F.coalesce("value.after.user_id", "value.before.user_id")
+    env = to_envelope(ev).withColumn(
+        "value",
+        F.col("value").withField(
+            "source.table",
+            F.when(uid % 2 == 0, F.lit("events_a"))
+            .otherwise(F.lit("events_b")),
+        ),
+    )
+    out = attach_transaction_metadata(
+        env, tx_id=F.expr("value.source.pos DIV 100")
+    )
+    return out.select(
+        F.col("key.id").alias("event_id"),
+        F.col("value.transaction.id").alias("tx_id"),
+        F.col("value.transaction.total_order").alias("total_order"),
+        F.col("value.transaction.data_collection_order").alias("dc_order"),
+    ).orderBy("event_id")

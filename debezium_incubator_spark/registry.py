@@ -136,8 +136,14 @@ PRIORITY: list[str] = [
     "k5_udtf_shingles",
     # §2J LLM-pipeline tier (J3/J5 via s1/t1 above)
     "dedup_exact",           # J1
-    "dedup_ngram_jaccard",   # J2 verify stage
-    "sim_knn",               # J4
+    # round-6 recomposition: dedup_ngram_jaccard (J2 verify stage —
+    # stays sweep-oracled; J2 keeps dedup_ngram_capped/dedup_exact in
+    # the window) and sim_knn (J4 — sim_ivf_portable keeps the family's
+    # slot) give their slots to the two round-6 training-pipeline
+    # flagships: SemDeDup over the persisted IVF artifacts and the
+    # exact-substring corpus dedup.
+    "dedup_semantic",        # J2+ SemDeDup (persisted-index differential)
+    "t25_substring_dedup",   # J2+ exact-substring dedup (RefinedWeb)
     # round-3 additions: the two new §2L families (iterative graph /
     # time-series) get audited representatives; the demoted C9/B5 keys
     # remain oracle-checked by the repo sweep.

@@ -92,6 +92,60 @@ def _clusters_capped(spark, sf_dir):
     )
 
 
+def _semdedup_scaled(spark, sf_dir):
+    """dedup_semantic with the quantizer scaled per the SemDeDup rule:
+    nlist ∝ corpus (target cell ≈ 500 vectors), so per-cell pair work
+    stays ~constant as n grows. The registered query pins nlist=16 (the
+    shared IVF audit index) for oracle parity; THIS spelling is what a
+    100 TB deployment runs. Timing includes the index build — the
+    k-means fit is itself part of the op's cost model (fixed iters × n,
+    linear)."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql.window import Window as W
+
+    from debezium_incubator_spark.llm.similarity import (
+        SEMDEDUP_TAU,
+        _vectors,
+        build_ivf_index,
+        dot,
+    )
+
+    v = _vectors(spark, sf_dir)
+    n = v.count()
+    nlist = max(16, n // 500)
+    idx = tempfile.mkdtemp(prefix="semdedup_probe_")
+    try:
+        build_ivf_index(v, idx, nlist=nlist)
+        vecs = spark.read.parquet(os.path.join(idx, "vectors")).select(
+            "vec_id", "v", "nsq",
+            F.col("cluster").cast("bigint").alias("cell"),
+        )
+        a = vecs.select(
+            F.col("vec_id").alias("kept"), F.col("cell").alias("ca"),
+            F.col("v").alias("va"), F.col("nsq").alias("na"),
+        )
+        cos_raw = dot("va", "v") / (F.sqrt("na") * F.sqrt("nsq"))
+        w = W.partitionBy("vec_id").orderBy("kept")
+        return (
+            vecs.join(a, (F.col("ca") == F.col("cell"))
+                      & (F.col("kept") < F.col("vec_id")))
+            .withColumn("cos_raw", cos_raw)
+            .filter(F.col("cos_raw") >= SEMDEDUP_TAU)
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "cell", F.col("kept").alias("dup_of"))
+            .orderBy("vec_id")
+        )
+    finally:
+        # the returned plan is consumed by run_suite's toPandas before
+        # the next call; defer cleanup to atexit to keep this lazy-safe
+        import atexit
+
+        atexit.register(shutil.rmtree, idx, True)
+
+
 # Linear tier: every one of these must scale ~O(n). The threshold is
 # wall-ratio < 15 for 10x data — generous headroom for per-query fixed
 # overhead shifting between regimes (a ratio of 100x would mean a
@@ -113,19 +167,22 @@ LINEAR = [
     "sim_knn",
     "lsh_scaled",
     "sim_ivf_portable",
+    "t25_substring_dedup",
+    "semdedup_scaled",
 ]
 # Labeled quadratic verification baseline — reported, not gated.
 QUADRATIC = ["s1_cosine_topk"]
 
 
-def run_suite(spark, sf_dir: str, queries) -> dict[str, float]:
+def run_suite(spark, sf_dir: str, queries,
+              only: list[str] | None = None) -> dict[str, float]:
     cached = []
     for t in TABLES:
         df = table(spark, sf_dir, t).cache()
         df.count()
         cached.append(df)
     out: dict[str, float] = {}
-    for name in LINEAR + QUADRATIC:
+    for name in only if only is not None else LINEAR + QUADRATIC:
         fn = queries.get(name) or globals()[f"_{name}"]
         # Every sample builds a FRESH plan: re-collecting one DataFrame
         # reuses completed shuffle stages (stage skipping), which times
@@ -154,20 +211,25 @@ def run_suite(spark, sf_dir: str, queries) -> dict[str, float]:
 
 
 def main() -> None:
-    g01 = sys.argv[1] if len(sys.argv) > 1 else os.path.join(
+    args = [a for a in sys.argv[1:] if not a.startswith("--only")]
+    only: list[str] | None = None
+    for a in sys.argv[1:]:
+        if a.startswith("--only="):
+            only = a.split("=", 1)[1].split(",")
+    g01 = args[0] if len(args) > 0 else os.path.join(
         REPO, ".scaleprobe", "g0.1")
-    g1 = sys.argv[2] if len(sys.argv) > 2 else os.path.join(
+    g1 = args[1] if len(args) > 1 else os.path.join(
         REPO, ".scaleprobe", "g1")
     spark = get_spark("scaleprobe")
     spark.sparkContext.setLogLevel("ERROR")
     queries = all_queries()
     print(f"== suite at {g01}", flush=True)
-    t01 = run_suite(spark, g01, queries)
+    t01 = run_suite(spark, g01, queries, only)
     print(f"== suite at {g1}", flush=True)
-    t1 = run_suite(spark, g1, queries)
+    t1 = run_suite(spark, g1, queries, only)
     rows = {}
     violations = []
-    for name in LINEAR + QUADRATIC:
+    for name in only if only is not None else LINEAR + QUADRATIC:
         ratio = t1[name] / t01[name]
         exponent = math.log(ratio) / math.log(10) if ratio > 0 else 0.0
         rows[name] = {
@@ -179,16 +241,28 @@ def main() -> None:
         }
         if name in LINEAR and ratio >= 15:
             violations.append(name)
-    result = {
-        "metric": "scale_probe",
-        "scales": {"g0.1": g01, "g1": g1},
-        "protocol": "cached tables, fresh plan per sample (no stage reuse), 1 discarded warm run, min of 2, engine defaults (AQE on)",
-        "queries": rows,
-        "linear_total_g0.1_sec": round(sum(t01[n] for n in LINEAR), 3),
-        "linear_total_g1_sec": round(sum(t1[n] for n in LINEAR), 3),
-        "linear_violations_ratio_ge_15": violations,
-    }
-    with open(os.path.join(REPO, "SCALEPROBE.json"), "w") as f:
+    out_path = os.path.join(REPO, "SCALEPROBE.json")
+    if only is not None:
+        # merge mode: update only the probed entries in the existing
+        # report (new queries added after a full run)
+        with open(out_path) as f:
+            result = json.load(f)
+        result["queries"].update(rows)
+        result["linear_violations_ratio_ge_15"] = sorted(
+            set(result.get("linear_violations_ratio_ge_15", []))
+            | set(violations)
+        )
+    else:
+        result = {
+            "metric": "scale_probe",
+            "scales": {"g0.1": g01, "g1": g1},
+            "protocol": "cached tables, fresh plan per sample (no stage reuse), 1 discarded warm run, min of 2, engine defaults (AQE on)",
+            "queries": rows,
+            "linear_total_g0.1_sec": round(sum(t01[n] for n in LINEAR), 3),
+            "linear_total_g1_sec": round(sum(t1[n] for n in LINEAR), 3),
+            "linear_violations_ratio_ge_15": violations,
+        }
+    with open(out_path, "w") as f:
         json.dump(result, f, indent=1)
     print(json.dumps(result))
     if violations:
