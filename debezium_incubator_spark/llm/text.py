@@ -1464,3 +1464,78 @@ def t25_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --- t26: tokenizer vocab coverage / OOV rate ----------------------------
+
+VOCAB_N = 500
+
+
+@register(
+    "t26_vocab_coverage",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+), vocab AS (
+  SELECT tok FROM (
+    SELECT tok, row_number() OVER (ORDER BY count(*) DESC, tok) AS rn
+    FROM toks GROUP BY tok
+  ) WHERE rn <= {VOCAB_N}
+)
+SELECT t.doc_id,
+       count(*) AS n_tokens,
+       CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_oov,
+       floor((CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END)
+                AS DOUBLE) / count(*)) * 10000 + 0.5)
+         / CAST(10000 AS DOUBLE) AS oov_rate
+FROM toks t LEFT JOIN vocab v ON t.tok = v.tok
+GROUP BY t.doc_id ORDER BY t.doc_id
+""",
+)
+def t26_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer vocabulary coverage (the pre-training fit check: what
+    fraction of each document falls outside a fixed-size vocabulary?).
+    The vocab is DERIVED in-query — the top VOCAB_N tokens by corpus
+    frequency (count DESC, token ASC tie-break, the deterministic-LIMIT
+    rule) — then every token is membership-tested against it.
+
+    Plan: token frequency is one shuffled agg; the vocab (≤ VOCAB_N
+    rows — KBs at ANY corpus size) is broadcast for a map-side LEFT
+    join, so the membership test costs zero extra shuffles; the per-doc
+    agg shuffles on doc_id. At 100 TB the vocab side stays constant
+    size — the broadcast never grows with the corpus, and a real
+    deployment would pass a persisted tokenizer vocab instead of
+    deriving it (same plan from the join onward). oov_rate is an
+    integer-derived ratio → round4x-style tie-free rounding."""
+    from ..exprs import round4x
+
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    )
+    # top-N via orderBy+limit → TakeOrderedAndProject (per-partition
+    # partial top-K, no single-partition global window — the vocab
+    # derivation stays distributed over millions of distinct tokens)
+    vocab = (
+        toks.groupBy("tok").agg(F.count("*").alias("c"))
+        .orderBy(F.desc("c"), F.asc("tok"))
+        .limit(VOCAB_N)
+        .select(F.col("tok").alias("vtok"))
+    )
+    joined = toks.join(
+        F.broadcast(vocab), toks.tok == vocab.vtok, "left"
+    )
+    oov = F.sum(F.col("vtok").isNull().cast("long"))
+    return (
+        joined.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            oov.alias("n_oov"),
+        )
+        .select(
+            "doc_id", "n_tokens", "n_oov",
+            round4x("CAST(n_oov AS DOUBLE) / n_tokens").alias("oov_rate"),
+        )
+        .orderBy("doc_id")
+    )

@@ -413,3 +413,74 @@ def test_incremental_snapshot_reconciles_under_any_watermarks(
     pd.testing.assert_frame_equal(
         got, want, check_dtype=False, check_exact=False, atol=1e-6
     )
+
+
+# --- ExtractChangedRecordState: changed set == python reference ----------
+
+_IMG = st.one_of(
+    st.none(),
+    st.fixed_dictionaries(
+        {
+            "a": st.one_of(st.none(), st.integers(-3, 3)),
+            "b": st.one_of(st.none(), st.sampled_from(["x", "y", "z"])),
+        }
+    ),
+)
+_EVENTS = st.lists(st.tuples(_IMG, _IMG), min_size=1, max_size=12)
+
+
+@settings(max_examples=12, deadline=None)
+@given(_EVENTS)
+def test_changed_record_state_matches_python_reference(spark, events):
+    """For ANY before/after image pair (including NULL images and NULL
+    fields), the SMT's changed set equals the python reference
+    (field changed iff not null-safe-equal) and __unchanged is its
+    exact complement in schema order."""
+    import pyspark.sql.types as T
+
+    from debezium_incubator_spark.cdc.envelope import changed_record_state
+
+    row_schema = T.StructType(
+        [T.StructField("a", T.LongType()), T.StructField("b", T.StringType())]
+    )
+    rows = [
+        (
+            {"id": i},
+            {
+                "before": b,
+                "after": a,
+                "op": "u",
+            },
+        )
+        for i, (b, a) in enumerate(events)
+    ]
+    env_schema = T.StructType(
+        [
+            T.StructField(
+                "key",
+                T.StructType([T.StructField("id", T.LongType())]),
+            ),
+            T.StructField(
+                "value",
+                T.StructType(
+                    [
+                        T.StructField("before", row_schema),
+                        T.StructField("after", row_schema),
+                        T.StructField("op", T.StringType()),
+                    ]
+                ),
+            ),
+        ]
+    )
+    env = spark.createDataFrame(rows, env_schema)
+    got = {
+        r.key.id: (list(r["__changed"]), list(r["__unchanged"]))
+        for r in changed_record_state(env, row_schema).collect()
+    }
+    for i, (b, a) in enumerate(events):
+        expected = [
+            n for n in ("a", "b")
+            if (b.get(n) if b else None) != (a.get(n) if a else None)
+        ]
+        assert got[i][0] == expected, (i, b, a)
+        assert got[i][1] == [n for n in ("a", "b") if n not in expected]
