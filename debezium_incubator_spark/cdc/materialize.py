@@ -847,3 +847,81 @@ def cdc_txn_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("value.transaction.total_order").alias("total_order"),
         F.col("value.transaction.data_collection_order").alias("dc_order"),
     ).orderBy("event_id")
+
+
+@register(
+    "cdc_connect_decimal_wire",
+    oracle="""
+WITH src AS (
+  SELECT l_orderkey, l_linenumber,
+         CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS unscaled
+  FROM lineitem
+), hexed AS (
+  SELECT l_orderkey, l_linenumber, unscaled,
+         CASE WHEN length(to_hex(unscaled)) % 2 = 1
+              THEN '0' || to_hex(unscaled) ELSE to_hex(unscaled) END AS h0
+  FROM src
+), framed AS (
+  SELECT l_orderkey, l_linenumber, unscaled,
+         CASE WHEN substr(h0, 1, 1) IN ('8','9','A','B','C','D','E','F')
+              THEN '00' || h0 ELSE h0 END AS h
+  FROM hexed
+), wire AS (
+  SELECT l_orderkey, l_linenumber, unscaled, h,
+         to_base64(from_hex(h)) AS wire_b64
+  FROM framed
+)
+SELECT l_orderkey, l_linenumber, unscaled, wire_b64,
+       (ltrim(to_hex(from_base64(wire_b64)), '0') = ltrim(h, '0'))
+         AS decoded_ok
+FROM wire
+ORDER BY l_orderkey, l_linenumber, unscaled
+LIMIT 2000
+""",
+)
+def cdc_connect_decimal_wire(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kafka Connect ``Decimal`` wire encoding — what Debezium's
+    ``decimal.handling.mode=precise`` (the default) actually puts in a
+    JSON payload: base64 of the minimal BIG-ENDIAN two's-complement
+    unscaled value, scale carried in the schema. Encoding rules proven
+    here: minimal hex (no leading zeros), left-pad to whole bytes, and
+    a 00 sign byte whenever the top bit would read as negative —
+    exactly BigInteger.toByteArray(). ``decoded_ok`` closes the loop:
+    the wire bytes parse back to the original unscaled value (string-
+    level round trip, engine-portable).
+
+    The unscaled derivation floor(x*100+0.5) is the tie-free IEEE
+    rounding both engines compute bit-identically (double→DECIMAL casts
+    round half-up in Spark but half-even in DuckDB — the same boundary
+    the round4x invariant exists for). All expression-level: conv /
+    hex / unhex / base64 are codegen'd built-ins, zero UDFs."""
+    li = table(spark, sf_dir, "lineitem")
+    u = F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("bigint")
+    h0 = F.upper(F.conv(u.cast("string"), 10, 16))
+    h0 = F.when(F.length(h0) % 2 == 1, F.concat(F.lit("0"), h0)).otherwise(h0)
+    h = F.when(
+        F.substring(h0, 1, 1).isin(list("89ABCDEF")),
+        F.concat(F.lit("00"), h0),
+    ).otherwise(h0)
+    out = li.select(
+        "l_orderkey", "l_linenumber",
+        u.alias("unscaled"),
+        h.alias("h"),
+        F.base64(F.unhex(h)).alias("wire_b64"),
+    )
+    decoded_ok = (
+        F.ltrim(F.upper(F.hex(F.unbase64("wire_b64"))), F.lit("0"))
+        == F.ltrim(F.col("h"), F.lit("0"))
+    )
+    return (
+        out.select(
+            "l_orderkey", "l_linenumber", "unscaled", "wire_b64",
+            decoded_ok.alias("decoded_ok"),
+        )
+        # (l_orderkey, l_linenumber) is NOT unique in the fixture —
+        # unscaled completes the deterministic-LIMIT tie-break (rows
+        # identical on all three are fully interchangeable: wire_b64 /
+        # decoded_ok are functions of unscaled)
+        .orderBy("l_orderkey", "l_linenumber", "unscaled")
+        .limit(2000)
+    )
