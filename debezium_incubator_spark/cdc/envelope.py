@@ -445,3 +445,21 @@ def attach_transaction_metadata(env: DataFrame,
         )
         .drop("__tx_id")
     )
+
+
+def emit_tombstones(env: DataFrame) -> DataFrame:
+    """``tombstones.on.delete=true`` (the Debezium default): after every
+    delete event the connector emits a second record with the SAME key
+    and a NULL value, so compacted Kafka topics eventually drop the key
+    entirely. Consumers see ``value IS NULL`` rows (parse_envelope
+    already preserves them); sinks that don't want them disable the
+    config or drop them in the unwrap (which filters NULL values).
+
+    Implementation: a filtered union — one extra pass over only the
+    delete events (map-side, no shuffle), ordered after their delete by
+    the (pos, is_tombstone) sort key the consumer contract specifies."""
+    tomb = (
+        env.filter(F.col("value.op") == "d")
+        .withColumn("value", F.lit(None).cast(env.schema["value"].dataType))
+    )
+    return env.unionByName(tomb)

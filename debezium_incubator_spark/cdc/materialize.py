@@ -925,3 +925,38 @@ def cdc_connect_decimal_wire(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("l_orderkey", "l_linenumber", "unscaled")
         .limit(2000)
     )
+
+
+@register(
+    "cdc_tombstones",
+    oracle="""
+WITH env AS (
+  SELECT event_id,
+         CASE event_type WHEN 'signup' THEN 'c' WHEN 'error' THEN 'd'
+              WHEN 'view' THEN 'r' ELSE 'u' END AS op
+  FROM events
+)
+SELECT event_id, op, 0 AS is_tombstone FROM env
+UNION ALL
+SELECT event_id, NULL AS op, 1 AS is_tombstone FROM env WHERE op = 'd'
+ORDER BY event_id, is_tombstone
+""",
+)
+def cdc_tombstones(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``tombstones.on.delete`` differential: every delete is followed
+    by a same-key NULL-value record; the oracle rebuilds the stream as
+    the UNION ALL of all events plus one tombstone per delete. The
+    is_tombstone flag doubles as the within-key order column (the
+    tombstone sorts after its delete)."""
+    from .envelope import emit_tombstones
+
+    ev = table(spark, sf_dir, "events")
+    out = emit_tombstones(to_envelope(ev))
+    return (
+        out.select(
+            F.col("key.id").alias("event_id"),
+            F.col("value.op").alias("op"),
+            F.col("value").isNull().cast("int").alias("is_tombstone"),
+        )
+        .orderBy("event_id", "is_tombstone")
+    )
