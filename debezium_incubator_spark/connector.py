@@ -169,12 +169,21 @@ def transform_chain(df: DataFrame, props: dict[str, str]) -> DataFrame:
         ttype = t.get("type", "")
         if ttype.endswith("ExtractNewRecordState"):
             meta = [c for c in df.columns if c not in ("key", "value")]
+            add = [p.strip() for p in t.get("add.fields", "").split(",")
+                   if p.strip()]
             df = unwrap(
                 df,
                 drop_deletes=t.get("delete.handling.mode", "drop") == "drop"
                 and t.get("drop.tombstones", "true") == "true",
                 passthrough=meta,
+                add_fields=add or None,
             )
+        elif ttype.endswith("ExtractChangedRecordState"):
+            from .cdc.envelope import changed_record_state
+
+            # row schema introspected from the envelope's after image
+            after = df.schema["value"].dataType["after"].dataType
+            df = changed_record_state(df, after)
         elif ttype.endswith("Filter"):
             df = df.filter(F.expr(t["condition"]))
         elif ttype.endswith("RegexRouter"):

@@ -181,3 +181,43 @@ def test_skipped_operations(spark):
     assert {r.k: r.v for r in out2["state"].collect()} == {1: "a2"}
     with pytest.raises(ValueError, match="skipped.operations"):
         apply_skipped_operations(log, {"skipped.operations": "d,x"})
+
+
+def test_transform_chain_new_smts(spark):
+    """Config-driven chain supports add.fields on ExtractNewRecordState
+    and the ExtractChangedRecordState type (row schema introspected
+    from the envelope), equal to direct composition."""
+    from debezium_incubator_spark.cdc.envelope import (
+        EVENT_ROW_SCHEMA,
+        changed_record_state,
+        to_envelope,
+        unwrap,
+    )
+    from debezium_incubator_spark.connector import transform_chain
+
+    ev = table(spark, SF_SMOKE, "events").limit(200)
+    env = to_envelope(ev)
+
+    props = {
+        "transforms": "unwrap",
+        "transforms.unwrap.type": "io.debezium.transforms.ExtractNewRecordState",
+        "transforms.unwrap.add.fields": "source.table, source.pos",
+    }
+    got = transform_chain(env, props)
+    want = unwrap(env, drop_deletes=True,
+                  add_fields=["source.table", "source.pos"])
+    assert got.columns == want.columns
+    assert "__source_table" in got.columns
+    assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+
+    props2 = {
+        "transforms": "delta",
+        "transforms.delta.type":
+            "io.debezium.transforms.ExtractChangedRecordState",
+    }
+    got2 = transform_chain(env, props2)
+    want2 = changed_record_state(env, EVENT_ROW_SCHEMA)
+    assert got2.columns == want2.columns
+    a = {r.key.id: list(r["__changed"]) for r in got2.collect()}
+    b = {r.key.id: list(r["__changed"]) for r in want2.collect()}
+    assert a == b
