@@ -463,3 +463,45 @@ def emit_tombstones(env: DataFrame) -> DataFrame:
         .withColumn("value", F.lit(None).cast(env.schema["value"].dataType))
     )
     return env.unionByName(tomb)
+
+
+def parse_envelope_dlq(
+    raw: DataFrame, row_schema: T.StructType
+) -> tuple[DataFrame, DataFrame]:
+    """Kafka Connect error handling (``errors.tolerance=all`` +
+    ``errors.deadletterqueue.topic.name``): a record whose value fails
+    to parse must NOT stop the pipeline — it routes to a dead-letter
+    queue with the raw bytes intact for replay, while well-formed
+    records flow on.
+
+    Returns ``(good, dlq)``: ``good`` is the typed envelope frame
+    (tombstones — NULL values — are well-formed and stay); ``dlq``
+    carries the ORIGINAL key/value strings plus an ``__error`` column.
+    Malformed detection uses the parser's own corrupt-record contract
+    (``columnNameOfCorruptRecord``): PERMISSIVE ``from_json`` never
+    yields a NULL struct for bad input — it yields all-null FIELDS,
+    indistinguishable from a legitimately sparse record — so the
+    corrupt column is the only reliable signal. Both frames share one
+    pass over the source — the split is two filters on the same
+    projection, no duplicate parse."""
+    sch = envelope_schema(row_schema).add("_corrupt", T.StringType())
+    parsed = raw.select(
+        F.col("key"),
+        F.col("value"),
+        F.from_json(
+            F.col("value").cast("string"), sch,
+            {"columnNameOfCorruptRecord": "_corrupt"},
+        ).alias("_v"),
+    )
+    bad = F.col("value").isNotNull() & F.col("_v._corrupt").isNotNull()
+    key_schema = T.StructType([T.StructField("id", T.LongType())])
+    good = parsed.filter(~bad).select(
+        F.from_json(F.col("key").cast("string"), key_schema).alias("key"),
+        F.col("_v").dropFields("_corrupt").alias("value"),
+    )
+    dlq = parsed.filter(bad).select(
+        "key",
+        "value",
+        F.lit("envelope value failed to parse").alias("__error"),
+    )
+    return good, dlq

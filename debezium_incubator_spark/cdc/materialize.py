@@ -960,3 +960,41 @@ def cdc_tombstones(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id", "is_tombstone")
     )
+
+
+@register(
+    "cdc_dlq_routing",
+    oracle="""
+SELECT event_id,
+       CASE WHEN event_id % 20 = 0 THEN 'dlq' ELSE 'ok' END AS route
+FROM events
+ORDER BY event_id
+""",
+)
+def cdc_dlq_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DLQ differential: every 20th record's value is corrupted
+    (truncated mid-token — invalid JSON) before the parse;
+    ``parse_envelope_dlq`` must route exactly those to the DLQ and
+    parse the rest. The oracle states the corruption rule directly; the
+    union of both routes keyed back to event_id proves no record is
+    lost or double-routed (the key stays parseable on DLQ rows — the
+    Connect contract keeps raw bytes for replay)."""
+    from .envelope import parse_envelope_dlq
+
+    ev = table(spark, sf_dir, "events")
+    wire = to_envelope(ev, as_json=True)
+    key_id = F.get_json_object("key", "$.id").cast("bigint")
+    corrupted = wire.withColumn(
+        "value",
+        F.when(key_id % 20 == 0, F.substring("value", 1, 10))
+        .otherwise(F.col("value")),
+    )
+    good, dlq = parse_envelope_dlq(corrupted, EVENT_ROW_SCHEMA)
+    ok_rows = good.select(
+        F.col("key.id").alias("event_id"), F.lit("ok").alias("route")
+    )
+    dlq_rows = dlq.select(
+        F.get_json_object("key", "$.id").cast("bigint").alias("event_id"),
+        F.lit("dlq").alias("route"),
+    )
+    return ok_rows.unionByName(dlq_rows).orderBy("event_id")
