@@ -1539,3 +1539,57 @@ def t26_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --- t27: unigram LM negative-log-likelihood (perplexity proxy) ----------
+
+
+@register(
+    "t27_unigram_logprob",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+), freq AS (
+  SELECT tok, count(*) AS c FROM toks GROUP BY tok
+), tot AS (
+  SELECT CAST(sum(c) AS DOUBLE) AS n FROM freq
+)
+SELECT t.doc_id,
+       count(*) AS n_tokens,
+       ROUND(-sum(ln(CAST(f.c AS DOUBLE) / tot.n)) / count(*), 4)
+         AS avg_nll
+FROM toks t JOIN freq f ON t.tok = f.tok CROSS JOIN tot
+GROUP BY t.doc_id ORDER BY t.doc_id
+""",
+)
+def t27_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document unigram negative log-likelihood — the CCNet-style
+    perplexity signal used to bucket web text by LM fit (here the LM is
+    the corpus's own unigram distribution, so the whole statistic is
+    recomputable in SQL: p(w) = count(w)/total, score = −mean ln p).
+
+    Plan: one token-frequency agg, then the scoring equi-join of the
+    token stream against the frequency table — the standard LM-scoring
+    shape (at 100 TB the frequency side is vocab-sized; Zipf skew on
+    hot tokens is absorbed by AQE skew-split, and the per-doc agg is a
+    map-side-combining hash agg on doc_id). The corpus total rides in
+    as a literal (one control-plane scalar job, same as t2's N).
+    Parity: ln on bit-identical doubles (tfidf/PSI precedent); the
+    per-doc double sum reorder drift (~1e-13) sits far below ROUND 4dp
+    except on measure-zero boundaries."""
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    )
+    freq = toks.groupBy("tok").agg(F.count("*").alias("c"))
+    total = float(freq.agg(F.sum("c")).first()[0])
+    p = F.col("c").cast("double") / F.lit(total)
+    return (
+        toks.join(freq, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(-F.sum(F.log(p)) / F.count("*"), 4).alias("avg_nll"),
+        )
+        .orderBy("doc_id")
+    )
