@@ -395,3 +395,123 @@ def test_stream_stream_left_outer_emits_unmatched(spark, tmp_path):
         for r in spark.read.parquet(dirs["out"]).filter(F.col("k") < 900).collect()
     }
     assert got == {1: (101, 201), 2: (102, None)}
+
+
+def test_dlq_streaming_twin(spark, tmp_path):
+    """The DLQ split is plan-level: the same parse_envelope_dlq inside
+    foreachBatch writes malformed records to a dead-letter directory
+    while good records flow on — record counts conserved, DLQ rows keep
+    the raw value bytes for replay (the Connect contract)."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from debezium_incubator_spark.cdc.envelope import (
+        EVENT_ROW_SCHEMA,
+        parse_envelope_dlq,
+        to_envelope,
+    )
+    from debezium_incubator_spark.catalog import table as cat_table
+
+    from .conftest import SF_SMOKE
+
+    wire = to_envelope(
+        cat_table(spark, SF_SMOKE, "events").limit(100), as_json=True
+    )
+    key_id = F.get_json_object("key", "$.id").cast("bigint")
+    corrupted = wire.withColumn(
+        "value",
+        F.when(key_id % 10 == 0, F.substring("value", 1, 7))
+        .otherwise(F.col("value")),
+    )
+    src = tmp_path / "wire"
+    src.mkdir()
+    corrupted.coalesce(1).write.json(str(src / "b0"))
+    raw = spark.readStream.schema("key STRING, value STRING").json(
+        str(src / "b0")
+    )
+    dlq_dir = tmp_path / "dlq"
+    dlq_dir.mkdir()
+    counts = {"good": 0}
+
+    def on_batch(batch_df, bid):
+        good, dlq = parse_envelope_dlq(batch_df, EVENT_ROW_SCHEMA)
+        counts["good"] += good.count()
+        dlq.write.mode("append").json(str(dlq_dir / "out"))
+
+    q = (
+        raw.writeStream.foreachBatch(on_batch)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    dlq_rows = spark.read.json(str(dlq_dir / "out")).collect()
+    assert counts["good"] == 90 and len(dlq_rows) == 10
+    # raw bytes preserved: every DLQ value is the 7-char truncation and
+    # the key still parses for replay targeting
+    for r in dlq_rows:
+        assert len(r.value) == 7 and r["__error"]
+        assert json.loads(r.key)["id"] % 10 == 0
+
+
+def test_smt_pipeline_capstone(spark):
+    """Round-6 composition: tombstones emitted after deletes, the
+    config-driven SMT chain (unwrap + add.fields) drops them and
+    attaches source metadata, skipped.operations removes deletes from
+    the streamed phase, and the surviving events fold to the same state
+    as folding the original log with deletes skipped."""
+    from pyspark.sql import functions as F
+
+    from debezium_incubator_spark.catalog import table as cat_table
+    from debezium_incubator_spark.cdc.envelope import (
+        emit_tombstones,
+        to_envelope,
+    )
+    from debezium_incubator_spark.cdc.materialize import materialize_latest
+    from debezium_incubator_spark.connector import (
+        apply_skipped_operations,
+        transform_chain,
+    )
+
+    from .conftest import SF_SMOKE
+
+    ev = cat_table(spark, SF_SMOKE, "events").limit(500)
+    env = emit_tombstones(to_envelope(ev))
+    flat = transform_chain(
+        env,
+        {
+            "transforms": "unwrap",
+            "transforms.unwrap.type":
+                "io.debezium.transforms.ExtractNewRecordState",
+            "transforms.unwrap.add.fields": "source.pos",
+            # keep deletes in the flatten; skipped.operations removes
+            # them downstream — proving the two knobs compose
+            "transforms.unwrap.delete.handling.mode": "rewrite",
+        },
+    )
+    assert "__source_pos" in flat.columns
+    streamed = apply_skipped_operations(
+        flat, {"skipped.operations": "d"}, op_col="__op"
+    )
+    state = materialize_latest(
+        streamed.select("user_id", "value", "__pos", "__op"),
+        keys=["user_id"], position=["__pos"],
+    )
+    # reference: fold the original events with deletes dropped entirely
+    ref = materialize_latest(
+        ev.select(
+            "user_id", "value",
+            F.col("event_id").alias("__pos"),
+            F.expr(
+                "CASE event_type WHEN 'signup' THEN 'c' WHEN 'error' "
+                "THEN 'd' WHEN 'view' THEN 'r' ELSE 'u' END"
+            ).alias("__op"),
+        ).filter(F.col("__op") != "d"),
+        keys=["user_id"], position=["__pos"],
+    )
+    got = {(r.user_id, r.value, r["__pos"]) for r in
+           state.select("user_id", "value", "__pos").collect()}
+    want = {(r.user_id, r.value, r["__pos"]) for r in
+            ref.select("user_id", "value", "__pos").collect()}
+    assert got == want and got
