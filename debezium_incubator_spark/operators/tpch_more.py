@@ -655,3 +655,40 @@ def q21_sole_returner(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("numwait"), "s_name")
         .limit(25)
     )
+
+
+# --- Q6: forecast revenue change (filtered scalar aggregate) --------------
+
+@register(
+    "q6_forecast_revenue",
+    oracle=f"""
+SELECT {oracle_money_sum("l_extendedprice * l_discount", "revenue")},
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+""",
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6: the canonical predicate-pushdown showcase — a pure
+    filtered scalar aggregate with no join and no group key. All four
+    predicates reach the parquet scan (PushedFilters) and the aggregate
+    is a two-phase partial/final with a single scalar exchange; at
+    100 TB this query is I/O-bound exactly as it should be (min/max row
+    group stats prune on l_shipdate). Revenue uses the fixed-point
+    money-sum (order-insensitive, engine-exact); window 1996 because
+    the fixture ships 1995+."""
+    li = table(spark, sf_dir, "lineitem")
+    f = li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return f.agg(
+        money_sum("l_extendedprice * l_discount", "revenue"),
+        F.count("*").alias("n_lines"),
+    )
