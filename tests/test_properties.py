@@ -484,3 +484,63 @@ def test_changed_record_state_matches_python_reference(spark, events):
         ]
         assert got[i][0] == expected, (i, b, a)
         assert got[i][1] == [n for n in ("a", "b") if n not in expected]
+
+
+# --- DLQ routing: conservation + raw-byte preservation -------------------
+
+_WIRE = st.lists(
+    st.tuples(
+        st.integers(0, 50),                      # key id
+        st.sampled_from(["ok", "truncated", "garbage", "tombstone"]),
+    ),
+    min_size=1,
+    max_size=15,
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(_WIRE)
+def test_dlq_split_conserves_records(spark, wire):
+    """For ANY mix of well-formed values, truncated JSON, non-JSON
+    garbage, and tombstones: good + dlq partitions the input exactly
+    (no loss, no double-routing), tombstones stay good, and every DLQ
+    row preserves its original raw value."""
+    import json
+
+    from debezium_incubator_spark.cdc.envelope import (
+        EVENT_ROW_SCHEMA,
+        envelope_schema,
+        parse_envelope_dlq,
+    )
+
+    def value_for(kind, i):
+        good = json.dumps(
+            {"after": {"event_id": i, "user_id": 1, "value": 0.5},
+             "op": "c", "ts_ms": 1}
+        )
+        return {
+            "ok": good,
+            "truncated": good[:9],
+            "garbage": "!!not-json!!",
+            "tombstone": None,
+        }[kind]
+
+    rows = [
+        (json.dumps({"id": i}), value_for(kind, i))
+        for i, kind in wire
+    ]
+    raw = spark.createDataFrame(rows, "key STRING, value STRING")
+    good, dlq = parse_envelope_dlq(raw, EVENT_ROW_SCHEMA)
+    n_bad_expected = sum(1 for _, k in wire if k in ("truncated", "garbage"))
+    g, d = good.collect(), dlq.collect()
+    assert len(g) + len(d) == len(wire)
+    assert len(d) == n_bad_expected
+    # tombstones route good with NULL value
+    assert sum(1 for r in g if r.value is None) == sum(
+        1 for _, k in wire if k == "tombstone"
+    )
+    originals = {v for _, v in
+                 ((i, value_for(k, i)) for i, k in wire)
+                 if v is not None}
+    for r in d:
+        assert r.value in originals and r["__error"]
