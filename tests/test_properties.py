@@ -544,3 +544,67 @@ def test_dlq_split_conserves_records(spark, wire):
                  if v is not None}
     for r in d:
         assert r.value in originals and r["__error"]
+
+
+# --- transaction metadata block: order invariants ------------------------
+
+_TXN_EVENTS = st.lists(
+    st.tuples(
+        st.integers(0, 3),                    # tx id
+        st.integers(0, 99),                   # pos (deduped below)
+        st.sampled_from(["ta", "tb"]),        # data collection
+    ),
+    min_size=1,
+    max_size=20,
+).map(lambda rows: list({r[1]: r for r in rows}.values()))  # unique pos
+
+
+@settings(max_examples=12, deadline=None)
+@given(_TXN_EVENTS)
+def test_attach_transaction_metadata_invariants(spark, events):
+    """For ANY assignment of events to transactions and tables:
+    total_order is a 1..n permutation per tx in position order,
+    data_collection_order likewise per (tx, table), and
+    dc_order ≤ total_order always (a table's k-th event is at least
+    the k-th event of its transaction)."""
+    import pyspark.sql.types as T
+
+    from debezium_incubator_spark.cdc.envelope import (
+        attach_transaction_metadata,
+    )
+
+    env_schema = T.StructType([
+        T.StructField("key", T.StructType([T.StructField("id", T.LongType())])),
+        T.StructField("value", T.StructType([
+            T.StructField("source", T.StructType([
+                T.StructField("table", T.StringType()),
+                T.StructField("pos", T.LongType()),
+            ])),
+            T.StructField("op", T.StringType()),
+        ])),
+    ])
+    rows = [
+        ({"id": tx}, {"source": {"table": tbl, "pos": pos}, "op": "c"})
+        for tx, pos, tbl in events
+    ]
+    env = spark.createDataFrame(rows, env_schema)
+    out = attach_transaction_metadata(
+        env, tx_id=F.col("key.id")
+    ).select(
+        F.col("key.id").alias("tx"),
+        F.col("value.source.table").alias("tbl"),
+        F.col("value.source.pos").alias("pos"),
+        F.col("value.transaction.total_order").alias("to"),
+        F.col("value.transaction.data_collection_order").alias("dco"),
+        F.col("value.transaction.id").alias("txid"),
+    ).collect()
+    assert all(r.txid == str(r.tx) for r in out)
+    assert all(r.dco <= r.to for r in out)
+    by_tx: dict = {}
+    by_txtbl: dict = {}
+    for r in out:
+        by_tx.setdefault(r.tx, []).append((r.pos, r.to))
+        by_txtbl.setdefault((r.tx, r.tbl), []).append((r.pos, r.dco))
+    for grp in list(by_tx.values()) + list(by_txtbl.values()):
+        grp.sort()
+        assert [o for _, o in grp] == list(range(1, len(grp) + 1))
