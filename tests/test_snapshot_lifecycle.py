@@ -940,3 +940,64 @@ def test_source_table_signal_channel_streams(spark, tmp_path):
     )
     q.awaitTermination(120)
     assert seen == ["s-1"]
+
+
+def test_source_table_signal_triggers_snapshot_e2e(spark, tmp_path):
+    """Full source-channel loop: an execute-snapshot row INSERTed into
+    the signal collection rides the same JSON wire as data events; the
+    extractor lifts exactly it, dispatch routes through the real
+    handler, and the resulting blocking delivery folds to the captured
+    table's latest state — signal-in-the-log → snapshot-out, end to
+    end."""
+    import json as _json
+
+    from debezium_incubator_spark.cdc.incremental_snapshot import (
+        resolve_blocking_delivery,
+    )
+    from debezium_incubator_spark.cdc.signals import (
+        SignalLedger,
+        signals_from_change_stream,
+    )
+    from debezium_incubator_spark.cdc.snapshot_lifecycle import (
+        make_execute_snapshot_handler,
+    )
+
+    ch = _changes(spark).cache()
+    max_pos = ch.agg(F.max("pos")).first()[0]
+    sources = {"db.t": {
+        "changes": ch, "key": "user_id", "pos_col": "pos",
+        "blocking_window": (int(max_pos * 0.6), int(max_pos * 0.8)),
+    }}
+    # the wire: data events on db.t plus ONE signal insert; only the
+    # signal row may reach dispatch
+    wire_rows = [
+        (_json.dumps({"after": {"id": str(i), "type": "x", "data": "y"},
+                      "source": {"table": "db.t"}, "op": "c"}),)
+        for i in range(5)
+    ] + [
+        (_json.dumps({
+            "after": {"id": "sig-e2e", "type": "execute-snapshot",
+                      "data": _json.dumps({
+                          "data-collections": ["db.t"],
+                          "type": "blocking"})},
+            "source": {"table": "dbz.signal"}, "op": "c"}),),
+    ]
+    wire = spark.createDataFrame(wire_rows, "value STRING")
+    results = {}
+    handler = make_execute_snapshot_handler(
+        spark, sources, str(tmp_path / "w"), results=results
+    )
+    acts = dispatch_signals(
+        signals_from_change_stream(wire, "dbz.signal"),
+        handlers={"execute-snapshot": handler},
+        ledger=SignalLedger(str(tmp_path / "ledger")),
+    )
+    assert [a["id"] for a in acts] == ["sig-e2e"] and acts[0]["handled"]
+    state = resolve_blocking_delivery(
+        results["sig-e2e"]["deliveries"]["db.t"], "user_id", "pos"
+    )
+    want = materialize_latest(ch, ["user_id"], ["pos"])
+    assert {r.user_id: r.value for r in state.collect()} == {
+        r.user_id: r.value for r in want.collect()
+    }
+    ch.unpersist()
