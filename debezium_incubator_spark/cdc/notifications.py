@@ -65,3 +65,57 @@ class NotificationChannel:
 
     def to_df(self, spark: SparkSession) -> DataFrame:
         return spark.createDataFrame(self._rows, NOTIFICATION_SCHEMA)
+
+
+class FileNotificationChannel(NotificationChannel):
+    """Durable 'sink' channel (public Debezium's
+    ``notification.enabled.channels=sink`` writes notifications to a
+    topic; the offline twin is an fsync'd jsonlines file — same
+    append-only, consumer-tails-it contract as the signal ledger).
+    Sequence ids continue across restarts: a fresh channel over an
+    existing file resumes numbering after the last persisted id, so a
+    consumer's dedup key stays globally unique per path."""
+
+    def __init__(self, path: str) -> None:
+        import json
+        import os
+
+        super().__init__()
+        self.path = path
+        self._base = 0
+        if os.path.exists(path):
+            with open(path) as fh:
+                for ln in fh:
+                    if ln.strip():
+                        self._base += 1
+                        self._rows.append(tuple(
+                            json.loads(ln)[k] for k in (
+                                "id", "aggregate_type", "type",
+                                "additional_data", "timestamp")
+                        ))
+
+    def notify(self, aggregate_type: str, type_: str,
+               position: int = 0, **additional: object) -> None:
+        import json
+        import os
+
+        row = {
+            "id": f"n-{len(self._rows)}",
+            "aggregate_type": aggregate_type,
+            "type": type_,
+            "additional_data": {k: str(v) for k, v in additional.items()},
+            "timestamp": int(position),
+        }
+        with open(self.path, "a") as fh:
+            fh.write(json.dumps(row) + "\n")
+            fh.flush()
+            os.fsync(fh.fileno())
+        self._rows.append(tuple(row[k] for k in (
+            "id", "aggregate_type", "type", "additional_data", "timestamp")))
+
+
+def read_notifications(spark: SparkSession, path: str) -> DataFrame:
+    """Typed frame over a sink-channel file (consumer side)."""
+    return (
+        spark.read.schema(NOTIFICATION_SCHEMA).json(path)
+    )

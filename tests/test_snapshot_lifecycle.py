@@ -1001,3 +1001,35 @@ def test_source_table_signal_triggers_snapshot_e2e(spark, tmp_path):
         r.user_id: r.value for r in want.collect()
     }
     ch.unpersist()
+
+
+def test_file_notification_channel_durable(spark, tmp_path):
+    """The sink notification channel survives restarts: a lifecycle
+    snapshot's notification sequence lands in the jsonlines file, a
+    FRESH channel over the same file resumes ids after the persisted
+    tail, and the consumer-side typed read returns the full ordered
+    sequence."""
+    from debezium_incubator_spark.cdc.notifications import (
+        FileNotificationChannel,
+        read_notifications,
+    )
+
+    path = str(tmp_path / "notifications.jsonl")
+    ch = FileNotificationChannel(path)
+    ch.notify("Incremental Snapshot", "STARTED", position=5, table="db.t")
+    ch.notify("Incremental Snapshot", "TABLE_SCAN_COMPLETED", position=9)
+    # restart: fresh channel resumes numbering, history visible
+    ch2 = FileNotificationChannel(path)
+    assert [r[0] for r in ch2.rows] == ["n-0", "n-1"]
+    ch2.notify("Incremental Snapshot", "COMPLETED", position=12)
+    got = (
+        read_notifications(spark, path)
+        .orderBy("id")
+        .collect()
+    )
+    assert [r.type for r in got] == [
+        "STARTED", "TABLE_SCAN_COMPLETED", "COMPLETED"
+    ]
+    assert [r.id for r in got] == ["n-0", "n-1", "n-2"]
+    assert got[0].additional_data == {"table": "db.t"}
+    assert [r.timestamp for r in got] == [5, 9, 12]
