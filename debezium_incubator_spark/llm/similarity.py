@@ -1117,20 +1117,16 @@ FROM qual WHERE rn = 1 ORDER BY vec_id
 """
 
 
-@register("dedup_semantic", oracle=_SEMDEDUP_ORACLE)
-def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SemDeDup over the persisted IVF index: a vector is REMOVED iff
-    some lower-id vector in the SAME k-means cell has cosine ≥ τ
-    with it; ``dup_of`` reports the smallest such keeper (min-id owner
-    rule — deterministic, same convention as t13's novelty owner).
-    τ=0.4 here (see module note — the synthetic corpus has no true
-    near-dups; production runs ~0.9).
-
-    Reads the cluster-partitioned index artifacts (not the raw table),
-    so the oracle recomputes the identical pair set from the identical
-    persisted assignment — the same differential pattern as
-    sim_ivf_knn/sim_ivf_probe. Cosine is the left-fold dot over the
-    precomputed ``nsq`` norms, bit-equal to the oracle's list_reduce.
+def semdedup(spark: SparkSession, index_dir: str,
+             tau: float = 0.9) -> DataFrame:
+    """SemDeDup over a persisted IVF index (the public API — pass any
+    index built by :func:`build_ivf_index` / appended by
+    :func:`ivf_index_append`): a vector is REMOVED iff some lower-id
+    vector in the SAME k-means cell has cosine ≥ ``tau`` with it;
+    ``dup_of`` reports the smallest such keeper (min-id owner rule —
+    deterministic, same convention as t13's novelty owner). Returns
+    the removal list (vec_id, cell, dup_of, cos_sim); anti-join it
+    against the corpus to materialize the deduplicated set.
 
     100 TB posture: the self-join is an equi-join on ``cell`` (one
     shuffle, cardinality nlist); per-task pair work is bounded by the
@@ -1140,7 +1136,6 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from pyspark.sql.window import Window as W
 
-    index_dir = _ensure_ivf_index(spark, sf_dir)
     vecs = spark.read.parquet(os.path.join(index_dir, "vectors")).select(
         "vec_id", "v", "nsq", F.col("cluster").cast("bigint").alias("cell")
     )
@@ -1154,10 +1149,25 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         vecs.join(a, (F.col("ca") == F.col("cell"))
                   & (F.col("kept") < F.col("vec_id")))
         .withColumn("cos_raw", cos_raw)
-        .filter(F.col("cos_raw") >= SEMDEDUP_TAU)
+        .filter(F.col("cos_raw") >= tau)
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .select("vec_id", "cell", F.col("kept").alias("dup_of"),
                 F.round("cos_raw", 6).alias("cos_sim"))
         .orderBy("vec_id")
     )
+
+
+@register("dedup_semantic", oracle=_SEMDEDUP_ORACLE)
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup differential: :func:`semdedup` over the SHARED audit
+    index, τ=SEMDEDUP_TAU (0.4 — see module note: the synthetic corpus
+    has no true near-dups; production runs ~0.9).
+
+    Reads the cluster-partitioned index artifacts (not the raw table),
+    so the oracle recomputes the identical pair set from the identical
+    persisted assignment — the same differential pattern as
+    sim_ivf_knn/sim_ivf_probe. Cosine is the left-fold dot over the
+    precomputed ``nsq`` norms, bit-equal to the oracle's list_reduce."""
+    return semdedup(spark, _ensure_ivf_index(spark, sf_dir),
+                    tau=SEMDEDUP_TAU)

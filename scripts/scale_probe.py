@@ -103,13 +103,11 @@ def _semdedup_scaled(spark, sf_dir):
     import shutil
     import tempfile
 
-    from pyspark.sql.window import Window as W
-
     from debezium_incubator_spark.llm.similarity import (
         SEMDEDUP_TAU,
         _vectors,
         build_ivf_index,
-        dot,
+        semdedup,
     )
 
     v = _vectors(spark, sf_dir)
@@ -118,26 +116,7 @@ def _semdedup_scaled(spark, sf_dir):
     idx = tempfile.mkdtemp(prefix="semdedup_probe_")
     try:
         build_ivf_index(v, idx, nlist=nlist)
-        vecs = spark.read.parquet(os.path.join(idx, "vectors")).select(
-            "vec_id", "v", "nsq",
-            F.col("cluster").cast("bigint").alias("cell"),
-        )
-        a = vecs.select(
-            F.col("vec_id").alias("kept"), F.col("cell").alias("ca"),
-            F.col("v").alias("va"), F.col("nsq").alias("na"),
-        )
-        cos_raw = dot("va", "v") / (F.sqrt("na") * F.sqrt("nsq"))
-        w = W.partitionBy("vec_id").orderBy("kept")
-        return (
-            vecs.join(a, (F.col("ca") == F.col("cell"))
-                      & (F.col("kept") < F.col("vec_id")))
-            .withColumn("cos_raw", cos_raw)
-            .filter(F.col("cos_raw") >= SEMDEDUP_TAU)
-            .withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("vec_id", "cell", F.col("kept").alias("dup_of"))
-            .orderBy("vec_id")
-        )
+        return semdedup(spark, idx, tau=SEMDEDUP_TAU).drop("cos_sim")
     finally:
         # the returned plan is consumed by run_suite's toPandas before
         # the next call; defer cleanup to atexit to keep this lazy-safe
