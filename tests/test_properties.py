@@ -608,3 +608,60 @@ def test_attach_transaction_metadata_invariants(spark, events):
     for grp in list(by_tx.values()) + list(by_txtbl.values()):
         grp.sort()
         assert [o for _, o in grp] == list(range(1, len(grp) + 1))
+
+
+# --- semdedup public API: min-id owner rule vs python reference ----------
+
+_VECS = st.lists(
+    st.tuples(
+        st.floats(-1, 1, allow_nan=False, allow_infinity=False, width=32),
+        st.floats(-1, 1, allow_nan=False, allow_infinity=False, width=32),
+    ).filter(lambda v: abs(v[0]) + abs(v[1]) > 1e-3),  # no zero vectors
+    min_size=4,
+    max_size=16,
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(_VECS)
+def test_semdedup_matches_python_reference(spark, tmp_path_factory, vecs):
+    """For ANY small 2-d corpus: semdedup over a freshly built index
+    removes exactly the vectors having a lower-id SAME-CELL neighbor
+    with cosine ≥ τ, with dup_of = the smallest such neighbor — the
+    python reference reads the index's own cell assignment, so the
+    property pins the pair/owner logic independent of k-means."""
+    import math
+    import os
+
+    from debezium_incubator_spark.llm.similarity import (
+        build_ivf_index,
+        semdedup,
+    )
+
+    tau = 0.8
+    idx = str(tmp_path_factory.mktemp("semdedup_prop"))
+    rows = [(i, [float(a), float(b)]) for i, (a, b) in enumerate(vecs)]
+    src = spark.createDataFrame(rows, "vec_id LONG, v ARRAY<DOUBLE>")
+    build_ivf_index(src, idx, nlist=2, seed=7)
+    got = {
+        r.vec_id: r.dup_of
+        for r in semdedup(spark, idx, tau=tau).collect()
+    }
+    # reference: same persisted assignment, brute force in python
+    assigned = [
+        (r.vec_id, list(r.v), int(r.cluster))
+        for r in spark.read.parquet(os.path.join(idx, "vectors")).collect()
+    ]
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        return d / (math.sqrt(sum(x * x for x in a))
+                    * math.sqrt(sum(x * x for x in b)))
+    want = {}
+    for vid, v, cell in assigned:
+        owners = sorted(
+            o for o, ov, oc in assigned
+            if oc == cell and o < vid and cos(ov, v) >= tau
+        )
+        if owners:
+            want[vid] = owners[0]
+    assert got == want
