@@ -132,3 +132,18 @@ def test_oracle_claims_in_coverage_are_real():
         if key not in registry.ORACLE:
             bad.append(key)
     assert not bad, f"COVERAGE.md claims oracles that don't exist: {bad}"
+
+
+def test_advertised_counts_match_registry():
+    """The 'N queries, M oracle-checked' lines in COVERAGE.md and
+    README.md must equal the live registry — count drift was hand-fixed
+    four times before this guard."""
+    n, m = len(registry.QUERIES), len(registry.ORACLE)
+    cov = (REPO / "COVERAGE.md").read_text()
+    readme = (REPO / "README.md").read_text()
+    assert f"Registry: {n} queries, {m} oracle-checked" in cov, (
+        f"COVERAGE.md count line != registry ({n}/{m})"
+    )
+    assert f"{n} registered queries, {m} with exact oracle-SQL twins" in readme, (
+        f"README.md count line != registry ({n}/{m})"
+    )
