@@ -496,3 +496,23 @@ def test_round5_curation_plan_shapes(spark):
     p23 = _plan(q["t23_source_mixture"](spark, SF_SMOKE))
     assert "SortMergeJoin" not in p23
     assert "BroadcastHashJoin" in p23
+
+
+def test_q6_predicates_all_pushed(spark):
+    """q6 is the canonical pushdown query: every predicate (shipdate
+    range, discount band, quantity cap) reaches the parquet scan, the
+    scan reads only the four referenced columns, and the plan is a
+    two-phase HashAggregate with no join."""
+    from debezium_incubator_spark.registry import all_queries
+
+    p = _plan(all_queries()["q6_forecast_revenue"](spark, SF_SMOKE))
+    assert "PushedFilters: [" in p
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert f"IsNotNull({col})" in p or col in p.split("PushedFilters")[1][:400]
+    assert "Join" not in p
+    assert p.count("HashAggregate") >= 2  # partial + final
+    m = [ln for ln in p.splitlines() if "ReadSchema" in ln]
+    assert m and all(
+        c in m[0] for c in
+        ("l_shipdate", "l_discount", "l_quantity", "l_extendedprice")
+    ) and "l_orderkey" not in m[0]
