@@ -693,10 +693,18 @@ def ivf_probe(spark: SparkSession, index_dir: str, query_v: list[float],
 def _cleanup_ivf_audit_dir() -> None:
     """atexit hook: the audit index lives at a fixed /tmp path (the
     static oracle SQL must be able to read_parquet it) and the
-    driver/sweep harness never cleans it explicitly."""
+    driver/sweep harness never cleans it explicitly. Removes the
+    symlink AND every stamped build dir this layout produces."""
+    import glob
+    import os
     import shutil
 
-    shutil.rmtree(IVF_AUDIT_DIR, ignore_errors=True)
+    try:
+        os.remove(IVF_AUDIT_DIR)  # the symlink
+    except OSError:
+        shutil.rmtree(IVF_AUDIT_DIR, ignore_errors=True)  # legacy dir
+    for d in glob.glob(IVF_AUDIT_DIR + "-*"):
+        shutil.rmtree(d, ignore_errors=True)
 
 
 atexit.register(_cleanup_ivf_audit_dir)
@@ -707,23 +715,48 @@ def _ensure_ivf_index(spark: SparkSession, sf_dir: str) -> str:
     fixed audit path. A marker file records which source (path + mtime +
     size of embeddings.parquet) the index was built from; mismatch —
     sf switch mid-process, stale leftovers from a crashed run, fixture
-    regeneration — triggers a rebuild. Build-then-marker ordering makes
-    a crash mid-build leave a missing/old marker, never a lying one."""
+    regeneration — triggers a rebuild.
+
+    The fixed path is a SYMLINK to a stamp-named build dir, swapped by
+    atomic ``os.replace`` — so a concurrent reader (another pytest
+    process, an ad-hoc session) mid-query on the old target keeps a
+    consistent index instead of racing a mode=overwrite rewrite, and
+    the static oracle SQL still reads one fixed path. Build-then-marker
+    ordering inside the build dir makes a crash mid-build leave a
+    missing marker, never a lying one."""
+    import hashlib
     import os
+    import shutil
 
     src = os.path.join(sf_dir, "embeddings.parquet")
     st = os.stat(src)
     stamp = f"{src}\n{st.st_mtime_ns}:{st.st_size}"
-    marker = os.path.join(IVF_AUDIT_DIR, "_source")
+    build_dir = (
+        IVF_AUDIT_DIR + "-"
+        + hashlib.md5(stamp.encode()).hexdigest()[:10]
+    )
+    marker = os.path.join(build_dir, "_source")
+    valid = False
     try:
         with open(marker) as fh:
-            if fh.read() == stamp:
-                return IVF_AUDIT_DIR
+            valid = fh.read() == stamp
     except OSError:
         pass
-    build_ivf_index(_vectors(spark, sf_dir), IVF_AUDIT_DIR)
-    with open(marker, "w") as fh:
-        fh.write(stamp)
+    if not valid:
+        build_ivf_index(_vectors(spark, sf_dir), build_dir)
+        with open(marker, "w") as fh:
+            fh.write(stamp)
+    # point the fixed path at the build atomically
+    if os.path.realpath(IVF_AUDIT_DIR) != os.path.realpath(build_dir):
+        if os.path.isdir(IVF_AUDIT_DIR) and not os.path.islink(IVF_AUDIT_DIR):
+            shutil.rmtree(IVF_AUDIT_DIR, ignore_errors=True)  # legacy layout
+        tmp_link = f"{build_dir}.lnk"
+        try:
+            os.remove(tmp_link)
+        except OSError:
+            pass
+        os.symlink(build_dir, tmp_link)
+        os.replace(tmp_link, IVF_AUDIT_DIR)
     return IVF_AUDIT_DIR
 
 

@@ -171,3 +171,29 @@ def test_ivf_index_append_routes_and_self_retrieves(spark, tmp_path):
     top = ivf_probe(spark, index_dir, list(q.v), k=3, nprobe=1).collect()
     assert top[0].vec_id == q.vec_id
     assert abs(float(top[0].cos_sim) - 1.0) < 1e-9
+
+
+def test_audit_index_symlink_swap_is_atomic_for_readers(spark):
+    """The fixed audit path is a symlink to a stamp-named build dir:
+    switching source fixtures swaps the link atomically and the OLD
+    target directory remains intact (a concurrent reader mid-query
+    keeps a consistent index instead of racing an overwrite)."""
+    import os
+
+    from debezium_incubator_spark.llm.similarity import (
+        IVF_AUDIT_DIR,
+        _ensure_ivf_index,
+    )
+
+    _ensure_ivf_index(spark, "/root/testdata/sf0.001")
+    assert os.path.islink(IVF_AUDIT_DIR)
+    t1 = os.path.realpath(IVF_AUDIT_DIR)
+    _ensure_ivf_index(spark, "/root/testdata/sf0.01")
+    t2 = os.path.realpath(IVF_AUDIT_DIR)
+    assert t1 != t2
+    # the old build is untouched — a reader holding t1 still works
+    assert os.path.exists(os.path.join(t1, "_source"))
+    assert os.path.isdir(os.path.join(t1, "vectors"))
+    # idempotent re-ensure keeps the link stable
+    _ensure_ivf_index(spark, "/root/testdata/sf0.01")
+    assert os.path.realpath(IVF_AUDIT_DIR) == t2
