@@ -694,3 +694,41 @@ def agg_approx_percentile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+# --- D1+: predicate aggregates (count_if / bool_and / bool_or / FILTER) --
+
+@register(
+    "agg_bool_family",
+    oracle="""
+SELECT event_type,
+       CAST(count(*) FILTER (WHERE value > 50) AS BIGINT) AS n_high,
+       bool_and(value >= 0) AS all_nonneg,
+       bool_or(user_id % 97 = 0) AS any_mod97,
+       CAST(count(*) FILTER (WHERE user_id % 2 = 0) AS BIGINT) AS n_even,
+       CAST(count(DISTINCT user_id) FILTER (WHERE value > 50) AS BIGINT)
+         AS distinct_high_users
+FROM events
+GROUP BY event_type ORDER BY event_type
+""",
+)
+def agg_bool_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate-aggregate family: ``count_if`` (ANSI FILTER clause
+    twin), ``bool_and`` / ``bool_or``, and a filtered DISTINCT count —
+    all Tungsten hash-aggregate functions with map-side partials; the
+    filtered distinct expands to the standard two-phase distinct
+    rewrite. One shuffle on the group key at any scale."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count_if(F.col("value") > 50).alias("n_high"),
+            F.bool_and(F.col("value") >= 0).alias("all_nonneg"),
+            F.bool_or(F.col("user_id") % 97 == 0).alias("any_mod97"),
+            F.count_if(F.col("user_id") % 2 == 0).alias("n_even"),
+            F.count_distinct(
+                F.when(F.col("value") > 50, F.col("user_id"))
+            ).alias("distinct_high_users"),
+        )
+        .orderBy("event_type")
+    )
