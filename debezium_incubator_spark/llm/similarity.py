@@ -1151,7 +1151,7 @@ FROM qual WHERE rn = 1 ORDER BY vec_id
 
 
 def semdedup(spark: SparkSession, index_dir: str,
-             tau: float = 0.9) -> DataFrame:
+             tau: float = 0.9, min_vec_id: int | None = None) -> DataFrame:
     """SemDeDup over a persisted IVF index (the public API — pass any
     index built by :func:`build_ivf_index` / appended by
     :func:`ivf_index_append`): a vector is REMOVED iff some lower-id
@@ -1160,6 +1160,15 @@ def semdedup(spark: SparkSession, index_dir: str,
     deterministic, same convention as t13's novelty owner). Returns
     the removal list (vec_id, cell, dup_of, cos_sim); anti-join it
     against the corpus to materialize the deduplicated set.
+
+    ``min_vec_id`` is the dedup-on-ingest mode: with ids assigned
+    monotonically (``ivf_index_append`` batches), passing the first id
+    of the newest batch restricts the REMOVAL-candidate side to that
+    batch — the result equals the batch's slice of a full run (owners
+    are always lower-id, so nothing outside the batch can change), but
+    the join costs O(batch × cell) instead of O(store × cell). This is
+    how a 100 TB ingest pipeline runs semantic dedup continuously:
+    append to the index, dedup only the delta.
 
     100 TB posture: the self-join is an equi-join on ``cell`` (one
     shuffle, cardinality nlist); per-task pair work is bounded by the
@@ -1172,6 +1181,12 @@ def semdedup(spark: SparkSession, index_dir: str,
     vecs = spark.read.parquet(os.path.join(index_dir, "vectors")).select(
         "vec_id", "v", "nsq", F.col("cluster").cast("bigint").alias("cell")
     )
+    if min_vec_id is not None:
+        # candidate (removal) side only; the owner side stays the full
+        # store — Catalyst pushes this filter into the left scan
+        candidates = vecs.filter(F.col("vec_id") >= min_vec_id)
+    else:
+        candidates = vecs
     a = vecs.select(
         F.col("vec_id").alias("kept"), F.col("cell").alias("ca"),
         F.col("v").alias("va"), F.col("nsq").alias("na"),
@@ -1179,8 +1194,8 @@ def semdedup(spark: SparkSession, index_dir: str,
     cos_raw = dot("va", "v") / (F.sqrt("na") * F.sqrt("nsq"))
     w = W.partitionBy("vec_id").orderBy("kept")
     return (
-        vecs.join(a, (F.col("ca") == F.col("cell"))
-                  & (F.col("kept") < F.col("vec_id")))
+        candidates.join(a, (F.col("ca") == F.col("cell"))
+                        & (F.col("kept") < F.col("vec_id")))
         .withColumn("cos_raw", cos_raw)
         .filter(F.col("cos_raw") >= tau)
         .withColumn("rn", F.row_number().over(w))

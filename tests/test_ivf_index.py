@@ -197,3 +197,40 @@ def test_audit_index_symlink_swap_is_atomic_for_readers(spark):
     # idempotent re-ensure keeps the link stable
     _ensure_ivf_index(spark, "/root/testdata/sf0.01")
     assert os.path.realpath(IVF_AUDIT_DIR) == t2
+
+
+def test_semdedup_delta_equals_full_run_slice(spark, tmp_path):
+    """Dedup-on-ingest: append a batch to the index, then
+    semdedup(min_vec_id=batch_start) — the delta result equals the
+    batch slice of a full run over the appended store (owners are
+    always lower-id, so pre-batch results cannot change), at
+    O(batch × cell) join cost."""
+    from debezium_incubator_spark.llm.similarity import (
+        build_ivf_index,
+        ivf_index_append,
+        semdedup,
+    )
+
+    base = [(i, [float(i % 5) + 0.1, float((i * 3) % 7) + 0.1])
+            for i in range(40)]
+    batch = [(100 + i, [float(i % 5), float((i * 2) % 7) + 0.01])
+             for i in range(15)]
+    idx = str(tmp_path / "idx")
+    build_ivf_index(
+        spark.createDataFrame(base, "vec_id LONG, v ARRAY<DOUBLE>"),
+        idx, nlist=3, seed=11,
+    )
+    ivf_index_append(
+        spark, idx,
+        spark.createDataFrame(batch, "vec_id LONG, v ARRAY<DOUBLE>"),
+    )
+    full = {
+        r.vec_id: (r.dup_of, r.cos_sim)
+        for r in semdedup(spark, idx, tau=0.95).collect()
+        if r.vec_id >= 100
+    }
+    delta = {
+        r.vec_id: (r.dup_of, r.cos_sim)
+        for r in semdedup(spark, idx, tau=0.95, min_vec_id=100).collect()
+    }
+    assert delta == full and delta  # non-trivial
