@@ -128,6 +128,13 @@ def dispatch_signals(
             "handled": False,
             "data_collections": row.data_collections,
         }
+        if row.id is None:
+            # a signal without an id cannot be deduplicated or acked —
+            # contain it like any other bad signal (never crash the
+            # connector loop, never invoke a handler for it)
+            entry["error"] = "signal has no id"
+            actions.append(entry)
+            continue
         if ledger is not None and row.id in ledger:
             entry["skipped"] = "duplicate"
             actions.append(entry)

@@ -1033,3 +1033,42 @@ def test_file_notification_channel_durable(spark, tmp_path):
     assert [r.id for r in got] == ["n-0", "n-1", "n-2"]
     assert got[0].additional_data == {"table": "db.t"}
     assert [r.timestamp for r in got] == [5, 9, 12]
+
+
+def test_malformed_signal_rows_are_contained(spark, tmp_path):
+    """A bad row in the signal collection (missing type, null id, data
+    that isn't JSON) must not stop the connector: dispatch records an
+    error/skip entry per bad signal and still executes the good one —
+    the DLQ philosophy applied to the control plane."""
+    import json as _json
+
+    from debezium_incubator_spark.cdc.signals import (
+        SignalLedger,
+        signals_from_change_stream,
+    )
+
+    def wire(after):
+        return (_json.dumps({"after": after,
+                             "source": {"table": "dbz.signal"},
+                             "op": "c"}),)
+
+    rows = [
+        wire({"id": "s-good", "type": "log", "data": "{}"}),
+        wire({"id": "s-no-type", "type": None, "data": "{}"}),
+        wire({"id": "s-bad-data", "type": "log", "data": "!!not json"}),
+        wire({"id": None, "type": "log", "data": "{}"}),
+    ]
+    raw = spark.createDataFrame(rows, "value STRING")
+    seen = []
+    acts = dispatch_signals(
+        signals_from_change_stream(raw, "dbz.signal"),
+        handlers={"log": lambda req: seen.append(req["id"])},
+        ledger=SignalLedger(str(tmp_path / "ledger")),
+    )
+    by_id = {a["id"]: a for a in acts}
+    assert by_id["s-good"]["handled"]
+    assert "error" in by_id[None] and not by_id[None]["handled"]
+    assert "error" in by_id["s-no-type"] and not by_id["s-no-type"]["handled"]
+    assert "error" in by_id["s-bad-data"] and not by_id["s-bad-data"]["handled"]
+    # the good signal ran exactly once despite the surrounding garbage
+    assert seen == ["s-good"]
