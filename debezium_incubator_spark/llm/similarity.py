@@ -1191,6 +1191,12 @@ def semdedup(spark: SparkSession, index_dir: str,
         F.col("vec_id").alias("kept"), F.col("cell").alias("ca"),
         F.col("v").alias("va"), F.col("nsq").alias("na"),
     )
+    # zero-magnitude vectors (failed-encoder rows in real corpora) have
+    # undefined cosine: exclude them from BOTH sides up front — they can
+    # neither be removed nor own a removal, and the guard keeps ANSI
+    # mode's divide-by-zero from killing the job
+    candidates = candidates.filter(F.col("nsq") > 0)
+    a = a.filter(F.col("na") > 0)
     cos_raw = dot("va", "v") / (F.sqrt("na") * F.sqrt("nsq"))
     w = W.partitionBy("vec_id").orderBy("kept")
     return (

@@ -234,3 +234,28 @@ def test_semdedup_delta_equals_full_run_slice(spark, tmp_path):
         for r in semdedup(spark, idx, tau=0.95, min_vec_id=100).collect()
     }
     assert delta == full and delta  # non-trivial
+
+
+def test_semdedup_tolerates_zero_vectors(spark, tmp_path):
+    """Zero-magnitude embeddings (failed-encoder rows) have undefined
+    cosine: they are excluded from both sides — never removed, never an
+    owner — instead of killing the job with ANSI divide-by-zero."""
+    from debezium_incubator_spark.llm.similarity import (
+        build_ivf_index,
+        semdedup,
+    )
+
+    rows = [
+        (0, [0.0, 0.0]),          # failed encoder
+        (1, [1.0, 0.0]),
+        (2, [1.0, 0.0]),          # exact dup of 1
+        (3, [0.0, 0.0]),          # another zero
+        (4, [0.0, 1.0]),
+    ]
+    idx = str(tmp_path / "idx")
+    build_ivf_index(
+        spark.createDataFrame(rows, "vec_id LONG, v ARRAY<DOUBLE>"),
+        idx, nlist=2, seed=3,
+    )
+    got = {r.vec_id: r.dup_of for r in semdedup(spark, idx, tau=0.99).collect()}
+    assert got == {2: 1}  # zeros neither removed nor owning
