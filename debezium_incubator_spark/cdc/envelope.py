@@ -422,25 +422,29 @@ def attach_transaction_metadata(env: DataFrame,
     Both orders are row_numbers over the transaction partitions in
     source-position order — two window passes sharing one shuffle key
     family; at scale transactions are small and numerous, so the
-    windows are narrow and skew-free by construction."""
+    windows are narrow and skew-free by construction.
+
+    Events OUTSIDE any transaction (``tx_id`` NULL — autocommit
+    statements in the source) carry ``transaction = NULL``, matching
+    Debezium; they are never grouped into a fake NULL-keyed
+    transaction."""
     from pyspark.sql.window import Window as W
 
     pos = F.col("value.source.pos")
     wt = W.partitionBy("__tx_id").orderBy(pos)
     wd = W.partitionBy("__tx_id", F.col("value.source.table")).orderBy(pos)
+    block = F.struct(
+        F.col("__tx_id").cast("string").alias("id"),
+        F.row_number().over(wt).cast("long").alias("total_order"),
+        F.row_number().over(wd).cast("long").alias("data_collection_order"),
+    )
     return (
         env.withColumn("__tx_id", tx_id)
         .withColumn(
             "value",
             F.col("value").withField(
                 "transaction",
-                F.struct(
-                    F.col("__tx_id").cast("string").alias("id"),
-                    F.row_number().over(wt).cast("long")
-                    .alias("total_order"),
-                    F.row_number().over(wd).cast("long")
-                    .alias("data_collection_order"),
-                ),
+                F.when(F.col("__tx_id").isNotNull(), block),
             ),
         )
         .drop("__tx_id")

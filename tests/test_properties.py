@@ -550,7 +550,7 @@ def test_dlq_split_conserves_records(spark, wire):
 
 _TXN_EVENTS = st.lists(
     st.tuples(
-        st.integers(0, 3),                    # tx id
+        st.one_of(st.none(), st.integers(0, 3)),  # tx id (None=autocommit)
         st.integers(0, 99),                   # pos (deduped below)
         st.sampled_from(["ta", "tb"]),        # data collection
     ),
@@ -594,10 +594,14 @@ def test_attach_transaction_metadata_invariants(spark, events):
         F.col("key.id").alias("tx"),
         F.col("value.source.table").alias("tbl"),
         F.col("value.source.pos").alias("pos"),
+        F.col("value.transaction").alias("txn"),
         F.col("value.transaction.total_order").alias("to"),
         F.col("value.transaction.data_collection_order").alias("dco"),
         F.col("value.transaction.id").alias("txid"),
     ).collect()
+    # autocommit events (NULL tx) carry a NULL transaction block
+    assert all((r.txn is None) == (r.tx is None) for r in out)
+    out = [r for r in out if r.tx is not None]
     assert all(r.txid == str(r.tx) for r in out)
     assert all(r.dco <= r.to for r in out)
     by_tx: dict = {}
