@@ -1468,7 +1468,11 @@ def t25_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- t26: tokenizer vocab coverage / OOV rate ----------------------------
 
-VOCAB_N = 500
+# 20 < the fixture's 31-word vocabulary, so every doc carries REAL
+# OOV mass and the differential exercises the rate, not just the
+# token counts (500 would cover the whole fixture vocab → oov ≡ 0).
+# Production: the size of the tokenizer vocab under audit.
+VOCAB_N = 20
 
 
 @register(
