@@ -14,7 +14,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import spread, table
-from ..exprs import dec_sum, round4
+from ..exprs import round4
 from ..registry import register
 
 EN_MARKERS = ("the", "a", "an", "of", "and", "is")
