@@ -136,3 +136,17 @@ def route_outbox(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("props").alias("payload"),
     )
     return outbox_event_router(ev).orderBy("key", "value", "topic")
+
+
+def default_topic_name(env: DataFrame,
+                       topic_prefix: str) -> DataFrame:
+    """Debezium's default topic naming (``topic.prefix`` config):
+    every change event publishes to ``{prefix}.{db}.{table}`` derived
+    from the envelope's source block — one expression-level concat, the
+    input the routing SMTs above then rewrite."""
+    return env.withColumn(
+        "topic",
+        F.concat_ws(".", F.lit(topic_prefix),
+                    F.col("value.source.db"),
+                    F.col("value.source.table")),
+    )

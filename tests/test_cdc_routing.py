@@ -515,3 +515,29 @@ def test_smt_pipeline_capstone(spark):
     want = {(r.user_id, r.value, r["__pos"]) for r in
             ref.select("user_id", "value", "__pos").collect()}
     assert got == want and got
+
+
+def test_default_topic_naming(spark):
+    """topic.prefix → `{prefix}.{db}.{table}` from the source block;
+    the RegexRouter SMT then rewrites it through the config chain."""
+    from debezium_incubator_spark.catalog import table as cat_table
+    from debezium_incubator_spark.cdc.envelope import to_envelope
+    from debezium_incubator_spark.cdc.routing import default_topic_name
+    from debezium_incubator_spark.connector import transform_chain
+
+    from .conftest import SF_SMOKE
+
+    env = default_topic_name(
+        to_envelope(cat_table(spark, SF_SMOKE, "events").limit(20)),
+        "prod1",
+    )
+    topics = {r.topic for r in env.select("topic").distinct().collect()}
+    assert topics == {"prod1.testdb.events"}
+    routed = transform_chain(env, {
+        "transforms": "r",
+        "transforms.r.type": "org.apache.kafka.connect.transforms.RegexRouter",
+        "transforms.r.regex": r"^prod1\.testdb\.(.*)$",
+        "transforms.r.replacement": r"cdc.$1",
+    })
+    assert {r.topic for r in routed.select("topic").distinct().collect()} \
+        == {"cdc.events"}
