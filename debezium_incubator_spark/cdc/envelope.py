@@ -103,15 +103,29 @@ def to_envelope(events: DataFrame, as_json: bool = False) -> DataFrame:
     return env
 
 
-def parse_envelope(raw: DataFrame, row_schema: T.StructType) -> DataFrame:
+#: default record-key schema — the single-column surrogate PK every test
+#: fixture uses. Tables whose key is composite or differently named pass
+#: their own ``key_schema`` to :func:`parse_envelope` /
+#: :func:`parse_envelope_dlq` (a hardcoded id:long would silently parse
+#: their keys to NULL structs).
+DEFAULT_KEY_SCHEMA = T.StructType([T.StructField("id", T.LongType())])
+
+
+def parse_envelope(
+    raw: DataFrame,
+    row_schema: T.StructType,
+    key_schema: T.StructType | None = None,
+) -> DataFrame:
     """A2 envelope parse: JSON key/value strings → typed structs.
 
     Tombstones (null value, emitted after deletes for log compaction)
     survive as rows with ``value IS NULL`` — callers filter or route them.
     On a real topic the input is ``spark.readStream.format("kafka")`` with
     binary key/value; the cast + from_json chain is identical.
+    ``key_schema`` types the record key (default
+    :data:`DEFAULT_KEY_SCHEMA`, a single ``id: long``).
     """
-    key_schema = T.StructType([T.StructField("id", T.LongType())])
+    key_schema = key_schema or DEFAULT_KEY_SCHEMA
     return raw.select(
         F.from_json(F.col("key").cast("string"), key_schema).alias("key"),
         F.from_json(
@@ -470,7 +484,9 @@ def emit_tombstones(env: DataFrame) -> DataFrame:
 
 
 def parse_envelope_dlq(
-    raw: DataFrame, row_schema: T.StructType
+    raw: DataFrame,
+    row_schema: T.StructType,
+    key_schema: T.StructType | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Kafka Connect error handling (``errors.tolerance=all`` +
     ``errors.deadletterqueue.topic.name``): a record whose value fails
@@ -487,7 +503,9 @@ def parse_envelope_dlq(
     indistinguishable from a legitimately sparse record — so the
     corrupt column is the only reliable signal. Both frames share one
     pass over the source — the split is two filters on the same
-    projection, no duplicate parse."""
+    projection, no duplicate parse. ``key_schema`` types the good-route
+    record key exactly as in :func:`parse_envelope` (default
+    :data:`DEFAULT_KEY_SCHEMA`)."""
     sch = envelope_schema(row_schema).add("_corrupt", T.StringType())
     parsed = raw.select(
         F.col("key"),
@@ -498,7 +516,7 @@ def parse_envelope_dlq(
         ).alias("_v"),
     )
     bad = F.col("value").isNotNull() & F.col("_v._corrupt").isNotNull()
-    key_schema = T.StructType([T.StructField("id", T.LongType())])
+    key_schema = key_schema or DEFAULT_KEY_SCHEMA
     good = parsed.filter(~bad).select(
         F.from_json(F.col("key").cast("string"), key_schema).alias("key"),
         F.col("_v").dropFields("_corrupt").alias("value"),

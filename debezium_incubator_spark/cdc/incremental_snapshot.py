@@ -318,7 +318,14 @@ def cdc_adhoc_snapshot_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(OP_CASE).alias("__op"),
     )
     max_pos = ch.agg(F.max("pos")).first()[0]  # control-plane scalar
-    hs = [int(max_pos * f) for f in (0.25, 0.5, 0.75, 1.0)]
+    # bounds FIRST: approxQuantile can return fewer than the requested 4
+    # chunks when cut points collide (small/skewed key domains), and
+    # incremental_snapshot validates len(watermarks) == len(bounds) — so
+    # the watermark list is derived from the chunk count actually
+    # produced (identical placement to the fixed 0.25/0.5/0.75/1.0
+    # schedule when 4 chunks materialize, robust when fewer do).
+    bounds = chunk_bounds(ch, "user_id", 4)
+    hs = [int(max_pos * (i + 1) / len(bounds)) for i in range(len(bounds))]
     # narrow DBLog-style watermark brackets (L noted just before the
     # chunk SELECT, H just after): with quarter-log-wide windows every
     # hot key churns in-window and reconciliation empties the chunks —
@@ -326,7 +333,6 @@ def cdc_adhoc_snapshot_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     # leave most image rows alive, so parity genuinely proves the fold
     # prefers later change events over op='r' images.
     watermarks = [(max(h - 5, 0), h) for h in hs]
-    bounds = chunk_bounds(ch, "user_id", 4)
 
     def snapshot_at(pos):
         return materialize_latest(

@@ -82,12 +82,10 @@ class FileNotificationChannel(NotificationChannel):
 
         super().__init__()
         self.path = path
-        self._base = 0
         if os.path.exists(path):
             with open(path) as fh:
                 for ln in fh:
                     if ln.strip():
-                        self._base += 1
                         self._rows.append(tuple(
                             json.loads(ln)[k] for k in (
                                 "id", "aggregate_type", "type",
@@ -96,17 +94,35 @@ class FileNotificationChannel(NotificationChannel):
 
     def notify(self, aggregate_type: str, type_: str,
                position: int = 0, **additional: object) -> None:
+        """Append one notification under an exclusive ``flock`` on the
+        file: the next id is derived from the MAX id already persisted
+        (read back under the same lock), so two concurrent channel
+        instances — or a writer racing a resumed one — never mint
+        duplicate ids or interleave partial rows. ``a``-mode writes are
+        kernel-atomic appends; the lock serializes the read-max/write
+        pair. Control-plane cost: the re-read is O(notifications so
+        far), a handful of KB for any real snapshot."""
+        import fcntl
         import json
         import os
 
-        row = {
-            "id": f"n-{len(self._rows)}",
-            "aggregate_type": aggregate_type,
-            "type": type_,
-            "additional_data": {k: str(v) for k, v in additional.items()},
-            "timestamp": int(position),
-        }
-        with open(self.path, "a") as fh:
+        with open(self.path, "a+") as fh:
+            fcntl.flock(fh.fileno(), fcntl.LOCK_EX)
+            fh.seek(0)
+            seq = -1
+            for ln in fh:
+                if ln.strip():
+                    nid = json.loads(ln)["id"]
+                    seq = max(seq, int(nid.rsplit("-", 1)[1]))
+            row = {
+                "id": f"n-{seq + 1}",
+                "aggregate_type": aggregate_type,
+                "type": type_,
+                "additional_data": {
+                    k: str(v) for k, v in additional.items()
+                },
+                "timestamp": int(position),
+            }
             fh.write(json.dumps(row) + "\n")
             fh.flush()
             os.fsync(fh.fileno())

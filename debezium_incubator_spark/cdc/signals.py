@@ -104,6 +104,7 @@ def dispatch_signals(
     signals: DataFrame,
     handlers: dict[str, Callable[[dict], None]] | None = None,
     ledger: SignalLedger | None = None,
+    ack_failures: bool = False,
 ) -> list[dict]:
     """Process a micro-batch of signal rows in id order: invoke the
     handler per known type, record an action log (unknown types are
@@ -118,7 +119,14 @@ def dispatch_signals(
     ids are skipped (``skipped: duplicate``), handled ids are recorded
     AFTER their handler returns — a crash mid-handler re-dispatches on
     replay, which every lifecycle handler tolerates (runner bookmarks
-    make re-runs no-ops)."""
+    make re-runs no-ops). Ack policy on failure: a signal whose handler
+    RAISED is **not** recorded by default, so a transiently failed
+    execute-snapshot retries on the next replay/restart (at-least-once,
+    matching the crash-mid-handler semantics above — handlers are
+    idempotent either way). Permanent errors — an unknown signal type —
+    ARE recorded: retrying them can never succeed. Pass
+    ``ack_failures=True`` for at-most-once semantics (a failed handler
+    is permanently acked and never retried)."""
     handlers = handlers or {}
     actions: list[dict] = []
     for row in parse_signals(signals).orderBy("id").collect():
@@ -139,26 +147,42 @@ def dispatch_signals(
             entry["skipped"] = "duplicate"
             actions.append(entry)
             continue
+        permanent_error = False
         if row.type not in KNOWN_SIGNALS:
             entry["error"] = f"unknown signal type '{row.type}'"
+            permanent_error = True
         elif h := handlers.get(row.type):
+            # parse the payload BEFORE invoking the handler: a malformed
+            # data blob is a PERMANENT defect of the signal row (it will
+            # never parse on retry), distinct from a transient handler
+            # failure — it gets acked, the handler failure does not
             try:
-                h(
-                    {
-                        "id": row.id,
-                        "data": json.loads(row.data) if row.data else {},
-                        "data_collections": row.data_collections or [],
-                        "snapshot_kind": row.snapshot_kind,
-                        "additional_conditions": {
-                            c.data_collection: c.filter
-                            for c in (row.additional_conditions or [])
-                        },
-                    }
-                )
-                entry["handled"] = True
-            except Exception as e:  # noqa: BLE001 — containment is the contract
-                entry["error"] = f"handler failed: {e}"
-        if ledger is not None and (entry["handled"] or "error" in entry):
+                data = json.loads(row.data) if row.data else {}
+            except ValueError as e:
+                entry["error"] = f"malformed signal data: {e}"
+                permanent_error = True
+            else:
+                try:
+                    h(
+                        {
+                            "id": row.id,
+                            "data": data,
+                            "data_collections": row.data_collections or [],
+                            "snapshot_kind": row.snapshot_kind,
+                            "additional_conditions": {
+                                c.data_collection: c.filter
+                                for c in (row.additional_conditions or [])
+                            },
+                        }
+                    )
+                    entry["handled"] = True
+                except Exception as e:  # noqa: BLE001 — containment is the contract
+                    entry["error"] = f"handler failed: {e}"
+        if ledger is not None and (
+            entry["handled"]
+            or permanent_error
+            or (ack_failures and "error" in entry)
+        ):
             ledger.record(row.id)
         actions.append(entry)
     return actions

@@ -53,23 +53,44 @@ def _atomic_write(path: str, content: str) -> None:
 class ConcurrentCommitError(RuntimeError):
     """Two writers produced DIFFERENT manifests for the same epoch —
     split-brain (e.g. two drivers resumed from the same checkpoint).
-    A crash-replay of the SAME batch is fine (byte-identical manifest,
-    idempotent); different content under one epoch id means the
+    A crash-replay of the SAME batch is fine (same mapping, idempotent);
+    a different bucket→epoch mapping under one epoch id means the
     histories diverged and continuing would silently lose one of them."""
+
+
+def _manifest_dumps(manifest: dict) -> str:
+    """Canonical manifest serialization: sorted keys, so the bytes are
+    a pure function of the mapping — never of dict insertion order or
+    ``os.listdir`` order (a crash-replayed compaction rebuilds the same
+    mapping from directory listings whose order the filesystem does not
+    guarantee)."""
+    return json.dumps(
+        {str(k): int(v) for k, v in manifest.items()}, sort_keys=True
+    )
+
+
+def _same_manifest(a: str, b: str) -> bool:
+    """Split-brain equality on the PARSED mapping, not raw bytes: a
+    legitimate replay must pass even against a manifest serialized by
+    an older writer with a different key order."""
+    try:
+        return json.loads(a) == json.loads(b)
+    except ValueError:
+        return a == b
 
 
 def _commit_manifest(state_dir: str, epoch: int, content: str) -> None:
     """Epoch-manifest commit with a split-brain guard: if this epoch's
-    manifest already exists with DIFFERENT content, refuse loudly
+    manifest already exists with a DIFFERENT mapping, refuse loudly
     (Delta/Iceberg solve the same race with conditional commits; on a
-    plain filesystem, content equality of the deterministic manifest is
-    the equivalent check — replays are byte-identical by construction,
-    divergent writers are not)."""
+    plain filesystem, mapping equality of the deterministic manifest is
+    the equivalent check — replays rebuild the same mapping by
+    construction, divergent writers do not)."""
     mf_path = os.path.join(state_dir, f"manifest_v{epoch}.json")
     if os.path.exists(mf_path):
         with open(mf_path) as f:
             existing = f.read()
-        if existing != content:
+        if not _same_manifest(existing, content):
             raise ConcurrentCommitError(
                 f"epoch {epoch} already has a committed manifest with "
                 f"different content in {state_dir} — concurrent writer "
@@ -113,7 +134,7 @@ def _write_stats(spark: SparkSession, state_dir: str, epoch: int,
         }
     _atomic_write(
         os.path.join(state_dir, f"stats_v{epoch}.json"),
-        json.dumps({str(k): v for k, v in counts.items()}),
+        json.dumps({str(k): v for k, v in counts.items()}, sort_keys=True),
     )
     return counts
 
@@ -194,16 +215,16 @@ def apply_changes_partitioned(
     # epoch). If this epoch's manifest exists with different content, a
     # divergent writer got here first — refusing NOW protects its
     # committed bucket dirs from our overwrite; refusing only at commit
-    # time would be too late. A replay of the same batch produces
-    # byte-identical content and passes (idempotency preserved).
-    expected_manifest = json.dumps(
-        {str(k): v for k, v in {**manifest,
-                                **{b: epoch for b in touched}}.items()}
+    # time would be too late. A replay of the same batch rebuilds the
+    # same mapping and passes (idempotency preserved; comparison is on
+    # the parsed mapping, serialization is canonical sort_keys).
+    expected_manifest = _manifest_dumps(
+        {**manifest, **{b: epoch for b in touched}}
     )
     mf_path = os.path.join(state_dir, f"manifest_v{epoch}.json")
     if os.path.exists(mf_path):
         with open(mf_path) as f:
-            if f.read() != expected_manifest:
+            if not _same_manifest(f.read(), expected_manifest):
                 raise ConcurrentCommitError(
                     f"epoch {epoch} already has a committed manifest with "
                     f"different content in {state_dir} — concurrent "
@@ -262,9 +283,7 @@ def apply_changes_partitioned(
     # different content) — pre-checked above, re-checked here in case a
     # racer landed between the check and this commit.
     mf = f"manifest_v{epoch}.json"
-    assert json.dumps(
-        {str(k): v for k, v in manifest.items()}
-    ) == expected_manifest
+    assert _manifest_dumps(manifest) == expected_manifest
     _commit_manifest(state_dir, epoch, expected_manifest)
     _atomic_write(os.path.join(state_dir, "_LATEST"), mf)  # commit point
 
@@ -512,10 +531,10 @@ def compact_state(
     } if os.path.isdir(vdir) else {}
     counts = _write_stats(spark, state_dir, epoch, vdir)
     mf = f"manifest_v{epoch}.json"
-    _commit_manifest(
-        state_dir, epoch,
-        json.dumps({str(k): v for k, v in new_manifest.items()}),
-    )
+    # canonical serialization (sort_keys): new_manifest is rebuilt from
+    # os.listdir order here, so a crash-replay of this compaction must
+    # not trip the split-brain guard on a mere key-order difference
+    _commit_manifest(state_dir, epoch, _manifest_dumps(new_manifest))
     _atomic_write(os.path.join(state_dir, "_LATEST"), mf)
     rows = sum(counts.values())
     return {

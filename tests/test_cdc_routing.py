@@ -541,3 +541,68 @@ def test_default_topic_naming(spark):
     })
     assert {r.topic for r in routed.select("topic").distinct().collect()} \
         == {"cdc.events"}
+
+
+def test_parse_envelope_custom_key_schema(spark):
+    """Tables whose record key is NOT a single ``id: long`` — composite
+    keys, different names — parse with a caller-provided ``key_schema``
+    in BOTH parse_envelope and parse_envelope_dlq (with the default, a
+    composite key would silently surface as an all-NULL struct). The
+    good/DLQ routing itself is key-schema-independent."""
+    import json
+
+    from pyspark.sql import types as T
+
+    from debezium_incubator_spark.cdc.envelope import (
+        envelope_schema,
+        parse_envelope,
+        parse_envelope_dlq,
+    )
+
+    row_schema = T.StructType([
+        T.StructField("region", T.StringType()),
+        T.StructField("seq", T.LongType()),
+        T.StructField("v", T.DoubleType()),
+    ])
+    key_schema = T.StructType([
+        T.StructField("region", T.StringType()),
+        T.StructField("seq", T.LongType()),
+    ])
+
+    def wire(region, seq, v):
+        return (
+            json.dumps({"region": region, "seq": seq}),
+            json.dumps({
+                "before": None,
+                "after": {"region": region, "seq": seq, "v": v},
+                "source": {"table": "db.t", "pos": seq},
+                "op": "c",
+                "ts_ms": seq,
+            }),
+        )
+
+    rows = [wire("eu", 1, 1.5), wire("us", 2, 2.5)]
+    rows.append(("{\"region\": \"ap\", \"seq\": 3}", "{not json"))
+    raw = spark.createDataFrame(rows, "key STRING, value STRING")
+
+    env = parse_envelope(raw.limit(2), row_schema, key_schema=key_schema)
+    got = {(r.key.region, r.key.seq): r.value.after.v
+           for r in env.collect()}
+    assert got == {("eu", 1): 1.5, ("us", 2): 2.5}
+
+    good, dlq = parse_envelope_dlq(raw, row_schema, key_schema=key_schema)
+    gk = sorted((r.key.region, r.key.seq) for r in good.collect())
+    assert gk == [("eu", 1), ("us", 2)]  # keys typed, NOT null structs
+    assert dlq.count() == 1
+
+    # the default remains id:long — unchanged for every existing caller
+    id_raw = spark.createDataFrame(
+        [(json.dumps({"id": 7}),
+          json.dumps({"before": None,
+                      "after": {"region": "eu", "seq": 1, "v": 0.5},
+                      "source": {"table": "db.t", "pos": 1},
+                      "op": "c", "ts_ms": 1}))],
+        "key STRING, value STRING",
+    )
+    assert parse_envelope(id_raw, row_schema).first().key.id == 7
+    assert envelope_schema(row_schema) is not None

@@ -583,8 +583,11 @@ def test_signal_ledger_makes_dispatch_idempotent_and_contains_errors(
     the same batch skips every id as 'duplicate' and the handler runs
     exactly once — including across a PROCESS RESTART (fresh ledger
     object over the same file). A handler exception is contained on the
-    action entry, recorded in the ledger (no retry storm), and does not
-    stop later signals in the batch."""
+    action entry and — by the at-least-once ack policy — left UNACKED,
+    so the failed signal retries on the next replay and succeeds once
+    the transient cause clears; it never stops later signals in the
+    batch. Unknown signal types are acked permanently (retrying can't
+    help), and ``ack_failures=True`` opts into at-most-once."""
     from debezium_incubator_spark.cdc.signals import SignalLedger
 
     ledger = SignalLedger(str(tmp_path / "signals.ledger"))
@@ -610,22 +613,48 @@ def test_signal_ledger_makes_dispatch_idempotent_and_contains_errors(
     assert "handler failed: snapshot source unreachable" == a1[1]["error"]
     assert runs == ["sig-a", "sig-c"]  # the failure didn't stop sig-c
 
-    # same batch replayed: everything skipped, handlers NOT re-run
+    # same batch replayed with the transient cause CLEARED: the handled
+    # signals skip as duplicates, the failed one retries and succeeds —
+    # the at-least-once ack policy (a contained failure is not acked)
+    handlers["pause-snapshot"] = ok
     a2 = dispatch_signals(batch, handlers=handlers, ledger=ledger)
-    assert [e.get("skipped") for e in a2] == ["duplicate"] * 3
-    assert runs == ["sig-a", "sig-c"]
+    assert [e.get("skipped") for e in a2] == ["duplicate", None, "duplicate"]
+    assert a2[1]["handled"] and runs == ["sig-a", "sig-c", "sig-b"]
 
-    # restart: a FRESH ledger over the same file still remembers
+    # restart: a FRESH ledger over the same file still remembers all 3
     ledger2 = SignalLedger(str(tmp_path / "signals.ledger"))
     a3 = dispatch_signals(batch, handlers=handlers, ledger=ledger2)
     assert [e.get("skipped") for e in a3] == ["duplicate"] * 3
-    assert runs == ["sig-a", "sig-c"]
+    assert runs == ["sig-a", "sig-c", "sig-b"]
 
     # a genuinely new signal still dispatches
     extra = _signal(spark, "sig-d", "execute-snapshot",
                     '{"data-collections": ["t"]}')
     a4 = dispatch_signals(extra, handlers=handlers, ledger=ledger2)
-    assert a4[0]["handled"] and runs == ["sig-a", "sig-c", "sig-d"]
+    assert a4[0]["handled"] and runs == ["sig-a", "sig-c", "sig-b", "sig-d"]
+
+    # unknown signal types are PERMANENT errors: acked on first sight,
+    # never retried (a replay skips them as duplicates)
+    bad = _signal(spark, "sig-e", "no-such-type", "null")
+    b1 = dispatch_signals(bad, handlers=handlers, ledger=ledger2)
+    assert "unknown signal type" in b1[0]["error"]
+    b2 = dispatch_signals(bad, handlers=handlers, ledger=ledger2)
+    assert b2[0].get("skipped") == "duplicate"
+
+    # ack_failures=True: at-most-once — a contained failure is acked
+    # and a replay does NOT retry it
+    ledger3 = SignalLedger(str(tmp_path / "amo.ledger"))
+    failing = {"pause-snapshot": boom}
+    c1 = dispatch_signals(
+        _signal(spark, "sig-f", "pause-snapshot", "null"),
+        handlers=failing, ledger=ledger3, ack_failures=True,
+    )
+    assert "handler failed" in c1[0]["error"]
+    c2 = dispatch_signals(
+        _signal(spark, "sig-f", "pause-snapshot", "null"),
+        handlers=failing, ledger=ledger3, ack_failures=True,
+    )
+    assert c2[0].get("skipped") == "duplicate"
 
 
 def test_signal_channel_stream_dispatches_once_across_restarts(
@@ -1033,6 +1062,37 @@ def test_file_notification_channel_durable(spark, tmp_path):
     assert [r.id for r in got] == ["n-0", "n-1", "n-2"]
     assert got[0].additional_data == {"table": "db.t"}
     assert [r.timestamp for r in got] == [5, 9, 12]
+
+
+def test_file_notification_channel_concurrent_writers_unique_ids(
+    spark, tmp_path
+):
+    """Two live channel instances over the SAME path (a writer racing a
+    resumed one — the multi-writer case the sink-channel contract must
+    survive): ids are minted from the max PERSISTED id under an
+    exclusive flock, so interleaved notifies never collide, and the
+    consumer's per-path dedup key stays globally unique."""
+    import json
+
+    from debezium_incubator_spark.cdc.notifications import (
+        FileNotificationChannel,
+    )
+
+    path = str(tmp_path / "notifications.jsonl")
+    a = FileNotificationChannel(path)
+    a.notify("Incremental Snapshot", "STARTED", position=1)
+    # second instance opened while the first is still live — it resumes
+    # from the persisted tail and the two then interleave writes
+    b = FileNotificationChannel(path)
+    b.notify("Incremental Snapshot", "TABLE_SCAN_COMPLETED", position=2)
+    a.notify("Incremental Snapshot", "TABLE_SCAN_COMPLETED", position=3)
+    b.notify("Incremental Snapshot", "COMPLETED", position=4)
+
+    with open(path) as fh:
+        rows = [json.loads(ln) for ln in fh if ln.strip()]
+    ids = [r["id"] for r in rows]
+    assert ids == ["n-0", "n-1", "n-2", "n-3"]  # unique AND gapless
+    assert [r["timestamp"] for r in rows] == [1, 2, 3, 4]
 
 
 def test_malformed_signal_rows_are_contained(spark, tmp_path):

@@ -1078,3 +1078,61 @@ def test_concurrent_commit_guard_allows_replay_rejects_divergence(
         )
     # state remains the committed history
     assert sorted(r.k for r in read_state_partitioned(spark, state).collect()) == [1, 2]
+
+
+def test_compaction_crash_replay_tolerates_manifest_key_order(
+    spark, tmp_path
+):
+    """The split-brain guard compares the PARSED bucket→epoch mapping,
+    never raw bytes: a crash-replayed compaction rebuilds its manifest
+    from ``os.listdir`` order, which the filesystem does not guarantee —
+    the same mapping serialized in a different key order must pass the
+    guard (it is the idempotent replay the guard's docstring promises),
+    while a genuinely different mapping still raises."""
+    import json
+
+    import pytest
+
+    from debezium_incubator_spark.streaming.partitioned_state import (
+        ConcurrentCommitError,
+        _commit_manifest,
+        compact_state,
+        read_state_partitioned,
+        apply_changes_partitioned,
+    )
+
+    state = str(tmp_path / "state")
+    rows = [(k, 10 + k, float(k), "u") for k in range(12)]
+    b1 = spark.createDataFrame(
+        rows, "k LONG, pos LONG, v DOUBLE, __op STRING"
+    )
+    apply_changes_partitioned(spark, b1, 0, state, ["k"], ["pos"], 4)
+    compact_state(spark, state, 5, ["k"], 4)
+
+    # simulate a crash BETWEEN the manifest commit and the _LATEST
+    # pointer update, where the committed manifest happens to be
+    # serialized in a DIFFERENT key order (legacy writer / listdir
+    # order): rewind the pointer and scramble the manifest bytes
+    with open(os.path.join(state, "manifest_v5.json")) as f:
+        mapping = json.load(f)
+    scrambled = "{" + ", ".join(
+        f'"{k}": {v}' for k, v in reversed(list(mapping.items()))
+    ) + "}"
+    assert scrambled != json.dumps(mapping, sort_keys=True)
+    with open(os.path.join(state, "manifest_v5.json"), "w") as f:
+        f.write(scrambled)
+    with open(os.path.join(state, "_LATEST"), "w") as f:
+        f.write("manifest_v0.json")
+
+    # replay of the compaction: same mapping, different byte order —
+    # must NOT be misclassified as split-brain
+    out = compact_state(spark, state, 5, ["k"], 4)
+    assert out["rows"] == 12
+    assert read_state_partitioned(spark, state).count() == 12
+
+    # a genuinely different mapping under the same epoch still refuses
+    diverged = dict(mapping)
+    first = next(iter(diverged))
+    diverged[first] = 99
+    with pytest.raises(ConcurrentCommitError):
+        _commit_manifest(state, 5, json.dumps(diverged, sort_keys=True))
