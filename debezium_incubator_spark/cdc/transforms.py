@@ -1,0 +1,340 @@
+"""Record-shaping SMTs beyond the routing family: PartitionRouting,
+HeaderToValue, TimezoneConverter, and the Debezium temporal wire types
+(``io.debezium.time.*``). Reconstructed per SURVEY.md §0 from the public
+Debezium SMT / data-type documentation (the archived checkout has no SMT
+source).
+
+Scale posture: every transform here is a per-record column expression —
+zero shuffle, whole-stage-codegen eligible, riding whatever partitioning
+the surrounding plan already has. PartitionRouting in particular exists
+so the SINK controls placement without a Spark-side repartition: the
+computed ``__partition`` column is metadata the Kafka writer consumes,
+not a clustering the engine must move data for.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..catalog import table
+from ..registry import register
+
+# ---------------------------------------------------------------------------
+# PartitionRouting SMT (public Debezium io.debezium.transforms.partitions.
+# PartitionRouting: partition.payload.fields + partition.topic.num)
+# ---------------------------------------------------------------------------
+
+
+def _portable_hash(cols: list[Column]) -> Column:
+    """60-bit md5-derived hash over '|'-joined field renders — the same
+    portable construction the dedup twins use (llm/dedup.py), computable
+    bit-identically in DuckDB as
+    ``CAST('0x' || substring(md5('pr|' || ...), 1, 15) AS BIGINT)``."""
+    joined = F.concat_ws("|", *[c.cast("string") for c in cols])
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit("pr|"), joined)), 1, 15), 16, 10
+    ).cast("bigint")
+
+
+def partition_routing(
+    df: DataFrame,
+    payload_fields: list[str],
+    partition_count: int,
+    hash: str = "xxhash64",
+    out_col: str = "__partition",
+) -> DataFrame:
+    """PartitionRouting SMT: pin each event's sink partition to a hash
+    of the declared payload fields modulo ``partition.topic.num`` — the
+    Debezium answer to "all events of one entity must land in one
+    partition even when the record key differs".
+
+    ``hash="xxhash64"`` is the engine path (JVM, codegen);
+    ``hash="portable"`` swaps in the md5-60-bit hash so the assignment
+    is differentially checkable against DuckDB. Both are stable across
+    runs/restarts — a rebalance never moves an entity's partition unless
+    ``partition_count`` changes (Debezium documents the same contract).
+    """
+    cols = [F.col(c) for c in payload_fields]
+    if hash == "portable":
+        h = _portable_hash(cols)
+    else:
+        h = F.xxhash64(*cols)
+    # pmod: xxhash64 is signed — Java's abs-then-mod and pmod agree for
+    # every value except Long.MIN_VALUE, which pmod handles and abs
+    # overflows on (we keep the well-defined form)
+    return df.withColumn(
+        out_col, F.pmod(h, F.lit(partition_count)).cast("int")
+    )
+
+
+@register(
+    "cdc_partition_routing",
+    oracle="""
+SELECT event_id,
+       CAST(CAST('0x' || substring(
+              md5('pr|' || CAST(user_id AS VARCHAR) || '|' || event_type),
+              1, 15) AS BIGINT) % 16 AS INT) AS partition
+FROM events
+ORDER BY event_id
+""",
+)
+def cdc_partition_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PartitionRouting over the events stream: entity = (user_id,
+    event_type), 16 sink partitions, portable hash so DuckDB recomputes
+    the exact assignment. Hash parity proves the SMT's placement
+    function, not just its shape."""
+    ev = table(spark, sf_dir, "events")
+    routed = partition_routing(
+        ev, ["user_id", "event_type"], 16, hash="portable",
+        out_col="partition",
+    )
+    return routed.select("event_id", "partition").orderBy("event_id")
+
+
+# ---------------------------------------------------------------------------
+# HeaderToValue SMT (public Debezium io.debezium.transforms.HeaderToValue:
+# headers / fields / operation = move | copy)
+# ---------------------------------------------------------------------------
+
+
+def header_to_value(
+    df: DataFrame,
+    headers: list[str],
+    fields: list[str] | None = None,
+    operation: str = "move",
+    headers_col: str = "headers",
+) -> DataFrame:
+    """HeaderToValue SMT: lift named record headers into value fields.
+    ``operation="copy"`` keeps the headers; ``"move"`` also removes them
+    from the header map (``map_filter`` — expression-level, no UDF).
+    ``fields`` renames the targets (defaults to the header names with
+    dots flattened, the SMT's convention). A header absent on a record
+    surfaces as NULL, exactly like the Connect SMT."""
+    if operation not in ("move", "copy"):
+        raise ValueError(f"operation must be move|copy, got {operation!r}")
+    fields = fields or [h.replace(".", "_") for h in headers]
+    if len(fields) != len(headers):
+        raise ValueError("headers and fields must have equal length")
+    out = df
+    for h, f_ in zip(headers, fields):
+        out = out.withColumn(f_, F.col(headers_col)[h])
+    if operation == "move":
+        moved = headers
+        out = out.withColumn(
+            headers_col,
+            F.map_filter(F.col(headers_col), lambda k, _: ~k.isin(moved)),
+        )
+    return out
+
+
+@register(
+    "cdc_header_to_value",
+    oracle="""
+SELECT event_id,
+       CAST(event_id AS VARCHAR) AS corr,
+       event_type AS src,
+       'trace' AS remaining
+FROM events
+ORDER BY event_id
+""",
+)
+def cdc_header_to_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HeaderToValue round-trip: synthesize a 3-key header map per
+    record, MOVE two of them into value fields, and show exactly the
+    untouched key survives in the map. The oracle recomputes the moved
+    values from the source columns — equality proves the map lookup and
+    the map_filter removal both did precisely what the SMT contract
+    says."""
+    ev = table(spark, sf_dir, "events").withColumn(
+        "headers",
+        F.create_map(
+            F.lit("corr"), F.col("event_id").cast("string"),
+            F.lit("src"), F.col("event_type"),
+            F.lit("trace"), F.lit("t-1"),
+        ),
+    )
+    lifted = header_to_value(ev, ["corr", "src"], operation="move")
+    return lifted.select(
+        "event_id",
+        "corr",
+        "src",
+        F.array_join(F.array_sort(F.map_keys("headers")), ",").alias(
+            "remaining"
+        ),
+    ).orderBy("event_id")
+
+
+# ---------------------------------------------------------------------------
+# TimezoneConverter SMT (public Debezium io.debezium.transforms.
+# TimezoneConverter: converted.timezone + include/exclude field lists)
+# ---------------------------------------------------------------------------
+
+
+def timezone_converter(
+    df: DataFrame,
+    target_tz: str,
+    include: list[str] | None = None,
+    exclude: list[str] | None = None,
+    source_tz: str = "UTC",
+) -> DataFrame:
+    """TimezoneConverter SMT: rewrite temporal column VALUES from the
+    connector's timezone (Debezium emits UTC) to a target zone — the
+    wall-clock form downstream consumers in one business timezone want.
+    Applies to every timestamp-typed column, scoped by ``include`` /
+    ``exclude`` name lists like the SMT's field selectors. DST is
+    handled by the IANA zone rules (``convert_timezone`` is
+    instant-correct, not a fixed offset)."""
+    cols = [
+        f.name
+        for f in df.schema.fields
+        if isinstance(f.dataType, (T.TimestampType, T.TimestampNTZType))
+    ]
+    if include is not None:
+        cols = [c for c in cols if c in include]
+    if exclude is not None:
+        cols = [c for c in cols if c not in exclude]
+    out = df
+    for c in cols:
+        out = out.withColumn(
+            c,
+            F.convert_timezone(
+                F.lit(source_tz), F.lit(target_tz),
+                F.col(c).cast("timestamp_ntz"),
+            ),
+        )
+    return out
+
+
+@register(
+    "cdc_timezone_convert",
+    oracle="""
+SELECT event_id,
+       timezone('America/Chicago', timezone('UTC', ts)) AS chicago_wall,
+       CAST((epoch_us(timezone('America/Chicago', timezone('UTC', ts)))
+             - epoch_us(ts)) / 60000000 AS BIGINT) AS chicago_offset_min,
+       timezone('Asia/Kolkata', timezone('UTC', ts)) AS kolkata_wall
+FROM events
+ORDER BY event_id
+""",
+)
+def cdc_timezone_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TimezoneConverter differential: UTC event times rendered as
+    Chicago and Kolkata wall clocks (one DST zone, one half-hour-offset
+    zone), plus the realized offset in minutes recomputed from epoch
+    arithmetic — both engines apply their own IANA rules, so equality
+    proves instant-correct conversion, not string formatting."""
+    ev = table(spark, sf_dir, "events")
+    chi = timezone_converter(ev, "America/Chicago", include=["ts"])
+    kol = timezone_converter(ev, "Asia/Kolkata", include=["ts"])
+    wall = chi.select("event_id", F.col("ts").alias("chicago_wall"))
+    kwall = kol.select("event_id", F.col("ts").alias("kolkata_wall"))
+    base = ev.select("event_id", "ts")
+    return (
+        base.join(wall, "event_id")
+        .join(kwall, "event_id")
+        .select(
+            "event_id",
+            "chicago_wall",
+            (
+                (
+                    F.unix_micros(F.col("chicago_wall").cast("timestamp"))
+                    - F.unix_micros(F.col("ts").cast("timestamp"))
+                )
+                / 60_000_000
+            ).cast("bigint").alias("chicago_offset_min"),
+            "kolkata_wall",
+        )
+        .orderBy("event_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Temporal wire types (public Debezium io.debezium.time.* — the adaptive
+# time.precision.mode encodings plus the Connect-mode millisecond form)
+# ---------------------------------------------------------------------------
+
+
+EPOCH_DATE = "1970-01-01"
+
+
+def to_wire_date(col: Column) -> Column:
+    """``io.debezium.time.Date``: days since epoch as INT32 — the
+    adaptive wire form of a DATE column."""
+    return F.datediff(col.cast("date"), F.lit(EPOCH_DATE).cast("date")).cast(
+        "int"
+    )
+
+
+def from_wire_date(col: Column) -> Column:
+    """Decode ``io.debezium.time.Date`` back to a date."""
+    return F.date_add(F.lit(EPOCH_DATE).cast("date"), col)
+
+
+def to_wire_micro_timestamp(col: Column) -> Column:
+    """``io.debezium.time.MicroTimestamp``: epoch microseconds as INT64
+    (``time.precision.mode=adaptive_time_microseconds``)."""
+    return F.unix_micros(col.cast("timestamp"))
+
+
+def from_wire_micro_timestamp(col: Column) -> Column:
+    """Decode MicroTimestamp to a timestamp."""
+    return F.timestamp_micros(col)
+
+
+def to_wire_connect_timestamp(col: Column) -> Column:
+    """``org.apache.kafka.connect.data.Timestamp``: epoch MILLIseconds
+    as INT64 — ``time.precision.mode=connect`` trades sub-ms precision
+    for Connect-native types (the documented lossy mode)."""
+    return F.unix_millis(col.cast("timestamp"))
+
+
+def to_wire_zoned_timestamp(col: Column) -> Column:
+    """``io.debezium.time.ZonedTimestamp``: ISO-8601 string in UTC —
+    the wire form for timezone-aware source columns."""
+    return F.date_format(
+        col.cast("timestamp"), "yyyy-MM-dd'T'HH:mm:ss'Z'"
+    )
+
+
+@register(
+    "cdc_temporal_wire",
+    oracle="""
+SELECT o_orderkey,
+       CAST(date_diff('day', DATE '1970-01-01',
+                      CAST(o_orderdate AS DATE)) AS INT) AS wire_days,
+       epoch_us(o_orderdate) AS wire_micros,
+       epoch_ms(o_orderdate) AS wire_millis,
+       strftime(o_orderdate, '%Y-%m-%dT%H:%M:%SZ') AS wire_zoned,
+       CAST(DATE '1970-01-01'
+            + CAST(date_diff('day', DATE '1970-01-01',
+                             CAST(o_orderdate AS DATE)) AS INT)
+            AS TIMESTAMP) AS date_rt,
+       make_timestamp(epoch_us(o_orderdate)) AS ts_rt
+FROM orders
+ORDER BY o_orderkey
+""",
+)
+def cdc_temporal_wire(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The adaptive temporal wire encodings round-tripped: DATE → epoch
+    days (io.debezium.time.Date), TIMESTAMP → epoch micros
+    (MicroTimestamp) and epoch millis (Connect mode), plus the
+    ZonedTimestamp UTC render — then decoded back and emitted alongside,
+    so hash parity proves encode AND decode are exact inverses on both
+    engines' epoch arithmetic."""
+    o = table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    days = to_wire_date(d)
+    micros = to_wire_micro_timestamp(d)
+    return o.select(
+        "o_orderkey",
+        days.alias("wire_days"),
+        micros.alias("wire_micros"),
+        to_wire_connect_timestamp(d).alias("wire_millis"),
+        to_wire_zoned_timestamp(d).alias("wire_zoned"),
+        from_wire_date(days).cast("timestamp_ntz").alias("date_rt"),
+        from_wire_micro_timestamp(micros).cast("timestamp_ntz").alias(
+            "ts_rt"
+        ),
+    ).orderBy("o_orderkey")

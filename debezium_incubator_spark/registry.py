@@ -196,6 +196,7 @@ def load_all() -> None:
         routing,
         scd2,
         snapshot_lifecycle,
+        transforms,
     )
     from .llm import clustering  # noqa: F401
     from .llm import dedup, multimodal, similarity, text  # noqa: F401

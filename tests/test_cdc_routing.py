@@ -606,3 +606,130 @@ def test_parse_envelope_custom_key_schema(spark):
     )
     assert parse_envelope(id_raw, row_schema).first().key.id == 7
     assert envelope_schema(row_schema) is not None
+
+
+def test_partition_routing_stability_and_balance(spark):
+    """PartitionRouting contract: (1) the assignment is a pure function
+    of the payload fields — same entity, same partition, on BOTH hash
+    paths; (2) entities spread across partitions without a hot bucket
+    (the reason the SMT exists); (3) pmod keeps assignments in range on
+    signed xxhash64 output."""
+    from pyspark.sql import functions as F
+
+    from debezium_incubator_spark.catalog import table as cat_table
+    from debezium_incubator_spark.cdc.transforms import partition_routing
+
+    from .conftest import SF_SMOKE
+
+    ev = cat_table(spark, SF_SMOKE, "events")
+    for mode in ("xxhash64", "portable"):
+        routed = partition_routing(ev, ["user_id"], 8, hash=mode)
+        per_user = routed.groupBy("user_id").agg(
+            F.countDistinct("__partition").alias("n")
+        )
+        # one entity → exactly one partition, always
+        assert per_user.filter(F.col("n") != 1).count() == 0
+        parts = routed.select("__partition").distinct().collect()
+        vals = sorted(r["__partition"] for r in parts)
+        assert all(0 <= v < 8 for v in vals)
+        counts = {
+            r["__partition"]: r["c"]
+            for r in routed.groupBy("__partition")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .collect()
+        }
+        # no hot bucket: max ≤ 4× mean over the smoke fixture's 15 users
+        mean = sum(counts.values()) / len(counts)
+        assert max(counts.values()) <= 4 * mean
+
+
+def test_header_to_value_copy_keeps_headers_and_missing_is_null(spark):
+    """HeaderToValue: copy mode keeps the header map intact; a header
+    absent on a record lifts as NULL (the Connect SMT contract); bad
+    operation raises."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from debezium_incubator_spark.cdc.transforms import header_to_value
+
+    df = spark.createDataFrame(
+        [(1, {"corr": "a", "src": "x"}), (2, {"src": "y"})],
+        "id INT, headers MAP<STRING,STRING>",
+    )
+    copied = header_to_value(df, ["corr"], operation="copy")
+    rows = {r.id: r for r in copied.collect()}
+    assert rows[1].corr == "a" and rows[2].corr is None
+    assert set(rows[1].headers) == {"corr", "src"}  # copy keeps the map
+
+    moved = header_to_value(df, ["corr"], fields=["correlation"],
+                            operation="move")
+    rows = {r.id: r for r in moved.collect()}
+    assert rows[1].correlation == "a"
+    assert set(rows[1].headers) == {"src"}  # move removed it
+
+    with pytest.raises(ValueError, match="move|copy"):
+        header_to_value(df, ["corr"], operation="delete")
+    with pytest.raises(ValueError, match="equal length"):
+        header_to_value(df, ["corr", "src"], fields=["only-one"])
+
+
+def test_timezone_converter_scoping_and_dst(spark):
+    """TimezoneConverter: include/exclude scope which timestamp columns
+    convert; conversion is instant-correct across a DST boundary (the
+    offset CHANGES between a January and a July instant for Chicago —
+    a fixed-offset implementation would fail this)."""
+    import datetime as dt
+
+    from debezium_incubator_spark.cdc.transforms import timezone_converter
+
+    df = spark.createDataFrame(
+        [
+            (1, dt.datetime(2024, 1, 15, 12, 0, 0),
+             dt.datetime(2024, 1, 15, 12, 0, 0)),
+            (2, dt.datetime(2024, 7, 15, 12, 0, 0),
+             dt.datetime(2024, 7, 15, 12, 0, 0)),
+        ],
+        "id INT, ts TIMESTAMP_NTZ, other TIMESTAMP_NTZ",
+    )
+    out = timezone_converter(df, "America/Chicago", include=["ts"])
+    rows = {r.id: r for r in out.collect()}
+    # January: CST = UTC-6; July: CDT = UTC-5 — DST applied per instant
+    assert rows[1].ts.hour == 6 and rows[2].ts.hour == 7
+    # excluded column untouched
+    assert rows[1].other.hour == 12 and rows[2].other.hour == 12
+
+    out2 = timezone_converter(df, "America/Chicago", exclude=["ts"])
+    rows2 = {r.id: r for r in out2.collect()}
+    assert rows2[1].ts.hour == 12 and rows2[1].other.hour == 6
+
+
+def test_temporal_wire_round_trip_identities(spark):
+    """The io.debezium.time.* encoders are exact inverses on arbitrary
+    timestamps (µs precision), and the Connect-mode millis form is the
+    documented LOSSY one — sub-ms precision truncates."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from debezium_incubator_spark.cdc.transforms import (
+        from_wire_date,
+        from_wire_micro_timestamp,
+        to_wire_connect_timestamp,
+        to_wire_date,
+        to_wire_micro_timestamp,
+    )
+
+    ts = dt.datetime(2024, 3, 7, 23, 59, 59, 123456)
+    df = spark.createDataFrame([(ts,)], "t TIMESTAMP_NTZ")
+    row = df.select(
+        to_wire_micro_timestamp(F.col("t")).alias("us"),
+        to_wire_connect_timestamp(F.col("t")).alias("ms"),
+        from_wire_micro_timestamp(
+            to_wire_micro_timestamp(F.col("t"))
+        ).cast("timestamp_ntz").alias("rt"),
+        from_wire_date(to_wire_date(F.col("t"))).alias("d"),
+    ).first()
+    assert row.rt == ts                      # µs wire is lossless
+    assert row.us % 1000 == 456              # µs tail present
+    assert row.ms == row.us // 1000          # connect mode truncates it
+    assert row.d == dt.date(2024, 3, 7)
