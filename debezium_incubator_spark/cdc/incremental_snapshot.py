@@ -45,6 +45,34 @@ def chunk_bounds(df: DataFrame, key: str, n_chunks: int) -> list[tuple]:
     return [(edges[i], edges[i + 1]) for i in range(len(edges) - 1)]
 
 
+def readonly_watermarks(
+    changes: DataFrame, pos_col: str, n_chunks: int, width: int = 5
+) -> list[tuple]:
+    """``read.only=true`` watermarking (Debezium's MySQL read-only
+    incremental snapshot): the standard DBLog protocol WRITES
+    open/close watermark markers into the signal table; a read-only
+    connector may not write to the source at all, so it instead
+    OBSERVES the server's position (MySQL: the executed GTID set)
+    just before and after each chunk SELECT and uses the observed pair
+    as the (L, H] bracket.
+
+    Batch twin: one driver job reads the log's position range; chunk i
+    is bracketed at the position it would run (evenly spaced through
+    the log), ``width`` positions wide — narrow brackets per the DBLog
+    fixture rule (a bracket spanning the whole log reconciles away
+    every image row on hot-key data). The FOLD is invariant to where
+    the brackets land (property-tested under arbitrary placements), so
+    observation-derived brackets are as correct as written ones — the
+    read-only mode changes how watermarks are OBTAINED, never the
+    reconciliation semantics."""
+    lo, hi = changes.agg(
+        F.min(pos_col), F.max(pos_col)
+    ).first()  # ONE control-plane job
+    lo, hi = int(lo), int(hi)
+    hs = [lo + int((hi - lo) * (i + 1) / n_chunks) for i in range(n_chunks)]
+    return [(max(h - width, lo - 1), h) for h in hs]
+
+
 def snapshot_chunk(
     snapshot_df: DataFrame,
     key: str,

@@ -44,12 +44,23 @@ def outbox_event_router(
     aggregate_type: str = "aggregatetype",
     payload: str = "payload",
     topic_prefix: str = "outbox.event.",
+    expand_schema=None,
 ) -> DataFrame:
     """B6 Outbox EventRouter: route rows of an outbox table to
-    per-aggregate topics, keyed by the aggregate id."""
+    per-aggregate topics, keyed by the aggregate id.
+
+    ``expand_schema`` enables the SMT's ``table.expand.json.payload``
+    option: the JSON-string payload parses into a typed struct value
+    (consumers get columns, not a blob). A DDL string or StructType —
+    explicit by policy, same as every other schema in this engine;
+    Debezium likewise expands against the registered schema, never by
+    sniffing."""
+    value = F.col(payload)
+    if expand_schema is not None:
+        value = F.from_json(value.cast("string"), expand_schema)
     return outbox.select(
         F.col(aggregate_id).cast("string").alias("key"),
-        F.col(payload).alias("value"),
+        value.alias("value"),
         F.concat(F.lit(topic_prefix), F.col(aggregate_type)).alias("topic"),
     )
 
@@ -136,6 +147,34 @@ def route_outbox(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("props").alias("payload"),
     )
     return outbox_event_router(ev).orderBy("key", "value", "topic")
+
+
+@register(
+    "route_outbox_expand",
+    oracle="""
+SELECT CAST(user_id AS VARCHAR) AS key,
+       CAST(json_extract_string(props, '$.k') AS INT) AS k,
+       'outbox.event.' ||
+       CASE event_type WHEN 'signup' THEN 'c' WHEN 'error' THEN 'd'
+            WHEN 'view' THEN 'r' ELSE 'u' END AS topic
+FROM events
+ORDER BY CAST(user_id AS VARCHAR), k, topic
+""",
+)
+def route_outbox_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B6 + ``table.expand.json.payload=true``: the payload JSON blob
+    expands into a typed struct; the oracle re-extracts the same field
+    straight from the source JSON — equality proves the expansion is
+    lossless typing, not reformatting."""
+    ev = table(spark, sf_dir, "events").select(
+        F.col("user_id").alias("aggregateid"),
+        F.expr(OP_CASE).alias("aggregatetype"),
+        F.col("props").alias("payload"),
+    )
+    routed = outbox_event_router(ev, expand_schema="k INT")
+    return routed.select(
+        "key", F.col("value.k").alias("k"), "topic"
+    ).orderBy("key", "k", "topic")
 
 
 def default_topic_name(env: DataFrame,

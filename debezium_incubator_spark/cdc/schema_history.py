@@ -731,3 +731,98 @@ def replay_history_df(history_df, registry: SchemaRegistry | None = None,
     never data-scale."""
     rows = history_df.select(ddl_col).collect()
     return replay_history([r[0] for r in rows if r[0]], registry, dialect)
+
+
+#: typed shape of one schema-change-topic event (public Debezium's
+#: ``include.schema.changes=true`` stream: one event per DDL, payload
+#: carrying the statement plus the structured post-DDL table shape)
+SCHEMA_CHANGE_EVENT = T.StructType([
+    T.StructField("pos", T.LongType()),
+    T.StructField("database", T.StringType()),
+    T.StructField("ddl", T.StringType()),
+    T.StructField("change_type", T.StringType()),   # CREATE/ALTER/DROP
+    T.StructField("table_id", T.StringType()),
+    T.StructField("columns", T.ArrayType(T.StructType([
+        T.StructField("name", T.StringType()),
+        T.StructField("type_name", T.StringType()),
+        T.StructField("position", T.IntegerType()),
+        T.StructField("optional", T.BooleanType()),
+    ]))),
+])
+
+
+def schema_change_events(
+    spark,
+    ddl_statements: list[str],
+    database: str = "db",
+    dialect: str = "generic",
+    registry: SchemaRegistry | None = None,
+) -> "DataFrame":
+    """The schema-change topic (``include.schema.changes=true``): one
+    typed event per shape-mutating DDL, carrying the raw statement AND
+    the structured post-statement table shape (Debezium's
+    ``tableChanges`` payload) so consumers never re-parse dialect DDL.
+
+    Classification mirrors the public contract: CREATE (table newly
+    registered), ALTER (a new schema version appended — renames
+    included, under the new id), DROP (table gone; ``columns`` NULL).
+    Statements that don't change any table shape (GRANT/USE/comments)
+    emit nothing, exactly like Debezium's filtered history.
+
+    Control-plane by design: the DDL replay is a driver loop over the
+    (tiny) history; the returned DataFrame is the sink-able wire form.
+    """
+    reg = registry if registry is not None else SchemaRegistry()
+    ctx = DialectContext(dialect=dialect)
+    rows: list[tuple] = []
+    for pos, ddl in enumerate(ddl_statements):
+        before = {t: len(v) for t, v in reg.versions.items()}
+        tbl = apply_ddl(reg, ddl, ctx)
+        if tbl is None:
+            continue
+        after = {t: len(v) for t, v in reg.versions.items()}
+        if tbl not in after:
+            kind, cols = "DROP", None
+        else:
+            renamed_from = [t for t in before if t not in after]
+            if tbl not in before and not renamed_from:
+                kind = "CREATE"
+            else:
+                kind = "ALTER"
+            if after.get(tbl) == before.get(tbl) and not renamed_from:
+                continue  # no new version registered — shape unchanged
+            cols = [
+                (f.name, f.dataType.simpleString(), i + 1, f.nullable)
+                for i, f in enumerate(reg.latest(tbl).fields)
+            ]
+        rows.append(
+            (pos, database, ddl.strip().rstrip(";"), kind,
+             f"{database}.{tbl}", cols)
+        )
+    return spark.createDataFrame(rows, SCHEMA_CHANGE_EVENT)
+
+
+def schema_change_wire(events: "DataFrame", topic_prefix: str) -> "DataFrame":
+    """Render schema-change events to the wire: key = ``{databaseName}``
+    JSON, value = the full event JSON, topic = the connector's
+    ``topic.prefix`` (public Debezium publishes schema changes to the
+    topic named by the prefix itself). Expression-level ``to_json`` —
+    the same sink contract as the data-plane envelope."""
+    from pyspark.sql import functions as F
+
+    return events.select(
+        F.to_json(F.struct(F.col("database").alias("databaseName"))).alias(
+            "key"
+        ),
+        F.to_json(F.struct(
+            F.col("pos"),
+            F.col("database").alias("databaseName"),
+            F.col("ddl"),
+            F.struct(
+                F.col("change_type").alias("type"),
+                F.col("table_id").alias("id"),
+                F.struct(F.col("columns")).alias("table"),
+            ).alias("tableChanges"),
+        )).alias("value"),
+        F.lit(topic_prefix).alias("topic"),
+    )

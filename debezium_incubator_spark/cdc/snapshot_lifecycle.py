@@ -63,7 +63,7 @@ class ChunkedSnapshotRunner:
         key: str,
         pos_col: str,
         bounds: list[tuple],
-        watermarks: list[tuple],
+        watermarks: list[tuple] | None,
         work_dir: str,
         channel=None,
         condition: str | None = None,
@@ -75,6 +75,12 @@ class ChunkedSnapshotRunner:
         self.key = key
         self.pos_col = pos_col
         self.bounds = bounds
+        if watermarks is None:
+            # read.only=true: no signal-table writes — derive the (L,H]
+            # brackets by observing the log's positions instead
+            from .incremental_snapshot import readonly_watermarks
+
+            watermarks = readonly_watermarks(changes, pos_col, len(bounds))
         self.watermarks = watermarks
         self.work_dir = work_dir
         self.channel = channel

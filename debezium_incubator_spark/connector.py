@@ -193,6 +193,38 @@ def transform_chain(df: DataFrame, props: dict[str, str]) -> DataFrame:
                     F.col("topic"), t["regex"], t["replacement"]
                 ),
             )
+        elif ttype.endswith("PartitionRouting"):
+            from .cdc.transforms import partition_routing
+
+            fields = [p.strip()
+                      for p in t["partition.payload.fields"].split(",")
+                      if p.strip()]
+            df = partition_routing(
+                df, fields, int(t["partition.topic.num"]),
+                hash=t.get("partition.hash.function", "xxhash64"),
+            )
+        elif ttype.endswith("HeaderToValue"):
+            from .cdc.transforms import header_to_value
+
+            headers = [p.strip() for p in t["headers"].split(",")
+                       if p.strip()]
+            fields = [p.strip() for p in t.get("fields", "").split(",")
+                      if p.strip()]
+            df = header_to_value(
+                df, headers, fields=fields or None,
+                operation=t.get("operation", "move"),
+            )
+        elif ttype.endswith("TimezoneConverter"):
+            from .cdc.transforms import timezone_converter
+
+            inc = [p.strip() for p in t.get("include.list", "").split(",")
+                   if p.strip()]
+            exc = [p.strip() for p in t.get("exclude.list", "").split(",")
+                   if p.strip()]
+            df = timezone_converter(
+                df, t["converted.timezone"],
+                include=inc or None, exclude=exc or None,
+            )
         else:
             raise ValueError(f"unsupported transform type for '{name}': {ttype}")
     return df

@@ -221,3 +221,47 @@ def test_transform_chain_new_smts(spark):
     a = {r.key.id: list(r["__changed"]) for r in got2.collect()}
     b = {r.key.id: list(r["__changed"]) for r in want2.collect()}
     assert a == b
+
+
+def test_transform_chain_drives_new_smts_from_properties(spark):
+    """The Debezium properties file is the API: PartitionRouting,
+    HeaderToValue, and TimezoneConverter run from `transforms.*` keys
+    exactly like the Connect worker would load them — chained in the
+    declared order over one frame."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from debezium_incubator_spark.connector import transform_chain
+
+    df = spark.createDataFrame(
+        [
+            (1, "alpha", dt.datetime(2024, 1, 15, 12, 0),
+             {"corr": "c-1", "keep": "k"}),
+            (2, "beta", dt.datetime(2024, 7, 15, 12, 0),
+             {"corr": "c-2", "keep": "k"}),
+        ],
+        "id LONG, name STRING, ts TIMESTAMP_NTZ, headers MAP<STRING,STRING>",
+    )
+    props = {
+        "transforms": "part,lift,tz",
+        "transforms.part.type":
+            "io.debezium.transforms.partitions.PartitionRouting",
+        "transforms.part.partition.payload.fields": "name",
+        "transforms.part.partition.topic.num": "4",
+        "transforms.lift.type": "io.debezium.transforms.HeaderToValue",
+        "transforms.lift.headers": "corr",
+        "transforms.lift.fields": "correlation",
+        "transforms.lift.operation": "move",
+        "transforms.tz.type": "io.debezium.transforms.TimezoneConverter",
+        "transforms.tz.converted.timezone": "America/Chicago",
+        "transforms.tz.include.list": "ts",
+    }
+    out = {r.id: r for r in transform_chain(df, props).collect()}
+    assert 0 <= out[1]["__partition"] < 4
+    # same payload field value -> same partition on a second run
+    again = {r.id: r for r in transform_chain(df, props).collect()}
+    assert out[1]["__partition"] == again[1]["__partition"]
+    assert out[1].correlation == "c-1" and out[2].correlation == "c-2"
+    assert set(out[1].headers) == {"keep"}  # move removed corr
+    assert out[1].ts.hour == 6 and out[2].ts.hour == 7  # CST vs CDT

@@ -157,3 +157,77 @@ def test_quoted_keyword_columns_are_kept():
         "ALTER TABLE t2 ADD UNIQUE KEY uk (id)",
     ])
     assert [f.name for f in reg2.latest("t2").fields] == ["id"]
+
+
+def test_schema_change_topic_events(spark):
+    """`include.schema.changes=true` twin: one typed event per
+    shape-mutating DDL with the structured post-statement table shape
+    (Debezium's tableChanges payload). Shape-irrelevant statements emit
+    nothing; the last event's columns equal the registry's final schema
+    (consumers never re-parse DDL); the wire render targets the
+    topic.prefix topic with a parseable JSON value."""
+    import json
+
+    from debezium_incubator_spark.cdc.schema_history import (
+        SchemaRegistry,
+        schema_change_events,
+        schema_change_wire,
+    )
+
+    reg = SchemaRegistry()
+    ddls = [
+        "CREATE TABLE users (id BIGINT NOT NULL, name VARCHAR(40))",
+        "GRANT SELECT ON users TO analyst",          # no event
+        "ALTER TABLE users ADD COLUMN email VARCHAR(80)",
+        "CREATE TABLE audit (id BIGINT, what VARCHAR(10))",
+        "DROP TABLE audit",
+    ]
+    ev = schema_change_events(spark, ddls, database="inventory",
+                              registry=reg)
+    rows = ev.orderBy("pos").collect()
+    assert [(r.change_type, r.table_id) for r in rows] == [
+        ("CREATE", "inventory.users"),
+        ("ALTER", "inventory.users"),
+        ("CREATE", "inventory.audit"),
+        ("DROP", "inventory.audit"),
+    ]
+    # GRANT emitted nothing and positions are the DDL-stream indexes
+    assert [r.pos for r in rows] == [0, 2, 3, 4]
+    # structured shape matches the replayed registry, orderly positions
+    alter = rows[1]
+    assert [(c.name, c.position) for c in alter.columns] == [
+        ("id", 1), ("name", 2), ("email", 3)
+    ]
+    assert [c.name for c in alter.columns] == [
+        f.name for f in reg.latest("users").fields
+    ]
+    assert alter.columns[0].optional is False  # NOT NULL carried
+    assert rows[3].columns is None             # DROP has no shape
+
+    wire = schema_change_wire(ev, "srv1").collect()
+    assert {r.topic for r in wire} == {"srv1"}
+    v = json.loads(wire[0].value)
+    assert v["databaseName"] == "inventory"
+    assert v["tableChanges"]["type"] == "CREATE"
+    assert [c["name"] for c in v["tableChanges"]["table"]["columns"]] == [
+        "id", "name"
+    ]
+
+
+def test_schema_change_events_rename_classified_alter(spark):
+    """RENAME emits an ALTER under the NEW table id (the old id's
+    versions move wholesale) — the consumer contract Debezium documents
+    for table renames in the schema-change stream."""
+    from debezium_incubator_spark.cdc.schema_history import (
+        schema_change_events,
+    )
+
+    ev = schema_change_events(spark, [
+        "CREATE TABLE a (id BIGINT)",
+        "ALTER TABLE a RENAME TO b",
+    ], database="db")
+    rows = ev.orderBy("pos").collect()
+    assert [(r.change_type, r.table_id) for r in rows] == [
+        ("CREATE", "db.a"), ("ALTER", "db.b"),
+    ]
+    assert [c.name for c in rows[1].columns] == ["id"]

@@ -1132,3 +1132,50 @@ def test_malformed_signal_rows_are_contained(spark, tmp_path):
     assert "error" in by_id["s-bad-data"] and not by_id["s-bad-data"]["handled"]
     # the good signal ran exactly once despite the surrounding garbage
     assert seen == ["s-good"]
+
+
+def test_readonly_watermarks_snapshot_folds_to_latest_state(
+    spark, tmp_path
+):
+    """`read.only=true` twin: a runner given NO watermarks derives its
+    (L,H] brackets by OBSERVING the log's positions (one driver job) —
+    no signal-table writes anywhere in the protocol — and the chunked
+    result still folds to exactly the latest state. The fold is
+    watermark-placement-invariant (property-tested elsewhere), so
+    observation-derived brackets are as correct as written ones; this
+    test pins the derivation itself: per-chunk, in-range, narrow, and
+    non-degenerate (the snapshot image is not reconciled away)."""
+    from debezium_incubator_spark.cdc.incremental_snapshot import (
+        readonly_watermarks,
+    )
+
+    ch = _changes(spark).cache()
+    bounds, _, snapshot_at, calls = _fixture(spark, ch)
+
+    wm = readonly_watermarks(ch, "pos", len(bounds))
+    lo = ch.agg(F.min("pos")).first()[0]
+    hi = ch.agg(F.max("pos")).first()[0]
+    assert len(wm) == len(bounds)
+    assert all(L < H and H <= hi and L >= lo - 1 for L, H in wm)
+    assert all(H - L <= 5 for L, H in wm)  # narrow DBLog brackets
+    assert wm[-1][1] == hi  # last bracket closes at the observed head
+
+    runner = ChunkedSnapshotRunner(
+        spark, snapshot_at, ch, "user_id", "pos", bounds, None,  # derive
+        str(tmp_path / "snap"),
+    )
+    assert runner.run() == COMPLETED
+    snap = runner.result()
+    assert snap.count() > 0  # image survives reconciliation (narrow L,H)
+
+    folded = materialize_latest(
+        snap.select("user_id", "pos", "value", "__op").unionByName(
+            ch.select("user_id", "pos", "value", "__op")
+        ),
+        ["user_id"], ["pos"],
+    )
+    want = materialize_latest(ch, ["user_id"], ["pos"])
+    assert {r.user_id: r.value for r in folded.collect()} == {
+        r.user_id: r.value for r in want.collect()
+    }
+    ch.unpersist()
