@@ -1597,3 +1597,96 @@ def t27_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --- t28: content-keyed train/val/test split ------------------------------
+
+@register(
+    "t28_hash_split",
+    oracle="""
+SELECT doc_id,
+       CAST(CAST('0x' || substring(md5('sp|' || text), 1, 15) AS BIGINT)
+            % 100 AS INT) AS bucket,
+       CASE WHEN CAST('0x' || substring(md5('sp|' || text), 1, 15)
+                 AS BIGINT) % 100 < 98 THEN 'train'
+            WHEN CAST('0x' || substring(md5('sp|' || text), 1, 15)
+                 AS BIGINT) % 100 = 98 THEN 'val'
+            ELSE 'test' END AS split
+FROM documents
+ORDER BY doc_id
+""",
+)
+def t28_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment, keyed on CONTENT
+    (md5 of the text), not the id: exact duplicates land in the same
+    split regardless of their ids, so a dup surviving upstream dedup
+    can never leak train text into eval. 98/1/1 by 60-bit-hash bucket;
+    portable hash so DuckDB recomputes the exact assignment.
+
+    Scale: one map-side projection — no shuffle, no RNG, no state; any
+    worker can re-derive any document's split in isolation (the
+    property a 1000-executor loader actually needs). Growing the corpus
+    never reassigns an existing document."""
+    docs = table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("sp|"), F.col("text"))), 1, 15),
+            16, 10,
+        ).cast("bigint") % 100
+    ).cast("int")
+    return (
+        docs.select(
+            "doc_id",
+            bucket.alias("bucket"),
+            F.when(F.col("bucket") < 98, "train")
+            .when(F.col("bucket") == 98, "val")
+            .otherwise("test")
+            .alias("split"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# --- t29: per-domain document cap -----------------------------------------
+
+DOMAIN_CAP = 15  # docs kept per source; production: per-domain budgets
+
+
+@register(
+    "t29_domain_cap",
+    oracle=f"""
+SELECT source, doc_id FROM (
+  SELECT source, doc_id,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY md5('cap|' || CAST(doc_id AS VARCHAR)), doc_id
+         ) AS rn
+  FROM documents
+) WHERE rn <= {DOMAIN_CAP}
+ORDER BY source, doc_id
+""",
+)
+def t29_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain document cap (the Gopher/RefinedWeb anti-dominance
+    rule: no single source may exceed its budget in the training mix).
+    Selection is a deterministic uniform sample WITHIN each source —
+    hash-ordered row_number, not first-k-by-position, so the kept set
+    is unbiased by crawl order and stable across engines/re-runs.
+
+    Scale: the window partitions BY SOURCE — per-task work is one
+    domain's documents, never a global sort; domains parallelize
+    independently (WindowGroupLimit prunes each partition at the cap,
+    so the sort never materializes past k per domain)."""
+    from pyspark.sql.window import Window as W
+
+    docs = table(spark, sf_dir, "documents")
+    w = W.partitionBy("source").orderBy(
+        F.md5(F.concat(F.lit("cap|"), F.col("doc_id").cast("string"))),
+        "doc_id",
+    )
+    return (
+        docs.select("source", "doc_id", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= DOMAIN_CAP)
+        .select("source", "doc_id")
+        .orderBy("source", "doc_id")
+    )
