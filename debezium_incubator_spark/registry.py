@@ -94,7 +94,12 @@ PRIORITY: list[str] = [
     # for the signal-driven blocking snapshot kind).
     "cdc_blocking_snapshot",
     "join_semi",             # C4
-    "join_anti",             # C5
+    # round-7 recomposition: join_anti (C5 — stays sweep-oracled, and
+    # the family's null-aware form sql_not_in_null_aware remains the
+    # stronger C5 sweep check) gives its slot to cdc_partition_routing,
+    # the round-7 SMT flagship (PartitionRouting sink-placement hash,
+    # portable-hash-parity-audited).
+    "cdc_partition_routing",  # L113 PartitionRouting SMT
     # round-6: join_theta (C6 — sweep-oracled + plan-audited) gives its
     # slot to cdc_txn_reassembly, the §1.1 transaction-metadata
     # reassembly twin (round-5 verdict missing-item #4: previously
@@ -106,7 +111,12 @@ PRIORITY: list[str] = [
     "agg_distinct",          # D2
     "agg_grouping_sets",     # D4
     "agg_collect_pct",       # D5 + D9 combo
-    "agg_pivot",             # D8
+    # round-7 recomposition: agg_pivot (D8 — stays sweep-oracled with
+    # its unpivot twin; D keeps q1/distinct/grouping_sets/collect_pct/
+    # stats in the window) gives its slot to t28_hash_split, the
+    # round-7 training-pipeline flagship (content-keyed leakage-proof
+    # train/val/test assignment).
+    "t28_hash_split",        # L121 content-keyed split
     "agg_stats",             # D10
     # §2E windows (E1 via w1 above)
     "w_combined",            # E2+E3+E4+E5+E6+E7 combo

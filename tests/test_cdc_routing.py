@@ -733,3 +733,109 @@ def test_temporal_wire_round_trip_identities(spark):
     assert row.us % 1000 == 456              # µs tail present
     assert row.ms == row.us // 1000          # connect mode truncates it
     assert row.d == dt.date(2024, 3, 7)
+
+
+def test_event_processing_failure_handling_modes(spark):
+    """`event.processing.failure.handling.mode`: fail stops loudly on
+    the first malformed record (raw bytes in the error), warn counts +
+    samples then continues, skip continues silently — and on a clean
+    batch all three return every row."""
+    import json
+
+    import pytest
+    from pyspark.sql import types as T
+
+    from debezium_incubator_spark.cdc.dlq import parse_with_failure_mode
+
+    row_schema = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("v", T.DoubleType()),
+    ])
+
+    def wire(i, v):
+        return (json.dumps({"id": i}), json.dumps({
+            "before": None, "after": {"id": i, "v": v},
+            "source": {"table": "db.t", "pos": i}, "op": "c", "ts_ms": i,
+        }))
+
+    clean = spark.createDataFrame([wire(1, 1.0), wire(2, 2.0)],
+                                  "key STRING, value STRING")
+    dirty = spark.createDataFrame(
+        [wire(1, 1.0), ('{"id": 9}', "{broken"), wire(2, 2.0)],
+        "key STRING, value STRING",
+    )
+
+    for mode in ("fail", "warn", "skip"):
+        assert parse_with_failure_mode(clean, row_schema, mode).count() == 2
+
+    with pytest.raises(ValueError, match="broken"):
+        parse_with_failure_mode(dirty, row_schema, "fail")
+
+    warned = []
+    out = parse_with_failure_mode(
+        dirty, row_schema, "warn", warn=lambda c, s: warned.append((c, s))
+    )
+    assert out.count() == 2 and warned == [(1, "{broken")]
+
+    assert parse_with_failure_mode(dirty, row_schema, "skip").count() == 2
+
+    with pytest.raises(ValueError, match="fail|warn|skip"):
+        parse_with_failure_mode(clean, row_schema, "explode")
+
+
+def test_transform_chain_stream_equals_batch(spark, tmp_path):
+    """The round-7 SMTs are stateless column expressions, so the SAME
+    transform_chain call serves the streaming phase: running it inside
+    foreachBatch over a file stream yields row-for-row the batch
+    result (the engine's stream==batch discipline applied to the new
+    surface)."""
+    import datetime as dt
+
+    from debezium_incubator_spark.connector import transform_chain
+
+    props = {
+        "transforms": "part,lift",
+        "transforms.part.type":
+            "io.debezium.transforms.partitions.PartitionRouting",
+        "transforms.part.partition.payload.fields": "name",
+        "transforms.part.partition.topic.num": "4",
+        "transforms.lift.type": "io.debezium.transforms.HeaderToValue",
+        "transforms.lift.headers": "corr",
+        "transforms.lift.operation": "move",
+    }
+    rows = [(i, f"n{i % 5}", {"corr": f"c-{i}"}) for i in range(40)]
+    df = spark.createDataFrame(
+        rows, "id LONG, name STRING, headers MAP<STRING,STRING>"
+    )
+    src = str(tmp_path / "src")
+    df.coalesce(1).write.json(src)
+
+    want = {
+        (r.id, r["__partition"], r.corr)
+        for r in transform_chain(
+            spark.read.schema(
+                "id LONG, name STRING, headers MAP<STRING,STRING>"
+            ).json(src),
+            props,
+        ).collect()
+    }
+
+    got = set()
+    stream = spark.readStream.schema(
+        "id LONG, name STRING, headers MAP<STRING,STRING>"
+    ).json(src)
+
+    def on_batch(batch_df, bid):
+        got.update(
+            (r.id, r["__partition"], r.corr)
+            for r in transform_chain(batch_df, props).collect()
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(on_batch)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert got == want and len(want) == 40
