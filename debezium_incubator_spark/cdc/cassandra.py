@@ -1,0 +1,204 @@
+"""Cassandra connector semantics — the data model of the archived
+repo's first connector (`/root/reference/README.md:21`; no source
+survives there, semantics reconstructed per SURVEY.md §0 from the
+public debezium-connector-cassandra documentation and Cassandra's own
+storage model).
+
+Cassandra CDC differs from the relational connectors in ways that make
+ROW-level fold semantics (materialize_latest) actively WRONG:
+
+- **No before-images.** The commitlog carries only what was written;
+  an UPDATE event holds just the touched cells. A row-LWW fold applied
+  to such partial images would null out every untouched column.
+- **Cell-level last-write-wins.** Every cell carries its own writetime;
+  the current row is assembled per-COLUMN (the latest surviving cell of
+  each column), not per-row. Concurrent writers touching different
+  columns of one key both win.
+- **Tombstones shadow by timestamp, not arrival order.** A partition
+  delete at timestamp D hides cells with ts <= D — including cells that
+  ARRIVE later (out-of-order delivery), while a WRITE stamped later
+  than D resurrects the column. Delivery order must not matter.
+- **TTL.** A cell with a TTL is visible only until ts + ttl; expiry is
+  evaluated against the read position, not by any background job.
+
+Spark mapping: events arrive as (key, cells: map<col, {v, ts, ttl}>,
+op). The fold explodes cells (map-side), takes per-(key, column) the
+max-(ts, v) cell — Cassandra's documented tie-break is the higher cell
+value — filtered by the partition-tombstone watermark and TTL. One
+shuffle on (key, column); the per-column winner uses the same
+WindowGroupLimit-friendly row_number pattern as every top-1 in this
+engine. All expression-level, no UDF.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from ..catalog import table
+from ..registry import register
+
+OP_WRITE = "w"
+OP_PARTITION_DELETE = "d"
+
+
+def fold_cassandra_cells(
+    changes: DataFrame,
+    key_cols: list[str],
+    as_of: int | None = None,
+    cells_col: str = "cells",
+    op_col: str = "op",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Assemble current row state from cell-level change events.
+
+    ``changes`` rows: key columns + ``op`` ('w' write / 'd' partition
+    delete) + ``ts`` (the event's own timestamp — used as the tombstone
+    watermark for deletes) + ``cells`` (map<column, struct<v, ts, ttl>>,
+    empty/NULL for deletes).
+
+    Returns long form ``(key..., column, v)`` — one row per surviving
+    cell. Semantics, in order:
+
+    1. partition tombstone: per key, D = max ts over delete events;
+       cells with ``ts <= D`` are shadowed (arrival order irrelevant);
+    2. TTL: a cell with non-null ttl is visible iff ``ts + ttl > as_of``
+       (``as_of`` defaults to the max event ts — "state as of the head");
+    3. cell LWW: per (key, column), the surviving cell with the highest
+       (ts, v) wins — the v tie-break is Cassandra's documented rule for
+       identical writetimes.
+    """
+    keys = [F.col(k) for k in key_cols]
+    writes = changes.filter(F.col(op_col) == OP_WRITE)
+    deletes = changes.filter(F.col(op_col) == OP_PARTITION_DELETE)
+
+    if as_of is None:
+        as_of = changes.agg(F.max(ts_col)).first()[0]  # control-plane
+
+    cells = writes.select(
+        *keys, F.explode(cells_col).alias("column", "cell")
+    ).select(
+        *key_cols,
+        "column",
+        F.col("cell.v").alias("v"),
+        F.col("cell.ts").alias("cell_ts"),
+        F.col("cell.ttl").alias("ttl"),
+    )
+    # partition-tombstone watermark per key; broadcast — deletes are a
+    # sliver of any real change stream (and at most one row per key here)
+    tomb = deletes.groupBy(*key_cols).agg(F.max(ts_col).alias("del_ts"))
+    cells = cells.join(F.broadcast(tomb), key_cols, "left").filter(
+        F.col("del_ts").isNull() | (F.col("cell_ts") > F.col("del_ts"))
+    )
+    cells = cells.filter(
+        F.col("ttl").isNull() | (F.col("cell_ts") + F.col("ttl") > F.lit(as_of))
+    )
+    w = W.partitionBy(*key_cols, "column").orderBy(
+        F.desc("cell_ts"), F.desc("v")
+    )
+    return (
+        cells.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(*key_cols, "column", "v")
+    )
+
+
+CASSANDRA_TTL = 400  # fixture TTL (positions); production: seconds
+
+
+@register(
+    "cdc_cassandra_cell_lww",
+    oracle=f"""
+WITH ev AS (
+  SELECT user_id, event_id AS ts, value, event_type,
+         CASE WHEN event_type = 'error' THEN 'd' ELSE 'w' END AS op
+  FROM events
+), head AS (
+  SELECT max(ts) AS as_of FROM ev
+), cells AS (
+  -- column 'v': written by every non-delete event, no TTL
+  SELECT user_id, 'v' AS column, value AS v, ts,
+         CAST(NULL AS BIGINT) AS ttl
+  FROM ev WHERE op = 'w'
+  UNION ALL
+  -- column 'w': written when event_id % 3 = 0, value doubled
+  SELECT user_id, 'w' AS column, value * 2 AS v, ts,
+         CAST(NULL AS BIGINT) AS ttl
+  FROM ev WHERE op = 'w' AND ts % 3 = 0
+  UNION ALL
+  -- column 's': 'view' events only, TTL'd (session-style column)
+  SELECT user_id, 's' AS column, value AS v, ts,
+         CAST({CASSANDRA_TTL} AS BIGINT) AS ttl
+  FROM ev WHERE op = 'w' AND event_type = 'view'
+), tomb AS (
+  SELECT user_id, max(ts) AS del_ts FROM ev WHERE op = 'd'
+  GROUP BY user_id
+), live AS (
+  SELECT c.user_id, c.column, c.v, c.ts
+  FROM cells c
+  LEFT JOIN tomb t ON c.user_id = t.user_id
+  CROSS JOIN head
+  WHERE (t.del_ts IS NULL OR c.ts > t.del_ts)
+    AND (c.ttl IS NULL OR c.ts + c.ttl > head.as_of)
+)
+SELECT user_id, "column", v FROM (
+  SELECT user_id, "column", v,
+         row_number() OVER (
+           PARTITION BY user_id, "column" ORDER BY ts DESC, v DESC
+         ) AS rn
+  FROM live
+) WHERE rn = 1
+ORDER BY user_id, "column"
+""",
+)
+def cdc_cassandra_cell_lww(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cassandra cell-level LWW materialization, differentially proven:
+    events synthesize a cell-structured change stream (three columns
+    with different write patterns — one always-written, one sparse, one
+    TTL'd — plus 'error' events as partition tombstones), the engine
+    folds it with fold_cassandra_cells, and the oracle recomputes the
+    per-column arg-max with tombstone shadowing and TTL expiry in plain
+    SQL. Equality proves the CELL semantics: a later sparse write must
+    NOT null the untouched columns (row-LWW would), tombstones shadow
+    by timestamp, TTL'd cells expire against the head position."""
+    ev = table(spark, sf_dir, "events").select(
+        "user_id",
+        F.col("event_id").alias("ts"),
+        "value",
+        "event_type",
+        F.when(F.col("event_type") == "error", OP_PARTITION_DELETE)
+        .otherwise(OP_WRITE)
+        .alias("op"),
+    )
+    cell = lambda v, ts, ttl: F.struct(  # noqa: E731
+        v.alias("v"), ts.cast("long").alias("ts"),
+        ttl.cast("long").alias("ttl"),
+    )
+    null_l = F.lit(None).cast("long")
+    changes = ev.withColumn(
+        "cells",
+        F.when(
+            F.col("op") == OP_WRITE,
+            F.map_filter(
+                F.map_from_arrays(
+                    F.array(F.lit("v"), F.lit("w"), F.lit("s")),
+                    F.array(
+                        cell(F.col("value"), F.col("ts"), null_l),
+                        F.when(
+                            F.col("ts") % 3 == 0,
+                            cell(F.col("value") * 2, F.col("ts"), null_l),
+                        ),
+                        F.when(
+                            F.col("event_type") == "view",
+                            cell(F.col("value"), F.col("ts"),
+                                 F.lit(CASSANDRA_TTL)),
+                        ),
+                    ),
+                ),
+                lambda _, c: c.isNotNull(),
+            ),
+        ),
+    )
+    state = fold_cassandra_cells(changes, ["user_id"])
+    return state.orderBy("user_id", "column")

@@ -1,0 +1,96 @@
+"""Cassandra connector semantics: cell-level LWW, partition tombstones
+that shadow by TIMESTAMP (not arrival order), TTL expiry, and the
+sparse-write property that distinguishes cell folds from row folds."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from debezium_incubator_spark.cdc.cassandra import fold_cassandra_cells
+
+
+def _changes(spark, rows):
+    """rows: (key, op, ts, {col: (v, ts, ttl)})"""
+    data = [
+        (k, op, ts,
+         {c: (v, cts, ttl) for c, (v, cts, ttl) in cells.items()})
+        for k, op, ts, cells in rows
+    ]
+    return spark.createDataFrame(
+        data,
+        "user_id LONG, op STRING, ts LONG, "
+        "cells MAP<STRING, STRUCT<v DOUBLE, ts LONG, ttl LONG>>",
+    )
+
+
+def _state(df):
+    return {(r.user_id, r.column): r.v for r in df.collect()}
+
+
+def test_sparse_write_does_not_null_untouched_columns(spark):
+    """THE cell-semantics property: a later event touching only column
+    'b' must leave 'a' at its older value — a row-LWW fold of these
+    partial images would null 'a' out."""
+    ch = _changes(spark, [
+        (1, "w", 10, {"a": (1.0, 10, None), "b": (2.0, 10, None)}),
+        (1, "w", 20, {"b": (9.0, 20, None)}),  # partial update
+    ])
+    assert _state(fold_cassandra_cells(ch, ["user_id"])) == {
+        (1, "a"): 1.0, (1, "b"): 9.0,
+    }
+
+
+def test_tombstone_shadows_by_timestamp_not_arrival(spark):
+    """A partition delete at D hides cells stamped <= D even when the
+    cell event ARRIVES after the delete (out-of-order delivery), while
+    a write stamped after D survives — row order in the input must not
+    change the result."""
+    rows = [
+        (1, "w", 10, {"a": (1.0, 10, None)}),
+        (1, "d", 15, {}),
+        (1, "w", 12, {"a": (7.0, 12, None)}),   # late arrival, ts <= D
+        (1, "w", 20, {"a": (3.0, 20, None)}),   # resurrects the column
+        (2, "w", 10, {"a": (5.0, 10, None)}),
+        (2, "d", 30, {}),                        # shadows everything
+    ]
+    for perm in (rows, rows[::-1]):
+        got = _state(fold_cassandra_cells(_changes(spark, perm),
+                                          ["user_id"]))
+        assert got == {(1, "a"): 3.0}  # key 2 fully shadowed
+
+
+def test_ttl_expiry_against_read_position(spark):
+    """A TTL'd cell is visible while ts + ttl > as_of and gone after —
+    same events, different read positions, different state."""
+    ch = _changes(spark, [
+        (1, "w", 10, {"a": (1.0, 10, 50)}),     # expires at 60
+        (1, "w", 10, {"b": (2.0, 10, None)}),   # durable
+    ])
+    early = _state(fold_cassandra_cells(ch, ["user_id"], as_of=59))
+    late = _state(fold_cassandra_cells(ch, ["user_id"], as_of=60))
+    assert early == {(1, "a"): 1.0, (1, "b"): 2.0}
+    assert late == {(1, "b"): 2.0}
+
+
+def test_identical_writetime_ties_break_by_value(spark):
+    """Cassandra's documented tie rule for equal writetimes: the higher
+    cell value wins (deterministic convergence across replicas)."""
+    ch = _changes(spark, [
+        (1, "w", 10, {"a": (3.0, 10, None)}),
+        (1, "w", 10, {"a": (8.0, 10, None)}),
+    ])
+    assert _state(fold_cassandra_cells(ch, ["user_id"])) == {(1, "a"): 8.0}
+
+
+def test_fold_plan_broadcasts_tombstones(spark):
+    """The tombstone join must broadcast the delete side: deletes are a
+    sliver of any real stream, and a shuffled join on the 100 TB cell
+    side for them would dominate the fold."""
+    ch = _changes(spark, [
+        (1, "w", 10, {"a": (1.0, 10, None)}),
+        (1, "d", 5, {}),
+    ])
+    plan = fold_cassandra_cells(
+        ch, ["user_id"]
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
