@@ -1,0 +1,129 @@
+"""Db2 connector semantics — the archived repo's second connector
+(`/root/reference/README.md:22`; no source survives, reconstructed per
+SURVEY.md §0 from the public debezium-connector-db2 documentation and
+IBM's SQL-Replication capture model).
+
+Db2 CDC does not tail a log directly: the database's ASN Capture
+program copies committed changes into per-table **staging (CD) tables**,
+and the connector reads those. The mechanics that differ from the other
+connectors:
+
+- rows carry ``IBMSNAP_OPERATION`` ('I'/'U'/'D'),
+- ordering is ``(IBMSNAP_COMMITSEQ, IBMSNAP_INTENTSEQ)`` — **binary
+  sequence values**, conventionally surfaced as fixed-width uppercase
+  hex strings, whose LEXICOGRAPHIC order is the commit order (this only
+  holds because the width is fixed: unpadded hex would sort 'A' after
+  '90' and corrupt every fold — pinned by test),
+- only COMMITTED changes ever appear (Capture filters uncommitted
+  work), so there is no in-flight-transaction reassembly on this path.
+
+Spark mapping: a pure projection renames/maps the staging columns into
+the engine's change shape; every downstream fold (materialize_latest,
+partitioned apply, SCD2) works unchanged with the two hex sequences as
+the position vector — string descending order IS commit-descending
+order. Zero extra shuffle beyond the fold the caller already pays.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..registry import register
+from .materialize import materialize_latest
+
+#: IBMSNAP_OPERATION → engine op codes
+_OP_MAP = {"I": "c", "U": "u", "D": "d"}
+
+SEQ_WIDTH = 16  # hex chars of a 8-byte sequence (Db2 uses 10-byte LSNs;
+#                 the fixture's 8-byte width proves the same mechanic)
+
+
+def seq_hex(col, width: int = SEQ_WIDTH):
+    """Render a numeric sequence as the fixed-width uppercase hex form a
+    CD table surfaces. Fixed width is THE correctness condition for
+    treating the column as a sortable position."""
+    return F.lpad(F.upper(F.hex(col.cast("long"))), width, "0")
+
+
+def db2_capture_envelope(
+    capture: DataFrame,
+    commitseq_col: str = "IBMSNAP_COMMITSEQ",
+    intentseq_col: str = "IBMSNAP_INTENTSEQ",
+    operation_col: str = "IBMSNAP_OPERATION",
+) -> DataFrame:
+    """Map ASN staging rows into the engine change shape: op codes
+    translated, the two binary sequences kept verbatim as the position
+    vector ``(__commitseq, __intentseq)``. Refuses unknown operation
+    codes loudly (a silent NULL op would make deletes look like
+    updates three folds later)."""
+    op = F.col(operation_col)
+    mapped = (
+        F.when(op == "I", "c").when(op == "U", "u").when(op == "D", "d")
+    )
+    data = [c for c in capture.columns
+            if c not in (commitseq_col, intentseq_col, operation_col)]
+    return capture.select(
+        *data,
+        F.when(mapped.isNotNull(), mapped)
+        .otherwise(
+            F.raise_error(F.concat(
+                F.lit("unknown IBMSNAP_OPERATION: "), op.cast("string")
+            ))
+        )
+        .alias("__op"),
+        F.col(commitseq_col).alias("__commitseq"),
+        F.col(intentseq_col).alias("__intentseq"),
+    )
+
+
+@register(
+    "cdc_db2_capture_fold",
+    oracle="""
+WITH mapped AS (
+  SELECT user_id, event_id AS pos, value,
+         CASE event_type WHEN 'signup' THEN 'c' WHEN 'error' THEN 'd'
+              WHEN 'view' THEN 'r' ELSE 'u' END AS op
+  FROM events
+)
+SELECT user_id, value FROM (
+  SELECT user_id, value, op,
+         row_number() OVER (PARTITION BY user_id ORDER BY pos DESC) AS rn
+  FROM mapped
+) WHERE rn = 1 AND op <> 'd'
+ORDER BY user_id
+""",
+)
+def cdc_db2_capture_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Db2 capture-table path, differentially proven: events become CD
+    staging rows (ops as I/U/D letters, position as fixed-width hex
+    IBMSNAP sequences — commitseq from the event position, intentseq a
+    synthetic within-commit counter), mapped by db2_capture_envelope and
+    folded BY THE HEX STRINGS. The oracle folds by the plain NUMERIC
+    position; equality proves lexicographic-hex ordering is exactly
+    commit ordering — the property the whole Db2 path rests on."""
+    from .envelope import OP_CASE
+
+    ev = table(spark, sf_dir, "events")
+    capture = ev.select(
+        "user_id",
+        "value",
+        F.expr(OP_CASE).alias("_op0"),
+        seq_hex(F.col("event_id")).alias("IBMSNAP_COMMITSEQ"),
+        seq_hex(F.col("event_id") % 7).alias("IBMSNAP_INTENTSEQ"),
+    ).select(
+        "user_id", "value", "IBMSNAP_COMMITSEQ", "IBMSNAP_INTENTSEQ",
+        # engine op → CD-table letter, so the mapping round-trips
+        F.when(F.col("_op0") == "c", "I")
+        .when(F.col("_op0") == "d", "D")
+        .otherwise("U")
+        .alias("IBMSNAP_OPERATION"),
+    )
+    ch = db2_capture_envelope(capture)
+    # 'r' images collapsed to U above is fine for the fold: op='r' and
+    # op='u' fold identically (only 'd' drops a key)
+    state = materialize_latest(
+        ch, ["user_id"], ["__commitseq", "__intentseq"]
+    )
+    return state.select("user_id", "value").orderBy("user_id")

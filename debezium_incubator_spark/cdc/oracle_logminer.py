@@ -1,0 +1,120 @@
+"""Oracle connector semantics — the archived repo's third connector
+(`/root/reference/README.md:23`; reconstructed per SURVEY.md §0 from
+the public debezium-connector-oracle LogMiner documentation).
+
+The LogMiner path differs from a plain position-ordered log in one
+load-bearing way: redo entries are read in SCN order, but a change
+becomes VISIBLE only when its transaction commits, and the event order
+consumers see is **(COMMIT_SCN, SCN)** — all changes of an earlier-
+committing transaction precede all changes of a later-committing one,
+even when their SCNs interleave; within a transaction the original SCN
+order holds. Changes of in-flight (never-committed) transactions must
+never be delivered at all (Debezium buffers them per-XID and discards
+on ROLLBACK).
+
+Spark mapping: the commit table (one row per committed XID) joins onto
+the redo stream — an inner join both assigns the commit position AND
+withholds in-flight/rolled-back work (no buffered state needed: the
+batch twin sees the commit set declaratively). The fold then uses the
+composite position (commit_scn, scn) with the SAME materialize_latest
+every other connector path uses. Per micro-batch the commit side is one
+row per transaction — broadcastable next to a 100 TB redo stream.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..registry import register
+from .materialize import materialize_latest
+
+
+def logminer_commit_ordered(
+    redo: DataFrame,
+    commits: DataFrame,
+    xid_col: str = "xid",
+) -> DataFrame:
+    """Join redo entries to their transaction's commit record: committed
+    changes gain ``__commit_scn`` (the fold's primary position), changes
+    of transactions absent from ``commits`` (in-flight or rolled back)
+    are withheld. ``commits``: one ``(xid, commit_scn)`` row per
+    committed transaction — broadcast, it is txn-count-sized while the
+    redo side is the data plane."""
+    return redo.join(
+        F.broadcast(commits.select(
+            F.col(xid_col),
+            F.col("commit_scn").alias("__commit_scn"),
+        )),
+        xid_col,
+    )
+
+
+@register(
+    "cdc_logminer_commit_order",
+    oracle="""
+WITH redo AS (
+  SELECT user_id, event_id AS scn, value,
+         CASE event_type WHEN 'signup' THEN 'c' WHEN 'error' THEN 'd'
+              WHEN 'view' THEN 'r' ELSE 'u' END AS op,
+         event_id // 5 AS xid
+  FROM events
+), commits AS (
+  -- odd transactions are long-running: they commit 1000 SCNs after
+  -- their last entry, flipping commit order vs SCN order; every 97th
+  -- transaction never commits (in-flight) and must be withheld
+  SELECT xid,
+         max(scn) + CASE WHEN xid % 2 = 1 THEN 1000 ELSE 0 END
+           AS commit_scn
+  FROM redo GROUP BY xid
+  HAVING xid % 97 <> 0
+), visible AS (
+  SELECT r.user_id, r.scn, r.value, r.op, c.commit_scn
+  FROM redo r JOIN commits c ON r.xid = c.xid
+)
+SELECT user_id, value FROM (
+  SELECT user_id, value, op,
+         row_number() OVER (
+           PARTITION BY user_id ORDER BY commit_scn DESC, scn DESC
+         ) AS rn
+  FROM visible
+) WHERE rn = 1 AND op <> 'd'
+ORDER BY user_id
+""",
+)
+def cdc_logminer_commit_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LogMiner commit-order fold, differentially proven: events become
+    redo entries grouped into transactions of 5 (xid = scn // 5); odd
+    transactions commit 1000 SCNs late (so commit order genuinely
+    DIFFERS from SCN order — a plain scn fold gives a different state),
+    every 97th transaction never commits and is withheld. The engine
+    joins redo to the broadcast commit set and folds by
+    (commit_scn, scn); the oracle recomputes identically. Equality
+    proves composite-position visibility semantics, not just a rename
+    of the ordinary fold."""
+    from .envelope import OP_CASE
+
+    ev = table(spark, sf_dir, "events")
+    redo = ev.select(
+        "user_id",
+        F.col("event_id").alias("scn"),
+        "value",
+        F.expr(OP_CASE).alias("__op"),
+        (F.col("event_id") / 5).cast("long").alias("xid"),
+    )
+    commits = (
+        redo.groupBy("xid")
+        .agg(
+            (
+                F.max("scn")
+                + F.when(F.col("xid") % 2 == 1, 1000).otherwise(0)
+            ).alias("commit_scn")
+        )
+        .filter(F.col("xid") % 97 != 0)
+    )
+    visible = logminer_commit_ordered(redo, commits)
+    state = materialize_latest(
+        visible, ["user_id"], ["__commit_scn", "scn"]
+    )
+    return state.select("user_id", "value").orderBy("user_id")

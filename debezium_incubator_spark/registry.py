@@ -202,7 +202,9 @@ def load_all() -> None:
     from .events import analytics, timeseries  # noqa: F401
     from .cdc import (  # noqa: F401
         cassandra,
+        db2,
         incremental_snapshot,
+        oracle_logminer,
         materialize,
         routing,
         scd2,

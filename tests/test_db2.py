@@ -1,0 +1,60 @@
+"""Db2 ASN capture-table path: staging-row mapping, fixed-width hex
+sequence ordering, and the failure mode unpadded hex would cause."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from debezium_incubator_spark.cdc.db2 import db2_capture_envelope, seq_hex
+from debezium_incubator_spark.cdc.materialize import materialize_latest
+
+
+def _capture(spark, rows):
+    return spark.createDataFrame(
+        rows,
+        "k LONG, v DOUBLE, IBMSNAP_OPERATION STRING, "
+        "IBMSNAP_COMMITSEQ STRING, IBMSNAP_INTENTSEQ STRING",
+    )
+
+
+def test_capture_mapping_and_fold(spark):
+    """I/U/D map to c/u/d; the (commitseq, intentseq) hex vector folds
+    in commit order, intentseq breaking ties within one commit."""
+    h = lambda n: f"{n:016X}"  # noqa: E731
+    ch = db2_capture_envelope(_capture(spark, [
+        (1, 1.0, "I", h(10), h(0)),
+        (1, 2.0, "U", h(20), h(0)),
+        (1, 3.0, "U", h(20), h(1)),   # same commit, later intent wins
+        (2, 5.0, "I", h(10), h(0)),
+        (2, 0.0, "D", h(30), h(0)),   # delete drops the key
+    ]))
+    assert set(ch.columns) == {"k", "v", "__op", "__commitseq",
+                               "__intentseq"}
+    state = materialize_latest(ch, ["k"], ["__commitseq", "__intentseq"])
+    assert {(r.k, r.v) for r in state.collect()} == {(1, 3.0)}
+
+
+def test_fixed_width_hex_is_the_correctness_condition(spark):
+    """The lexicographic==numeric property REQUIRES fixed width: with
+    unpadded hex, commit 10 (0x'A') sorts AFTER commit 144 (0x'90') and
+    the fold resurrects the older row — the exact corruption the padded
+    seq_hex renderer exists to prevent."""
+    df = spark.range(1).select(
+        seq_hex(F.lit(10)).alias("a"), seq_hex(F.lit(144)).alias("b"),
+    ).first()
+    assert df.a < df.b  # padded: numeric order preserved
+    assert "A" > "90"   # unpadded hex: inverted — the bug
+
+    ch = db2_capture_envelope(_capture(spark, [
+        (1, 1.0, "I", "A", "0"),     # commit 10, UNPADDED
+        (1, 2.0, "U", "90", "0"),    # commit 144, UNPADDED
+    ]))
+    bad = materialize_latest(ch, ["k"], ["__commitseq", "__intentseq"])
+    assert bad.first().v == 1.0  # the OLD row wins — corruption shown
+
+
+def test_unknown_operation_code_raises(spark):
+    ch = db2_capture_envelope(_capture(spark, [(1, 1.0, "X", "0", "0")]))
+    with pytest.raises(Exception, match="IBMSNAP_OPERATION"):
+        ch.collect()
