@@ -104,6 +104,83 @@ def fold_cassandra_cells(
     )
 
 
+def merge_cassandra_cells(
+    cells: DataFrame | None,
+    tombs: DataFrame | None,
+    batch: DataFrame,
+    key_cols: list[str],
+    cells_col: str = "cells",
+    op_col: str = "op",
+    ts_col: str = "ts",
+) -> tuple[DataFrame, DataFrame]:
+    """Incremental (micro-batch) form of the cell fold: merge one batch
+    of cell events into persisted state, returning the new
+    ``(cells, tombs)`` pair.
+
+    State is TWO small-schema frames, exactly what Cassandra itself
+    keeps: surviving cells long-form ``(key..., column, v, cell_ts,
+    ttl)`` and the per-key tombstone watermark ``(key..., del_ts)``.
+    The watermark must be RETAINED (Cassandra's gc_grace idea): a
+    late-arriving cell stamped below an old tombstone must stay
+    shadowed in whatever batch it arrives — dropping the tombstone
+    after applying it would let that cell resurrect.
+
+    TTL is NOT applied here: expiry depends on the READ position, so it
+    belongs to :func:`read_cassandra_state`. The merge keeps only the
+    max-(ts, v) cell per (key, column) — state stays O(live cells)
+    regardless of update volume.
+
+    Sequential merges over any batching of a stream equal the one-shot
+    :func:`fold_cassandra_cells` (equivalence-tested, out-of-order
+    deliveries included)."""
+    keys = [F.col(k) for k in key_cols]
+    writes = batch.filter(F.col(op_col) == OP_WRITE)
+    b_cells = writes.select(
+        *keys, F.explode(cells_col).alias("column", "cell")
+    ).select(
+        *key_cols,
+        "column",
+        F.col("cell.v").alias("v"),
+        F.col("cell.ts").alias("cell_ts"),
+        F.col("cell.ttl").alias("ttl"),
+    )
+    b_tombs = (
+        batch.filter(F.col(op_col) == OP_PARTITION_DELETE)
+        .groupBy(*key_cols)
+        .agg(F.max(ts_col).alias("del_ts"))
+    )
+    new_tombs = (
+        b_tombs if tombs is None
+        else tombs.unionByName(b_tombs)
+        .groupBy(*key_cols)
+        .agg(F.max("del_ts").alias("del_ts"))
+    )
+    all_cells = b_cells if cells is None else cells.unionByName(b_cells)
+    live = all_cells.join(F.broadcast(new_tombs), key_cols, "left").filter(
+        F.col("del_ts").isNull() | (F.col("cell_ts") > F.col("del_ts"))
+    ).drop("del_ts")
+    w = W.partitionBy(*key_cols, "column").orderBy(
+        F.desc("cell_ts"), F.desc("v")
+    )
+    new_cells = (
+        live.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    return new_cells, new_tombs
+
+
+def read_cassandra_state(
+    cells: DataFrame, as_of: int, key_cols: list[str]
+) -> DataFrame:
+    """Current row state from merged cell state at read position
+    ``as_of``: TTL expiry applied here (it is a property of WHEN you
+    read, not of the merge)."""
+    return cells.filter(
+        F.col("ttl").isNull() | (F.col("cell_ts") + F.col("ttl") > as_of)
+    ).select(*key_cols, "column", "v")
+
+
 CASSANDRA_TTL = 400  # fixture TTL (positions); production: seconds
 
 

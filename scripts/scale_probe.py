@@ -148,6 +148,16 @@ LINEAR = [
     "sim_ivf_portable",
     "t25_substring_dedup",
     "semdedup_scaled",
+    # round-7 additions: the connector folds (cell-LWW, capture-table,
+    # commit-order — all single-shuffle fold variants) and the map-side
+    # pipeline ops (partition routing hash, content-keyed split) plus
+    # the per-domain WindowGroupLimit cap
+    "cdc_cassandra_cell_lww",
+    "cdc_db2_capture_fold",
+    "cdc_logminer_commit_order",
+    "cdc_partition_routing",
+    "t28_hash_split",
+    "t29_domain_cap",
 ]
 # Labeled quadratic verification baseline — reported, not gated.
 QUADRATIC = ["s1_cosine_topk"]

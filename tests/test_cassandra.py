@@ -94,3 +94,44 @@ def test_fold_plan_broadcasts_tombstones(spark):
         ch, ["user_id"]
     )._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_incremental_merge_equals_one_shot_fold(spark):
+    """Sequential micro-batch merges over ANY batching — including a
+    late cell arriving AFTER the tombstone that shadows it, in a later
+    batch — equal the one-shot fold of the full stream. The tombstone
+    watermark retained in state is what makes the late-arrival case
+    hold (drop-after-apply would resurrect the cell)."""
+    from debezium_incubator_spark.cdc.cassandra import (
+        fold_cassandra_cells,
+        merge_cassandra_cells,
+        read_cassandra_state,
+    )
+
+    rows = [
+        (1, "w", 10, {"a": (1.0, 10, None), "b": (4.0, 10, None)}),
+        (2, "w", 12, {"a": (2.0, 12, 100)}),       # TTL'd
+        (1, "d", 15, {}),                           # tombstone at 15
+        (1, "w", 14, {"a": (9.9, 14, None)}),       # late, shadowed
+        (1, "w", 20, {"b": (5.0, 20, None)}),       # resurrects b only
+        (2, "w", 30, {"a": (3.0, 30, None)}),
+        (3, "w", 40, {"c": (7.0, 40, 60)}),         # expires at 100
+    ]
+    full = _changes(spark, rows)
+    as_of = 101  # key 3's TTL cell just expired; key 2's (ts12+100=112) alive
+
+    want = _state(fold_cassandra_cells(full, ["user_id"], as_of=as_of))
+
+    for cut1, cut2 in [(2, 4), (3, 5), (1, 6)]:
+        cells, tombs = None, None
+        for chunk in (rows[:cut1], rows[cut1:cut2], rows[cut2:]):
+            if not chunk:
+                continue
+            cells, tombs = merge_cassandra_cells(
+                cells, tombs, _changes(spark, chunk), ["user_id"]
+            )
+        got = _state(read_cassandra_state(cells, as_of, ["user_id"]))
+        assert got == want, f"batching ({cut1},{cut2}) diverged"
+
+    # and the state is compact: one row per surviving (key, column)
+    assert cells.count() == cells.select("user_id", "column").distinct().count()
