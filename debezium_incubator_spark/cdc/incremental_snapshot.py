@@ -73,6 +73,37 @@ def readonly_watermarks(
     return [(max(h - width, lo - 1), h) for h in hs]
 
 
+ISOLATION_FROZEN = {"exclusive", "snapshot", "repeatable_read"}
+ISOLATION_PER_CHUNK = {"read_committed", "read_uncommitted"}
+
+
+def snapshot_isolation_positions(
+    mode: str, chunk_positions: list[int]
+) -> list[int]:
+    """``snapshot.isolation.mode`` (SQL Server / Db2 connectors) mapped
+    onto the chunk-position plan:
+
+    - ``exclusive`` / ``snapshot`` / ``repeatable_read``: every chunk
+      reads ONE frozen position — a single consistent table image
+      (``exclusive`` additionally implies source-side locking, which
+      has no twin in the batch engine);
+    - ``read_committed`` / ``read_uncommitted``: each chunk reads at
+      its own position — cheaper on the source (no long-held snapshot),
+      and the DBLog watermark reconciliation absorbs the cross-chunk
+      drift (the fold is position-plan-invariant, property-tested).
+
+    Returns the per-chunk read positions the ``snapshot_at`` callable
+    should be driven with."""
+    if mode in ISOLATION_FROZEN:
+        return [chunk_positions[0]] * len(chunk_positions)
+    if mode in ISOLATION_PER_CHUNK:
+        return list(chunk_positions)
+    raise ValueError(
+        f"unsupported snapshot.isolation.mode {mode!r} (one of "
+        f"{sorted(ISOLATION_FROZEN | ISOLATION_PER_CHUNK)})"
+    )
+
+
 def snapshot_chunk(
     snapshot_df: DataFrame,
     key: str,

@@ -209,3 +209,75 @@ def test_notification_channel_reports_snapshot_progress(spark):
     assert done["additional_data"]["overlap_from"] == str(int(max_pos * 0.6))
     assert done["additional_data"]["overlap_to"] == str(int(max_pos * 0.8))
     ch.unpersist()
+
+
+def test_snapshot_isolation_modes_fold_identically(spark):
+    """snapshot.isolation.mode: frozen-image modes read every chunk at
+    ONE position, read-committed reads each chunk at its own — the
+    chunk IMAGES genuinely differ between the two plans, yet both fold
+    (with the stream) to the same latest state, because watermark
+    reconciliation absorbs exactly the cross-chunk drift the cheaper
+    isolation admits."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from debezium_incubator_spark.catalog import table
+    from debezium_incubator_spark.cdc.envelope import OP_CASE
+    from debezium_incubator_spark.cdc.incremental_snapshot import (
+        chunk_bounds,
+        incremental_snapshot,
+        snapshot_isolation_positions,
+    )
+    from debezium_incubator_spark.cdc.materialize import materialize_latest
+
+    from .conftest import SF_SMOKE
+
+    ch = table(spark, SF_SMOKE, "events").select(
+        "user_id", F.col("event_id").alias("pos"), "value",
+        F.expr(OP_CASE).alias("__op"),
+    ).cache()
+    max_pos = ch.agg(F.max("pos")).first()[0]
+    bounds = chunk_bounds(ch, "user_id", 4)
+    n = len(bounds)
+    per_chunk = [int(max_pos * (i + 1) / n) for i in range(n)]
+
+    frozen = snapshot_isolation_positions("repeatable_read", per_chunk)
+    relaxed = snapshot_isolation_positions("read_committed", per_chunk)
+    assert frozen == [per_chunk[0]] * n and relaxed == per_chunk
+
+    def snapshot_at(pos):
+        return materialize_latest(
+            ch.filter(F.col("pos") <= pos), ["user_id"], ["pos"]
+        ).select("user_id", "value")
+
+    def run(positions):
+        wm = [(max(h - 5, 0), h) for h in positions]
+        snap = incremental_snapshot(
+            lambda pos: snapshot_at(pos), ch, key="user_id",
+            pos_col="pos", bounds=bounds, watermarks=wm,
+        )
+        folded = materialize_latest(
+            snap.select("user_id", "pos", "value", "__op").unionByName(
+                ch.select("user_id", "pos", "value", "__op")
+            ),
+            ["user_id"], ["pos"],
+        )
+        return snap, {r.user_id: r.value for r in folded.collect()}
+
+    snap_f, state_f = run(frozen)
+    snap_r, state_r = run(relaxed)
+
+    # the images differ (read-committed chunks see later writes) ...
+    img_f = {(r.user_id, r.value) for r in snap_f.collect()}
+    img_r = {(r.user_id, r.value) for r in snap_r.collect()}
+    assert img_f != img_r
+    # ... but both fold to the same (correct) latest state
+    want = {
+        r.user_id: r.value
+        for r in materialize_latest(ch, ["user_id"], ["pos"]).collect()
+    }
+    assert state_f == want and state_r == want
+
+    with pytest.raises(ValueError, match="isolation"):
+        snapshot_isolation_positions("serializable", per_chunk)
+    ch.unpersist()
