@@ -1690,3 +1690,102 @@ def t29_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("source", "doc_id")
         .orderBy("source", "doc_id")
     )
+
+
+# --- t30: DSIR-style importance weights ------------------------------------
+
+@register(
+    "t30_dsir_weights",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+  FROM documents
+), raw_f AS (
+  SELECT tok, count(*) AS c FROM toks GROUP BY tok
+), tgt_f AS (
+  SELECT tok, count(*) AS c FROM toks WHERE lang = 'en' GROUP BY tok
+), consts AS (
+  SELECT (SELECT CAST(count(*) AS DOUBLE) FROM toks) AS n_raw,
+         (SELECT CAST(count(*) AS DOUBLE) FROM toks WHERE lang = 'en')
+           AS n_tgt,
+         (SELECT CAST(count(*) AS DOUBLE) FROM raw_f) AS v
+)
+SELECT t.doc_id,
+       count(*) AS n_tokens,
+       floor((CAST(sum(CAST(
+         ln((CAST(COALESCE(g.c, 0) AS DOUBLE) + 1) / (consts.n_tgt + consts.v))
+         - ln((CAST(r.c AS DOUBLE) + 1) / (consts.n_raw + consts.v))
+       AS DECIMAL(38,10))) AS DOUBLE) / count(*)) * 10000 + 0.5)
+         / CAST(10000 AS DOUBLE) AS avg_log_ratio
+FROM toks t
+JOIN raw_f r ON t.tok = r.tok
+LEFT JOIN tgt_f g ON t.tok = g.tok
+CROSS JOIN consts
+GROUP BY t.doc_id
+ORDER BY t.doc_id
+""",
+)
+def t30_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style data-selection importance weights (Xie et al. 2023,
+    "Data Selection for Language Models via Importance Resampling"):
+    per document, the average log-ratio of an add-1-smoothed unigram LM
+    fit on the TARGET distribution (here: the English slice) vs one fit
+    on the RAW corpus — documents whose token mix looks target-like
+    score high and get up-sampled. The full paper hashes n-grams into
+    buckets; the unigram-exact form here is the same estimator with
+    bucket = token (the hashed variant is this plus one pmod — the
+    expensive part, the two-LM join, is identical).
+
+    Scale: two token-frequency aggregates (map-side combining) + ONE
+    equi-join of the token stream against the vocab-sized LM table —
+    the same join shape as t27's scoring pass (AQE skew-split absorbs
+    Zipf-hot tokens); corpus totals and vocab size are control-plane
+    literals. Everything expression-level.
+
+    Parity: each per-token ln value is a deterministic scalar (ln parity
+    per the t27/tfidf/PSI precedent), but the PER-DOC SUM of ~hundreds
+    of them is order-dependent in double arithmetic — at 500 docs one
+    average landed within an ulp of a ROUND boundary and flipped between
+    the engines' aggregation orders. The sum therefore goes through
+    DECIMAL(38,10) (exact, associative — the money_sum policy applied to
+    log-space), making both engines divide IDENTICAL sums, and the final
+    rounding is round4x (floor-form) — the fixture has a document whose
+    average rounds to −0.0 in DuckDB's double ROUND but +0.0 in Spark's
+    BigDecimal ROUND; floor(x·10⁴+0.5)/10⁴ kills the signed zero on both
+    sides (the CLAUDE.md rounding policy, hit live)."""
+    from ..exprs import round4x as _r4x
+
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "lang",
+        F.explode(F.split(F.col("text"), " ")).alias("tok"),
+    )
+    raw_f = toks.groupBy("tok").agg(F.count("*").alias("rc"))
+    tgt_f = (
+        toks.filter(F.col("lang") == "en")
+        .groupBy("tok")
+        .agg(F.count("*").alias("gc"))
+    )
+    n_raw, v = toks.count(), raw_f.count()          # control-plane
+    n_tgt = toks.filter(F.col("lang") == "en").count()
+    lm = raw_f.join(tgt_f, "tok", "left").select(
+        "tok",
+        (
+            F.log((F.coalesce(F.col("gc"), F.lit(0)).cast("double") + 1)
+                  / F.lit(float(n_tgt + v)))
+            - F.log((F.col("rc").cast("double") + 1)
+                    / F.lit(float(n_raw + v)))
+        ).alias("log_ratio"),
+    )
+    return (
+        toks.join(lm, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            _r4x(
+                "CAST(SUM(CAST(log_ratio AS DECIMAL(38,10))) AS DOUBLE)"
+                " / count(*)"
+            ).alias("avg_log_ratio"),
+        )
+        .orderBy("doc_id")
+    )
