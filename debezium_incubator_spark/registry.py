@@ -105,7 +105,11 @@ PRIORITY: list[str] = [
     # reassembly twin (round-5 verdict missing-item #4: previously
     # test-only; now the driver audits its differential directly).
     "cdc_txn_reassembly",    # C10 batch twin / §1.1 txn metadata
-    "join_range",            # C7
+    # round-7 recomposition: join_range (C7 — stays sweep-oracled with
+    # its plan audit) gives its slot to cdc_cassandra_cell_lww, the
+    # connector-#1 flagship (cell-level LWW fold — the data model
+    # row-fold semantics get WRONG; sparse 3-column differential).
+    "cdc_cassandra_cell_lww",  # L125 Cassandra cell LWW
     "join_asof",             # C8 (C9 cross stays in the sweep)
     # §2D aggregations
     "agg_distinct",          # D2

@@ -669,3 +669,69 @@ def test_semdedup_matches_python_reference(spark, tmp_path_factory, vecs):
         if owners:
             want[vid] = owners[0]
     assert got == want
+
+
+# --- Cassandra cell-level LWW vs an independent Python fold ---------------
+
+CELL_COLS = st.sampled_from(["a", "b", "c"])
+CELL_EVENTS = st.lists(
+    st.tuples(
+        KEYS,                                     # key
+        st.sampled_from(["w", "d"]),              # op
+        POS,                                      # event ts
+        st.lists(                                 # written cells
+            st.tuples(CELL_COLS, VALS,
+                      st.one_of(st.none(),
+                                st.integers(min_value=1, max_value=30))),
+            max_size=3,
+        ),
+    ),
+    min_size=1, max_size=25,
+)
+
+
+@settings(max_examples=12, deadline=None)
+@given(CELL_EVENTS, st.integers(min_value=0, max_value=60))
+def test_cassandra_cell_fold_matches_python(spark, events, as_of):
+    """fold_cassandra_cells vs a brute-force Python implementation of
+    the Cassandra visibility rules (tombstone shadows ts <= D, TTL
+    expires at ts + ttl <= as_of, per-column max-(ts, v) wins) over
+    arbitrary interleavings of writes, deletes, TTLs, and read
+    positions — including duplicate timestamps and empty write maps."""
+    from debezium_incubator_spark.cdc.cassandra import fold_cassandra_cells
+
+    rows = [
+        (k, op, ts,
+         {c: (v, ts, ttl) for c, v, ttl in cells} if op == "w" else {})
+        for k, op, ts, cells in events
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "user_id LONG, op STRING, ts LONG, "
+        "cells MAP<STRING, STRUCT<v DOUBLE, ts LONG, ttl LONG>>",
+    )
+    got = {
+        (r.user_id, r.column): r.v
+        for r in fold_cassandra_cells(df, ["user_id"],
+                                      as_of=as_of).collect()
+    }
+
+    # independent Python fold
+    del_ts: dict = {}
+    for k, op, ts, _ in rows:
+        if op == "d":
+            del_ts[k] = max(del_ts.get(k, -1), ts)
+    best: dict = {}
+    for k, op, ts, cells in rows:
+        if op != "w":
+            continue
+        for c, (v, cts, ttl) in cells.items():
+            if k in del_ts and cts <= del_ts[k]:
+                continue
+            if ttl is not None and cts + ttl <= as_of:
+                continue
+            cur = best.get((k, c))
+            if cur is None or (cts, v) > cur:
+                best[(k, c)] = (cts, v)
+    want = {kc: tv[1] for kc, tv in best.items()}
+    assert got == want
