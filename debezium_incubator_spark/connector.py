@@ -230,6 +230,36 @@ def transform_chain(df: DataFrame, props: dict[str, str]) -> DataFrame:
     return df
 
 
+def propagate_source_types(
+    df: DataFrame,
+    column_types: dict[str, str],
+    patterns: list[str] | None = None,
+) -> DataFrame:
+    """``column.propagate.source.type``: attach the ORIGINAL database
+    type of each column as field metadata (`__debezium.source.column.
+    type`), so consumers that must re-create the column faithfully
+    (sink connectors building DDL) see ``NUMERIC(10,2)``, not just the
+    lossy engine type. Debezium puts this in Connect schema parameters;
+    the Spark twin is StructField metadata — carried by the schema,
+    zero data-plane cost, and surviving projections.
+
+    ``column_types``: column → source type string (harvested from the
+    schema-history DDL parse); ``patterns``: optional regex list
+    scoping which columns propagate (the config's value), default
+    all."""
+    import re as _re
+
+    for c, t in column_types.items():
+        if c not in df.columns:
+            continue
+        if patterns is not None and not any(
+            _re.fullmatch(p, c) for p in patterns
+        ):
+            continue
+        df = df.withMetadata(c, {"__debezium.source.column.type": t})
+    return df
+
+
 def type_handling_casts(df: DataFrame, props: dict[str, str]) -> DataFrame:
     """B10: Debezium's capture-time type-coercion modes, applied by
     schema introspection (the user keeps their existing config keys):

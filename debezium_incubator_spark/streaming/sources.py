@@ -72,6 +72,41 @@ def heartbeat_source(spark: SparkSession, rows_per_second: int = 1) -> DataFrame
     )
 
 
+def start_heartbeat_action(
+    spark: SparkSession,
+    checkpoint_dir: str,
+    action,
+    rows_per_second: int = 1,
+):
+    """``heartbeat.action.query``: public Debezium runs a caller-defined
+    statement on every heartbeat (canonically an UPDATE on a dedicated
+    heartbeat table, so a connector capturing a QUIET database still
+    generates WAL traffic and its replication slot/offset advances —
+    without this, an idle Postgres source famously bloats its WAL).
+
+    Twin: the heartbeat stream drives ``action`` once per micro-batch
+    through foreachBatch. ``action`` is a SQL string (run via
+    ``spark.sql``) or a callable ``(spark, batch_id) -> None``.
+    Control-plane by construction: the heartbeat batch is rows_per_
+    second-sized and the action runs driver-side once per tick, never
+    per row. Returns the StreamingQuery (caller owns stop())."""
+    hb = heartbeat_source(spark, rows_per_second)
+
+    def on_batch(batch_df, batch_id):
+        if batch_df.isEmpty():
+            return
+        if callable(action):
+            action(spark, batch_id)
+        else:
+            spark.sql(action)
+
+    return (
+        hb.writeStream.foreachBatch(on_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+
+
 def events_file_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A3/A10: stream the events fixture as if it were arriving — the
     deterministic test source. Streaming parquet reads need an explicit

@@ -265,3 +265,54 @@ def test_transform_chain_drives_new_smts_from_properties(spark):
     assert out[1].correlation == "c-1" and out[2].correlation == "c-2"
     assert set(out[1].headers) == {"keep"}  # move removed corr
     assert out[1].ts.hour == 6 and out[2].ts.hour == 7  # CST vs CDT
+
+
+def test_propagate_source_types_metadata(spark):
+    """column.propagate.source.type: the original database type rides
+    the schema as field metadata, scoped by the config's regex list,
+    and SURVIVES projection (a consumer three selects downstream can
+    still build faithful DDL)."""
+    from debezium_incubator_spark.connector import propagate_source_types
+
+    df = spark.createDataFrame(
+        [(1, 9.5, "x")], "id LONG, price DOUBLE, note STRING"
+    )
+    out = propagate_source_types(
+        df,
+        {"price": "NUMERIC(10,2)", "note": "VARCHAR2(40)", "id": "BIGINT"},
+        patterns=["price", "note"],
+    )
+    meta = {f.name: f.metadata for f in out.schema.fields}
+    assert meta["price"] == {"__debezium.source.column.type": "NUMERIC(10,2)"}
+    assert meta["note"] == {"__debezium.source.column.type": "VARCHAR2(40)"}
+    assert meta["id"] == {}  # scoped out by the pattern list
+
+    projected = out.select("price")
+    assert projected.schema.fields[0].metadata == {
+        "__debezium.source.column.type": "NUMERIC(10,2)"
+    }
+
+
+def test_heartbeat_action_query_runs_per_tick(spark, tmp_path):
+    """heartbeat.action.query: the action runs once per heartbeat
+    micro-batch (the WAL-advancing side effect on an idle source), not
+    per row; the query stops cleanly."""
+    import time
+
+    from debezium_incubator_spark.streaming.sources import (
+        start_heartbeat_action,
+    )
+
+    ran = []
+    q = start_heartbeat_action(
+        spark, str(tmp_path / "ckpt"),
+        action=lambda s, bid: ran.append(bid),
+        rows_per_second=10,
+    )
+    try:
+        deadline = time.time() + 60
+        while len(ran) < 2 and time.time() < deadline:
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    assert len(ran) >= 2  # fired on successive ticks
