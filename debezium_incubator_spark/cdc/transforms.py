@@ -338,3 +338,80 @@ def cdc_temporal_wire(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ts_rt"
         ),
     ).orderBy("o_orderkey")
+
+
+# ---------------------------------------------------------------------------
+# interval.handling.mode (public Debezium: INTERVAL columns wire as
+# numeric micros — io.debezium.time.MicroDuration — or ISO-8601 strings)
+# ---------------------------------------------------------------------------
+
+_US_PER_DAY = 86_400_000_000
+_US_PER_HOUR = 3_600_000_000
+_US_PER_MIN = 60_000_000
+_US_PER_SEC = 1_000_000
+
+
+def interval_micros(start: Column, end: Column) -> Column:
+    """``interval.handling.mode=numeric`` (io.debezium.time.
+    MicroDuration): a duration as INT64 microseconds — here derived
+    from two instants (the only way a columnar engine sees intervals)."""
+    return (
+        F.unix_micros(end.cast("timestamp"))
+        - F.unix_micros(start.cast("timestamp"))
+    )
+
+
+def interval_iso(micros: Column) -> Column:
+    """``interval.handling.mode=string``: ISO-8601 duration
+    ``PdDThHmMs.ffffffS`` built with pure integer arithmetic + concat —
+    the identical construction runs in the SQL oracle, so the string
+    form is differentially checkable (no engine interval-formatting
+    involved, which would never agree across engines)."""
+    d = (micros / _US_PER_DAY).cast("long")
+    rem = micros - d * _US_PER_DAY
+    h = (rem / _US_PER_HOUR).cast("long")
+    rem = rem - h * _US_PER_HOUR
+    m = (rem / _US_PER_MIN).cast("long")
+    rem = rem - m * _US_PER_MIN
+    s = (rem / _US_PER_SEC).cast("long")
+    us = rem - s * _US_PER_SEC
+    return F.concat(
+        F.lit("P"), d.cast("string"), F.lit("DT"),
+        h.cast("string"), F.lit("H"),
+        m.cast("string"), F.lit("M"),
+        s.cast("string"), F.lit("."),
+        F.lpad(us.cast("string"), 6, "0"), F.lit("S"),
+    )
+
+
+@register(
+    "cdc_interval_wire",
+    oracle="""
+WITH d AS (
+  SELECT event_id,
+         epoch_us(ts) - epoch_us(date_trunc('day', ts)) AS us
+  FROM events
+)
+SELECT event_id, us AS wire_micros,
+       'P' || CAST(us // 86400000000 AS VARCHAR) || 'DT'
+           || CAST((us % 86400000000) // 3600000000 AS VARCHAR) || 'H'
+           || CAST((us % 3600000000) // 60000000 AS VARCHAR) || 'M'
+           || CAST((us % 60000000) // 1000000 AS VARCHAR) || '.'
+           || lpad(CAST(us % 1000000 AS VARCHAR), 6, '0') || 'S'
+         AS wire_iso
+FROM d
+ORDER BY event_id
+""",
+)
+def cdc_interval_wire(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """interval.handling.mode, both modes on one duration (time-of-day
+    of each event = ts minus its midnight): numeric micros and the
+    ISO-8601 string, each rebuilt in the oracle with identical integer
+    arithmetic — proving the encoders, not an engine's formatter."""
+    ev = table(spark, sf_dir, "events")
+    us = interval_micros(F.date_trunc("day", F.col("ts")), F.col("ts"))
+    return ev.select(
+        "event_id",
+        us.alias("wire_micros"),
+        interval_iso(us).alias("wire_iso"),
+    ).orderBy("event_id")

@@ -288,3 +288,40 @@ def sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         tables=("lineitem",),
     )
+
+
+@register(
+    "sql_group_order_by_all",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       COUNT(*) AS n_items,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(38,10))) AS DOUBLE) AS qty
+FROM lineitem
+WHERE l_discount > 0.05
+GROUP BY ALL
+ORDER BY ALL
+""",
+)
+def sql_group_order_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`GROUP BY ALL` / `ORDER BY ALL` (the DuckDB-originated shorthand
+    Spark 4 adopted): grouping keys inferred as every non-aggregate
+    select item, ordering as every select item left-to-right. The
+    oracle is the SAME spelling run by DuckDB — both engines must infer
+    identical keys and identical (stable, left-to-right) sort order, or
+    the hash comparison fails. Compiles to the ordinary partial/final
+    hash aggregate; the sugar is resolver-level only."""
+    return run_sql(
+        spark,
+        sf_dir,
+        """
+        SELECT l_returnflag, l_linestatus,
+               COUNT(*) AS n_items,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(38,10))) AS DOUBLE)
+                 AS qty
+        FROM lineitem
+        WHERE l_discount > 0.05
+        GROUP BY ALL
+        ORDER BY ALL
+        """,
+        tables=("lineitem",),
+    )
