@@ -115,3 +115,61 @@ def test_schema_evolution_none_refuses_new_columns(spark, tmp_path):
                     pv | {"schema.evolution": "basic"}, ["pos"])
     got = {r.k: (r.v, r.w) for r in read_state(spark, sd).collect()}
     assert got == {1: (1.0, None), 2: (2.0, "extra")}
+
+
+def test_source_to_sink_round_trip_capstone(spark, tmp_path):
+    """The full pipeline a reference user runs: source connector
+    bootstrap (snapshot.mode=initial: backfill image + streamed
+    changes) delivers op-rows; the JDBC sink connector applies them in
+    TWO micro-batches (the backfill, then the stream) in upsert mode —
+    and the sink's target table equals the log's latest state exactly.
+    Deletes streamed after the snapshot remove their keys from the
+    target (delete.enabled=true end-to-end)."""
+    from pyspark.sql import functions as F
+
+    from debezium_incubator_spark.catalog import table
+    from debezium_incubator_spark.cdc.envelope import OP_CASE
+    from debezium_incubator_spark.cdc.materialize import materialize_latest
+    from debezium_incubator_spark.connector import connector_bootstrap
+
+    from .conftest import SF_SMOKE
+
+    ch = table(spark, SF_SMOKE, "events").select(
+        F.col("user_id").alias("k"),
+        F.col("event_id").alias("pos"),
+        F.col("value").alias("v"),
+        F.expr(OP_CASE).alias("__op"),
+    ).cache()
+    max_pos = ch.agg(F.max("pos")).first()[0]
+    snapshot_pos = int(max_pos * 0.6)
+
+    boot = connector_bootstrap(
+        spark, {"snapshot.mode": "initial"}, ch, "k", "pos", snapshot_pos
+    )
+    sink_props = {"primary.key.mode": "record_value",
+                  "primary.key.fields": "k", "insert.mode": "upsert",
+                  "delete.enabled": "true"}
+    sd = str(tmp_path / "target")
+    jdbc_sink_apply(spark, boot["backfill"], 0, sd, sink_props, ["pos"])
+    streamed = ch.filter(F.col("pos") > snapshot_pos)
+    jdbc_sink_apply(spark, streamed, 1, sd, sink_props, ["pos"])
+
+    got = {r.k: r.v for r in read_state(spark, sd).collect()}
+    want = {
+        r.k: r.v for r in materialize_latest(ch, ["k"], ["pos"]).collect()
+    }
+    assert got == want
+    # a post-snapshot delete genuinely removed its key from the target
+    deleted = {
+        r.k for r in streamed.filter(F.col("__op") == "d").collect()
+    } - {r.k for r in streamed.filter(
+        (F.col("__op") != "d")
+    ).join(
+        streamed.filter(F.col("__op") == "d"), "k", "semi"
+    ).groupBy("k").agg(F.max("pos").alias("p")).join(
+        streamed.filter(F.col("__op") == "d").groupBy("k")
+        .agg(F.max("pos").alias("dp")), "k"
+    ).filter(F.col("p") > F.col("dp")).collect()}
+    if deleted:
+        assert not (deleted & set(got))
+    ch.unpersist()
