@@ -279,3 +279,117 @@ def cdc_cassandra_cell_lww(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     state = fold_cassandra_cells(changes, ["user_id"])
     return state.orderBy("user_id", "column")
+
+
+# ---------------------------------------------------------------------------
+# Range tombstones (clustering-key ranges): Cassandra's third delete form
+# ---------------------------------------------------------------------------
+
+
+def shadow_range_tombstones(
+    cells: DataFrame,
+    tombs: DataFrame,
+    pk_col: str = "pk",
+    ck_col: str = "ck",
+    ts_col: str = "cell_ts",
+) -> DataFrame:
+    """Cassandra RANGE tombstones: a delete of a clustering-key range
+    within one partition (``DELETE ... WHERE pk=? AND ck >= ? AND ck
+    <= ?``) shadows every cell whose clustering key falls in the range
+    AND whose timestamp is <= the tombstone's — later writes into the
+    range resurrect, exactly like partition tombstones but scoped by
+    the interval.
+
+    ``cells``: long-form cell rows carrying ``(pk, ck, ..., cell_ts)``;
+    ``tombs``: ``(pk, lo, hi, ts)`` inclusive ranges. A cell can match
+    SEVERAL overlapping tombstones — the binding one is the max-ts
+    match, computed by a broadcast range join (tombstones are a sliver
+    of any real stream) + per-cell max aggregation. Returns the
+    surviving cells (all input columns, tombstone columns dropped).
+
+    Scale: the range join is tombstone-side broadcast — the cell side
+    never shuffles for shadowing; the per-cell max is a map-side-
+    combining aggregate on the cell's own identity columns."""
+    cell_cols = cells.columns
+    joined = cells.join(
+        F.broadcast(tombs.select(
+            F.col(pk_col),
+            F.col("lo"), F.col("hi"),
+            F.col("ts").alias("__tomb_ts"),
+        )),
+        on=[
+            cells[pk_col] == tombs[pk_col],
+            F.col(ck_col) >= F.col("lo"),
+            F.col(ck_col) <= F.col("hi"),
+        ],
+        how="left",
+    ).drop(tombs[pk_col]).drop("lo", "hi")
+    shadowed = joined.groupBy(*cell_cols).agg(
+        F.max("__tomb_ts").alias("__del_ts")
+    )
+    return shadowed.filter(
+        F.col("__del_ts").isNull() | (F.col(ts_col) > F.col("__del_ts"))
+    ).drop("__del_ts")
+
+
+@register(
+    "cdc_cassandra_range_tombstone",
+    oracle="""
+WITH cells AS (
+  SELECT user_id % 10 AS pk, user_id AS ck, value AS v, event_id AS ts
+  FROM events WHERE event_type <> 'error'
+), tombs AS (
+  SELECT user_id % 10 AS pk, user_id - 2 AS lo, user_id + 2 AS hi,
+         event_id AS ts
+  FROM events WHERE event_type = 'error'
+), shadow AS (
+  SELECT c.pk, c.ck, c.v, c.ts,
+         (SELECT max(t.ts) FROM tombs t
+          WHERE t.pk = c.pk AND c.ck BETWEEN t.lo AND t.hi) AS del_ts
+  FROM cells c
+), live AS (
+  SELECT pk, ck, v, ts FROM shadow
+  WHERE del_ts IS NULL OR ts > del_ts
+)
+SELECT pk, ck, v FROM (
+  SELECT pk, ck, v,
+         row_number() OVER (
+           PARTITION BY pk, ck ORDER BY ts DESC, v DESC
+         ) AS rn
+  FROM live
+) WHERE rn = 1
+ORDER BY pk, ck
+""",
+)
+def cdc_cassandra_range_tombstone(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Range-tombstone shadowing, differentially proven: events become
+    clustered rows (partition = user_id%10, clustering = user_id);
+    'error' events become range tombstones over [user_id−2, user_id+2]
+    in their partition. The engine shadows via the broadcast range join
+    + per-cell max-tombstone aggregate, then folds LWW per (pk, ck);
+    the oracle recomputes with a correlated max subquery. Equality
+    proves interval-scoped, timestamp-ordered shadowing with
+    resurrection — on real data where tombstone ranges overlap."""
+    ev = table(spark, sf_dir, "events")
+    cells = ev.filter(F.col("event_type") != "error").select(
+        (F.col("user_id") % 10).alias("pk"),
+        F.col("user_id").alias("ck"),
+        F.col("value").alias("v"),
+        F.col("event_id").alias("cell_ts"),
+    )
+    tombs = ev.filter(F.col("event_type") == "error").select(
+        (F.col("user_id") % 10).alias("pk"),
+        (F.col("user_id") - 2).alias("lo"),
+        (F.col("user_id") + 2).alias("hi"),
+        F.col("event_id").alias("ts"),
+    )
+    live = shadow_range_tombstones(cells, tombs)
+    w = W.partitionBy("pk", "ck").orderBy(F.desc("cell_ts"), F.desc("v"))
+    return (
+        live.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("pk", "ck", "v")
+        .orderBy("pk", "ck")
+    )

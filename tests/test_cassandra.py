@@ -135,3 +135,32 @@ def test_incremental_merge_equals_one_shot_fold(spark):
 
     # and the state is compact: one row per surviving (key, column)
     assert cells.count() == cells.select("user_id", "column").distinct().count()
+
+
+def test_range_tombstone_overlaps_and_resurrection(spark):
+    """Overlapping range tombstones: the binding one per cell is the
+    max-ts MATCHING range; a write stamped above it resurrects; cells
+    outside every range are untouched; the range join broadcasts."""
+    from debezium_incubator_spark.cdc.cassandra import (
+        shadow_range_tombstones,
+    )
+
+    cells = spark.createDataFrame(
+        [
+            (1, 5, 1.0, 10),    # in both ranges; max del_ts 30 > 10 → gone
+            (1, 5, 2.0, 31),    # same slot, written after → survives
+            (1, 9, 3.0, 10),    # only in [8,12] (ts 20); 10 <= 20 → gone
+            (1, 20, 4.0, 5),    # outside every range → survives
+            (2, 5, 5.0, 10),    # other partition, no tombstones
+        ],
+        "pk LONG, ck LONG, v DOUBLE, cell_ts LONG",
+    )
+    tombs = spark.createDataFrame(
+        [(1, 0, 6, 30), (1, 3, 12, 20)],
+        "pk LONG, lo LONG, hi LONG, ts LONG",
+    )
+    live = shadow_range_tombstones(cells, tombs)
+    got = {(r.pk, r.ck, r.v) for r in live.collect()}
+    assert got == {(1, 5, 2.0), (1, 20, 4.0), (2, 5, 5.0)}
+    plan = live._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
