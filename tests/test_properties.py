@@ -735,3 +735,55 @@ def test_cassandra_cell_fold_matches_python(spark, events, as_of):
                 best[(k, c)] = (cts, v)
     want = {kc: tv[1] for kc, tv in best.items()}
     assert got == want
+
+
+# --- Db2 fixed-width-hex sequence ordering vs numeric ---------------------
+
+SEQS = st.lists(
+    st.tuples(
+        KEYS,
+        st.integers(min_value=0, max_value=2**40),   # commitseq
+        st.integers(min_value=0, max_value=255),     # intentseq
+        VALS,
+        st.sampled_from(["I", "U", "D"]),
+    ),
+    min_size=1, max_size=25,
+).map(lambda rows: list({(r[0], r[1], r[2]): r for r in rows}.values()))
+
+
+@settings(max_examples=12, deadline=None)
+@given(SEQS)
+def test_db2_hex_fold_matches_numeric_fold(spark, rows):
+    """The Db2 path's load-bearing property on ARBITRARY sequences
+    (not just the fixture's): folding by the fixed-width-hex
+    (COMMITSEQ, INTENTSEQ) strings equals folding by the numeric pair —
+    including sequences spanning hex-width boundaries (0xF → 0x10,
+    0xFF → 0x100), exactly where unpadded hex corrupts."""
+    from debezium_incubator_spark.cdc.db2 import (
+        db2_capture_envelope,
+        seq_hex,
+    )
+
+    cap = spark.createDataFrame(
+        rows, "k LONG, cseq LONG, iseq LONG, v DOUBLE, op STRING"
+    ).select(
+        "k", "v",
+        F.col("op").alias("IBMSNAP_OPERATION"),
+        seq_hex(F.col("cseq")).alias("IBMSNAP_COMMITSEQ"),
+        seq_hex(F.col("iseq")).alias("IBMSNAP_INTENTSEQ"),
+    )
+    got = {
+        (r.k, r.v)
+        for r in materialize_latest(
+            db2_capture_envelope(cap), ["k"],
+            ["__commitseq", "__intentseq"],
+        ).collect()
+    }
+
+    best: dict = {}
+    for k, cs, is_, v, op in rows:
+        cur = best.get(k)
+        if cur is None or (cs, is_) > cur[0]:
+            best[k] = ((cs, is_), v, op)
+    want = {(k, v) for k, (_, v, op) in best.items() if op != "D"}
+    assert got == want
