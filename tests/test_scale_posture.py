@@ -516,3 +516,25 @@ def test_q6_predicates_all_pushed(spark):
         c in m[0] for c in
         ("l_shipdate", "l_discount", "l_quantity", "l_extendedprice")
     ) and "l_orderkey" not in m[0]
+
+
+def test_round7_fold_plan_shapes(spark):
+    """Round-7 connector folds keep the engine's audited plan shapes:
+    the Cassandra cell fold runs Partial+Final WindowGroupLimit at
+    limit 1 (the shuffle carries candidates, never all cells) with the
+    tombstone side broadcast; the LogMiner fold broadcasts the commit
+    set; the per-domain cap prunes at k on both sides of its shuffle."""
+    from debezium_incubator_spark.registry import all_queries
+
+    q = all_queries()
+    p = _plan(q["cdc_cassandra_cell_lww"](spark, SF_SMOKE))
+    assert p.count("WindowGroupLimit") >= 2      # partial + final
+    assert "BroadcastHashJoin" in p              # tombstone watermark
+    assert "SortMergeJoin" not in p
+
+    p = _plan(q["cdc_logminer_commit_order"](spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in p              # commit set
+    assert "SortMergeJoin" not in p
+
+    p = _plan(q["t29_domain_cap"](spark, SF_SMOKE))
+    assert p.count("WindowGroupLimit") >= 2
