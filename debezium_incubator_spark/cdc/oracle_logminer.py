@@ -25,6 +25,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
 
 from ..catalog import table
 from ..registry import register
@@ -118,3 +119,100 @@ def cdc_logminer_commit_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         visible, ["user_id"], ["__commit_scn", "scn"]
     )
     return state.select("user_id", "value").orderBy("user_id")
+
+
+# ---------------------------------------------------------------------------
+# Partial rollback (ROLLBACK=1 redo entries): LogMiner's undo mechanic
+# ---------------------------------------------------------------------------
+
+
+def apply_partial_rollback(
+    redo: DataFrame,
+    txn_col: str = "xid",
+    row_col: str = "row_id",
+    pos_col: str = "scn",
+    rollback_col: str = "rollback",
+) -> DataFrame:
+    """Remove changes undone by LogMiner ``ROLLBACK=1`` entries.
+
+    Oracle's redo log is physical: a rollback to savepoint (or a
+    constraint-violation undo) does not erase prior entries — it APPENDS
+    counter-entries flagged ``ROLLBACK=1``, each undoing one earlier
+    change to the same ROWID within the same transaction. Public
+    debezium-connector-oracle's transaction buffer removes the matched
+    change on seeing the counter-entry; a fold that ignored the flag
+    would deliver phantom changes the database itself never committed.
+
+    Matching is LIFO per (transaction, rowid): a rollback entry cancels
+    the most recent prior not-yet-cancelled change. That stack
+    discipline is expressible in closed form with window functions —
+    no stateful scan needed. Let y = +1 for a rollback entry, −1 for a
+    change, T = the running sum of y in SCN order within
+    (xid, rowid). A change at position p is cancelled iff
+    ``max(T) over the rows AFTER p  >=  T(p) + 1`` — the classic
+    bracket-matching characterization (a following suffix accumulates
+    more undo than redo back to this entry's depth). Equivalence to the
+    sequential stack fold is pinned by a hypothesis property over
+    arbitrary op/rollback interleavings (tests/test_oracle_logminer.py).
+
+    Returns the surviving CHANGE rows (rollback markers themselves are
+    consumed). Scale: two window passes over the same
+    (xid, rowid)-partitioned sort — ONE shuffle, no joins, no UDF;
+    partition width is bounded by per-row churn within one transaction.
+    """
+    w_ord = W.partitionBy(txn_col, row_col).orderBy(pos_col)
+    w_fol = w_ord.rowsBetween(1, W.unboundedFollowing)
+    y = F.when(F.col(rollback_col) == 1, F.lit(1)).otherwise(F.lit(-1))
+    depth = redo.withColumn("__t", F.sum(y).over(w_ord)).withColumn(
+        "__m", F.max(F.col("__t")).over(w_fol)
+    )
+    return depth.filter(
+        (F.col(rollback_col) == 0)
+        & (F.col("__m").isNull() | (F.col("__m") < F.col("__t") + 1))
+    ).drop("__t", "__m")
+
+
+@register(
+    "cdc_logminer_rollback",
+    oracle="""
+WITH redo AS (
+  SELECT event_id AS scn, event_id // 5 AS xid, user_id % 3 AS row_id,
+         value,
+         CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS rb
+  FROM events
+), t AS (
+  SELECT *, sum(CASE WHEN rb = 1 THEN 1 ELSE -1 END) OVER (
+           PARTITION BY xid, row_id ORDER BY scn) AS tt
+  FROM redo
+), m AS (
+  SELECT *, max(tt) OVER (
+           PARTITION BY xid, row_id ORDER BY scn
+           ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS mm
+  FROM t
+)
+SELECT xid, row_id, scn, value FROM m
+WHERE rb = 0 AND (mm IS NULL OR mm < tt + 1)
+ORDER BY scn
+""",
+)
+def cdc_logminer_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LogMiner partial rollback, differentially proven: events become
+    redo entries in transactions of 5 (xid = scn // 5) touching rowids
+    user_id % 3 (so one transaction genuinely revisits a rowid);
+    'error' events are ROLLBACK=1 counter-entries. The engine cancels
+    LIFO-matched changes via the closed-form window test; the oracle
+    recomputes the identical bracket-matching in SQL. Equality proves
+    the undo semantics — surviving SCNs shift whenever a rollback lands
+    after multiple changes to its rowid, which a flag-blind fold (or a
+    FIFO matcher) gets wrong on this fixture."""
+    ev = table(spark, sf_dir, "events")
+    redo = ev.select(
+        F.col("event_id").alias("scn"),
+        (F.col("event_id") / 5).cast("long").alias("xid"),
+        (F.col("user_id") % 3).alias("row_id"),
+        "value",
+        F.when(F.col("event_type") == "error", 1).otherwise(0)
+        .alias("rollback"),
+    )
+    kept = apply_partial_rollback(redo)
+    return kept.select("xid", "row_id", "scn", "value").orderBy("scn")

@@ -64,3 +64,96 @@ def test_commit_join_broadcasts(spark):
         redo, _commits(spark, [(1, 20)])
     )._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+# ---------------------------------------------------------------------------
+# Partial rollback (ROLLBACK=1): LIFO matching semantics
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from debezium_incubator_spark.cdc.oracle_logminer import (
+    apply_partial_rollback,
+)
+
+
+def _rredo(spark, rows):
+    """rows: (xid, row_id, scn, rollback)"""
+    return spark.createDataFrame(
+        rows, "xid LONG, row_id LONG, scn LONG, rollback INT"
+    )
+
+
+def _surviving(spark, rows):
+    return sorted(
+        r.scn for r in apply_partial_rollback(_rredo(spark, rows)).collect()
+    )
+
+
+def test_partial_rollback_lifo_cases(spark):
+    """The rollback entry cancels the MOST RECENT prior change to its
+    rowid (stack discipline), not the first — each scenario would come
+    out differently under FIFO or flag-blind folds."""
+    # o1 o2 r  -> r cancels o2, o1 survives
+    assert _surviving(spark, [
+        (1, 1, 10, 0), (1, 1, 11, 0), (1, 1, 12, 1),
+    ]) == [10]
+    # o1 r o2  -> r cancels o1, o2 survives
+    assert _surviving(spark, [
+        (1, 1, 10, 0), (1, 1, 11, 1), (1, 1, 12, 0),
+    ]) == [12]
+    # o1 o2 r r -> both cancelled
+    assert _surviving(spark, [
+        (1, 1, 10, 0), (1, 1, 11, 0), (1, 1, 12, 1), (1, 1, 13, 1),
+    ]) == []
+    # o1 o2 r o3 r -> first r cancels o2, second cancels o3; o1 survives
+    assert _surviving(spark, [
+        (1, 1, 10, 0), (1, 1, 11, 0), (1, 1, 12, 1),
+        (1, 1, 13, 0), (1, 1, 14, 1),
+    ]) == [10]
+    # unmatched rollback (no prior change) is consumed silently
+    assert _surviving(spark, [(1, 1, 10, 1), (1, 1, 11, 0)]) == [11]
+
+
+def test_partial_rollback_scoped_per_txn_and_rowid(spark):
+    """A rollback only undoes work on ITS (transaction, rowid) — other
+    rowids in the same txn and the same rowid in other txns keep their
+    changes."""
+    assert _surviving(spark, [
+        (1, 1, 10, 0),   # xid 1, row 1 — survives (rb targets row 2)
+        (1, 2, 11, 0),   # xid 1, row 2 — cancelled
+        (1, 2, 12, 1),
+        (2, 2, 13, 0),   # xid 2, row 2 — survives (other txn)
+    ]) == [10, 13]
+
+
+def _stack_fold(seq):
+    """Sequential LIFO reference: returns surviving change scns."""
+    stack = []
+    for scn, rb in seq:
+        if rb:
+            if stack:
+                stack.pop()
+        else:
+            stack.append(scn)
+    return sorted(stack)
+
+
+_SEQ = st.lists(st.booleans(), min_size=0, max_size=14)
+
+
+@settings(max_examples=12, deadline=None)
+@given(_SEQ, _SEQ)
+def test_partial_rollback_matches_stack_fold(spark, seq_a, seq_b):
+    """The closed-form window test equals the sequential stack fold for
+    ANY interleaving of changes and rollbacks, across two independent
+    (xid, rowid) groups folded in one frame."""
+    rows = [(1, 1, i, int(rb)) for i, rb in enumerate(seq_a)]
+    rows += [(2, 7, 100 + i, int(rb)) for i, rb in enumerate(seq_b)]
+    if not rows:
+        return
+    want = _stack_fold([(i, rb) for i, rb in enumerate(seq_a)])
+    want += [100 + s for s in _stack_fold(
+        [(i, rb) for i, rb in enumerate(seq_b)])]
+    assert _surviving(spark, rows) == sorted(want)
