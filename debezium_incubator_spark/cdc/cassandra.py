@@ -393,3 +393,140 @@ def cdc_cassandra_range_tombstone(
         .select("pk", "ck", "v")
         .orderBy("pk", "ck")
     )
+
+
+# ---------------------------------------------------------------------------
+# Non-frozen collections: element cells, element tombstones, and the
+# collection-overwrite tombstone (Cassandra's fourth delete form)
+# ---------------------------------------------------------------------------
+
+
+def fold_cassandra_collection_cells(
+    elem_cells: DataFrame,
+    coll_tombs: DataFrame,
+    key_cols: list[str],
+    column_col: str = "column",
+    path_col: str = "path",
+    ts_col: str = "cell_ts",
+    v_col: str = "v",
+) -> DataFrame:
+    """Assemble the current contents of non-frozen collection columns
+    (map / set / list) from element-level cell events.
+
+    Cassandra stores a non-frozen collection as one cell PER ELEMENT,
+    keyed by the cell path (map key / set element / list timeuuid), each
+    with its own writetime — an ``UPDATE t SET m['k'] = v`` touches one
+    cell, and the commitlog (hence the CDC stream) carries exactly that.
+    Three delete forms interact:
+
+    - **element tombstone** (``DELETE m['k'] ...``): a cell whose value
+      is NULL — it competes in per-path LWW and, when it wins, the
+      element is absent from the assembled collection;
+    - **collection overwrite** (``SET m = {...}``): Cassandra plants a
+      collection-level range tombstone stamped ``write_ts - 1`` and
+      inserts the new element cells at ``write_ts`` — the off-by-one is
+      the documented trick that lets the overwrite's OWN elements
+      survive its own tombstone while every older element is shadowed;
+    - at EQUAL writetime a delete beats a write (NULLS FIRST in the
+      descending value tie-break below); between two live writes the
+      higher value wins, as for regular cells.
+
+    ``elem_cells``: long form ``(key..., column, path, v, cell_ts)``
+    with ``v`` NULL for element tombstones. ``coll_tombs``:
+    ``(key..., column, del_ts)`` collection tombstones (already stamped
+    ``write_ts - 1`` by the producer). Returns surviving elements
+    ``(key..., column, path, v)``.
+
+    Scale: the tombstone side aggregates to one row per (key, column)
+    and broadcasts; element cells shuffle ONCE on (key, column, path)
+    for the LWW window. No UDF, no driver state."""
+    grp = [*key_cols, column_col]
+    tomb = coll_tombs.groupBy(*grp).agg(F.max("del_ts").alias("__del_ts"))
+    live = (
+        elem_cells.join(F.broadcast(tomb), grp, "left")
+        .filter(
+            F.col("__del_ts").isNull()
+            | (F.col(ts_col) > F.col("__del_ts"))
+        )
+        .drop("__del_ts")
+    )
+    w = W.partitionBy(*grp, path_col).orderBy(
+        F.desc(ts_col), F.desc_nulls_first(v_col)
+    )
+    return (
+        live.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .filter(F.col(v_col).isNotNull())
+        .select(*key_cols, column_col, path_col, v_col)
+    )
+
+
+@register(
+    "cdc_cassandra_collection_merge",
+    oracle="""
+WITH ev AS (
+  SELECT user_id, event_type AS path, value AS v, event_id AS ts,
+         event_id % 7 = 0 AS ow,
+         event_id % 11 = 0 AND event_id % 7 <> 0 AS ed
+  FROM events
+), cells AS (
+  -- element tombstones carry NULL v; overwrites contribute their own
+  -- element cell at ts (which must survive the ts-1 tombstone)
+  SELECT user_id, 'm' AS col, path,
+         CASE WHEN ed THEN NULL ELSE v END AS v, ts
+  FROM ev
+), tombs AS (
+  SELECT user_id, 'm' AS col, max(ts - 1) AS del_ts
+  FROM ev WHERE ow GROUP BY user_id
+), live AS (
+  SELECT c.user_id, c.col, c.path, c.v, c.ts
+  FROM cells c LEFT JOIN tombs t
+    ON c.user_id = t.user_id AND c.col = t.col
+  WHERE t.del_ts IS NULL OR c.ts > t.del_ts
+)
+SELECT user_id, path, v FROM (
+  SELECT user_id, path, v, row_number() OVER (
+           PARTITION BY user_id, col, path
+           ORDER BY ts DESC, v DESC NULLS FIRST) AS rn
+  FROM live
+) WHERE rn = 1 AND v IS NOT NULL
+ORDER BY user_id, path
+""",
+)
+def cdc_cassandra_collection_merge(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Non-frozen collection assembly, differentially proven: events
+    become element cells of one map column m (path = event_type, one
+    cell per event); every 7th event is a collection OVERWRITE (range
+    tombstone at ts-1 + its own element cell at ts), every 11th
+    non-overwrite event an element tombstone (NULL cell). The engine
+    folds with fold_cassandra_collection_cells; the oracle recomputes
+    shadowing + per-path LWW + tombstone-wins-ties in SQL. Equality
+    proves the off-by-one overwrite semantics — shifting the tombstone
+    to ts (or dropping element tombstones) visibly changes the result
+    on this fixture."""
+    ev = table(spark, sf_dir, "events").select(
+        "user_id",
+        F.col("event_type").alias("path"),
+        F.col("value").alias("v"),
+        F.col("event_id").alias("ts"),
+        (F.col("event_id") % 7 == 0).alias("ow"),
+        ((F.col("event_id") % 11 == 0) & (F.col("event_id") % 7 != 0))
+        .alias("ed"),
+    )
+    cells = ev.select(
+        "user_id",
+        F.lit("m").alias("column"),
+        "path",
+        F.when(F.col("ed"), F.lit(None).cast("double"))
+        .otherwise(F.col("v"))
+        .alias("v"),
+        F.col("ts").alias("cell_ts"),
+    )
+    tombs = ev.filter("ow").select(
+        "user_id", F.lit("m").alias("column"),
+        (F.col("ts") - 1).alias("del_ts"),
+    )
+    state = fold_cassandra_collection_cells(cells, tombs, ["user_id"])
+    return state.select("user_id", "path", "v").orderBy("user_id", "path")

@@ -262,3 +262,102 @@ def test_streaming_cell_merge_e2e_with_replay(spark, tmp_path):
         ).collect()
     }
     assert again == got
+
+
+# ---------------------------------------------------------------------------
+# Non-frozen collections: element cells + overwrite tombstones
+# ---------------------------------------------------------------------------
+
+from debezium_incubator_spark.cdc.cassandra import (
+    fold_cassandra_collection_cells,
+)
+
+
+def _elems(spark, rows):
+    """(key, column, path, v, cell_ts)"""
+    return spark.createDataFrame(
+        rows, "k LONG, column STRING, path STRING, v DOUBLE, cell_ts LONG"
+    )
+
+
+def _ctombs(spark, rows):
+    """(key, column, del_ts)"""
+    return spark.createDataFrame(rows, "k LONG, column STRING, del_ts LONG")
+
+
+def _coll_state(spark, cells, tombs):
+    return {
+        (r.k, r.path, r.v)
+        for r in fold_cassandra_collection_cells(
+            _elems(spark, cells), _ctombs(spark, tombs), ["k"]
+        ).collect()
+    }
+
+
+def test_collection_overwrite_keeps_own_elements_sheds_older(spark):
+    """SET m = {...} at ts=20 plants a tombstone at 19: elements written
+    at ts<=19 vanish, the overwrite's own ts=20 cells survive — the
+    documented write_ts-1 off-by-one."""
+    got = _coll_state(
+        spark,
+        [
+            (1, "m", "a", 1.0, 10),   # old element — shadowed
+            (1, "m", "b", 2.0, 19),   # boundary: ts == del_ts — shadowed
+            (1, "m", "c", 3.0, 20),   # the overwrite's own element
+        ],
+        [(1, "m", 19)],
+    )
+    assert got == {(1, "c", 3.0)}
+
+
+def test_collection_element_tombstone_removes_only_its_path(spark):
+    """DELETE m['a'] is a NULL cell: path 'a' disappears, 'b' stays;
+    a LATER write to 'a' resurrects it."""
+    got = _coll_state(
+        spark,
+        [
+            (1, "m", "a", 1.0, 10),
+            (1, "m", "b", 2.0, 10),
+            (1, "m", "a", None, 15),   # element tombstone
+        ],
+        [],
+    )
+    assert got == {(1, "b", 2.0)}
+    got2 = _coll_state(
+        spark,
+        [
+            (1, "m", "a", 1.0, 10),
+            (1, "m", "a", None, 15),
+            (1, "m", "a", 9.0, 16),    # resurrect
+        ],
+        [],
+    )
+    assert got2 == {(1, "a", 9.0)}
+
+
+def test_collection_equal_writetime_delete_beats_write(spark):
+    """Cassandra's tie rule: at identical writetime a tombstone shadows
+    the write (NULLS FIRST in the descending tie-break)."""
+    got = _coll_state(
+        spark,
+        [
+            (1, "m", "a", 5.0, 10),
+            (1, "m", "a", None, 10),   # same ts — delete wins
+        ],
+        [],
+    )
+    assert got == set()
+
+
+def test_collection_tombstone_shadows_late_arrivals(spark):
+    """Delivery order is irrelevant: an element stamped below the
+    collection tombstone stays shadowed no matter when it arrives
+    (the fold is declarative over the whole batch)."""
+    got = _coll_state(
+        spark,
+        [
+            (1, "m", "z", 7.0, 5),    # stamped before the overwrite,
+        ],                             # "arrives" after it in the frame
+        [(1, "m", 19)],
+    )
+    assert got == set()
