@@ -415,3 +415,44 @@ def cdc_interval_wire(spark: SparkSession, sf_dir: str) -> DataFrame:
         us.alias("wire_micros"),
         interval_iso(us).alias("wire_iso"),
     ).orderBy("event_id")
+
+
+# ---------------------------------------------------------------------------
+# binary.handling.mode wire encodings (bytes / base64 / hex)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "cdc_binary_wire",
+    oracle="""
+SELECT c_custkey,
+       to_base64(encode(c_name)) AS b64,
+       lower(hex(encode(c_name))) AS hx,
+       c_name AS roundtrip
+FROM customer
+ORDER BY c_custkey
+""",
+)
+def cdc_binary_wire(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``binary.handling.mode`` wire encodings, differentially proven:
+    customer names become BinaryType payloads; the connector config
+    surface (`connector.type_handling_casts`, mode=base64) renders the
+    wire string, hex rides the identical builtin chain the mode uses
+    (lowercase, Debezium's documented render), and the consumer-side
+    decode (unbase64 → UTF-8) must round-trip to the source string.
+    The oracle recomputes all three in DuckDB — byte-level encoder
+    agreement across engines, not just self-consistency. All per-record
+    expressions: zero shuffle at any scale."""
+    from ..connector import type_handling_casts
+
+    cust = table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name",
+        F.encode(F.col("c_name"), "UTF-8").alias("payload"),
+    )
+    enc = type_handling_casts(cust, {"binary.handling.mode": "base64"})
+    return enc.select(
+        "c_custkey",
+        F.col("payload").alias("b64"),
+        F.lower(F.hex(F.encode(F.col("c_name"), "UTF-8"))).alias("hx"),
+        F.decode(F.unbase64(F.col("payload")), "UTF-8").alias("roundtrip"),
+    ).orderBy("c_custkey")
