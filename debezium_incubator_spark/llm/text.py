@@ -1789,3 +1789,165 @@ def t30_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --- t31: the Gopher quality rule set (repetition-free subset) -----------
+
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_quality(
+    df: DataFrame,
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word: float = 3.0,
+    max_mean_word: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_ratio: float = 0.9,
+    max_ellipsis_ratio: float = 0.3,
+    min_alpha_ratio: float = 0.8,
+    min_stop: int = 2,
+) -> DataFrame:
+    """The Gopher paper's document-level quality rules (Rae et al. 2021,
+    §A1.1 — public), as one single-pass expression block:
+
+    1. word count in [min_words, max_words];
+    2. mean word length in [min_mean_word, max_mean_word];
+    3. symbol-to-word ratio ('#' and '...' occurrences) <= max_symbol_ratio;
+    4. fraction of lines starting with a bullet (- • *) <= max_bullet_ratio;
+    5. fraction of lines ending with an ellipsis <= max_ellipsis_ratio;
+    6. fraction of words containing a letter >= min_alpha_ratio;
+    7. at least ``min_stop`` DISTINCT Gopher stopwords present.
+
+    (The paper's duplicate-line/-ngram rules live separately in
+    t19_rep_2gram / t25_substring_dedup.) Every metric is computed from
+    builtin string/array expressions over the text column — no explode,
+    no shuffle, no UDF: at 100 TB the scan is the entire cost and the
+    filter composes with predicate pushdown on any upstream column.
+
+    Adds metric columns + an integer ``keep`` flag; thresholds are
+    parameters because real corpora calibrate them (the registered
+    query uses min_stop=1 on the synthetic fixture, whose vocabulary
+    carries at most one Gopher stopword per doc — Gopher's own default
+    stays 2)."""
+    toks = tokens(text_col)
+    text = F.col(text_col)
+    n_words = F.size(toks)
+    nw = n_words.cast("double")
+    mean_wl = (
+        F.length(F.replace(text, F.lit(" "), F.lit(""))).cast("double") / nw
+    )
+    n_hash = F.length(text) - F.length(F.replace(text, F.lit("#"), F.lit("")))
+    n_ell = (
+        F.length(text) - F.length(F.replace(text, F.lit("..."), F.lit("")))
+    ) / 3
+    symbol_ratio = (n_hash + n_ell).cast("double") / nw
+    lines = F.split(text, "\n")
+    n_lines = F.size(lines).cast("double")
+    bullet_ratio = (
+        F.size(F.filter(
+            lines,
+            lambda ln: F.substring(F.trim(ln), 1, 1).isin("-", "•", "*"),
+        )).cast("double") / n_lines
+    )
+    ellipsis_ratio = (
+        F.size(F.filter(lines, lambda ln: F.rtrim(ln).endswith("...")))
+        .cast("double") / n_lines
+    )
+    alpha_ratio = (
+        F.size(F.filter(toks, lambda t: t.rlike(r"\p{L}"))).cast("double")
+        / nw
+    )
+    sw = F.array(*[F.lit(s) for s in GOPHER_STOPWORDS])
+    n_stop = F.size(F.array_intersect(toks, sw))
+    keep = (
+        n_words.between(min_words, max_words)
+        & mean_wl.between(min_mean_word, max_mean_word)
+        & (symbol_ratio <= max_symbol_ratio)
+        & (bullet_ratio <= max_bullet_ratio)
+        & (ellipsis_ratio <= max_ellipsis_ratio)
+        & (alpha_ratio >= min_alpha_ratio)
+        & (n_stop >= min_stop)
+    )
+    return df.select(
+        "*",
+        n_words.alias("n_words"),
+        mean_wl.alias("__mean_wl"),
+        symbol_ratio.alias("__symbol_ratio"),
+        bullet_ratio.alias("__bullet_ratio"),
+        ellipsis_ratio.alias("__ellipsis_ratio"),
+        alpha_ratio.alias("__alpha_ratio"),
+        n_stop.alias("n_gopher_stop"),
+        keep.cast("int").alias("keep"),
+    )
+
+
+@register(
+    "t31_gopher_rules",
+    oracle=f"""
+WITH x AS (
+  SELECT doc_id,
+         len(string_split(lower(text), ' ')) AS n_words,
+         CAST(length(replace(text, ' ', '')) AS DOUBLE)
+           / len(string_split(lower(text), ' ')) AS mean_wl,
+         CAST(length(text) - length(replace(text, '#', ''))
+              + (length(text) - length(replace(text, '...', ''))) / 3
+              AS DOUBLE)
+           / len(string_split(lower(text), ' ')) AS symbol_ratio,
+         CAST(len(list_filter(string_split(text, chr(10)),
+               l -> substring(trim(l), 1, 1) IN ('-', '•', '*'))) AS DOUBLE)
+           / len(string_split(text, chr(10))) AS bullet_ratio,
+         CAST(len(list_filter(string_split(text, chr(10)),
+               l -> rtrim(l) LIKE '%...')) AS DOUBLE)
+           / len(string_split(text, chr(10))) AS ellipsis_ratio,
+         CAST(len(list_filter(string_split(lower(text), ' '),
+               t -> regexp_matches(t, '\\p{{L}}'))) AS DOUBLE)
+           / len(string_split(lower(text), ' ')) AS alpha_ratio,
+         len(list_intersect(string_split(lower(text), ' '),
+             {GOPHER_STOPWORDS})) AS n_stop
+  FROM documents
+)
+SELECT doc_id, n_words,
+       floor(mean_wl * 10000 + 0.5) / CAST(10000 AS DOUBLE) AS mean_wl,
+       floor(symbol_ratio * 10000 + 0.5) / CAST(10000 AS DOUBLE) AS symbol_ratio,
+       floor(bullet_ratio * 10000 + 0.5) / CAST(10000 AS DOUBLE) AS bullet_ratio,
+       floor(ellipsis_ratio * 10000 + 0.5) / CAST(10000 AS DOUBLE)
+         AS ellipsis_ratio,
+       floor(alpha_ratio * 10000 + 0.5) / CAST(10000 AS DOUBLE) AS alpha_ratio,
+       n_stop AS n_gopher_stop,
+       CAST(n_words BETWEEN 50 AND 100000
+            AND mean_wl BETWEEN 3 AND 10
+            AND symbol_ratio <= 0.1
+            AND bullet_ratio <= 0.9
+            AND ellipsis_ratio <= 0.3
+            AND alpha_ratio >= 0.8
+            AND n_stop >= 1 AS INT) AS keep
+FROM x
+ORDER BY doc_id
+""",
+)
+def t31_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher rule-set filter, differentially proven per document: all
+    seven rule metrics + the composite keep flag recomputed in DuckDB.
+    On the synthetic corpus rules 1 (word count, 277/500 pass at the
+    default 50) and 7 (stopword presence, min_stop=1 here) genuinely
+    split the corpus; the symbol/bullet/ellipsis ratios are exercised
+    as live arithmetic (the fixture text contains none, so they check
+    identical zero-handling); mean word length and alpha ratio pass
+    everywhere by construction. keep is surfaced as INT (no bare
+    booleans per the parity policy)."""
+    d = table(spark, sf_dir, "documents")
+    g = gopher_quality(d, min_stop=1)
+    r4 = lambda c: F.floor(F.col(c) * 10000 + 0.5) / F.lit(10000.0)  # noqa: E731
+    return g.select(
+        "doc_id",
+        "n_words",
+        r4("__mean_wl").alias("mean_wl"),
+        r4("__symbol_ratio").alias("symbol_ratio"),
+        r4("__bullet_ratio").alias("bullet_ratio"),
+        r4("__ellipsis_ratio").alias("ellipsis_ratio"),
+        r4("__alpha_ratio").alias("alpha_ratio"),
+        "n_gopher_stop",
+        "keep",
+    ).orderBy("doc_id")

@@ -494,3 +494,33 @@ def test_decode_arrow_equals_pandas_seam(spark):
     p = decode_features(media).toPandas().sort_values("doc_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(a, p)
     assert decode_features_arrow(media).schema == decode_features(media).schema
+
+
+def test_gopher_rules_line_and_symbol_gates(spark):
+    """The rules the synthetic corpus can't exercise, pinned on crafted
+    docs: bullet-line ratio, ellipsis-line ratio, symbol ratio, and the
+    alpha-word gate each independently flip keep."""
+    from debezium_incubator_spark.llm.text import gopher_quality
+
+    base = ("the be to of and that have with " + "word " * 50).strip()
+    docs = spark.createDataFrame(
+        [
+            (1, base),                                    # clean — keep
+            (2, "\n".join("- item " + base for _ in range(3))),  # bullets
+            (3, "\n".join(base + " more..." for _ in range(3))),  # ellipses
+            (4, base + " " + "# " * 40),                  # symbol-heavy
+            (5, base.replace("word", "1234")),            # low alpha
+        ],
+        "doc_id LONG, text STRING",
+    )
+    g = {
+        r.doc_id: r
+        for r in gopher_quality(docs, max_bullet_ratio=0.5).collect()
+    }
+    assert g[1].keep == 1
+    assert g[2].keep == 0 and g[2]["__bullet_ratio"] == 1.0
+    assert g[3].keep == 0 and g[3]["__ellipsis_ratio"] == 1.0
+    assert g[4].keep == 0 and g[4]["__symbol_ratio"] > 0.1
+    assert g[5].keep == 0 and g[5]["__alpha_ratio"] < 0.8
+    # stopword gate: distinct-count, not occurrences
+    assert g[1].n_gopher_stop == 8
