@@ -93,13 +93,19 @@ PRIORITY: list[str] = [
     # round-5 flagship cdc_blocking_snapshot (overlap-window dedup proof
     # for the signal-driven blocking snapshot kind).
     "cdc_blocking_snapshot",
-    "join_semi",             # C4
     # round-7 recomposition: join_anti (C5 — stays sweep-oracled, and
     # the family's null-aware form sql_not_in_null_aware remains the
     # stronger C5 sweep check) gives its slot to cdc_partition_routing,
     # the round-7 SMT flagship (PartitionRouting sink-placement hash,
     # portable-hash-parity-audited).
     "cdc_partition_routing",  # L113 PartitionRouting SMT
+    # round-7 continuation: join_semi (C4 — stays sweep-oracled; the
+    # family's stronger null-aware form sql_not_in_null_aware and
+    # sql_in_subquery remain sweep checks) gives its slot to
+    # cdc_logminer_rollback, the connector-#3 flagship of this block
+    # (LogMiner ROLLBACK=1 LIFO undo via the closed-form window test —
+    # a fold semantics no other audited query exercises).
+    "cdc_logminer_rollback",  # LogMiner partial rollback
     # round-6: join_theta (C6 — sweep-oracled + plan-audited) gives its
     # slot to cdc_txn_reassembly, the §1.1 transaction-metadata
     # reassembly twin (round-5 verdict missing-item #4: previously
@@ -110,7 +116,12 @@ PRIORITY: list[str] = [
     # connector-#1 flagship (cell-level LWW fold — the data model
     # row-fold semantics get WRONG; sparse 3-column differential).
     "cdc_cassandra_cell_lww",  # L125 Cassandra cell LWW
-    "join_asof",             # C8 (C9 cross stays in the sweep)
+    # round-7 continuation: join_asof (C8 — the as-of semantics stay
+    # audited IN-WINDOW via k3_asof_grouped_map, the grouped-map form
+    # of the same query; the C8 composition form stays sweep-oracled)
+    # gives its slot to t31_gopher_rules, this block's training-
+    # pipeline flagship (full Gopher rule set, per-doc differential).
+    "t31_gopher_rules",      # Gopher quality rules
     # §2D aggregations
     "agg_distinct",          # D2
     "agg_grouping_sets",     # D4
