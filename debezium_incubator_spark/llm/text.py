@@ -1951,3 +1951,110 @@ def t31_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_gopher_stop",
         "keep",
     ).orderBy("doc_id")
+
+
+# --- t32: BM25 retrieval over the corpus (Robertson/Lucene formula) ------
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+@register(
+    "t32_bm25_topk",
+    oracle="""
+WITH d AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS toks,
+         len(string_split(lower(text), ' ')) AS dl
+  FROM documents
+), tf AS (
+  SELECT doc_id, dl,
+         len(list_filter(toks, t -> t = 'spark'))  AS tf1,
+         len(list_filter(toks, t -> t = 'merge'))  AS tf2,
+         len(list_filter(toks, t -> t = 'window')) AS tf3
+  FROM d
+), s AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n,
+         CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl,
+         CAST(sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df1,
+         CAST(sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df2,
+         CAST(sum(CASE WHEN tf3 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df3
+  FROM tf
+), scored AS (
+  SELECT doc_id, dl, tf1, tf2, tf3,
+         ln((n - df1 + 0.5) / (df1 + 0.5) + 1.0)
+           * (CAST(tf1 AS DOUBLE) * 2.2)
+           / (CAST(tf1 AS DOUBLE) + 1.2 * (0.25 + 0.75 * dl / avgdl))
+         + ln((n - df2 + 0.5) / (df2 + 0.5) + 1.0)
+           * (CAST(tf2 AS DOUBLE) * 2.2)
+           / (CAST(tf2 AS DOUBLE) + 1.2 * (0.25 + 0.75 * dl / avgdl))
+         + ln((n - df3 + 0.5) / (df3 + 0.5) + 1.0)
+           * (CAST(tf3 AS DOUBLE) * 2.2)
+           / (CAST(tf3 AS DOUBLE) + 1.2 * (0.25 + 0.75 * dl / avgdl))
+           AS score
+  FROM tf, s
+)
+SELECT doc_id, dl,
+       floor(score * 10000 + 0.5) / CAST(10000 AS DOUBLE) AS score
+FROM scored
+ORDER BY floor(score * 10000 + 0.5) / CAST(10000 AS DOUBLE) DESC, doc_id
+LIMIT 10
+""",
+)
+def t32_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-k retrieval (Robertson idf with Lucene's +1, k1=1.2,
+    b=0.75) for the 3-term query {spark, merge, window}, differentially
+    proven: per-doc tf via token-filter counts, corpus stats (N, avgdl,
+    per-term df) in ONE one-row aggregate cross-joined back (broadcast
+    of a single row — the tpch scalar-subquery shape), and the score as
+    a FIXED-ORDER 3-term expression so both engines add the same
+    doubles in the same order (no aggregation-order drift — the t30
+    lesson applied by construction rather than by decimal rescue).
+
+    Scale: one corpus scan + a 5-number aggregate; scoring is map-side
+    expression work and the top-k is TakeOrderedAndProject. For ad-hoc
+    multi-term queries at 100 TB the same shape holds — the stats row
+    stays O(query terms) and broadcastable."""
+    d = table(spark, sf_dir, "documents")
+    toks = tokens()
+    base = d.select(
+        "doc_id", toks.alias("toks"), F.size(toks).alias("dl")
+    )
+    terms = ["spark", "merge", "window"]
+
+    def _tf(w: str) -> F.Column:
+        # NB: a `lambda t, w=w:` two-arg signature would be read by
+        # F.filter as the (element, index) form — the index silently
+        # shadows the bound term; close over w via this helper instead.
+        return F.size(F.filter("toks", lambda t: t == F.lit(w)))
+
+    tf = base.select(
+        "doc_id",
+        "dl",
+        *[_tf(w).alias(f"tf{i+1}") for i, w in enumerate(terms)],
+    )
+    stats = tf.agg(
+        F.count("*").cast("double").alias("n"),
+        (F.sum("dl").cast("double") / F.count("*").cast("double"))
+        .alias("avgdl"),
+        *[
+            F.sum((F.col(f"tf{i+1}") > 0).cast("int")).cast("double")
+            .alias(f"df{i+1}")
+            for i in range(3)
+        ],
+    )
+    scored = tf.crossJoin(F.broadcast(stats))
+    part = lambda i: (  # noqa: E731
+        F.log((F.col("n") - F.col(f"df{i}") + 0.5) / (F.col(f"df{i}") + 0.5) + 1.0)
+        * (F.col(f"tf{i}").cast("double") * 2.2)
+        / (
+            F.col(f"tf{i}").cast("double")
+            + 1.2 * (0.25 + 0.75 * F.col("dl") / F.col("avgdl"))
+        )
+    )
+    score = part(1) + part(2) + part(3)
+    r4 = F.floor(score * 10000 + 0.5) / F.lit(10000.0)
+    return (
+        scored.select("doc_id", "dl", r4.alias("score"))
+        .orderBy(F.desc("score"), "doc_id")
+        .limit(10)
+    )
