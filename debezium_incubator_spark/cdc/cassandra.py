@@ -50,6 +50,7 @@ def fold_cassandra_cells(
     cells_col: str = "cells",
     op_col: str = "op",
     ts_col: str = "ts",
+    tomb_cols: list[str] | None = None,
 ) -> DataFrame:
     """Assemble current row state from cell-level change events.
 
@@ -68,7 +69,15 @@ def fold_cassandra_cells(
     3. cell LWW: per (key, column), the surviving cell with the highest
        (ts, v) wins — the v tie-break is Cassandra's documented rule for
        identical writetimes.
+
+    ``tomb_cols`` (default = ``key_cols``) sets the tombstone SCOPE:
+    a table whose cells are keyed (pk, ck) but whose deletes are
+    partition-level passes ``tomb_cols=[pk]`` so one tombstone shadows
+    every clustering row of the partition (the static-columns query
+    exercises this).
     """
+    if tomb_cols is None:
+        tomb_cols = key_cols
     keys = [F.col(k) for k in key_cols]
     writes = changes.filter(F.col(op_col) == OP_WRITE)
     deletes = changes.filter(F.col(op_col) == OP_PARTITION_DELETE)
@@ -85,10 +94,10 @@ def fold_cassandra_cells(
         F.col("cell.ts").alias("cell_ts"),
         F.col("cell.ttl").alias("ttl"),
     )
-    # partition-tombstone watermark per key; broadcast — deletes are a
-    # sliver of any real change stream (and at most one row per key here)
-    tomb = deletes.groupBy(*key_cols).agg(F.max(ts_col).alias("del_ts"))
-    cells = cells.join(F.broadcast(tomb), key_cols, "left").filter(
+    # partition-tombstone watermark per tombstone scope; broadcast —
+    # deletes are a sliver of any real change stream
+    tomb = deletes.groupBy(*tomb_cols).agg(F.max(ts_col).alias("del_ts"))
+    cells = cells.join(F.broadcast(tomb), tomb_cols, "left").filter(
         F.col("del_ts").isNull() | (F.col("cell_ts") > F.col("del_ts"))
     )
     cells = cells.filter(
@@ -530,3 +539,121 @@ def cdc_cassandra_collection_merge(
     )
     state = fold_cassandra_collection_cells(cells, tombs, ["user_id"])
     return state.select("user_id", "path", "v").orderBy("user_id", "path")
+
+
+# ---------------------------------------------------------------------------
+# Static columns: partition-scoped cells projected onto every row
+# ---------------------------------------------------------------------------
+
+
+def attach_static_columns(
+    row_state: DataFrame,
+    static_state: DataFrame,
+    pk_cols: list[str],
+) -> DataFrame:
+    """Project folded STATIC cells onto folded regular rows.
+
+    A Cassandra static column belongs to the PARTITION, not the
+    clustering row: its cell is keyed by the partition key alone, and a
+    read returns the same static value on every row of the partition —
+    including rows written long before the static cell. In cell terms
+    statics are ordinary cells with an empty clustering suffix, so the
+    existing :func:`fold_cassandra_cells` (keyed on the partition key
+    only) already computes their LWW state; the NEW semantics is this
+    attach step. ``static_state`` columns other than the partition key
+    are taken as the static values.
+
+    Scale: an equi-join on the partition key — the static side is one
+    row per partition, NOT broadcastable at 100 TB; both sides shuffle
+    on the same key (or stay exchange-free when the row state is
+    bucket-partitioned on pk, the partitioned-state layout)."""
+    return row_state.join(static_state, pk_cols, "left")
+
+
+@register(
+    "cdc_cassandra_static_columns",
+    oracle="""
+WITH ev AS (
+  SELECT user_id % 10 AS pk, user_id AS ck, value AS v, event_id AS ts,
+         event_type, event_id % 5 = 0 AS is_static
+  FROM events WHERE event_type <> 'error'
+), tomb AS (
+  SELECT user_id % 10 AS pk, max(event_id) AS del_ts
+  FROM events WHERE event_type = 'error' GROUP BY user_id % 10
+), rows_lww AS (
+  SELECT pk, ck, v FROM (
+    SELECT e.pk, e.ck, e.v,
+           row_number() OVER (PARTITION BY e.pk, e.ck
+                              ORDER BY e.ts DESC, e.v DESC) AS rn
+    FROM ev e LEFT JOIN tomb t ON e.pk = t.pk
+    WHERE NOT e.is_static AND (t.del_ts IS NULL OR e.ts > t.del_ts)
+  ) WHERE rn = 1
+), static_lww AS (
+  SELECT pk, sv FROM (
+    SELECT e.pk, e.v * 10 AS sv,
+           row_number() OVER (PARTITION BY e.pk
+                              ORDER BY e.ts DESC, e.v * 10 DESC) AS rn
+    FROM ev e LEFT JOIN tomb t ON e.pk = t.pk
+    WHERE e.is_static AND (t.del_ts IS NULL OR e.ts > t.del_ts)
+  ) WHERE rn = 1
+)
+SELECT r.pk, r.ck, r.v, s.sv
+FROM rows_lww r LEFT JOIN static_lww s ON r.pk = s.pk
+ORDER BY r.pk, r.ck
+""",
+)
+def cdc_cassandra_static_columns(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Static-column attach, differentially proven: events split into
+    regular cells (pk = user_id%10, ck = user_id) and static cells
+    (every 5th event, value×10, keyed by pk alone); 'error' events are
+    partition tombstones shadowing BOTH tiers. Regular and static
+    states fold with the SAME fold_cassandra_cells (keys (pk, ck) vs
+    (pk)); the attach join projects the partition's latest static onto
+    every surviving row. The oracle recomputes both folds + the join.
+    Equality proves partition-scoped visibility — a static written by
+    one row's mutation appears on ALL rows of that partition."""
+    ev = table(spark, sf_dir, "events").select(
+        (F.col("user_id") % 10).alias("pk"),
+        F.col("user_id").alias("ck"),
+        F.col("value").alias("v"),
+        F.col("event_id").alias("ts"),
+        "event_type",
+        (F.col("event_id") % 5 == 0).alias("is_static"),
+        F.when(F.col("event_type") == "error", OP_PARTITION_DELETE)
+        .otherwise(OP_WRITE)
+        .alias("op"),
+    )
+    cell = lambda v: F.struct(  # noqa: E731
+        v.alias("v"), F.col("ts").cast("long").alias("ts"),
+        F.lit(None).cast("long").alias("ttl"),
+    )
+    rows_changes = ev.filter(
+        (F.col("op") == OP_PARTITION_DELETE) | ~F.col("is_static")
+    ).withColumn(
+        "cells",
+        F.when(
+            F.col("op") == OP_WRITE,
+            F.create_map(F.lit("v"), cell(F.col("v"))),
+        ),
+    )
+    static_changes = ev.filter(
+        (F.col("op") == OP_PARTITION_DELETE) | F.col("is_static")
+    ).withColumn(
+        "cells",
+        F.when(
+            F.col("op") == OP_WRITE,
+            F.create_map(F.lit("sv"), cell(F.col("v") * 10)),
+        ),
+    )
+    rows_lww = (
+        fold_cassandra_cells(rows_changes, ["pk", "ck"], tomb_cols=["pk"])
+        .select("pk", "ck", "v")
+    )
+    static_lww = (
+        fold_cassandra_cells(static_changes, ["pk"])
+        .select("pk", F.col("v").alias("sv"))
+    )
+    out = attach_static_columns(rows_lww, static_lww, ["pk"])
+    return out.select("pk", "ck", "v", "sv").orderBy("pk", "ck")

@@ -361,3 +361,51 @@ def test_collection_tombstone_shadows_late_arrivals(spark):
         [(1, "m", 19)],
     )
     assert got == set()
+
+
+def test_static_cell_visible_on_every_row_of_partition(spark):
+    """A static write carried by ONE row's mutation appears on ALL rows
+    of the partition — including rows written before it — and a
+    pk-scoped tombstone shadows rows AND statics below its timestamp."""
+    from debezium_incubator_spark.cdc.cassandra import (
+        attach_static_columns,
+        fold_cassandra_cells,
+    )
+    from pyspark.sql import functions as F
+
+    def changes(rows, schema):
+        return spark.createDataFrame(rows, schema)
+
+    rows_ch = changes(
+        [(1, 10, "w", 100, {"v": (1.0, 100, None)}),
+         (1, 11, "w", 101, {"v": (2.0, 101, None)}),
+         (2, 20, "w", 102, {"v": (3.0, 102, None)}),
+         (2, None, "d", 150, None),                 # pk-scoped tombstone
+         (2, 21, "w", 160, {"v": (4.0, 160, None)})],  # post-tombstone
+        "pk LONG, ck LONG, op STRING, ts LONG, "
+        "cells MAP<STRING, STRUCT<v DOUBLE, ts LONG, ttl LONG>>",
+    )
+    static_ch = changes(
+        [(1, "w", 120, {"sv": (9.0, 120, None)}),   # written "by" ck=10's
+         (2, "w", 103, {"sv": (8.0, 103, None)}),   # pre-tombstone static
+         (2, "d", 150, None)],
+        "pk LONG, op STRING, ts LONG, "
+        "cells MAP<STRING, STRUCT<v DOUBLE, ts LONG, ttl LONG>>",
+    )
+    rows_lww = fold_cassandra_cells(
+        rows_ch, ["pk", "ck"], tomb_cols=["pk"]
+    ).select("pk", "ck", "v")
+    static_lww = fold_cassandra_cells(static_ch, ["pk"]).select(
+        "pk", F.col("v").alias("sv")
+    )
+    got = {
+        (r.pk, r.ck, r.v, r.sv)
+        for r in attach_static_columns(rows_lww, static_lww, ["pk"]).collect()
+    }
+    # pk=1: both rows see the ts=120 static; pk=2: tombstone killed the
+    # old row AND the old static, the ts=160 row survives with NULL sv
+    assert got == {
+        (1, 10, 1.0, 9.0),
+        (1, 11, 2.0, 9.0),
+        (2, 21, 4.0, None),
+    }
