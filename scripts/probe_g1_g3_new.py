@@ -27,19 +27,23 @@ ONLY = [
 
 
 def main() -> None:
+    only = ONLY
+    for a in sys.argv[1:]:
+        if a.startswith("--only="):
+            only = a.split("=", 1)[1].split(",")
     g1 = os.path.join(REPO, ".scaleprobe", "g1")
     g3 = os.path.join(REPO, ".scaleprobe", "g3")
     spark = get_spark("scaleprobe-g3")
     spark.sparkContext.setLogLevel("ERROR")
     queries = all_queries()
     print("== g1", flush=True)
-    t1 = run_suite(spark, g1, queries, ONLY)
+    t1 = run_suite(spark, g1, queries, only)
     print("== g3", flush=True)
-    t3 = run_suite(spark, g3, queries, ONLY)
+    t3 = run_suite(spark, g3, queries, only)
     out_path = os.path.join(REPO, "SCALEPROBE_g1_g3.json")
     with open(out_path) as f:
         result = json.load(f)
-    for name in ONLY:
+    for name in only:
         ratio = t3[name] / t1[name]
         # field names follow the file's existing convention: the first
         # scale of the pair is stored as t_g0.1_sec (here: g1), the
@@ -53,7 +57,7 @@ def main() -> None:
         }
     with open(out_path, "w") as f:
         json.dump(result, f, indent=1)
-    print(json.dumps({k: result["queries"][k] for k in ONLY}))
+    print(json.dumps({k: result["queries"][k] for k in only}))
 
 
 if __name__ == "__main__":

@@ -787,3 +787,60 @@ def test_db2_hex_fold_matches_numeric_fold(spark, rows):
             best[k] = ((cs, is_), v, op)
     want = {(k, v) for k, (_, v, op) in best.items() if op != "D"}
     assert got == want
+
+
+# --- Cassandra collection cells vs an independent Python fold -------------
+
+COLL_PATHS = st.sampled_from(["p", "q"])
+COLL_CELLS = st.lists(
+    st.tuples(KEYS, COLL_PATHS,
+              st.one_of(st.none(), VALS),   # None = element tombstone
+              POS),
+    min_size=0, max_size=25,
+)
+COLL_TOMBS = st.lists(st.tuples(KEYS, POS), max_size=6)
+
+
+@settings(max_examples=12, deadline=None)
+@given(COLL_CELLS, COLL_TOMBS)
+def test_cassandra_collection_fold_matches_python(spark, cells, tombs):
+    """fold_cassandra_collection_cells vs a brute-force Python fold of
+    the non-frozen-collection rules (collection tombstone shadows
+    ts <= D, per-path max-(ts, tombstone-wins-tie, v), NULL winners
+    absent) over arbitrary element writes, element tombstones, and
+    collection tombstones — duplicate timestamps included."""
+    from debezium_incubator_spark.cdc.cassandra import (
+        fold_cassandra_collection_cells,
+    )
+
+    if not cells and not tombs:
+        return
+    elem = spark.createDataFrame(
+        [(k, "m", p, v, ts) for k, p, v, ts in cells] or
+        [(0, "m", "p", None, -999)],  # keep schema; shadowed sentinel
+        "k LONG, column STRING, path STRING, v DOUBLE, cell_ts LONG",
+    )
+    tdf = spark.createDataFrame(
+        [(k, "m", ts) for k, ts in tombs] or [(0, "m", -10_000)],
+        "k LONG, column STRING, del_ts LONG",
+    )
+    got = {
+        (r.k, r.path): r.v
+        for r in fold_cassandra_collection_cells(elem, tdf, ["k"]).collect()
+    }
+
+    dmax: dict = {}
+    for k, ts in tombs:
+        dmax[k] = max(dmax.get(k, -(10 ** 9)), ts)
+    best: dict = {}
+    for k, p, v, ts in cells:
+        if k in dmax and ts <= dmax[k]:
+            continue
+        cand = (ts, v is None, v if v is not None else 0.0)
+        cur = best.get((k, p))
+        if cur is None or cand > cur:
+            best[(k, p)] = cand
+    want = {
+        kp: c[2] for kp, c in best.items() if not c[1]
+    }
+    assert got == want
