@@ -1225,3 +1225,91 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     precomputed ``nsq`` norms, bit-equal to the oracle's list_reduce."""
     return semdedup(spark, _ensure_ivf_index(spark, sf_dir),
                     tau=SEMDEDUP_TAU)
+
+
+# --- J4+: two-stage retrieval via dimension truncation (MRL-style) -------
+
+TRUNC_DIMS = 8
+TRUNC_CANDIDATES = 50
+
+
+@register(
+    "sim_truncated_rerank",
+    oracle=f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         (embedding::DOUBLE[])[1:{TRUNC_DIMS}] AS tv
+  FROM embeddings
+), n AS (
+  SELECT vec_id, v, tv,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             list_transform(v, x -> x * x)), (s, x) -> s + x) AS nsq,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             list_transform(tv, x -> x * x)), (s, x) -> s + x) AS tnsq
+  FROM e
+), q AS (
+  SELECT v AS qv, tv AS qtv, nsq AS qn, tnsq AS qtn FROM n WHERE vec_id = 0
+), cand AS (
+  SELECT n.vec_id, n.v, n.nsq, q.qv, q.qn,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             list_transform(range(1, {TRUNC_DIMS} + 1),
+                            i -> n.tv[i] * q.qtv[i])),
+             (s, x) -> s + x) / (sqrt(n.tnsq) * sqrt(q.qtn)) AS tcos
+  FROM n, q
+  WHERE n.vec_id <> 0
+  ORDER BY tcos DESC, n.vec_id
+  LIMIT {TRUNC_CANDIDATES}
+), rer AS (
+  SELECT vec_id,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             list_transform(range(1, len(v) + 1), i -> v[i] * qv[i])),
+             (s, x) -> s + x) / (sqrt(nsq) * sqrt(qn)) AS cos_raw
+  FROM cand
+)
+SELECT vec_id, ROUND(cos_raw, 6) AS cos_sim
+FROM rer
+ORDER BY cos_raw DESC, vec_id
+LIMIT 10
+""",
+)
+def sim_truncated_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage retrieval by DIMENSION TRUNCATION (the
+    Matryoshka/adaptive-retrieval pattern): stage 1 scores cosine on
+    the first 8 components only and keeps the top
+    50 candidates (deterministic (tcos, vec_id) cut);
+    stage 2 reranks just those with the exact full-dimension cosine.
+    Differentially proven END TO END — the oracle recomputes both the
+    candidate cut and the rerank, so a truncation or tie-break drift
+    anywhere in the funnel flips the final rows.
+
+    Scale: stage 1 reads 8/d of the vector payload when
+    embeddings are stored prefix-sliced (a column of the first dims —
+    the MRL storage layout); both stages are broadcast-query scans with
+    TakeOrderedAndProject cuts, and the rerank touches only
+    50 rows. Composes with the IVF router for the
+    production path (route → truncated sieve → exact rerank)."""
+    e = _vectors(spark, sf_dir).select(
+        "vec_id", "v", F.slice("v", 1, TRUNC_DIMS).alias("tv")
+    )
+    e = e.withColumn("nsq", norm_sq("v")).withColumn("tnsq", norm_sq("tv"))
+    q = e.filter(F.col("vec_id") == 0).select(
+        F.col("v").alias("qv"), F.col("tv").alias("qtv"),
+        F.col("nsq").alias("qn"), F.col("tnsq").alias("qtn"),
+    )
+    cand = (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .withColumn(
+            "tcos", dot("tv", "qtv") / (F.sqrt("tnsq") * F.sqrt("qtn"))
+        )
+        .orderBy(F.desc("tcos"), "vec_id")
+        .limit(TRUNC_CANDIDATES)
+    )
+    rer = cand.withColumn(
+        "cos_raw", dot("v", "qv") / (F.sqrt("nsq") * F.sqrt("qn"))
+    )
+    return (
+        rer.orderBy(F.desc("cos_raw"), "vec_id")
+        .limit(10)
+        .select("vec_id", F.round("cos_raw", 6).alias("cos_sim"))
+    )
