@@ -157,3 +157,14 @@ def test_partial_rollback_matches_stack_fold(spark, seq_a, seq_b):
     want += [100 + s for s in _stack_fold(
         [(i, rb) for i, rb in enumerate(seq_b)])]
     assert _surviving(spark, rows) == sorted(want)
+
+
+def test_rollback_plan_single_exchange(spark):
+    """Both window passes (running depth + following max) must ride ONE
+    (xid, row_id) exchange — a second shuffle would double the fold's
+    cost at any scale."""
+    redo = _rredo(spark, [(1, 1, 10, 0), (1, 1, 11, 1)])
+    plan = apply_partial_rollback(redo)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan
