@@ -2058,3 +2058,87 @@ def t32_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("score"), "doc_id")
         .limit(10)
     )
+
+
+# --- t33: curation pipeline capstone (filter -> dedup -> split) ----------
+
+
+@register(
+    "t33_clean_pipeline",
+    oracle="""
+WITH g AS (
+  SELECT doc_id, text,
+         len(string_split(lower(text), ' ')) AS n_words,
+         len(list_intersect(string_split(lower(text), ' '),
+             ['the','be','to','of','and','that','have','with'])) AS n_stop
+  FROM documents
+), kept AS (
+  SELECT doc_id, text, n_words FROM g
+  WHERE n_words BETWEEN 50 AND 100000 AND n_stop >= 1
+), dedup AS (
+  SELECT doc_id, text, n_words FROM (
+    SELECT doc_id, text, n_words,
+           min(doc_id) OVER (PARTITION BY text) AS owner
+    FROM kept
+  ) WHERE doc_id = owner
+), split AS (
+  SELECT n_words,
+         CASE WHEN CAST('0x' || substring(md5('sp|' || text), 1, 15)
+                   AS BIGINT) % 100 < 98 THEN 'train'
+              WHEN CAST('0x' || substring(md5('sp|' || text), 1, 15)
+                   AS BIGINT) % 100 = 98 THEN 'val'
+              ELSE 'test' END AS split
+  FROM dedup
+)
+SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_words) AS BIGINT) AS n_words_total
+FROM split GROUP BY split
+ORDER BY split
+""",
+)
+def t33_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation-pipeline CAPSTONE: the training-data ops COMPOSED the
+    way a real corpus build runs them — Gopher gates (the two
+    fixture-live rules: word count >= 50, stopword presence) → exact
+    dedup (min-doc_id winner per identical text) → content-keyed
+    98/1/1 hash split (t28's portable hash) → per-split doc and token
+    budgets. One differential over the whole chain: a drift in ANY
+    stage (filter boundary, dedup winner rule, split hash) moves the
+    final counts.
+
+    Scale: filter and split are map-side; the dedup window shuffles on
+    the text hash once; the final agg is 3 groups. Nothing here exceeds
+    the cost of its standalone stage — composition adds no shuffle."""
+    from pyspark.sql.window import Window as W
+
+    d = table(spark, sf_dir, "documents")
+    g = gopher_quality(d, min_stop=1)
+    kept = g.filter(
+        F.col("n_words").between(50, 100_000)
+        & (F.col("n_gopher_stop") >= 1)
+    ).select("doc_id", "text", "n_words")
+    owner = F.min("doc_id").over(W.partitionBy("text"))
+    dedup = (
+        kept.withColumn("__owner", owner)
+        .filter(F.col("doc_id") == F.col("__owner"))
+    )
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("sp|"), F.col("text"))), 1, 15),
+            16, 10,
+        ).cast("bigint") % 100
+    )
+    split = (
+        F.when(bucket < 98, "train")
+        .when(bucket == 98, "val")
+        .otherwise("test")
+    )
+    return (
+        dedup.select(split.alias("split"), "n_words")
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_words").alias("n_words_total"),
+        )
+        .orderBy("split")
+    )
