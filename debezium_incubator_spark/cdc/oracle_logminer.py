@@ -216,3 +216,77 @@ def cdc_logminer_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     kept = apply_partial_rollback(redo)
     return kept.select("xid", "row_id", "scn", "value").orderBy("scn")
+
+
+@register(
+    "cdc_logminer_full_fold",
+    oracle="""
+WITH redo AS (
+  SELECT user_id, event_id AS scn, value, event_id // 5 AS xid,
+         CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS rb
+  FROM events
+), t AS (
+  SELECT *, sum(CASE WHEN rb = 1 THEN 1 ELSE -1 END) OVER (
+           PARTITION BY xid, user_id ORDER BY scn) AS tt
+  FROM redo
+), m AS (
+  SELECT *, max(tt) OVER (
+           PARTITION BY xid, user_id ORDER BY scn
+           ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS mm
+  FROM t
+), kept AS (
+  SELECT user_id, scn, value, xid FROM m
+  WHERE rb = 0 AND (mm IS NULL OR mm < tt + 1)
+), commits AS (
+  SELECT xid, max(scn) + CASE WHEN xid % 2 = 1 THEN 1000 ELSE 0 END
+           AS commit_scn
+  FROM redo GROUP BY xid
+  HAVING xid % 97 <> 0
+), vis AS (
+  SELECT k.user_id, k.scn, k.value, c.commit_scn
+  FROM kept k JOIN commits c ON k.xid = c.xid
+)
+SELECT user_id, value FROM (
+  SELECT user_id, value, row_number() OVER (
+           PARTITION BY user_id ORDER BY commit_scn DESC, scn DESC) AS rn
+  FROM vis
+) WHERE rn = 1
+ORDER BY user_id
+""",
+)
+def cdc_logminer_full_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE LogMiner pipeline composed: partial-rollback
+    filtering (ROLLBACK=1 counter-entries, LIFO per (xid, rowid)) →
+    commit-visibility join (in-flight xids withheld, odd transactions
+    commit late so commit order differs from SCN order) →
+    (commit_scn, scn) fold to latest row state. One differential over
+    the whole chain — the stages are the same functions the standalone
+    queries audit, proven here to COMPOSE (rollback runs on the raw
+    redo BEFORE visibility, as LogMiner's transaction buffer does; the
+    commit set is computed over all entries, matching Oracle where a
+    partial rollback does not move the commit record)."""
+    ev = table(spark, sf_dir, "events")
+    redo = ev.select(
+        "user_id",
+        F.col("event_id").alias("scn"),
+        "value",
+        (F.col("event_id") / 5).cast("long").alias("xid"),
+        F.when(F.col("event_type") == "error", 1).otherwise(0)
+        .alias("rollback"),
+    )
+    kept = apply_partial_rollback(redo, row_col="user_id")
+    commits = (
+        redo.groupBy("xid")
+        .agg(
+            (
+                F.max("scn")
+                + F.when(F.col("xid") % 2 == 1, 1000).otherwise(0)
+            ).alias("commit_scn")
+        )
+        .filter(F.col("xid") % 97 != 0)
+    )
+    visible = logminer_commit_ordered(kept, commits).withColumn(
+        "__op", F.lit("u")
+    )
+    state = materialize_latest(visible, ["user_id"], ["__commit_scn", "scn"])
+    return state.select("user_id", "value").orderBy("user_id")
