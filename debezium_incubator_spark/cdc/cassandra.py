@@ -657,3 +657,73 @@ def cdc_cassandra_static_columns(
     )
     out = attach_static_columns(rows_lww, static_lww, ["pk"])
     return out.select("pk", "ck", "v", "sv").orderBy("pk", "ck")
+
+
+def merge_cassandra_collection_cells(
+    cells: DataFrame | None,
+    tombs: DataFrame | None,
+    b_cells: DataFrame,
+    b_tombs: DataFrame,
+    key_cols: list[str],
+    column_col: str = "column",
+    path_col: str = "path",
+    ts_col: str = "cell_ts",
+    v_col: str = "v",
+) -> tuple[DataFrame, DataFrame]:
+    """Incremental (micro-batch) form of the collection fold: merge one
+    batch of element cells + collection tombstones into persisted
+    state, returning the new ``(cells, tombs)`` pair.
+
+    Two retention rules make replay/out-of-order delivery safe:
+
+    - the collection-tombstone watermark per (key, column) is RETAINED
+      (gc_grace-style) — a late element stamped below an old overwrite
+      stays shadowed whenever it arrives;
+    - a NULL-value winner (element tombstone) is KEPT IN STATE, not
+      dropped — it must keep shadowing older writes to its path that
+      arrive in later batches. Dropping NULLs is read-time work
+      (:func:`read_cassandra_collection_state`).
+
+    Sequential merges over any batching equal the one-shot
+    :func:`fold_cassandra_collection_cells` (equivalence-tested).
+    State stays O(live paths + tombstoned paths) per key."""
+    grp = [*key_cols, column_col]
+    new_tombs = (
+        b_tombs if tombs is None
+        else tombs.unionByName(b_tombs)
+    ).groupBy(*grp).agg(F.max("del_ts").alias("del_ts"))
+    all_cells = b_cells if cells is None else cells.unionByName(b_cells)
+    live = (
+        all_cells.join(
+            F.broadcast(new_tombs.withColumnRenamed("del_ts", "__del_ts")),
+            grp, "left",
+        )
+        .filter(
+            F.col("__del_ts").isNull()
+            | (F.col(ts_col) > F.col("__del_ts"))
+        )
+        .drop("__del_ts")
+    )
+    w = W.partitionBy(*grp, path_col).orderBy(
+        F.desc(ts_col), F.desc_nulls_first(v_col)
+    )
+    new_cells = (
+        live.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    return new_cells, new_tombs
+
+
+def read_cassandra_collection_state(
+    cells: DataFrame,
+    key_cols: list[str],
+    column_col: str = "column",
+    path_col: str = "path",
+    v_col: str = "v",
+) -> DataFrame:
+    """Current collection contents from merged state: element-tombstone
+    winners (NULL v) are dropped HERE — they are state, not data."""
+    return cells.filter(F.col(v_col).isNotNull()).select(
+        *key_cols, column_col, path_col, v_col
+    )

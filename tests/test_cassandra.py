@@ -409,3 +409,64 @@ def test_static_cell_visible_on_every_row_of_partition(spark):
         (1, 11, 2.0, 9.0),
         (2, 21, 4.0, None),
     }
+
+
+def test_collection_merge_equals_one_shot_under_any_batching(spark):
+    """Sequential merge_cassandra_collection_cells over several
+    batchings (in-order, out-of-order, singleton) == the one-shot
+    fold — NULL winners retained in state keep shadowing across batch
+    boundaries, collection tombstones keep shadowing late arrivals."""
+    from debezium_incubator_spark.cdc.cassandra import (
+        fold_cassandra_collection_cells,
+        merge_cassandra_collection_cells,
+        read_cassandra_collection_state,
+    )
+
+    cells = [
+        (1, "m", "a", 1.0, 10),
+        (1, "m", "a", None, 15),   # element tombstone
+        (1, "m", "b", 2.0, 18),
+        (1, "m", "a", 9.0, 25),    # resurrect after tombstone
+        (1, "m", "c", 3.0, 30),    # overwrite's own element
+        (2, "m", "x", 4.0, 5),     # stays below pk=2's tombstone
+    ]
+    tombs = [(1, "m", 29), (2, "m", 40)]
+    c_schema = "k LONG, column STRING, path STRING, v DOUBLE, cell_ts LONG"
+    t_schema = "k LONG, column STRING, del_ts LONG"
+
+    want = {
+        (r.k, r.path, r.v)
+        for r in fold_cassandra_collection_cells(
+            spark.createDataFrame(cells, c_schema),
+            spark.createDataFrame(tombs, t_schema),
+            ["k"],
+        ).collect()
+    }
+    assert want == {(1, "c", 3.0)}  # tombstone@29 sheds a@25/b@18; x shadowed
+
+    batchings = [
+        [cells[:3], cells[3:]],                      # in-order halves
+        [cells[3:], cells[:3]],                      # out-of-order
+        [[c] for c in cells],                        # singletons
+    ]
+    tomb_batches = [
+        [tombs, []],
+        [[], tombs],
+        [tombs[:1], tombs[1:]] + [[]] * 4,
+    ]
+    for bs, ts in zip(batchings, tomb_batches):
+        state_c, state_t = None, None
+        for bc, bt in zip(bs, ts + [[]] * (len(bs) - len(ts))):
+            state_c, state_t = merge_cassandra_collection_cells(
+                state_c, state_t,
+                spark.createDataFrame(bc, c_schema),
+                spark.createDataFrame(bt or [(0, "m", -1)], t_schema),
+                ["k"],
+            )
+        got = {
+            (r.k, r.path, r.v)
+            for r in read_cassandra_collection_state(
+                state_c, ["k"]
+            ).collect()
+        }
+        assert got == want, (bs, ts)
