@@ -127,3 +127,39 @@ def cdc_db2_capture_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
         ch, ["user_id"], ["__commitseq", "__intentseq"]
     )
     return state.select("user_id", "value").orderBy("user_id")
+
+
+# ---------------------------------------------------------------------------
+# CD-table pruning (IBMSNAP_PRUNCNTL / SYNCHPOINT semantics)
+# ---------------------------------------------------------------------------
+
+
+def prune_point(subscriber_synchpoints: list[str]) -> str:
+    """The prune point is the MINIMUM synchpoint across subscribers
+    (IBMSNAP_PRUNCNTL): Capture may only discard CD rows every consumer
+    has applied. Plain ``min`` over the fixed-width hex strings IS the
+    numeric minimum — the same width property the fold rests on."""
+    if not subscriber_synchpoints:
+        raise ValueError("no subscribers — nothing may be pruned")
+    widths = {len(s) for s in subscriber_synchpoints}
+    if len(widths) != 1:
+        raise ValueError(
+            f"mixed-width synchpoints {sorted(widths)}: lexicographic min "
+            "is not numeric min without fixed width"
+        )
+    return min(subscriber_synchpoints)
+
+
+def prune_capture_table(
+    capture: DataFrame,
+    synchpoint: str,
+    commitseq_col: str = "__commitseq",
+) -> DataFrame:
+    """ASN Capture's pruning: discard CD rows with
+    ``COMMITSEQ <= synchpoint`` (every subscriber has applied them).
+    Retention invariant (tested): state folded at the synchpoint,
+    merged with the fold of the RETAINED rows, equals the fold of the
+    unpruned table — pruning never changes any consumer's result.
+    A pure pushed-down filter: at 100 TB this prunes parquet row
+    groups by the commitseq min/max statistics."""
+    return capture.filter(F.col(commitseq_col) > F.lit(synchpoint))

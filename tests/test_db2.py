@@ -58,3 +58,55 @@ def test_unknown_operation_code_raises(spark):
     ch = db2_capture_envelope(_capture(spark, [(1, 1.0, "X", "0", "0")]))
     with pytest.raises(Exception, match="IBMSNAP_OPERATION"):
         ch.collect()
+
+
+def test_prune_point_is_min_subscriber_and_width_checked():
+    from debezium_incubator_spark.cdc.db2 import prune_point
+    import pytest
+
+    assert prune_point(["00A0", "0090", "00FF"]) == "0090"
+    with pytest.raises(ValueError, match="no subscribers"):
+        prune_point([])
+    with pytest.raises(ValueError, match="mixed-width"):
+        prune_point(["A0", "0090"])  # 'A0' > '0090' lexicographically!
+
+
+def test_pruning_preserves_every_fold(spark):
+    """state(synchpoint) ⊕ fold(retained rows) == fold(unpruned table):
+    the invariant that makes CD pruning safe for all consumers. The
+    synchpoint splits mid-log, with deletes on BOTH sides of it."""
+    from pyspark.sql import functions as F
+
+    from debezium_incubator_spark.cdc.db2 import (
+        prune_capture_table, seq_hex)
+    from debezium_incubator_spark.cdc.materialize import materialize_latest
+
+    rows = [
+        (1, 1.0, "c", 1), (1, 2.0, "u", 3), (2, 5.0, "c", 2),
+        (2, 0.0, "d", 4),                      # delete BELOW synchpoint
+        (3, 7.0, "c", 5),
+        (1, 0.0, "d", 7),                      # delete ABOVE synchpoint
+        (3, 8.0, "u", 8), (4, 9.0, "c", 9),
+    ]
+    cd = spark.createDataFrame(
+        rows, "k LONG, v DOUBLE, __op STRING, pos LONG"
+    ).withColumn("__commitseq", seq_hex(F.col("pos"))).drop("pos")
+
+    full = {(r.k, r.v) for r in
+            materialize_latest(cd, ["k"], ["__commitseq"]).collect()}
+
+    sp = seq_hex(F.lit(5))
+    sp_str = cd.select(sp.alias("s")).first().s
+    below = cd.filter(F.col("__commitseq") <= sp_str)
+    state = materialize_latest(below, ["k"], ["__commitseq"])
+    retained = prune_capture_table(cd, sp_str)
+    # replay: state as op='u' rows positioned AT the synchpoint (their
+    # true positions are <= it), then the retained tail on top
+    replay = state.select(
+        "k", "v", F.lit("u").alias("__op"), F.lit(sp_str).alias("__commitseq")
+    ).unionByName(retained)
+    got = {(r.k, r.v) for r in
+           materialize_latest(replay, ["k"], ["__commitseq"]).collect()}
+    # k=1 and k=2 end deleted; k=3 updated above the synchpoint; k=4 new
+    assert full == {(3, 8.0), (4, 9.0)}
+    assert got == full
