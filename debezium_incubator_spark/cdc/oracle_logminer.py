@@ -290,3 +290,58 @@ def cdc_logminer_full_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     state = materialize_latest(visible, ["user_id"], ["__commit_scn", "scn"])
     return state.select("user_id", "value").orderBy("user_id")
+
+
+# ---------------------------------------------------------------------------
+# Transaction buffer: the incremental (micro-batch) form of the pipeline
+# ---------------------------------------------------------------------------
+
+
+def merge_logminer_buffer(
+    buffer: DataFrame | None,
+    batch_redo: DataFrame,
+    batch_commits: DataFrame,
+    txn_col: str = "xid",
+    row_col: str = "row_id",
+    pos_col: str = "scn",
+    rollback_col: str = "rollback",
+) -> tuple[DataFrame, DataFrame]:
+    """One micro-batch step of Debezium's LogMiner TRANSACTION BUFFER:
+    redo entries are withheld per-XID until that transaction's commit
+    record arrives, then released rollback-filtered and stamped with
+    ``__commit_scn``.
+
+    ``buffer`` — retained entries of still-open transactions (None on
+    the first batch); ``batch_redo`` — this batch's raw redo entries
+    (rollback markers included); ``batch_commits`` — ``(xid,
+    commit_scn)`` commit records observed this batch. Returns
+    ``(new_buffer, emitted)``:
+
+    - entries whose xid committed in THIS batch are emitted —
+      :func:`apply_partial_rollback` runs at emit time, which is exactly
+      when it is safe: redo positions precede the commit record, so the
+      transaction's entries are complete in (buffer ∪ batch);
+    - everything else (in-flight xids) is the new buffer. A transaction
+      that never commits stays buffered and is never delivered — the
+      same discard-on-timeout surface Debezium exposes.
+
+    Union of ``emitted`` across ANY batching of the stream equals the
+    one-shot :func:`cdc_logminer_full_fold` visible set
+    (equivalence-tested). Scale: the commit side is txn-count-sized and
+    broadcast for both the emit join and the anti-join; buffer size is
+    O(open-transaction entries) — Oracle's own UNDO bound, not the
+    stream's length."""
+    all_redo = (
+        batch_redo if buffer is None
+        else buffer.unionByName(batch_redo)
+    )
+    commits = F.broadcast(batch_commits.select(
+        F.col(txn_col),
+        F.col("commit_scn").alias("__commit_scn"),
+    ))
+    emitted_raw = all_redo.join(commits, txn_col)
+    new_buffer = all_redo.join(commits.select(txn_col), txn_col, "left_anti")
+    emitted = apply_partial_rollback(
+        emitted_raw, txn_col, row_col, pos_col, rollback_col
+    )
+    return new_buffer, emitted

@@ -168,3 +168,73 @@ def test_rollback_plan_single_exchange(spark):
         .executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") == 1
     assert "Join" not in plan
+
+
+# ---------------------------------------------------------------------------
+# Transaction buffer: incremental ≡ one-shot under any batching
+# ---------------------------------------------------------------------------
+
+
+def test_txn_buffer_emits_on_commit_and_matches_one_shot(spark):
+    """Sequential merge_logminer_buffer over three different batchings
+    (position-ordered, commit-late, singleton) emits exactly the
+    one-shot visible set: a txn spanning batches is held until its
+    commit arrives, rollback entries cancel at emit time, and the
+    never-committing txn is never delivered."""
+    from pyspark.sql import functions as F
+
+    from debezium_incubator_spark.cdc.oracle_logminer import (
+        apply_partial_rollback,
+        logminer_commit_ordered,
+        merge_logminer_buffer,
+    )
+
+    redo_rows = [
+        # xid 1: two writes to row 1, the second rolled back
+        (1, 1, 10, 0, 1.0), (1, 1, 12, 0, 2.0), (1, 1, 14, 1, 0.0),
+        # xid 2: spans batches, commits late
+        (2, 2, 11, 0, 5.0), (2, 2, 21, 0, 6.0),
+        # xid 3: never commits
+        (3, 3, 13, 0, 9.0),
+        # xid 4: single write, quick commit
+        (4, 1, 22, 0, 7.0),
+    ]
+    commit_rows = [(1, 15), (2, 30), (4, 23)]
+    r_schema = "xid LONG, row_id LONG, scn LONG, rollback INT, v DOUBLE"
+    c_schema = "xid LONG, commit_scn LONG"
+
+    redo = spark.createDataFrame(redo_rows, r_schema)
+    commits = spark.createDataFrame(commit_rows, c_schema)
+    one_shot = logminer_commit_ordered(
+        apply_partial_rollback(redo), commits
+    )
+    want = {(r.xid, r.row_id, r.scn, r.v, r["__commit_scn"])
+            for r in one_shot.collect()}
+    assert {w[2] for w in want} == {10, 11, 21, 22}  # 12 rolled back, 13 in-flight
+
+    def by_pred(rp, cp):
+        return ([r for r in redo_rows if rp(r[2])],
+                [c for c in commit_rows if cp(c[1])])
+
+    batchings = [
+        # position-ordered halves (xid 2 spans the cut)
+        [by_pred(lambda s: s <= 15, lambda c: c <= 15),
+         by_pred(lambda s: s > 15, lambda c: c > 15)],
+        # all redo first, commits only in the second batch
+        [(redo_rows, []), ([], commit_rows)],
+        # singleton batches, redo then commits
+        [([r], []) for r in redo_rows] + [([], [c]) for c in commit_rows],
+    ]
+    for batches in batchings:
+        buf, got = None, set()
+        for br, bc in batches:
+            buf, emitted = merge_logminer_buffer(
+                buf,
+                spark.createDataFrame(br or [], r_schema),
+                spark.createDataFrame(bc or [], c_schema),
+            )
+            got |= {(r.xid, r.row_id, r.scn, r.v, r["__commit_scn"])
+                    for r in emitted.collect()}
+        assert got == want, batches
+        # only the in-flight txn remains buffered
+        assert {r.xid for r in buf.collect()} == {3}
