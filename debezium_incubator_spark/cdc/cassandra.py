@@ -418,6 +418,7 @@ def fold_cassandra_collection_cells(
     path_col: str = "path",
     ts_col: str = "cell_ts",
     v_col: str = "v",
+    broadcast_tombs: bool = True,
 ) -> DataFrame:
     """Assemble the current contents of non-frozen collection columns
     (map / set / list) from element-level cell events.
@@ -446,13 +447,20 @@ def fold_cassandra_collection_cells(
     ``write_ts - 1`` by the producer). Returns surviving elements
     ``(key..., column, path, v)``.
 
-    Scale: the tombstone side aggregates to one row per (key, column)
-    and broadcasts; element cells shuffle ONCE on (key, column, path)
-    for the LWW window. No UDF, no driver state."""
+    Scale: the tombstone side aggregates to one row per tombstoned
+    (key, column); element cells shuffle ONCE on (key, column, path)
+    for the LWW window. No UDF, no driver state. UNLIKE partition
+    deletes (a sliver of any stream), collection OVERWRITES each plant
+    a tombstone — on an overwrite-heavy stream the aggregate
+    approaches key cardinality, so ``broadcast_tombs=False`` switches
+    the shadowing join to a shuffle join (same semantics); the default
+    True fits delete/overwrite-light streams."""
     grp = [*key_cols, column_col]
     tomb = coll_tombs.groupBy(*grp).agg(F.max("del_ts").alias("__del_ts"))
+    if broadcast_tombs:
+        tomb = F.broadcast(tomb)
     live = (
-        elem_cells.join(F.broadcast(tomb), grp, "left")
+        elem_cells.join(tomb, grp, "left")
         .filter(
             F.col("__del_ts").isNull()
             | (F.col(ts_col) > F.col("__del_ts"))
@@ -669,6 +677,7 @@ def merge_cassandra_collection_cells(
     path_col: str = "path",
     ts_col: str = "cell_ts",
     v_col: str = "v",
+    broadcast_tombs: bool = True,
 ) -> tuple[DataFrame, DataFrame]:
     """Incremental (micro-batch) form of the collection fold: merge one
     batch of element cells + collection tombstones into persisted
@@ -693,11 +702,11 @@ def merge_cassandra_collection_cells(
         else tombs.unionByName(b_tombs)
     ).groupBy(*grp).agg(F.max("del_ts").alias("del_ts"))
     all_cells = b_cells if cells is None else cells.unionByName(b_cells)
+    tomb_side = new_tombs.withColumnRenamed("del_ts", "__del_ts")
+    if broadcast_tombs:  # see fold_cassandra_collection_cells on sizing
+        tomb_side = F.broadcast(tomb_side)
     live = (
-        all_cells.join(
-            F.broadcast(new_tombs.withColumnRenamed("del_ts", "__del_ts")),
-            grp, "left",
-        )
+        all_cells.join(tomb_side, grp, "left")
         .filter(
             F.col("__del_ts").isNull()
             | (F.col(ts_col) > F.col("__del_ts"))

@@ -154,6 +154,7 @@ def prune_capture_table(
     capture: DataFrame,
     synchpoint: str,
     commitseq_col: str = "__commitseq",
+    width: int = SEQ_WIDTH,
 ) -> DataFrame:
     """ASN Capture's pruning: discard CD rows with
     ``COMMITSEQ <= synchpoint`` (every subscriber has applied them).
@@ -161,5 +162,17 @@ def prune_capture_table(
     merged with the fold of the RETAINED rows, equals the fold of the
     unpruned table — pruning never changes any consumer's result.
     A pure pushed-down filter: at 100 TB this prunes parquet row
-    groups by the commitseq min/max statistics."""
+    groups by the commitseq min/max statistics.
+
+    The synchpoint must have the TABLE's fixed hex width (``width``,
+    default the module's SEQ_WIDTH) — a narrower subscriber-reported
+    point compared lexicographically against wider positions would
+    silently prune UNAPPLIED rows (the same corruption mode
+    :func:`prune_point` refuses among subscribers); checked loudly
+    here because the table side can't be validated without a scan."""
+    if len(synchpoint) != width:
+        raise ValueError(
+            f"synchpoint width {len(synchpoint)} != table width {width}: "
+            "lexicographic pruning would discard unapplied rows"
+        )
     return capture.filter(F.col(commitseq_col) > F.lit(synchpoint))

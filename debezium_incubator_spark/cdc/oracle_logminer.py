@@ -130,7 +130,7 @@ def apply_partial_rollback(
     redo: DataFrame,
     txn_col: str = "xid",
     row_col: str = "row_id",
-    pos_col: str = "scn",
+    pos_col: str | list[str] = "scn",
     rollback_col: str = "rollback",
 ) -> DataFrame:
     """Remove changes undone by LogMiner ``ROLLBACK=1`` entries.
@@ -159,8 +159,16 @@ def apply_partial_rollback(
     consumed). Scale: two window passes over the same
     (xid, rowid)-partitioned sort — ONE shuffle, no joins, no UDF;
     partition width is bounded by per-row churn within one transaction.
+
+    PRECONDITION: ``pos_col`` must totally order entries within each
+    (txn, rowid) group. Oracle's SCN alone is NOT unique per change —
+    Debezium orders LogMiner rows by (SCN, RS_ID, SSN); pass the
+    composite as a list (``pos_col=["scn", "rs_id", "ssn"]``) when the
+    source can tie, or the running-sum order (hence which change a
+    rollback cancels) is undefined.
     """
-    w_ord = W.partitionBy(txn_col, row_col).orderBy(pos_col)
+    pos_cols = [pos_col] if isinstance(pos_col, str) else list(pos_col)
+    w_ord = W.partitionBy(txn_col, row_col).orderBy(*pos_cols)
     w_fol = w_ord.rowsBetween(1, W.unboundedFollowing)
     y = F.when(F.col(rollback_col) == 1, F.lit(1)).otherwise(F.lit(-1))
     depth = redo.withColumn("__t", F.sum(y).over(w_ord)).withColumn(

@@ -67,3 +67,11 @@ def round4x(expr: str) -> Column:
 def oracle_round4x(expr: str, alias: str) -> str:
     """DuckDB twin of :func:`round4x`."""
     return f"floor(({expr}) * {FX} + 0.5) / CAST({FX} AS DOUBLE) AS {alias}"
+
+
+def round4x_col(c: Column) -> Column:
+    """Column-level form of :func:`round4x` (same floor-half-up trick)
+    for call sites holding a built Column rather than a SQL string —
+    keeps the canonical rounding in ONE place so policy fixes reach
+    every user."""
+    return F.floor(c * FX + 0.5) / F.lit(float(FX))

@@ -1937,9 +1937,11 @@ def t31_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical zero-handling); mean word length and alpha ratio pass
     everywhere by construction. keep is surfaced as INT (no bare
     booleans per the parity policy)."""
+    from ..exprs import round4x_col
+
     d = table(spark, sf_dir, "documents")
     g = gopher_quality(d, min_stop=1)
-    r4 = lambda c: F.floor(F.col(c) * 10000 + 0.5) / F.lit(10000.0)  # noqa: E731
+    r4 = lambda c: round4x_col(F.col(c))  # noqa: E731
     return g.select(
         "doc_id",
         "n_words",
@@ -2051,8 +2053,10 @@ def t32_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             + 1.2 * (0.25 + 0.75 * F.col("dl") / F.col("avgdl"))
         )
     )
+    from ..exprs import round4x_col
+
     score = part(1) + part(2) + part(3)
-    r4 = F.floor(score * 10000 + 0.5) / F.lit(10000.0)
+    r4 = round4x_col(score)
     return (
         scored.select("doc_id", "dl", r4.alias("score"))
         .orderBy(F.desc("score"), "doc_id")

@@ -524,3 +524,9 @@ def test_gopher_rules_line_and_symbol_gates(spark):
     assert g[5].keep == 0 and g[5]["__alpha_ratio"] < 0.8
     # stopword gate: distinct-count, not occurrences
     assert g[1].n_gopher_stop == 8
+    rep = spark.createDataFrame(
+        [(9, "the the the be " + "word " * 60)], "doc_id LONG, text STRING"
+    )
+    # 4 stopword OCCURRENCES but only 2 distinct — occurrence-count
+    # semantics would report 4 here
+    assert gopher_quality(rep).collect()[0].n_gopher_stop == 2

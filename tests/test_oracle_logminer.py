@@ -238,3 +238,29 @@ def test_txn_buffer_emits_on_commit_and_matches_one_shot(spark):
         assert got == want, batches
         # only the in-flight txn remains buffered
         assert {r.xid for r in buf.collect()} == {3}
+
+
+def test_partial_rollback_composite_position_resolves_scn_ties(spark):
+    """Real LogMiner streams tie on SCN (uniqueness lives in (SCN,
+    RS_ID, SSN)): the composite pos_col makes the LIFO match
+    deterministic — here the rollback (ssn=2) cancels the change at
+    ssn=1 within the same SCN, leaving the earlier change alive."""
+    from debezium_incubator_spark.cdc.oracle_logminer import (
+        apply_partial_rollback,
+    )
+
+    redo = spark.createDataFrame(
+        [
+            (1, 1, 10, 0, 0, 1.0),   # earlier SCN — survives
+            (1, 1, 11, 1, 0, 2.0),   # same SCN, ssn 1 — cancelled
+            (1, 1, 11, 2, 1, 0.0),   # same SCN, ssn 2 — the rollback
+        ],
+        "xid LONG, row_id LONG, scn LONG, ssn LONG, rollback INT, v DOUBLE",
+    )
+    got = sorted(
+        (r.scn, r.ssn)
+        for r in apply_partial_rollback(
+            redo, pos_col=["scn", "ssn"]
+        ).collect()
+    )
+    assert got == [(10, 0)]
