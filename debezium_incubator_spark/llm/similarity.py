@@ -1287,7 +1287,17 @@ def sim_truncated_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     the MRL storage layout); both stages are broadcast-query scans with
     TakeOrderedAndProject cuts, and the rerank touches only
     50 rows. Composes with the IVF router for the
-    production path (route → truncated sieve → exact rerank)."""
+    production path (route → truncated sieve → exact rerank).
+
+    RECALL caveat, measured: the fixture embeddings are isotropic
+    random vectors, so an 8/64 prefix carries only ~1/8 of the cosine
+    signal — recall@10 vs exact is 0.6 at sf0.01 (500 vectors) and 0.0
+    at sf0.1 (5k vectors, top-50 cut). That is the information-
+    theoretic behavior of UNTRAINED prefixes, not a funnel defect (the
+    funnel itself is oracle-proven end to end); production MRL
+    embeddings are trained to front-load signal, and the candidate
+    budget scales like lsh_scaled's granularity rule (candidates ∝ n
+    holds recall roughly constant)."""
     e = _vectors(spark, sf_dir).select(
         "vec_id", "v", F.slice("v", 1, TRUNC_DIMS).alias("tv")
     )

@@ -530,3 +530,22 @@ def test_gopher_rules_line_and_symbol_gates(spark):
     # 4 stopword OCCURRENCES but only 2 distinct — occurrence-count
     # semantics would report 4 here
     assert gopher_quality(rep).collect()[0].n_gopher_stop == 2
+
+
+def test_truncated_rerank_funnel_properties(spark):
+    """The funnel's mechanical guarantees (what holds on ANY data, as
+    opposed to recall, which depends on prefix informativeness — see
+    the docstring's measured caveat): exactly k results, every result
+    drawn from the stage-1 candidate cut, scores equal the exact
+    cosine for those ids."""
+    from debezium_incubator_spark.registry import all_queries
+
+    Q = all_queries()
+    sf = "/root/testdata/sf0.001"
+    out = Q["sim_truncated_rerank"](spark, sf).collect()
+    assert len(out) == 10
+    exact = {r.vec_id: r.cos_sim for r in Q["sim_knn"](spark, sf).collect()}
+    # any funnel id that IS in the exact top-10 must carry the exact score
+    for r in out:
+        if r.vec_id in exact:
+            assert r.cos_sim == exact[r.vec_id]
