@@ -1,0 +1,247 @@
+"""SQL Server CDC semantics — the capture-table read path of the
+connector that GRADUATED from the archived incubator repo
+(`/root/reference/README.md:21-23` names the surviving incubator trio;
+the SQL Server connector is the incubator's best-known alumnus and its
+T-SQL DDL dialect already lives in ``schema_history.py``). Reconstructed
+from the public debezium-connector-sqlserver documentation and the
+Microsoft ``cdc.fn_cdc_get_all_changes_*`` contract.
+
+Like Db2, SQL Server CDC stages committed changes into per-table change
+tables (``cdc.<instance>_CT``) ordered by fixed-width binary LSNs
+(``__$start_lsn`` = commit LSN, ``__$seqval`` = order within the
+transaction). The mechanic that is UNIQUE to this connector: an UPDATE
+is stored as **two physical rows** sharing the same ``(__$start_lsn,
+__$seqval)`` — ``__$operation = 3`` carries the before-image and
+``__$operation = 4`` the after-image. Deletes (1) and inserts (2) are
+single rows. The connector must re-pair the 3/4 rows into one update
+envelope; a reader that treats them as independent changes double-counts
+every update and folds the BEFORE image as if it were a later write.
+
+Spark mapping: pairing is a hash aggregation on the shared position —
+``groupBy(__$start_lsn, __$seqval)`` with conditional struct extraction
+(at most one before-row and one after-row per group, so ``max`` over a
+nullable struct IS the extraction). ONE shuffle, no self-join (the naive
+op3⋈op4 spelling shuffles the change table twice and breaks on
+deletes/inserts which have no partner). Torn groups — an op-3 without
+its op-4, or impossible op mixes — raise loudly at pairing time; public
+Debezium treats an unpairable row as a connector error, and a silent
+drop here would lose the before-image audit trail.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..registry import register
+from .db2 import seq_hex
+from .materialize import materialize_latest
+
+#: __$operation codes (Microsoft cdc.fn_cdc_get_all_changes contract)
+OP_DELETE, OP_INSERT, OP_UPDATE_BEFORE, OP_UPDATE_AFTER = 1, 2, 3, 4
+
+
+def pair_update_rows(
+    ct: DataFrame,
+    start_lsn_col: str = "__$start_lsn",
+    seqval_col: str = "__$seqval",
+    operation_col: str = "__$operation",
+) -> DataFrame:
+    """Re-pair a SQL Server change table into one envelope row per
+    change: ``(start_lsn, seqval, __op, before, after)`` where
+    ``before``/``after`` are structs of the data columns (NULL where the
+    operation has no such image — inserts have no before, deletes no
+    after; updates have both, taken from the op-3/op-4 row pair).
+
+    Group composition is validated in the same aggregation: the only
+    legal operation sets per (start_lsn, seqval) are {1}, {2} and {3,4}.
+    Anything else — a torn update pair, a duplicated insert, an op-3
+    colliding with a delete — raises at execution time with the
+    offending position in the message.
+
+    Scale: one hash aggregation on the change-table's own position
+    columns (partial aggregation applies — the op-3/op-4 rows of one
+    update are adjacent in the staging table's physical order, so the
+    map-side combine usually finishes the pair before the shuffle).
+    No join, no window, no UDF.
+    """
+    meta = (start_lsn_col, seqval_col, operation_col)
+    data = [c for c in ct.columns if c not in meta]
+    if not data:
+        raise ValueError("change table has no data columns to pair")
+    op = F.col(operation_col)
+    img = F.struct(*[F.col(c) for c in data])
+    paired = ct.groupBy(
+        F.col(start_lsn_col).alias("start_lsn"),
+        F.col(seqval_col).alias("seqval"),
+    ).agg(
+        F.max(F.when(op.isin(OP_DELETE, OP_UPDATE_BEFORE), img))
+        .alias("before"),
+        F.max(F.when(op.isin(OP_INSERT, OP_UPDATE_AFTER), img))
+        .alias("after"),
+        F.sort_array(F.collect_set(op)).alias("__ops"),
+    )
+    ops = F.col("__ops")
+    legal_d = ops == F.array(F.lit(OP_DELETE))
+    legal_c = ops == F.array(F.lit(OP_INSERT))
+    legal_u = ops == F.array(F.lit(OP_UPDATE_BEFORE), F.lit(OP_UPDATE_AFTER))
+    return paired.select(
+        "start_lsn",
+        "seqval",
+        F.when(legal_d, F.lit("d"))
+        .when(legal_c, F.lit("c"))
+        .when(legal_u, F.lit("u"))
+        .otherwise(
+            F.raise_error(F.concat(
+                F.lit("unpairable __$operation set "),
+                F.col("__ops").cast("string"),
+                F.lit(" at (start_lsn, seqval) = ("),
+                F.col("start_lsn"), F.lit(", "), F.col("seqval"),
+                F.lit(")"),
+            ))
+        )
+        .alias("__op"),
+        "before",
+        "after",
+    )
+
+
+def unwrap_paired(paired: DataFrame) -> DataFrame:
+    """Flatten paired envelopes into the engine change shape every fold
+    consumes: after-image columns for c/u (before-image for d, so key
+    columns survive the delete), ``__op``, and the LSN position vector.
+    ``materialize_latest(..., ["__start_lsn", "__seqval"])`` then yields
+    current state — string-descending IS commit-descending because the
+    LSNs are fixed-width hex (the Db2 module's invariant, shared)."""
+    img = F.when(F.col("__op") == "d", F.col("before")) \
+        .otherwise(F.col("after"))
+    fields = paired.schema["after"].dataType.fieldNames()
+    return paired.select(
+        *[img.getField(f).alias(f) for f in fields],
+        "__op",
+        F.col("start_lsn").alias("__start_lsn"),
+        F.col("seqval").alias("__seqval"),
+    )
+
+
+_CT_FROM_EVENTS = """
+WITH base AS (
+  SELECT user_id, value, event_id, event_type FROM events
+), ct AS (
+  SELECT user_id, value, event_id, 2 AS op FROM base
+  WHERE event_type = 'signup'
+  UNION ALL
+  SELECT user_id, value, event_id, 1 FROM base
+  WHERE event_type = 'error'
+  UNION ALL
+  SELECT user_id, value - 1, event_id, 3 FROM base
+  WHERE event_type NOT IN ('signup', 'error')
+  UNION ALL
+  SELECT user_id, value, event_id, 4 FROM base
+  WHERE event_type NOT IN ('signup', 'error')
+)
+"""
+
+
+def _ct_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events → a synthetic cdc.<instance>_CT: signups are inserts,
+    errors deletes, everything else an op-3/op-4 UPDATE PAIR (before
+    value = value − 1, exact in IEEE for the fixture's magnitudes).
+    One change per event: start_lsn = hex(event_id), seqval = 0."""
+    ev = table(spark, sf_dir, "events")
+    rows = ev.select(
+        "user_id",
+        "event_id",
+        F.when(
+            F.col("event_type") == "signup",
+            F.array(F.struct(F.lit(OP_INSERT).alias("op"),
+                             F.col("value").alias("v"))),
+        ).when(
+            F.col("event_type") == "error",
+            F.array(F.struct(F.lit(OP_DELETE).alias("op"),
+                             F.col("value").alias("v"))),
+        ).otherwise(
+            F.array(
+                F.struct(F.lit(OP_UPDATE_BEFORE).alias("op"),
+                         (F.col("value") - 1).alias("v")),
+                F.struct(F.lit(OP_UPDATE_AFTER).alias("op"),
+                         F.col("value").alias("v")),
+            )
+        ).alias("changes"),
+    ).select(
+        "user_id", "event_id", F.explode("changes").alias("ch")
+    )
+    return rows.select(
+        "user_id",
+        F.col("ch.v").alias("value"),
+        seq_hex(F.col("event_id")).alias("__$start_lsn"),
+        seq_hex(F.lit(0)).alias("__$seqval"),
+        F.col("ch.op").alias("__$operation"),
+    )
+
+
+@register(
+    "cdc_sqlserver_update_pairs",
+    oracle=_CT_FROM_EVENTS + """
+SELECT upper(lpad(to_hex(event_id), 16, '0')) AS start_lsn,
+       CASE min(op) WHEN 1 THEN 'd' WHEN 2 THEN 'c' ELSE 'u' END AS op,
+       max(user_id) AS user_id,
+       max(CASE WHEN op IN (1, 3) THEN value END) AS before_value,
+       max(CASE WHEN op IN (2, 4) THEN value END) AS after_value
+FROM ct GROUP BY event_id
+ORDER BY start_lsn
+""",
+)
+def cdc_sqlserver_update_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL Server op-3/op-4 update pairing, differentially proven: the
+    engine re-pairs the physical CT rows by shared (start_lsn, seqval)
+    into single envelopes with both images; the oracle regroups the
+    identical synthetic CT with conditional aggregation. Equality proves
+    the pairing assigns each image to the right side of the right change
+    — a reader folding CT rows independently would emit two 'changes'
+    per update and surface value−1 as a real write."""
+    paired = pair_update_rows(_ct_fixture(spark, sf_dir))
+    return paired.select(
+        "start_lsn",
+        F.col("__op").alias("op"),
+        F.coalesce(F.col("after.user_id"), F.col("before.user_id"))
+        .alias("user_id"),
+        F.col("before.value").alias("before_value"),
+        F.col("after.value").alias("after_value"),
+    ).orderBy("start_lsn")
+
+
+@register(
+    "cdc_sqlserver_capture_fold",
+    oracle=_CT_FROM_EVENTS + """
+, env AS (
+  SELECT event_id,
+         CASE min(op) WHEN 1 THEN 'd' WHEN 2 THEN 'c' ELSE 'u' END AS op,
+         max(user_id) AS user_id,
+         max(CASE WHEN op IN (2, 4) THEN value END) AS after_value
+  FROM ct GROUP BY event_id
+)
+SELECT user_id, after_value AS value FROM (
+  SELECT user_id, after_value, op,
+         row_number() OVER (
+           PARTITION BY user_id ORDER BY event_id DESC) AS rn
+  FROM env
+) WHERE rn = 1 AND op <> 'd'
+ORDER BY user_id
+""",
+)
+def cdc_sqlserver_capture_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pairing COMPOSED with the standard fold: pair → unwrap
+    (after-images win, deletes keep their key from the before-image) →
+    materialize_latest by the hex LSN vector. The oracle folds the
+    paired envelopes by the NUMERIC event id; equality proves unwrap
+    feeds the fold the after-image (a before/after mix-up here would
+    leave every surviving update at value − 1) and that hex-LSN order
+    is commit order through the whole chain."""
+    state = materialize_latest(
+        unwrap_paired(pair_update_rows(_ct_fixture(spark, sf_dir))),
+        ["user_id"],
+        ["__start_lsn", "__seqval"],
+    )
+    return state.select("user_id", "value").orderBy("user_id")

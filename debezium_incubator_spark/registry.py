@@ -224,6 +224,7 @@ def load_all() -> None:
         routing,
         scd2,
         snapshot_lifecycle,
+        sqlserver,
         transforms,
     )
     from .llm import clustering  # noqa: F401

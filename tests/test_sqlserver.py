@@ -1,0 +1,116 @@
+"""SQL Server CT path: op-3/op-4 update-pair reassembly, torn-group
+detection, unwrap→fold composition, and the property that pairing is
+batching-invariant (a pure per-position aggregation)."""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from debezium_incubator_spark.cdc.materialize import materialize_latest
+from debezium_incubator_spark.cdc.sqlserver import (
+    pair_update_rows,
+    unwrap_paired,
+)
+
+_SCHEMA = ("k LONG, v DOUBLE, `__$start_lsn` STRING, `__$seqval` STRING, "
+           "`__$operation` INT")
+
+
+def _ct(spark, rows):
+    return spark.createDataFrame(rows, _SCHEMA)
+
+
+def _h(n: int) -> str:
+    return f"{n:016X}"
+
+
+def test_pairing_builds_single_envelopes(spark):
+    """Insert → after only; delete → before only; the 3/4 pair merges
+    into ONE row carrying both images."""
+    paired = pair_update_rows(_ct(spark, [
+        (1, 1.0, _h(10), _h(0), 2),
+        (1, 0.5, _h(20), _h(0), 3),   # before-image of the update
+        (1, 2.0, _h(20), _h(0), 4),   # after-image, same position
+        (2, 9.0, _h(30), _h(0), 1),
+    ]))
+    rows = {r.start_lsn: r for r in paired.collect()}
+    assert len(rows) == 3  # the update pair collapsed to one envelope
+    ins, upd, dele = rows[_h(10)], rows[_h(20)], rows[_h(30)]
+    assert (ins["__op"], ins.before, ins.after.v) == ("c", None, 1.0)
+    assert (upd["__op"], upd.before.v, upd.after.v) == ("u", 0.5, 2.0)
+    assert (dele["__op"], dele.before.v, dele.after) == ("d", 9.0, None)
+
+
+@pytest.mark.parametrize("ops", [
+    [3],          # torn pair: before without after
+    [4],          # torn pair: after without before
+    [1, 2],       # delete colliding with insert at one position
+    [2, 3, 4],    # update pair colliding with an insert
+])
+def test_torn_or_colliding_groups_raise(spark, ops):
+    rows = [(1, float(i), _h(7), _h(0), op) for i, op in enumerate(ops)]
+    with pytest.raises(Exception, match="unpairable"):
+        pair_update_rows(_ct(spark, rows)).collect()
+
+
+def test_unwrap_fold_takes_after_image(spark):
+    """Through unwrap + materialize_latest the AFTER image must win; a
+    before/after mix-up would surface 0.5 here. Deletes drop the key."""
+    st_ = materialize_latest(
+        unwrap_paired(pair_update_rows(_ct(spark, [
+            (1, 1.0, _h(10), _h(0), 2),
+            (1, 0.5, _h(20), _h(0), 3),
+            (1, 2.0, _h(20), _h(0), 4),
+            (2, 9.0, _h(10), _h(1), 2),
+            (2, 9.0, _h(30), _h(0), 1),
+        ]))),
+        ["k"], ["__start_lsn", "__seqval"],
+    )
+    assert {(r.k, r.v) for r in st_.collect()} == {(1, 2.0)}
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.lists(
+    st.tuples(st.integers(0, 3), st.integers(0, 5)),  # (kind, key)
+    min_size=1, max_size=12,
+))
+def test_pairing_matches_sequential_reader(spark, seq):
+    """Differential vs the obvious sequential reader: for ANY mix of
+    inserts/deletes/update-pairs at distinct positions, the distributed
+    pairing emits exactly the envelopes a row-by-row scan would."""
+    rows, expect = [], {}
+    for pos, (kind, key) in enumerate(seq):
+        lsn, sq = _h(pos), _h(0)
+        if kind == 0:
+            rows.append((key, float(pos), lsn, sq, 2))
+            expect[(lsn, sq)] = ("c", None, float(pos))
+        elif kind == 1:
+            rows.append((key, float(pos), lsn, sq, 1))
+            expect[(lsn, sq)] = ("d", float(pos), None)
+        else:
+            rows.append((key, float(pos) - 0.5, lsn, sq, 3))
+            rows.append((key, float(pos), lsn, sq, 4))
+            expect[(lsn, sq)] = ("u", float(pos) - 0.5, float(pos))
+    got = {
+        (r.start_lsn, r.seqval): (
+            r.__getitem__("__op"),
+            r.before.v if r.before else None,
+            r.after.v if r.after else None,
+        )
+        for r in pair_update_rows(_ct(spark, rows)).collect()
+    }
+    assert got == expect
+
+
+def test_pairing_is_one_shuffle_no_join(spark):
+    """Plan audit: the pairing is a hash aggregation with a partial
+    (map-side) phase and NO join — the naive op3-join-op4 spelling
+    would show a Join node and a second Exchange."""
+    plan = pair_update_rows(_ct(spark, [
+        (1, 1.0, _h(10), _h(0), 2),
+    ]))._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+    assert plan.count("Exchange") == 1
