@@ -228,7 +228,7 @@ def load_all() -> None:
         transforms,
     )
     from .llm import clustering  # noqa: F401
-    from .llm import dedup, multimodal, similarity, text  # noqa: F401
+    from .llm import dedup, multimodal, pq, similarity, text  # noqa: F401
 
     _reorder()
     _LOADED = True
