@@ -217,6 +217,7 @@ def load_all() -> None:
     from .events import analytics, timeseries  # noqa: F401
     from .cdc import (  # noqa: F401
         cassandra,
+        cloudevents,
         db2,
         incremental_snapshot,
         oracle_logminer,
