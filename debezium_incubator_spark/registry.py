@@ -229,7 +229,7 @@ def load_all() -> None:
         transforms,
     )
     from .llm import clustering  # noqa: F401
-    from .llm import dedup, multimodal, pq, similarity, text  # noqa: F401
+    from .llm import dedup, multimodal, pq, similarity, text, urls  # noqa: F401
 
     _reorder()
     _LOADED = True
