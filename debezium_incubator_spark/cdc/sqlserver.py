@@ -125,6 +125,54 @@ def unwrap_paired(paired: DataFrame) -> DataFrame:
     )
 
 
+def merge_sqlserver_buffer(
+    buffer: DataFrame | None,
+    batch_ct: DataFrame,
+    start_lsn_col: str = "__$start_lsn",
+    seqval_col: str = "__$seqval",
+    operation_col: str = "__$operation",
+) -> tuple[DataFrame, DataFrame]:
+    """One micro-batch step of the pairing under ARBITRARY batch cuts:
+    a reader polling the change table can see an update's op-3 row in
+    one poll and its op-4 partner in the next (the pair is atomic in the
+    database but not in the reader's windowing). Emitting the lone op-3
+    would surface the before-image as a change; raising on it would
+    fail-stop on every unluckily-cut poll.
+
+    ``buffer`` — retained rows of still-incomplete groups (None on the
+    first batch). Returns ``(new_buffer, emitted)``: groups whose
+    operation set is exactly {3} or {4} are withheld; every other group
+    goes through :func:`pair_update_rows`, which still raises on truly
+    illegal compositions ({1,2}, {2,3,4}, …) — incompleteness is
+    deferred, corruption is not.
+
+    Union of ``emitted`` across ANY batching equals the one-shot
+    pairing (hypothesis-tested). Scale: the incomplete-key set is
+    bounded by updates torn across one poll boundary — per-poll-churn
+    sized, broadcast for both the semi and anti join; the buffer never
+    exceeds those rows."""
+    all_rows = (
+        batch_ct if buffer is None else buffer.unionByName(batch_ct)
+    )
+    op = F.col(operation_col)
+    groups = all_rows.groupBy(start_lsn_col, seqval_col).agg(
+        F.sort_array(F.collect_set(op)).alias("__ops")
+    )
+    lone_before = F.col("__ops") == F.array(F.lit(OP_UPDATE_BEFORE))
+    lone_after = F.col("__ops") == F.array(F.lit(OP_UPDATE_AFTER))
+    incomplete = F.broadcast(
+        groups.filter(lone_before | lone_after)
+        .select(start_lsn_col, seqval_col)
+    )
+    on = [start_lsn_col, seqval_col]
+    new_buffer = all_rows.join(incomplete, on, "left_semi")
+    emitted = pair_update_rows(
+        all_rows.join(incomplete, on, "left_anti"),
+        start_lsn_col, seqval_col, operation_col,
+    )
+    return new_buffer, emitted
+
+
 _CT_FROM_EVENTS = """
 WITH base AS (
   SELECT user_id, value, event_id, event_type FROM events

@@ -105,6 +105,89 @@ def test_pairing_matches_sequential_reader(spark, seq):
     assert got == expect
 
 
+def test_buffer_withholds_torn_pair_until_partner_arrives(spark):
+    """op-3 alone in poll 1 is withheld, not emitted and not an error;
+    poll 2 delivers the op-4 partner and the pair emits whole."""
+    from debezium_incubator_spark.cdc.sqlserver import (
+        merge_sqlserver_buffer,
+    )
+
+    b1 = _ct(spark, [
+        (1, 1.0, _h(10), _h(0), 2),
+        (1, 0.5, _h(20), _h(0), 3),     # partner arrives next poll
+    ])
+    buf, em1 = merge_sqlserver_buffer(None, b1)
+    assert [r["__op"] for r in em1.collect()] == ["c"]
+    assert buf.count() == 1             # the lone before-image waits
+    b2 = _ct(spark, [(1, 2.0, _h(20), _h(0), 4)])
+    buf2, em2 = merge_sqlserver_buffer(buf, b2)
+    got = em2.first()
+    assert (got["__op"], got.before.v, got.after.v) == ("u", 0.5, 2.0)
+    assert buf2.count() == 0
+
+
+def test_buffer_still_raises_on_true_corruption(spark):
+    from debezium_incubator_spark.cdc.sqlserver import (
+        merge_sqlserver_buffer,
+    )
+
+    b = _ct(spark, [
+        (1, 1.0, _h(5), _h(0), 1),
+        (1, 2.0, _h(5), _h(0), 2),      # delete + insert at one position
+    ])
+    _, em = merge_sqlserver_buffer(None, b)
+    with pytest.raises(Exception, match="unpairable"):
+        em.collect()
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(st.tuples(st.integers(0, 2), st.integers(0, 4)),
+             min_size=1, max_size=10),
+    st.data(),
+)
+def test_buffered_pairing_equals_one_shot_under_any_batching(
+    spark, seq, data
+):
+    """ANY cut of the CT row stream into polls — including cuts through
+    the middle of an update pair — emits, across all polls, exactly the
+    one-shot pairing of the whole stream."""
+    from debezium_incubator_spark.cdc.sqlserver import (
+        merge_sqlserver_buffer,
+    )
+
+    rows = []
+    for pos, (kind, key) in enumerate(seq):
+        if kind == 0:
+            rows.append((key, float(pos), _h(pos), _h(0), 2))
+        elif kind == 1:
+            rows.append((key, float(pos), _h(pos), _h(0), 1))
+        else:
+            rows.append((key, float(pos) - 0.5, _h(pos), _h(0), 3))
+            rows.append((key, float(pos), _h(pos), _h(0), 4))
+    cuts = sorted(data.draw(st.sets(
+        st.integers(1, max(1, len(rows) - 1)), max_size=3
+    )))
+    batches, prev = [], 0
+    for c in cuts + [len(rows)]:
+        if c > prev:
+            batches.append(rows[prev:c])
+            prev = c
+    one_shot = {
+        (r.start_lsn, r.seqval, r["__op"])
+        for r in pair_update_rows(_ct(spark, rows)).collect()
+    }
+    buf, emitted = None, set()
+    for b in batches:
+        buf, em = merge_sqlserver_buffer(buf, _ct(spark, b))
+        emitted |= {
+            (r.start_lsn, r.seqval, r["__op"]) for r in em.collect()
+        }
+        buf = spark.createDataFrame(buf.collect(), buf.schema)  # cut lineage
+    assert emitted == one_shot
+    assert buf.count() == 0  # every pair eventually completed
+
+
 def test_pairing_is_one_shuffle_no_join(spark):
     """Plan audit: the pairing is a hash aggregation with a partial
     (map-side) phase and NO join — the naive op3-join-op4 spelling
