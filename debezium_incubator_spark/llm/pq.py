@@ -235,6 +235,296 @@ FROM adc ORDER BY dist, vec_id LIMIT 10
 """
 
 
+def pq_index_append(spark: SparkSession, index_dir: str,
+                    batch: DataFrame) -> int:
+    """Incremental PQ maintenance: encode NEW vectors (vec_id,
+    v:array<double>) against the EXISTING codebooks and append their
+    codes — no refit, no rewrite (mirrors ivf_index_append; the same
+    drift-vs-refit tradeoff applies). Returns appended row count."""
+    cb: dict[int, dict[int, list[float]]] = {}
+    for r in spark.read.parquet(f"{index_dir}/codebooks").collect():
+        cb.setdefault(r.sub, {})[r.code] = list(r.centroid)
+    m = len(cb)
+    dsub = len(cb[0][0])
+    codebooks = [[cb[s][c] for c in range(len(cb[s]))] for s in range(m)]
+    codes = batch.select(
+        "vec_id",
+        F.array(*[
+            _argmin_code(_sub_slice("v", s, dsub), codebooks[s])
+            for s in range(m)
+        ]).alias("codes"),
+    )
+    n = codes.count()
+    codes.write.mode("append").parquet(f"{index_dir}/codes")
+    return n
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ: residual product quantization inside IVF cells (FAISS IndexIVFPQ)
+# ---------------------------------------------------------------------------
+#
+# The two bounds composed: IVF prunes WHICH vectors a query scans
+# (nprobe/nlist of the corpus, parquet partition pruning), PQ prunes the
+# BYTES per scanned vector (m codes instead of d floats). Quantizing the
+# RESIDUAL v − centroid(cell) instead of v itself is what makes the
+# composition better than either part: residuals concentrate near zero,
+# so the same ksub spends its codes on a much smaller volume.
+
+IVFPQ_NLIST = 8
+IVFPQ_NPROBE = 3
+IVFPQ_AUDIT_DIR = "/tmp/dis_ivfpq_index_current"
+
+
+def build_ivfpq_index(
+    source: DataFrame,
+    index_dir: str,
+    nlist: int = IVFPQ_NLIST,
+    m: int = PQ_M,
+    ksub: int = PQ_KSUB,
+    seed: int = 42,
+    max_iter: int = 10,
+) -> None:
+    """One-time IVF-PQ indexing pass:
+
+    - ``{index_dir}/coarse``    — nlist coarse centroids (the router);
+    - ``{index_dir}/codebooks`` — m·ksub PQ centroids fit on RESIDUALS;
+    - ``{index_dir}/codes``     — (vec_id, codes), partitionBy(cluster)
+      so probes prune cell directories AND read only code bytes.
+
+    The encode derives each vector's residual with the PERSISTED coarse
+    centroid doubles (broadcast join on cluster — nlist rows next to
+    the corpus scan) and assigns codes with the engine's canonical fold
+    argmin, so the persisted codes are exactly reproducible from the
+    persisted artifacts — the differential oracle's premise."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    spark = source.sparkSession
+    dim = len(source.select("v").first().v)
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
+    dsub = dim // m
+    vec = source.withColumn("fv", array_to_vector("v"))
+    coarse = KMeans(
+        k=nlist, seed=seed, maxIter=max_iter,
+        featuresCol="fv", predictionCol="cluster",
+    ).fit(vec)
+    centers = [[float(x) for x in c] for c in coarse.clusterCenters()]
+    cents_df = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(centers)],
+        "cluster INT, centroid ARRAY<DOUBLE>",
+    )
+    resid = (
+        coarse.transform(vec)
+        .join(F.broadcast(cents_df), "cluster")
+        .withColumn("r", F.zip_with("v", "centroid", lambda a, b: a - b))
+        .select("vec_id", "cluster", "r")
+    )
+    resid.persist()
+    try:
+        codebooks: list[list[list[float]]] = []
+        for s in range(m):
+            sub = resid.select(
+                array_to_vector(_sub_slice("r", s, dsub)).alias("fv")
+            )
+            model = KMeans(
+                k=ksub, seed=seed + 1 + s, maxIter=max_iter,
+                featuresCol="fv", predictionCol="code",
+            ).fit(sub)
+            codebooks.append(
+                [[float(x) for x in c] for c in model.clusterCenters()]
+            )
+        codes = resid.select(
+            "vec_id",
+            F.array(*[
+                _argmin_code(_sub_slice("r", s, dsub), codebooks[s])
+                for s in range(m)
+            ]).alias("codes"),
+            "cluster",
+        )
+        (codes.repartition(nlist, "cluster")
+         .write.mode("overwrite").partitionBy("cluster")
+         .parquet(f"{index_dir}/codes"))
+    finally:
+        resid.unpersist()
+    cents_df.coalesce(1).write.mode("overwrite") \
+        .parquet(f"{index_dir}/coarse")
+    cb_rows = [
+        (s, c, codebooks[s][c]) for s in range(m) for c in range(ksub)
+    ]
+    spark.createDataFrame(
+        cb_rows, "sub INT, code INT, centroid ARRAY<DOUBLE>"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{index_dir}/codebooks")
+
+
+def ivfpq_adc(
+    spark: SparkSession,
+    index_dir: str,
+    query_v: list[float],
+    k: int = 10,
+    nprobe: int = IVFPQ_NPROBE,
+    exclude_vec_id: int | None = None,
+) -> DataFrame:
+    """ADC top-k over a persisted IVF-PQ index. Routing ranks coarse
+    cells by the canonical fold (ties → lower cluster); the LUT is
+    PER-CELL (the query residual differs per probed cell) — nprobe·m·
+    ksub doubles, still control-plane. The codes scan prunes to the
+    nprobe partition directories and reads (vec_id, codes) only;
+    per-candidate cost is a CASE over nprobe cells + m lookups."""
+    coarse = {
+        r.cluster: list(r.centroid)
+        for r in spark.read.parquet(f"{index_dir}/coarse").collect()
+    }
+    cb: dict[int, dict[int, list[float]]] = {}
+    for r in spark.read.parquet(f"{index_dir}/codebooks").collect():
+        cb.setdefault(r.sub, {})[r.code] = list(r.centroid)
+    m = len(cb)
+    dsub = len(cb[0][0])
+    qv = [float(x) for x in query_v]
+    if len(qv) != m * dsub:
+        raise ValueError(f"query dim {len(qv)} != index dim {m * dsub}")
+    order = sorted(
+        (( _sq_l2(c, qv), cl) for cl, c in coarse.items()),
+    )
+    probe = [cl for _, cl in order[:nprobe]]
+    # per-cell LUTs from the query residual
+    lut: dict[int, list[list[float]]] = {}
+    for cl in probe:
+        qr = [qv[i] - coarse[cl][i] for i in range(len(qv))]
+        lut[cl] = [
+            [_sq_l2(qr[s * dsub:(s + 1) * dsub], cb[s][c])
+             for c in range(len(cb[s]))]
+            for s in range(m)
+        ]
+    codes = spark.read.parquet(f"{index_dir}/codes").filter(
+        F.col("cluster").isin(probe)
+    )
+    if exclude_vec_id is not None:
+        codes = codes.filter(F.col("vec_id") != exclude_vec_id)
+    approx = None
+    for s in range(m):
+        term = None
+        for cl in probe:
+            arr = F.array(*[F.lit(x) for x in lut[cl][s]])
+            hit = F.element_at(arr, F.element_at("codes", s + 1) + 1)
+            term = (
+                F.when(F.col("cluster") == cl, hit) if term is None
+                else term.when(F.col("cluster") == cl, hit)
+            )
+        approx = term if approx is None else approx + term
+    return (
+        codes.withColumn("approx_raw", approx)
+        .orderBy("approx_raw", "vec_id")
+        .limit(k)
+    )
+
+
+def _ensure_ivfpq_index(spark: SparkSession, sf_dir: str) -> str:
+    import os
+
+    return ensure_artifact(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        IVFPQ_AUDIT_DIR,
+        lambda d: build_ivfpq_index(_vectors(spark, sf_dir), d),
+    )
+
+
+_IVFPQ_ORACLE = f"""
+WITH coarse AS (
+  SELECT cluster, centroid
+  FROM read_parquet('{IVFPQ_AUDIT_DIR}/coarse/*.parquet')
+), cb AS (
+  SELECT sub, code, centroid
+  FROM read_parquet('{IVFPQ_AUDIT_DIR}/codebooks/*.parquet')
+), assign AS (
+  SELECT vec_id, CAST(cluster AS BIGINT) AS cell
+  FROM read_parquet('{IVFPQ_AUDIT_DIR}/codes/*/*.parquet',
+                    hive_partitioning = true)
+), q AS (
+  SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0
+), probe AS (
+  SELECT cluster, centroid FROM (
+    SELECT c.cluster, c.centroid,
+           row_number() OVER (ORDER BY
+             {_FOLD.format(terms=(
+                 "list_transform(range(1, len(c.centroid) + 1),"
+                 " i -> (c.centroid[i] - q.qv[i])"
+                 " * (c.centroid[i] - q.qv[i]))"
+             ))},
+             c.cluster) AS rn
+    FROM coarse c, q
+  ) WHERE rn <= {IVFPQ_NPROBE}
+), base AS (
+  SELECT b.vec_id, a.cell, p.centroid,
+         list_transform(range(1, len(b.v) + 1),
+                        i -> b.v[i] - p.centroid[i]) AS r
+  FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        WHERE vec_id <> 0) b
+  JOIN assign a ON b.vec_id = a.vec_id
+  JOIN probe p ON a.cell = p.cluster
+), vd AS (
+  SELECT base.vec_id, base.cell, cb.sub, cb.code,
+         {_FOLD.format(terms=(
+             f"list_transform(range(1, {_DSUB} + 1),"
+             f" i -> (base.r[cb.sub * {_DSUB} + i] - cb.centroid[i])"
+             f" * (base.r[cb.sub * {_DSUB} + i] - cb.centroid[i]))"
+         ))} AS d
+  FROM base CROSS JOIN cb
+), rcodes AS (
+  SELECT vec_id, cell, sub, code FROM (
+    SELECT vec_id, cell, sub, code,
+           row_number() OVER (
+             PARTITION BY vec_id, sub ORDER BY d, code) AS rn
+    FROM vd
+  ) WHERE rn = 1
+), qres AS (
+  SELECT p.cluster,
+         list_transform(range(1, len(p.centroid) + 1),
+                        i -> q.qv[i] - p.centroid[i]) AS qr
+  FROM probe p, q
+), lut AS (
+  SELECT qres.cluster, cb.sub, cb.code,
+         {_FOLD.format(terms=(
+             f"list_transform(range(1, {_DSUB} + 1),"
+             f" i -> (qres.qr[cb.sub * {_DSUB} + i] - cb.centroid[i])"
+             f" * (qres.qr[cb.sub * {_DSUB} + i] - cb.centroid[i]))"
+         ))} AS d
+  FROM qres CROSS JOIN cb
+), adc AS (
+  SELECT rc.vec_id,
+         max(CASE WHEN rc.sub = 0 THEN l.d END)
+         + max(CASE WHEN rc.sub = 1 THEN l.d END)
+         + max(CASE WHEN rc.sub = 2 THEN l.d END)
+         + max(CASE WHEN rc.sub = 3 THEN l.d END) AS dist
+  FROM rcodes rc JOIN lut l
+    ON rc.cell = l.cluster AND rc.sub = l.sub AND rc.code = l.code
+  GROUP BY rc.vec_id
+)
+SELECT vec_id, ROUND(dist, 6) AS approx_dist
+FROM adc ORDER BY dist, vec_id LIMIT 10
+"""
+
+
+@register("sim_ivfpq_adc", oracle=_IVFPQ_ORACLE)
+def sim_ivfpq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ADC approximate KNN, differentially proven against the
+    persisted index: the engine routes with the coarse centroids, scans
+    only the probed cells' code partitions and ranks by per-cell LUT
+    lookups; the oracle re-derives every probed vector's RESIDUAL codes
+    from the raw embeddings + persisted artifacts and rebuilds the
+    per-cell LUTs in SQL. Equality proves residual encoding, routing,
+    and the composed ADC arithmetic. vec_id 0 is the query."""
+    _ensure_ivfpq_index(spark, sf_dir)
+    qrow = _vectors(spark, sf_dir).filter(F.col("vec_id") == 0).first()
+    top = ivfpq_adc(
+        spark, IVFPQ_AUDIT_DIR, [float(x) for x in qrow.v],
+        k=10, exclude_vec_id=0,
+    )
+    return top.select(
+        "vec_id", F.round("approx_raw", 6).alias("approx_dist")
+    )
+
+
 @register("sim_pq_adc", oracle=_PQ_ORACLE)
 def sim_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ-ADC approximate KNN, differentially proven against the

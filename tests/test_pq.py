@@ -108,6 +108,52 @@ def test_dim_validation(spark, pq_index):
         )
 
 
+def test_pq_append_encodes_against_existing_codebooks(spark, pq_index):
+    """Appended vectors get argmin codes from the PERSISTED codebooks
+    and are immediately visible to ADC queries."""
+    from debezium_incubator_spark.llm.pq import pq_index_append
+
+    d, src = pq_index
+    probe_v = [float(x) for x in src.filter(F.col("vec_id") == 5)
+               .first().v]
+    batch = spark.createDataFrame(
+        [(1000, probe_v)], "vec_id LONG, v ARRAY<DOUBLE>"
+    )
+    assert pq_index_append(spark, d, batch) == 1
+    codes = {r.vec_id: list(r.codes)
+             for r in spark.read.parquet(f"{d}/codes").collect()}
+    assert codes[1000] == codes[5]      # identical vector, same codes
+    top = pq_adc(spark, d, probe_v, k=2, exclude_vec_id=5).collect()
+    assert top[0].vec_id == 1000 or top[0].approx_raw == top[1].approx_raw
+
+
+def test_ivfpq_residual_codes_and_probe_pruning(spark, tmp_path):
+    """IVF-PQ: the codes store is cluster-partitioned (probe prunes
+    directories), codes are residual-based, and an exact duplicate of
+    the query attains the minimal ADC distance within its cell."""
+    import os
+
+    from debezium_incubator_spark.llm.pq import (
+        build_ivfpq_index,
+        ivfpq_adc,
+    )
+
+    src = _corpus(spark, n=80)
+    q = [float(x) for x in src.filter(F.col("vec_id") == 11).first().v]
+    dup = spark.createDataFrame([(999, q)], "vec_id LONG, v ARRAY<DOUBLE>")
+    d = str(tmp_path / "ivfpq")
+    build_ivfpq_index(src.union(dup), d, nlist=4, m=4, ksub=8, seed=3)
+    dirs = [p for p in os.listdir(f"{d}/codes") if p.startswith("cluster=")]
+    assert len(dirs) == 4               # hive layout, one dir per cell
+    top = ivfpq_adc(spark, d, q, k=30, nprobe=2, exclude_vec_id=11)
+    rows = top.collect()
+    dup_dist = [r.approx_raw for r in rows if r.vec_id == 999][0]
+    assert rows[0].approx_raw == dup_dist
+    # partition pruning: the scan plan carries the cluster filter
+    plan = top._jdf.queryExecution().executedPlan().toString()
+    assert "cluster" in plan
+
+
 def test_adc_scan_prunes_to_codes_columns(spark, pq_index):
     """Scale posture: the ADC plan reads (vec_id, codes) only — the
     point of PQ is that original vectors never enter the query scan."""
