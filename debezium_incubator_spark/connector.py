@@ -305,6 +305,85 @@ def type_handling_casts(df: DataFrame, props: dict[str, str]) -> DataFrame:
     return df
 
 
+def _avro_sanitize(name: str, unicode_mode: bool) -> str:
+    """Avro name rules: ``[A-Za-z_][A-Za-z0-9_]*``. avro mode replaces
+    each invalid character with ``_``; avro_unicode with ``_uXXXX``
+    (lowercase hex code point — reversible, Debezium's documented
+    variant). A leading digit is escaped the same way."""
+    out = []
+    for i, ch in enumerate(name):
+        valid = (
+            ch == "_"
+            or ("a" <= ch <= "z") or ("A" <= ch <= "Z")
+            or (i > 0 and "0" <= ch <= "9")
+        )
+        if valid:
+            out.append(ch)
+        elif unicode_mode:
+            out.append(f"_u{ord(ch):04x}")
+        else:
+            out.append("_")
+    return "".join(out)
+
+
+def _adjust_dtype(dt, unicode_mode: bool):
+    from pyspark.sql import types as T
+
+    if isinstance(dt, T.StructType):
+        names = [_avro_sanitize(f.name, unicode_mode) for f in dt.fields]
+        dupes = {n for n in names if names.count(n) > 1}
+        if dupes:
+            raise ValueError(
+                f"field name adjustment collides on {sorted(dupes)}: "
+                "two source fields sanitize to one Avro name — rename "
+                "at the source or use avro_unicode mode"
+            )
+        return T.StructType([
+            T.StructField(n, _adjust_dtype(f.dataType, unicode_mode),
+                          f.nullable, f.metadata)
+            for n, f in zip(names, dt.fields)
+        ])
+    if isinstance(dt, T.ArrayType):
+        return T.ArrayType(
+            _adjust_dtype(dt.elementType, unicode_mode), dt.containsNull
+        )
+    if isinstance(dt, T.MapType):
+        return T.MapType(
+            dt.keyType, _adjust_dtype(dt.valueType, unicode_mode),
+            dt.valueContainsNull,
+        )
+    return dt
+
+
+def adjust_field_names(df: DataFrame, props: dict[str, str]) -> DataFrame:
+    """``field.name.adjustment.mode`` (and the schema-name twin):
+    sanitize every field name — top-level and nested struct fields —
+    to Avro's ``[A-Za-z_][A-Za-z0-9_]*`` rule before the record meets
+    an Avro/Confluent serializer. ``none`` (default) is identity;
+    ``avro`` replaces invalid characters with ``_`` and REFUSES
+    collisions loudly (a silent merge would alias two source columns);
+    ``avro_unicode`` escapes as reversible ``_uXXXX``.
+
+    Nested renames ride a cast to the adjusted StructType (casts match
+    struct fields by position, names are free) — a zero-cost projection
+    at any scale."""
+    mode = props.get(
+        "field.name.adjustment.mode",
+        props.get("schema.name.adjustment.mode", "none"),
+    )
+    if mode == "none":
+        return df
+    if mode not in ("avro", "avro_unicode"):
+        raise ValueError(
+            f"unsupported field.name.adjustment.mode '{mode}'"
+        )
+    adjusted = _adjust_dtype(df.schema, mode == "avro_unicode")
+    return df.select(*[
+        F.col(f"`{old.name}`").cast(new.dataType).alias(new.name)
+        for old, new in zip(df.schema.fields, adjusted.fields)
+    ])
+
+
 # --- Oracle-checked demo: a Debezium properties file drives the engine ---
 
 from .registry import register  # noqa: E402

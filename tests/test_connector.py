@@ -316,3 +316,35 @@ def test_heartbeat_action_query_runs_per_tick(spark, tmp_path):
     finally:
         q.stop()
     assert len(ran) >= 2  # fired on successive ticks
+
+
+def test_field_name_adjustment_modes(spark):
+    """field.name.adjustment.mode: avro replaces invalid chars with _,
+    avro_unicode escapes reversibly, nested struct fields included,
+    collisions refuse loudly, none is identity."""
+    from debezium_incubator_spark.connector import adjust_field_names
+
+    df = spark.createDataFrame(
+        [(1, 2, (3,))],
+        "`a-b` LONG, `9lives` LONG, `nest` STRUCT<`x.y`: LONG>",
+    )
+    out = adjust_field_names(df, {"field.name.adjustment.mode": "avro"})
+    assert out.columns == ["a_b", "_lives", "nest"]
+    assert out.schema["nest"].dataType.fieldNames() == ["x_y"]
+    assert out.select("nest.x_y").first()[0] == 3
+
+    uni = adjust_field_names(
+        df, {"field.name.adjustment.mode": "avro_unicode"}
+    )
+    assert uni.columns == ["a_u002db", "_u0039lives", "nest"]
+    assert uni.schema["nest"].dataType.fieldNames() == ["x_u002ey"]
+
+    same = adjust_field_names(df, {})
+    assert same.columns == df.columns
+
+    clash = spark.createDataFrame([(1, 2)], "`a-b` LONG, `a.b` LONG")
+    import pytest as _pt
+    with _pt.raises(ValueError, match="collides"):
+        adjust_field_names(
+            clash, {"field.name.adjustment.mode": "avro"}
+        )
