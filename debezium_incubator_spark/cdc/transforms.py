@@ -456,3 +456,91 @@ def cdc_binary_wire(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lower(F.hex(F.encode(F.col("c_name"), "UTF-8"))).alias("hx"),
         F.decode(F.unbase64(F.col("payload")), "UTF-8").alias("roundtrip"),
     ).orderBy("c_custkey")
+
+
+# ---------------------------------------------------------------------------
+# Kafka Connect core SMTs Debezium users chain alongside the Debezium ones
+# (org.apache.kafka.connect.transforms.{ReplaceField,InsertField,Flatten})
+# ---------------------------------------------------------------------------
+
+
+def replace_field(
+    df: DataFrame,
+    renames: dict[str, str] | None = None,
+    include: list[str] | None = None,
+    exclude: list[str] | None = None,
+) -> DataFrame:
+    """Connect ``ReplaceField``: drop excluded fields, keep only
+    included ones (when an include list is given), then rename —
+    Connect's documented application order. Unknown names in any list
+    raise (a typo'd rename silently passing through is how fields leak
+    past a compliance config). Pure projection, zero cost at scale."""
+    cols = list(df.columns)
+    for name in (list(renames or {}) + list(include or [])
+                 + list(exclude or [])):
+        if name not in cols:
+            raise ValueError(f"ReplaceField references unknown field "
+                             f"'{name}' (have {cols})")
+    kept = [c for c in cols if not (exclude and c in exclude)]
+    if include:
+        kept = [c for c in kept if c in include]
+    ren = renames or {}
+    return df.select(*[F.col(f"`{c}`").alias(ren.get(c, c)) for c in kept])
+
+
+def insert_field(
+    df: DataFrame,
+    static_field: str | None = None,
+    static_value: str | None = None,
+    timestamp_field: str | None = None,
+    topic_field: str | None = None,
+) -> DataFrame:
+    """Connect ``InsertField``: add a static literal and/or record
+    metadata as value fields. The topic comes from the engine's
+    ``topic`` routing column (this engine's record coordinate);
+    the timestamp is the processing-time instant, which is
+    NON-DETERMINISTIC by nature — keep it out of differential
+    fixtures (Connect's own semantics; tests pin the static/topic
+    forms, the timestamp form only for type). Connect's ``!``/``?``
+    required/optional name suffixes are accepted and stripped."""
+    strip = lambda n: n.rstrip("!?") if n else n  # noqa: E731
+    static_field, timestamp_field, topic_field = (
+        strip(static_field), strip(timestamp_field), strip(topic_field)
+    )
+    if static_field:
+        if static_value is None:
+            raise ValueError("static.field requires static.value")
+        df = df.withColumn(static_field, F.lit(static_value))
+    if topic_field:
+        df = df.withColumn(topic_field, F.col("topic"))
+    if timestamp_field:
+        df = df.withColumn(timestamp_field, F.current_timestamp())
+    return df
+
+
+def flatten_struct(df: DataFrame, delimiter: str = ".") -> DataFrame:
+    """Connect ``Flatten``: recursively hoist nested struct fields to
+    top-level columns named ``outer<delimiter>inner``. Arrays and maps
+    pass through unflattened (Connect's Flatten does the same). Name
+    collisions with existing columns raise — Connect would produce an
+    invalid schema; this engine refuses up front."""
+    out: list[Column] = []
+    names: list[str] = []
+
+    def walk(col: Column, name: str, dtype) -> None:
+        from pyspark.sql import types as T
+
+        if isinstance(dtype, T.StructType):
+            for f in dtype.fields:
+                walk(col.getField(f.name), f"{name}{delimiter}{f.name}",
+                     f.dataType)
+        else:
+            out.append(col.alias(name))
+            names.append(name)
+
+    for f in df.schema.fields:
+        walk(F.col(f"`{f.name}`"), f.name, f.dataType)
+    dupes = {n for n in names if names.count(n) > 1}
+    if dupes:
+        raise ValueError(f"Flatten produces colliding names: {sorted(dupes)}")
+    return df.select(*out)

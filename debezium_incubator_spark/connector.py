@@ -166,7 +166,9 @@ def transform_chain(df: DataFrame, props: dict[str, str]) -> DataFrame:
 
     cfg = parse_config(props) if not isinstance(props, ConnectorConfig) else props
     for name, t in cfg.transforms:
-        ttype = t.get("type", "")
+        # Connect SMT classes carry a $Value/$Key suffix — normalize so
+        # the dispatch below sees the bare class name
+        ttype = t.get("type", "").split("$")[0]
         if ttype.endswith("ExtractNewRecordState"):
             meta = [c for c in df.columns if c not in ("key", "value")]
             add = [p.strip() for p in t.get("add.fields", "").split(",")
@@ -225,6 +227,33 @@ def transform_chain(df: DataFrame, props: dict[str, str]) -> DataFrame:
                 df, t["converted.timezone"],
                 include=inc or None, exclude=exc or None,
             )
+        elif ttype.endswith("ReplaceField"):
+            from .cdc.transforms import replace_field
+
+            renames = dict(
+                pair.split(":", 1)
+                for pair in _csv(t.get("renames", "")) if ":" in pair
+            )
+            df = replace_field(
+                df,
+                renames=renames or None,
+                include=_csv(t.get("include", "")) or None,
+                exclude=_csv(t.get("exclude", "")) or None,
+            )
+        elif ttype.endswith("InsertField"):
+            from .cdc.transforms import insert_field
+
+            df = insert_field(
+                df,
+                static_field=t.get("static.field"),
+                static_value=t.get("static.value"),
+                timestamp_field=t.get("timestamp.field"),
+                topic_field=t.get("topic.field"),
+            )
+        elif ttype.endswith("Flatten"):
+            from .cdc.transforms import flatten_struct
+
+            df = flatten_struct(df, delimiter=t.get("delimiter", "."))
         else:
             raise ValueError(f"unsupported transform type for '{name}': {ttype}")
     return df

@@ -123,7 +123,12 @@ PRIORITY: list[str] = [
     # pipeline flagship (full Gopher rule set, per-doc differential).
     "t31_gopher_rules",      # Gopher quality rules
     # §2D aggregations
-    "agg_distinct",          # D2
+    # round-7 second continuation: agg_distinct (D2 — stays
+    # sweep-oracled; D keeps q1/grouping_sets/collect_pct/stats/
+    # approx_exact in-window) gives its slot to the SQL Server
+    # connector flagship: op-3/op-4 update-pair reassembly, a capture
+    # mechanic no other audited query exercises.
+    "cdc_sqlserver_update_pairs",  # L144 SQL Server CT pairing
     "agg_grouping_sets",     # D4
     "agg_collect_pct",       # D5 + D9 combo
     # round-7 recomposition: agg_pivot (D8 — stays sweep-oracled with
@@ -145,7 +150,12 @@ PRIORITY: list[str] = [
     # portable IVF candidate-set differential — two families the window
     # previously could not audit at all.
     "agg_approx_distinct_exact",  # D3 (HLL++ in its exact regime)
-    "sim_ivf_portable",      # J4 IVF mechanics (assignment/routing/rerank)
+    # round-7 second continuation: sim_ivf_portable (J4 portable twin —
+    # stays sweep-oracled; sim_ivf_knn/sim_ivf_probe keep the persisted
+    # IVF differential in the sweep too) gives its slot to the strictly
+    # richer composed audit: IVF-PQ residual codes + routing + per-cell
+    # ADC all re-derived in SQL from the persisted artifacts.
+    "sim_ivfpq_adc",         # L148 IVF-PQ composed (persisted-artifact)
     # §2G set ops
     "set_ops_combined",      # G1+G2+G3+G4 combo
     # §2H scalar families (H10 via cast_coerce above)

@@ -839,3 +839,68 @@ def test_transform_chain_stream_equals_batch(spark, tmp_path):
     )
     q.awaitTermination(120)
     assert got == want and len(want) == 40
+
+
+def test_connect_core_smts_via_transform_chain(spark):
+    """ReplaceField -> InsertField -> Flatten chained from properties,
+    Connect class names with $Value suffixes: exclude+rename project,
+    static/topic fields insert, nested structs hoist to dotted names."""
+    from debezium_incubator_spark.connector import transform_chain
+
+    df = spark.createDataFrame(
+        [(1, "secret", "t1", (10, 2.5))],
+        "id LONG, token STRING, topic STRING, "
+        "meta STRUCT<pos: LONG, score: DOUBLE>",
+    )
+    out = transform_chain(df, {
+        "transforms": "rf,ins,fl",
+        "transforms.rf.type":
+            "org.apache.kafka.connect.transforms.ReplaceField$Value",
+        "transforms.rf.exclude": "token",
+        "transforms.rf.renames": "id:record_id",
+        "transforms.ins.type":
+            "org.apache.kafka.connect.transforms.InsertField$Value",
+        "transforms.ins.static.field": "origin!",
+        "transforms.ins.static.value": "cdc",
+        "transforms.ins.topic.field": "src_topic",
+        "transforms.fl.type":
+            "org.apache.kafka.connect.transforms.Flatten$Value",
+    })
+    assert out.columns == [
+        "record_id", "topic", "meta.pos", "meta.score", "origin",
+        "src_topic",
+    ]
+    r = out.first()
+    assert (r.record_id, r["meta.pos"], r["meta.score"]) == (1, 10, 2.5)
+    assert (r.origin, r.src_topic) == ("cdc", "t1")
+    assert "token" not in out.columns
+
+
+def test_replace_field_refuses_unknown_and_flatten_refuses_collision(spark):
+    import pytest as _pt
+
+    from debezium_incubator_spark.cdc.transforms import (
+        flatten_struct,
+        replace_field,
+    )
+
+    df = spark.createDataFrame([(1,)], "a LONG")
+    with _pt.raises(ValueError, match="unknown field"):
+        replace_field(df, exclude=["nope"])
+
+    clash = spark.createDataFrame(
+        [((1,), 2)], "`a` STRUCT<`b`: LONG>, `a.b` LONG"
+    )
+    with _pt.raises(ValueError, match="colliding"):
+        flatten_struct(clash)
+
+
+def test_flatten_custom_delimiter_and_deep_nesting(spark):
+    from debezium_incubator_spark.cdc.transforms import flatten_struct
+
+    df = spark.createDataFrame(
+        [(((1, "x"),),)], "o STRUCT<i: STRUCT<n: LONG, s: STRING>>"
+    )
+    out = flatten_struct(df, delimiter="_")
+    assert out.columns == ["o_i_n", "o_i_s"]
+    assert out.first().o_i_n == 1
