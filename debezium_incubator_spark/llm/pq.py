@@ -419,6 +419,58 @@ def ivfpq_adc(
     )
 
 
+def ivfpq_index_append(spark: SparkSession, index_dir: str,
+                       batch: DataFrame) -> int:
+    """Incremental IVF-PQ maintenance: route NEW vectors to the
+    EXISTING coarse centroids (fold argmin, ties → lower cluster — the
+    probe's own routing), encode their residuals against the EXISTING
+    codebooks, and append into the cluster-partitioned codes store —
+    probes see them immediately via partition listing. No refit of
+    either quantizer; the drift-vs-refit cadence is the deployment's
+    call (same contract as ivf_index_append / pq_index_append).
+    Returns appended row count."""
+    coarse = sorted(
+        spark.read.parquet(f"{index_dir}/coarse").collect(),
+        key=lambda r: r.cluster,
+    )
+    cb: dict[int, dict[int, list[float]]] = {}
+    for r in spark.read.parquet(f"{index_dir}/codebooks").collect():
+        cb.setdefault(r.sub, {})[r.code] = list(r.centroid)
+    m = len(cb)
+    dsub = len(cb[0][0])
+    codebooks = [[cb[s][c] for c in range(len(cb[s]))] for s in range(m)]
+    cell_structs = [
+        F.struct(
+            _fold_sq_l2("v", list(r.centroid)).alias("d"),
+            F.lit(int(r.cluster)).alias("c"),
+        )
+        for r in coarse
+    ]
+    routed = batch.withColumn(
+        "cluster", F.array_min(F.array(*cell_structs))["c"]
+    )
+    cents_df = spark.createDataFrame(
+        [(int(r.cluster), [float(x) for x in r.centroid]) for r in coarse],
+        "cluster INT, centroid ARRAY<DOUBLE>",
+    )
+    resid = routed.join(F.broadcast(cents_df), "cluster").withColumn(
+        "r", F.zip_with("v", "centroid", lambda a, b: a - b)
+    )
+    codes = resid.select(
+        "vec_id",
+        F.array(*[
+            _argmin_code(_sub_slice("r", s, dsub), codebooks[s])
+            for s in range(m)
+        ]).alias("codes"),
+        "cluster",
+    )
+    n = codes.count()
+    (codes.repartition(len(coarse), "cluster")
+     .write.mode("append").partitionBy("cluster")
+     .parquet(f"{index_dir}/codes"))
+    return n
+
+
 def _ensure_ivfpq_index(spark: SparkSession, sf_dir: str) -> str:
     import os
 

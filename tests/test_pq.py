@@ -154,6 +154,33 @@ def test_ivfpq_residual_codes_and_probe_pruning(spark, tmp_path):
     assert "cluster" in plan
 
 
+def test_ivfpq_append_routes_and_encodes_incrementally(spark, tmp_path):
+    """Appended vectors route to the same cell and get the same codes
+    the original build gave an identical vector — and rank at the
+    minimal ADC distance for their own query."""
+    from debezium_incubator_spark.llm.pq import (
+        build_ivfpq_index,
+        ivfpq_adc,
+        ivfpq_index_append,
+    )
+
+    src = _corpus(spark, n=60)
+    d = str(tmp_path / "ivfpq")
+    build_ivfpq_index(src, d, nlist=4, m=4, ksub=8, seed=3)
+    q = [float(x) for x in src.filter(F.col("vec_id") == 7).first().v]
+    batch = spark.createDataFrame([(555, q)], "vec_id LONG, v ARRAY<DOUBLE>")
+    assert ivfpq_index_append(spark, d, batch) == 1
+    rows = {r.vec_id: (r.cluster, list(r.codes))
+            for r in spark.read.parquet(f"{d}/codes").collect()}
+    assert 555 in rows
+    # identical vector: same codes; cluster may differ only on an exact
+    # centroid-distance tie (KMeans assign vs fold argmin) — require both
+    assert rows[555] == rows[7]
+    top = ivfpq_adc(spark, d, q, k=40, nprobe=4, exclude_vec_id=7).collect()
+    d555 = [r.approx_raw for r in top if r.vec_id == 555][0]
+    assert top[0].approx_raw == d555
+
+
 def test_adc_scan_prunes_to_codes_columns(spark, pq_index):
     """Scale posture: the ADC plan reads (vec_id, codes) only — the
     point of PQ is that original vectors never enter the query scan."""

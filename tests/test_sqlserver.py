@@ -197,3 +197,57 @@ def test_pairing_is_one_shuffle_no_join(spark):
     ]))._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan
     assert plan.count("Exchange") == 1
+
+
+def test_sqlserver_e2e_ddl_pairing_fold_and_widening(spark):
+    """The connector path composed end-to-end: T-SQL DDL replay types
+    the table; CT rows conforming to schema v1 pair and fold; a
+    mid-stream ALTER adds a column; the v2 batch merges with
+    allowMissingColumns — old keys surface NULL for the new column,
+    the re-paired update carries it."""
+    from pyspark.sql import types as T
+
+    from debezium_incubator_spark.cdc.materialize import (
+        materialize_latest,
+    )
+    from debezium_incubator_spark.cdc.schema_history import (
+        replay_history,
+    )
+
+    reg = replay_history(
+        ["CREATE TABLE [dbo].[users] (id BIGINT NOT NULL, v FLOAT)"],
+        dialect="sqlserver",
+    )
+    s1 = reg.latest("users")
+    assert [f.dataType for f in s1.fields] == [T.LongType(), T.DoubleType()]
+
+    ct1 = spark.createDataFrame(
+        [(1, 1.0, _h(10), _h(0), 2),
+         (2, 5.0, _h(11), _h(0), 2),
+         (1, 1.0, _h(20), _h(0), 3),
+         (1, 2.0, _h(20), _h(0), 4)],
+        "id LONG, v DOUBLE, `__$start_lsn` STRING, `__$seqval` STRING, "
+        "`__$operation` INT",
+    )
+    env1 = unwrap_paired(pair_update_rows(ct1))
+
+    reg = replay_history(
+        ["ALTER TABLE [dbo].[users] ADD note NVARCHAR(50)"],
+        registry=reg, dialect="sqlserver",
+    )
+    assert reg.latest("users").fieldNames() == ["id", "v", "note"]
+
+    ct2 = spark.createDataFrame(
+        [(2, 6.0, "hi", _h(30), _h(0), 3),
+         (2, 7.0, "hi", _h(30), _h(0), 4)],
+        "id LONG, v DOUBLE, note STRING, `__$start_lsn` STRING, "
+        "`__$seqval` STRING, `__$operation` INT",
+    )
+    env2 = unwrap_paired(pair_update_rows(ct2))
+
+    merged = env1.unionByName(env2, allowMissingColumns=True)
+    state = materialize_latest(
+        merged, ["id"], ["__start_lsn", "__seqval"]
+    )
+    got = {(r.id): (r.v, r.note) for r in state.collect()}
+    assert got == {1: (2.0, None), 2: (7.0, "hi")}
