@@ -544,3 +544,67 @@ def flatten_struct(df: DataFrame, delimiter: str = ".") -> DataFrame:
     if dupes:
         raise ValueError(f"Flatten produces colliding names: {sorted(dupes)}")
     return df.select(*out)
+
+
+@register(
+    "cdc_connect_smt_chain",
+    oracle="""
+SELECT event_id AS record_id,
+       user_id AS uid,
+       event_type AS meta_kind,
+       value AS meta_score,
+       'cdc' AS origin,
+       'events.' || event_type AS src_topic
+FROM events
+WHERE event_type <> 'error'
+ORDER BY record_id
+""",
+)
+def cdc_connect_smt_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Connect core SMTs chained FROM PROPERTIES (the literal keys
+    a Connect worker config carries, $Value suffixes included):
+    Filter → ReplaceField (exclude + renames) → InsertField (static +
+    topic) → Flatten. The oracle recomputes every surviving column
+    directly from the source rows — equality proves the chain's
+    application ORDER (rename before flatten changes the dotted names)
+    and each SMT's field algebra, not just that the code runs."""
+    from ..catalog import table as _table
+    from ..connector import transform_chain
+
+    ev = _table(spark, sf_dir, "events").select(
+        "event_id",
+        F.col("ts").alias("seen_at"),
+        F.col("event_type").alias("etype"),
+        F.struct(
+            F.col("user_id").alias("uid"),
+            F.col("event_type").alias("kind"),
+            F.col("value").alias("score"),
+        ).alias("meta"),
+        F.concat(F.lit("events."), F.col("event_type")).alias("topic"),
+    )
+    out = transform_chain(ev, {
+        "transforms": "f,rf,ins,fl",
+        "transforms.f.type":
+            "org.apache.kafka.connect.transforms.Filter$Value",
+        "transforms.f.condition": "etype <> 'error'",
+        "transforms.rf.type":
+            "org.apache.kafka.connect.transforms.ReplaceField$Value",
+        "transforms.rf.exclude": "seen_at,etype",
+        "transforms.rf.renames": "event_id:record_id",
+        "transforms.ins.type":
+            "org.apache.kafka.connect.transforms.InsertField$Value",
+        "transforms.ins.static.field": "origin!",
+        "transforms.ins.static.value": "cdc",
+        "transforms.ins.topic.field": "src_topic",
+        "transforms.fl.type":
+            "org.apache.kafka.connect.transforms.Flatten$Value",
+        "transforms.fl.delimiter": "_",
+    })
+    return out.select(
+        "record_id",
+        F.col("meta_uid").alias("uid"),
+        F.col("meta_kind"),
+        F.col("meta_score"),
+        "origin",
+        "src_topic",
+    ).orderBy("record_id")

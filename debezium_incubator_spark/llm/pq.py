@@ -411,6 +411,13 @@ def ivfpq_adc(
                 F.when(F.col("cluster") == cl, hit) if term is None
                 else term.when(F.col("cluster") == cl, hit)
             )
+        # a cluster outside the probe set can't reach here (the scan is
+        # filtered), but if it ever did, a NULL distance would sort
+        # FIRST ascending — surface it instead of crowning a phantom
+        term = term.otherwise(F.raise_error(F.concat(
+            F.lit("unprobed cluster in ADC scan: "),
+            F.col("cluster").cast("string"),
+        )))
         approx = term if approx is None else approx + term
     return (
         codes.withColumn("approx_raw", approx)

@@ -251,3 +251,74 @@ def test_sqlserver_e2e_ddl_pairing_fold_and_widening(spark):
     )
     got = {(r.id): (r.v, r.note) for r in state.collect()}
     assert got == {1: (2.0, None), 2: (7.0, "hi")}
+
+
+def test_buffer_streaming_e2e_with_persisted_state(spark, tmp_path):
+    """The pairing buffer in the real streaming harness: CT polls
+    arrive as files (maxFilesPerTrigger=1 — one poll per micro-batch,
+    an update pair deliberately torn across two polls), the buffer is
+    persisted to parquet between batches, and the emitted envelopes
+    across the run equal the one-shot pairing of all rows."""
+    import os
+
+    from debezium_incubator_spark.cdc.sqlserver import (
+        merge_sqlserver_buffer,
+    )
+
+    src = str(tmp_path / "polls")
+    buf_dir = str(tmp_path / "buffer")
+    out_dir = str(tmp_path / "emitted")
+    os.makedirs(src)
+    polls = [
+        [(1, 1.0, _h(10), _h(0), 2),
+         (1, 0.5, _h(20), _h(0), 3)],      # torn: op-4 in next poll
+        [(1, 2.0, _h(20), _h(0), 4),
+         (2, 9.0, _h(30), _h(0), 2)],
+        [(2, 9.0, _h(40), _h(0), 1)],
+    ]
+    for i, rows in enumerate(polls):
+        _ct(spark, rows).coalesce(1).write.parquet(f"{src}/poll={i}")
+
+    schema = _ct(spark, polls[0]).schema
+
+    def step(batch_df, batch_id):
+        import shutil
+
+        buf = (
+            spark.read.parquet(buf_dir)
+            if os.path.isdir(buf_dir) else None
+        )
+        new_buf, emitted = merge_sqlserver_buffer(buf, batch_df)
+        emitted.write.mode("append").parquet(out_dir)
+        # stage-then-swap: the new buffer's lineage READS buf_dir, so
+        # writing to the staged dir materializes it before the replace
+        staged = buf_dir + ".next"
+        new_buf.write.mode("overwrite").parquet(staged)
+        if os.path.isdir(buf_dir):
+            shutil.rmtree(buf_dir)
+        os.replace(staged, buf_dir)
+
+    (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+        .writeStream.foreachBatch(step)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination(120)
+    )
+
+    got = {
+        (r.start_lsn, r["__op"])
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    one_shot = {
+        (r.start_lsn, r["__op"])
+        for r in pair_update_rows(
+            _ct(spark, [r for p in polls for r in p])
+        ).collect()
+    }
+    assert got == one_shot
+    assert spark.read.parquet(buf_dir).count() == 0
