@@ -137,3 +137,69 @@ def e8_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.countDistinct("user_id").alias("n_users"))
         .orderBy("cohort_day", "day_offset")
     )
+
+
+@register(
+    "e11_time_weighted_avg",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, value, epoch_us(ts) AS t,
+         lead(epoch_us(ts)) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS t_next
+  FROM events
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_samples,
+       CAST(SUM(t_next - t) AS BIGINT) AS span_us,
+       floor((CAST(SUM(CAST(value * (t_next - t) AS DECIMAL(38,10)))
+                   AS DOUBLE)
+              / CAST(SUM(t_next - t) AS DOUBLE)) * 10000 + 0.5) / 10000
+         AS twa
+FROM seq
+GROUP BY user_id
+HAVING SUM(t_next - t) > 0
+ORDER BY user_id
+""",
+)
+def e11_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average per series (the TimescaleDB `time_weight`
+    / 'last observation carried forward integral' surface): each sample
+    holds its value until the next sample, so
+    twa = Σ valueᵢ·(tᵢ₊₁−tᵢ) / (t_last−t_first). Irregular sampling is
+    the point — a plain AVG over-weights burst periods.
+
+    Parity: durations are exact integer µs; each value·Δ product is one
+    IEEE double op (identical cross-engine) summed through
+    DECIMAL(38,10) (order-insensitive), and the final ratio goes
+    through round4x. ONE window pass (lead) + ONE hash agg — the
+    window partitions on the series key, so 100 TB scales by series
+    cardinality, not sample count."""
+    from ..exprs import round4x_col
+
+    ev = table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    t = F.unix_micros(F.col("ts").cast("timestamp"))
+    seq = ev.select(
+        "user_id", "value", t.alias("t"),
+        F.lead(t).over(w).alias("t_next"),
+    ).withColumn("d_us", F.col("t_next") - F.col("t"))
+    agg = (
+        seq.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_samples"),
+            F.sum("d_us").alias("span_us"),
+            F.sum(
+                (F.col("value") * F.col("d_us")).cast("decimal(38,10)")
+            ).alias("__num"),
+        )
+        .filter(F.col("span_us") > 0)
+    )
+    return agg.select(
+        "user_id",
+        "n_samples",
+        "span_us",
+        round4x_col(
+            F.col("__num").cast("double")
+            / F.col("span_us").cast("double")
+        ).alias("twa"),
+    ).orderBy("user_id")

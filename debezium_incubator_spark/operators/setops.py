@@ -101,3 +101,45 @@ def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
     s = table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
     return c.subtract(s)  # EXCEPT (distinct semantics), matching SQL EXCEPT
+
+
+@register(
+    "set_bag_ops",
+    oracle="""
+SELECT 'intersect_all' AS op, nationkey FROM (
+  SELECT c_nationkey AS nationkey FROM customer WHERE c_acctbal > 9000
+  INTERSECT ALL
+  SELECT s_nationkey FROM supplier WHERE s_acctbal > 9000
+)
+UNION ALL
+SELECT 'except_all' AS op, nationkey FROM (
+  SELECT c_nationkey AS nationkey FROM customer WHERE c_acctbal > 9000
+  EXCEPT ALL
+  SELECT s_nationkey FROM supplier WHERE s_acctbal > 9000
+)
+ORDER BY op, nationkey
+""",
+)
+def set_bag_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G3b/G4b BAG semantics (INTERSECT ALL / EXCEPT ALL): multiplicity
+    matters — a nationkey with 5 rich customers and 3 rich suppliers
+    intersects 3 times and excepts 2, which the DISTINCT forms erase.
+    Spark compiles both to an aggregate of per-side counts (min /
+    saturating difference) — same one-shuffle cost class as DISTINCT,
+    verified against the engines' own ALL spellings on both sides."""
+    c = (
+        table(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 9000)
+        .select(F.col("c_nationkey").alias("nationkey"))
+    )
+    s = (
+        table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") > 9000)
+        .select(F.col("s_nationkey").alias("nationkey"))
+    )
+    both = c.intersectAll(s).select(
+        F.lit("intersect_all").alias("op"), "nationkey"
+    ).unionAll(
+        c.exceptAll(s).select(F.lit("except_all").alias("op"), "nationkey")
+    )
+    return both.orderBy("op", "nationkey")

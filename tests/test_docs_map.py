@@ -31,7 +31,7 @@ registry.load_all()
 # is a lowercase identifier — file paths and code identifiers don't match.
 _KEY_PREFIXES = (
     "q1_", "q3_", "q5_", "w1_", "w_", "e1_", "e2_", "e3_", "e4_", "e5_",
-    "e6_", "e7_", "e8_", "e9_", "e10_", "s1_", "t1_", "t2_", "t3_", "t4_",
+    "e6_", "e7_", "e8_", "e9_", "e10_", "e11_", "s1_", "t1_", "t2_", "t3_", "t4_",
     "t5_", "t6_", "t7_", "t8_", "t9_", "t10_", "t11_", "t12_", "t13_",
     "t14_", "t15_", "t16_", "t17_", "t18_", "t19_", "t20_", "t21_", "t22_",
     "t23_", "t24_", "t25_", "t26_", "t27_", "t28_", "t29_", "t30_",
