@@ -464,3 +464,47 @@ def decode_features_arrow(media: DataFrame, kernel=fake_decode_features) -> Data
             )
 
     return media.mapInArrow(run, DECODED_SCHEMA)
+
+
+def decode_ppm(payload: bytes) -> dict:
+    """Second real-format kernel (binary PPM, 'P6' — the Netpbm spec):
+    unlike decode_bmp this one walks the WHOLE pixel payload, proving
+    the seam carries full-image decode work, not just header parsing.
+    Handles the spec's whitespace/comment grammar ('#' to end-of-line
+    anywhere between header tokens); refuses maxval != 255 and short
+    pixel data loudly. Same feature-dict shape as the other kernels, so
+    ``decode_features(media, kernel=decode_ppm)`` is a drop-in."""
+    if payload[:2] != b"P6":
+        raise ValueError("not a binary PPM payload (missing 'P6' magic)")
+    pos, tokens = 2, []
+    while len(tokens) < 3:
+        if pos >= len(payload):
+            raise ValueError("truncated PPM header")
+        c = payload[pos:pos + 1]
+        if c == b"#":
+            while pos < len(payload) and payload[pos:pos + 1] != b"\n":
+                pos += 1
+        elif c.isspace():
+            pos += 1
+        else:
+            start = pos
+            while (pos < len(payload)
+                   and not payload[pos:pos + 1].isspace()):
+                pos += 1
+            tokens.append(int(payload[start:pos]))
+    pos += 1  # single whitespace after maxval, then raw RGB
+    width, height, maxval = tokens
+    if maxval != 255:
+        raise ValueError(f"unsupported PPM maxval {maxval}")
+    need = width * height * 3
+    pixels = payload[pos:pos + need]
+    if len(pixels) < need:
+        raise ValueError(
+            f"short PPM pixel data: {len(pixels)} < {need}"
+        )
+    return {
+        "width": width,
+        "height": height,
+        "checksum": sum(pixels) % 65536,   # full-payload decode
+        "n_bytes": len(payload),
+    }

@@ -549,3 +549,50 @@ def test_truncated_rerank_funnel_properties(spark):
     for r in out:
         if r.vec_id in exact:
             assert r.cos_sim == exact[r.vec_id]
+
+
+def _make_ppm(w, h, seed=0, comment=False):
+    head = b"P6\n"
+    if comment:
+        head += b"# a netpbm comment\n"
+    head += f"{w} {h}\n255\n".encode()
+    px = bytes((seed + i) % 256 for i in range(w * h * 3))
+    return head + px
+
+
+def test_decode_ppm_kernel_full_pixel_decode(spark):
+    """The PPM kernel walks the whole pixel payload (checksum moves
+    with ANY pixel change), honors header comments, and refuses
+    truncated data — through the same mapInPandas seam as BMP."""
+    import pytest as _pt
+
+    from debezium_incubator_spark.llm.multimodal import (
+        decode_features,
+        decode_ppm,
+    )
+
+    d = decode_ppm(_make_ppm(4, 3, seed=1, comment=True))
+    assert (d["width"], d["height"]) == (4, 3)
+    base = decode_ppm(_make_ppm(4, 3, seed=1))["checksum"]
+    bumped = bytearray(_make_ppm(4, 3, seed=1))
+    bumped[-1] = (bumped[-1] + 1) % 256       # last pixel byte changes
+    assert decode_ppm(bytes(bumped))["checksum"] != base
+
+    with _pt.raises(ValueError, match="short PPM"):
+        decode_ppm(_make_ppm(4, 3)[:-5])
+    with _pt.raises(ValueError, match="maxval"):
+        decode_ppm(b"P6\n2 2\n65535\n" + b"\0" * 24)
+
+    from pyspark.sql import functions as _F
+
+    media = spark.createDataFrame(
+        [(1, _make_ppm(6, 2, seed=7)), (2, _make_ppm(3, 5, seed=9))],
+        "doc_id LONG, payload BINARY",
+    ).withColumn("meta", _F.struct(
+        _F.lit("image/x-portable-pixmap").alias("mime"),
+        _F.length("payload").cast("long").alias("n_bytes"),
+        _F.lit("test").alias("source"),
+    ))
+    rows = {r.doc_id: (r.width, r.height)
+            for r in decode_features(media, kernel=decode_ppm).collect()}
+    assert rows == {1: (6, 2), 2: (3, 5)}
