@@ -81,11 +81,17 @@ def pair_update_rows(
         F.max(F.when(op.isin(OP_INSERT, OP_UPDATE_AFTER), img))
         .alias("after"),
         F.sort_array(F.collect_set(op)).alias("__ops"),
+        F.count(F.lit(1)).alias("__n"),
     )
-    ops = F.col("__ops")
-    legal_d = ops == F.array(F.lit(OP_DELETE))
-    legal_c = ops == F.array(F.lit(OP_INSERT))
-    legal_u = ops == F.array(F.lit(OP_UPDATE_BEFORE), F.lit(OP_UPDATE_AFTER))
+    ops, n = F.col("__ops"), F.col("__n")
+    # the row COUNT is part of legality: collect_set collapses
+    # duplicates, so {2,2} or {3,3,4} would otherwise pass as legal and
+    # max() would pick an arbitrary image from a corrupted table
+    legal_d = (ops == F.array(F.lit(OP_DELETE))) & (n == 1)
+    legal_c = (ops == F.array(F.lit(OP_INSERT))) & (n == 1)
+    legal_u = (
+        ops == F.array(F.lit(OP_UPDATE_BEFORE), F.lit(OP_UPDATE_AFTER))
+    ) & (n == 2)
     return paired.select(
         "start_lsn",
         "seqval",
@@ -147,27 +153,34 @@ def merge_sqlserver_buffer(
     deferred, corruption is not.
 
     Union of ``emitted`` across ANY batching equals the one-shot
-    pairing (hypothesis-tested). Scale: the incomplete-key set is
-    bounded by updates torn across one poll boundary — per-poll-churn
-    sized, broadcast for both the semi and anti join; the buffer never
-    exceeds those rows."""
+    pairing (hypothesis-tested). Scale: the completeness tag is a
+    window over the SAME (start_lsn, seqval) keys the pairing groups on
+    — one shuffle serves both (no joins); the buffer holds only rows of
+    updates torn across one poll boundary (per-poll churn, not stream
+    length).
+
+    CALLER CONTRACT: persist the returned ``new_buffer`` (write it out,
+    or at least localCheckpoint) before feeding it to the next poll —
+    the DataFrames returned here are lazy plans over ``buffer ∪ batch``,
+    so chaining them unpersisted accretes a lineage over every prior
+    poll (the streaming e2e test shows the stage-then-swap parquet
+    pattern)."""
     all_rows = (
         batch_ct if buffer is None else buffer.unionByName(batch_ct)
     )
+    from pyspark.sql.window import Window as W
+
     op = F.col(operation_col)
-    groups = all_rows.groupBy(start_lsn_col, seqval_col).agg(
-        F.sort_array(F.collect_set(op)).alias("__ops")
+    w = W.partitionBy(start_lsn_col, seqval_col)
+    tagged = all_rows.withColumn(
+        "__gops", F.sort_array(F.collect_set(op).over(w))
     )
-    lone_before = F.col("__ops") == F.array(F.lit(OP_UPDATE_BEFORE))
-    lone_after = F.col("__ops") == F.array(F.lit(OP_UPDATE_AFTER))
-    incomplete = F.broadcast(
-        groups.filter(lone_before | lone_after)
-        .select(start_lsn_col, seqval_col)
-    )
-    on = [start_lsn_col, seqval_col]
-    new_buffer = all_rows.join(incomplete, on, "left_semi")
+    lone_before = F.col("__gops") == F.array(F.lit(OP_UPDATE_BEFORE))
+    lone_after = F.col("__gops") == F.array(F.lit(OP_UPDATE_AFTER))
+    incomplete = lone_before | lone_after
+    new_buffer = tagged.filter(incomplete).drop("__gops")
     emitted = pair_update_rows(
-        all_rows.join(incomplete, on, "left_anti"),
+        tagged.filter(~incomplete).drop("__gops"),
         start_lsn_col, seqval_col, operation_col,
     )
     return new_buffer, emitted

@@ -166,9 +166,18 @@ def transform_chain(df: DataFrame, props: dict[str, str]) -> DataFrame:
 
     cfg = parse_config(props) if not isinstance(props, ConnectorConfig) else props
     for name, t in cfg.transforms:
-        # Connect SMT classes carry a $Value/$Key suffix — normalize so
-        # the dispatch below sees the bare class name
-        ttype = t.get("type", "").split("$")[0]
+        # Connect SMT classes carry a $Value/$Key suffix. This engine's
+        # records are value-shaped — a $Key transform targets the record
+        # key and silently applying it to value columns would transform
+        # the wrong part of the record, so it must stay a loud error.
+        raw_type = t.get("type", "")
+        if raw_type.endswith("$Key"):
+            raise ValueError(
+                f"transform '{name}': key transforms (…$Key) are not "
+                "supported — records here are value-shaped; use the "
+                "$Value form or rekey() explicitly"
+            )
+        ttype = raw_type.split("$")[0]
         if ttype.endswith("ExtractNewRecordState"):
             meta = [c for c in df.columns if c not in ("key", "value")]
             add = [p.strip() for p in t.get("add.fields", "").split(",")
@@ -230,9 +239,15 @@ def transform_chain(df: DataFrame, props: dict[str, str]) -> DataFrame:
         elif ttype.endswith("ReplaceField"):
             from .cdc.transforms import replace_field
 
+            bad = [p for p in _csv(t.get("renames", "")) if ":" not in p]
+            if bad:
+                raise ValueError(
+                    f"transform '{name}': malformed renames entries "
+                    f"{bad} (want old:new) — a silently skipped rename "
+                    "is how fields leak past a compliance config"
+                )
             renames = dict(
-                pair.split(":", 1)
-                for pair in _csv(t.get("renames", "")) if ":" in pair
+                pair.split(":", 1) for pair in _csv(t.get("renames", ""))
             )
             df = replace_field(
                 df,

@@ -28,12 +28,20 @@ from pyspark.sql import functions as F
 from ..catalog import table
 from ..registry import register
 
-#: query parameters that never change page identity
+#: query parameters that never change page identity. The t34 oracle
+#: spells these literally in SQL — extending this list means extending
+#: the oracle's LIKE chain too (the doc-fixture never exercises extras,
+#: so parity stays green either way, but keep them in step).
 TRACKING_PREFIXES = ("utm_", "ref=", "fbclid=", "gclid=")
 
 
 def canonicalize_url(url: Column | str) -> Column:
-    """Canonical URL as a single expression chain (see module doc)."""
+    """Canonical URL as a single expression chain (see module doc).
+
+    Scheme-less or otherwise unparseable strings fall back to the
+    ORIGINAL value as their own canonical form — without the guard,
+    every malformed URL would canonicalize to the same ``://`` string
+    and url_dedup would silently merge distinct documents."""
     u = F.col(url) if isinstance(url, str) else url
     scheme = F.lower(F.regexp_extract(u, r"^([^:]+)://", 1))
     host = F.lower(F.regexp_extract(u, r"^[^:]+://([^/?#]+)", 1))
@@ -45,19 +53,20 @@ def canonicalize_url(url: Column | str) -> Column:
         F.regexp_extract(u, r"^[^:]+://[^/?#]+([^?#]*)", 1), r"/+$", ""
     )
     query = F.regexp_extract(u, r"\?([^#]*)", 1)
-    kept = F.sort_array(F.filter(
-        F.split(query, "&"),
-        lambda p: (p != "")
-        & ~p.startswith("utm_")
-        & ~p.startswith("ref=")
-        & ~p.startswith("fbclid=")
-        & ~p.startswith("gclid="),
-    ))
+
+    def _keep(p: Column) -> Column:
+        cond = p != ""
+        for pref in TRACKING_PREFIXES:
+            cond = cond & ~p.startswith(pref)
+        return cond
+
+    kept = F.sort_array(F.filter(F.split(query, "&"), _keep))
     qs = F.array_join(kept, "&")
-    return F.concat(
+    built = F.concat(
         scheme, F.lit("://"), host, path,
         F.when(qs != "", F.concat(F.lit("?"), qs)).otherwise(F.lit("")),
     )
+    return F.when((scheme == "") | (host == ""), u).otherwise(built)
 
 
 def url_dedup(df: DataFrame, url_col: str, id_col: str) -> DataFrame:

@@ -904,3 +904,28 @@ def test_flatten_custom_delimiter_and_deep_nesting(spark):
     out = flatten_struct(df, delimiter="_")
     assert out.columns == ["o_i_n", "o_i_s"]
     assert out.first().o_i_n == 1
+
+
+def test_key_transforms_and_malformed_renames_refuse(spark):
+    """$Key transforms target the record key — silently applying them
+    to value columns is wrong-part transformation, so they raise; a
+    renames entry without ':' raises instead of silently skipping."""
+    import pytest as _pt
+
+    from debezium_incubator_spark.connector import transform_chain
+
+    df = spark.createDataFrame([(1, "x")], "id LONG, ssn STRING")
+    with _pt.raises(ValueError, match="Key"):
+        transform_chain(df, {
+            "transforms": "rf",
+            "transforms.rf.type":
+                "org.apache.kafka.connect.transforms.ReplaceField$Key",
+            "transforms.rf.exclude": "ssn",
+        })
+    with _pt.raises(ValueError, match="malformed renames"):
+        transform_chain(df, {
+            "transforms": "rf",
+            "transforms.rf.type":
+                "org.apache.kafka.connect.transforms.ReplaceField$Value",
+            "transforms.rf.renames": "ssn-masked",
+        })

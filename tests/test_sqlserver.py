@@ -49,6 +49,8 @@ def test_pairing_builds_single_envelopes(spark):
     [4],          # torn pair: after without before
     [1, 2],       # delete colliding with insert at one position
     [2, 3, 4],    # update pair colliding with an insert
+    [2, 2],       # duplicated insert — set-collapse must not hide it
+    [3, 3, 4],    # duplicated before-image inside a 'legal-looking' pair
 ])
 def test_torn_or_colliding_groups_raise(spark, ops):
     rows = [(1, float(i), _h(7), _h(0), op) for i, op in enumerate(ops)]

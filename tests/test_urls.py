@@ -54,3 +54,19 @@ def test_dedup_is_single_hash_aggregate(spark):
         .executedPlan().toString()
     assert "Join" not in plan
     assert plan.count("Exchange") == 1
+
+
+def test_malformed_urls_do_not_merge(spark):
+    """Scheme-less strings canonicalize to THEMSELVES — without the
+    guard every malformed URL became '://' and distinct documents
+    silently merged into one keeper."""
+    df = spark.createDataFrame([
+        (1, "example.com/a"),
+        (2, "other.org/b"),
+        (3, "https://s.com/x"),
+    ], "doc_id LONG, url STRING")
+    got = {r.canonical_url: r.n_dups
+           for r in url_dedup(df, "url", "doc_id").collect()}
+    assert got == {
+        "example.com/a": 1, "other.org/b": 1, "https://s.com/x": 1,
+    }
