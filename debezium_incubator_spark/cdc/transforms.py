@@ -608,3 +608,296 @@ def cdc_connect_smt_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
         "origin",
         "src_topic",
     ).orderBy("record_id")
+
+
+# ---------------------------------------------------------------------------
+# Connect core: Cast, TimestampConverter, ValueToKey, HoistField
+# (org.apache.kafka.connect.transforms.*; reconstructed per SURVEY.md §0
+# from the public Kafka Connect SMT documentation)
+# ---------------------------------------------------------------------------
+
+#: Connect Cast schema-type names → Spark SQL type names.
+CONNECT_CAST_TYPES = {
+    "int8": "tinyint",
+    "int16": "smallint",
+    "int32": "int",
+    "int64": "bigint",
+    "float32": "float",
+    "float64": "double",
+    "boolean": "boolean",
+    "string": "string",
+}
+
+
+def connect_cast(df: DataFrame, spec: str) -> DataFrame:
+    """Connect ``Cast`` SMT: ``spec`` is ``field:type,field:type`` with
+    the Connect schema-type vocabulary (int8..int64, float32/float64,
+    boolean, string). Unknown fields and unknown types raise — a typo'd
+    cast silently passing through would ship the wrong wire type to
+    every sink consumer. Connect's whole-value form (a bare type with
+    no field) is refused: records here are value-shaped structs, not
+    primitive values. Pure projection; zero cost at scale."""
+    out = df
+    for pair in (p.strip() for p in spec.split(",") if p.strip()):
+        if ":" not in pair:
+            raise ValueError(
+                f"Cast spec entry {pair!r}: whole-value casts are not "
+                "supported — records are value-shaped; use field:type"
+            )
+        field_name, ctype = pair.split(":", 1)
+        if ctype not in CONNECT_CAST_TYPES:
+            raise ValueError(
+                f"Cast spec entry {pair!r}: unknown Connect type "
+                f"{ctype!r} (have {sorted(CONNECT_CAST_TYPES)})"
+            )
+        if field_name not in out.columns:
+            raise ValueError(
+                f"Cast references unknown field {field_name!r} "
+                f"(have {out.columns})"
+            )
+        out = out.withColumn(
+            field_name, F.col(f"`{field_name}`").cast(CONNECT_CAST_TYPES[ctype])
+        )
+    return out
+
+
+def timestamp_converter(
+    df: DataFrame,
+    field: str,
+    target_type: str,
+    fmt: str | None = None,
+) -> DataFrame:
+    """Connect ``TimestampConverter`` SMT: convert one field between
+    the wire representations ``unix`` (epoch millis, int64), ``string``
+    (formatted, ``format`` required), ``Timestamp``, ``Date``, and
+    ``Time`` (millis since midnight, int32 — Connect's Time logical
+    type). The SOURCE representation is inferred from the column's
+    type, exactly like the SMT infers it from the record schema:
+    integer → epoch millis, string → parsed with ``format``,
+    date/timestamp → as-is. Expression-level; the engine's pinned UTC
+    session zone makes every conversion deterministic."""
+    if field not in df.columns:
+        raise ValueError(f"TimestampConverter: unknown field {field!r}")
+    dt = df.schema[field].dataType
+    col = F.col(f"`{field}`")
+    if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        ts = F.timestamp_millis(col.cast("bigint"))
+    elif isinstance(dt, T.StringType):
+        if not fmt:
+            raise ValueError(
+                "TimestampConverter: a string-typed source field "
+                "requires format"
+            )
+        ts = F.to_timestamp(col, fmt)
+    elif isinstance(dt, (T.TimestampType, T.TimestampNTZType, T.DateType)):
+        ts = col.cast("timestamp")
+    else:
+        raise ValueError(
+            f"TimestampConverter: unsupported source type "
+            f"{dt.simpleString()} for field {field!r}"
+        )
+    if target_type == "unix":
+        out = F.unix_millis(ts)
+    elif target_type == "string":
+        if not fmt:
+            raise ValueError(
+                "TimestampConverter: target.type=string requires format"
+            )
+        out = F.date_format(ts, fmt)
+    elif target_type == "Timestamp":
+        out = ts
+    elif target_type == "Date":
+        out = F.to_date(ts)
+    elif target_type == "Time":
+        out = (
+            F.unix_millis(ts) - F.unix_millis(F.date_trunc("DAY", ts))
+        ).cast("int")
+    else:
+        raise ValueError(
+            f"TimestampConverter: unknown target.type {target_type!r} "
+            "(want unix|string|Timestamp|Date|Time)"
+        )
+    return df.withColumn(field, out)
+
+
+def value_to_key(df: DataFrame, fields: list[str]) -> DataFrame:
+    """Connect ``ValueToKey`` SMT: replace the record key with a struct
+    of the named value fields — this engine's record-key convention is
+    the ``__key`` struct column (the same one ``message.key.columns``
+    builds), so downstream repartition/sink placement keys on it."""
+    missing = [c for c in fields if c not in df.columns]
+    if missing:
+        raise ValueError(
+            f"ValueToKey references unknown fields {missing} "
+            f"(have {df.columns})"
+        )
+    if not fields:
+        raise ValueError("ValueToKey: fields must be non-empty")
+    return df.withColumn(
+        "__key", F.struct(*[F.col(f"`{c}`") for c in fields])
+    )
+
+
+def hoist_field(
+    df: DataFrame,
+    field: str,
+    meta: tuple[str, ...] = ("topic", "headers", "key"),
+) -> DataFrame:
+    """Connect ``HoistField$Value``: wrap the record's value into a
+    single-field struct named ``field``. Engine records are value
+    columns plus routing metadata — the metadata (``topic``/``headers``/
+    ``key`` and every ``__``-prefixed engine column) stays top-level;
+    everything else nests, mirroring the SMT wrapping only the value
+    side of the record."""
+    value_cols = [
+        c for c in df.columns if c not in meta and not c.startswith("__")
+    ]
+    if not value_cols:
+        raise ValueError("HoistField: record has no value columns to wrap")
+    if field in set(df.columns) - set(value_cols):
+        raise ValueError(
+            f"HoistField target {field!r} collides with a metadata column"
+        )
+    kept = [c for c in df.columns if c not in value_cols]
+    return df.select(
+        *[F.col(f"`{c}`") for c in kept],
+        F.struct(*[F.col(f"`{c}`") for c in value_cols]).alias(field),
+    )
+
+
+@register(
+    "cdc_connect_predicates",
+    oracle="""
+SELECT event_id,
+       CASE WHEN event_type IN ('click', 'view')
+            THEN 'web.' || event_type
+            ELSE 'app.' || event_type END AS topic,
+       user_id AS uid,
+       CASE WHEN event_id % 2 = 0 THEN 'traced' END AS channel,
+       CASE WHEN event_id % 2 <> 0 THEN 'y' END AS bulk
+FROM events
+WHERE event_id % 7 <> 0
+ORDER BY event_id
+""",
+)
+def cdc_connect_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connect predicate-gated SMT chain, driven from worker-config
+    properties: RecordIsTombstone gates a Connect-core Filter (the
+    canonical drop-tombstones idiom — Filter has no condition, it
+    exists to pair with a predicate), TopicNameMatches gates a
+    RegexRouter (only click/view topics are renamed; the pattern is a
+    Java full match), and HasHeaderKey gates InsertField twice — once
+    plain, once with ``negate=true`` — so every record lands in exactly
+    one of the two inserted fields. The oracle recomputes all four
+    gates from the source columns; equality proves the gate split, the
+    by-name union, and the negation each did precisely what Connect's
+    per-record contract says."""
+    from ..connector import transform_chain
+
+    ev = table(spark, sf_dir, "events").select(
+        "event_id",
+        F.concat(F.lit("app."), F.col("event_type")).alias("topic"),
+        F.when(
+            F.col("event_id") % 2 == 0,
+            F.create_map(F.lit("trace"), F.col("event_id").cast("string")),
+        )
+        .otherwise(F.create_map(F.lit("src"), F.col("event_type")))
+        .alias("headers"),
+        F.when(
+            F.col("event_id") % 7 != 0,
+            F.struct(F.col("user_id").alias("uid")),
+        ).alias("value"),
+    )
+    out = transform_chain(ev, {
+        "predicates": "IsTomb,IsWeb,HasTrace",
+        "predicates.IsTomb.type":
+            "org.apache.kafka.connect.transforms.predicates.RecordIsTombstone",
+        "predicates.IsWeb.type":
+            "org.apache.kafka.connect.transforms.predicates.TopicNameMatches",
+        "predicates.IsWeb.pattern": r"app\.(click|view)",
+        "predicates.HasTrace.type":
+            "org.apache.kafka.connect.transforms.predicates.HasHeaderKey",
+        "predicates.HasTrace.name": "trace",
+        "transforms": "drop,route,tag,mark",
+        "transforms.drop.type":
+            "org.apache.kafka.connect.transforms.Filter$Value",
+        "transforms.drop.predicate": "IsTomb",
+        "transforms.route.type":
+            "org.apache.kafka.connect.transforms.RegexRouter",
+        "transforms.route.regex": r"app\.(.*)",
+        "transforms.route.replacement": "web.$1",
+        "transforms.route.predicate": "IsWeb",
+        "transforms.tag.type":
+            "org.apache.kafka.connect.transforms.InsertField$Value",
+        "transforms.tag.static.field": "channel",
+        "transforms.tag.static.value": "traced",
+        "transforms.tag.predicate": "HasTrace",
+        "transforms.mark.type":
+            "org.apache.kafka.connect.transforms.InsertField$Value",
+        "transforms.mark.static.field": "bulk",
+        "transforms.mark.static.value": "y",
+        "transforms.mark.predicate": "HasTrace",
+        "transforms.mark.negate": "true",
+    })
+    return out.select(
+        "event_id",
+        "topic",
+        F.col("value.uid").alias("uid"),
+        "channel",
+        "bulk",
+    ).orderBy("event_id")
+
+
+@register(
+    "cdc_connect_cast_ts",
+    oracle="""
+SELECT CAST(event_id AS INTEGER) AS event_id,
+       CAST(user_id AS VARCHAR) AS uid_s,
+       CAST(CAST(value AS FLOAT) AS DOUBLE) AS val_f32,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str,
+       epoch_ms(epoch_ms(ts)) AS ts_ms_rt
+FROM events
+ORDER BY event_id
+""",
+)
+def cdc_connect_cast_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connect ``Cast`` + ``TimestampConverter`` from properties:
+    timestamp→formatted-string, epoch-millis→Timestamp (the int64
+    source inference), and a three-field Cast (int64→int32,
+    int64→string, float64→float32). The float32 narrowing is re-widened
+    to double on BOTH sides so the comparison pins the precision LOSS
+    itself (IEEE round-to-nearest is engine-invariant), per the
+    registry's no-bare-float32 parity policy; the millis round-trip
+    pins timestamp_millis/unix_millis against DuckDB's epoch_ms pair
+    under the pinned UTC session zone."""
+    from ..connector import transform_chain
+
+    ev = table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "value",
+        "ts",
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("epoch_ms"),
+    )
+    out = transform_chain(ev, {
+        "transforms": "tstr,tts,c",
+        "transforms.tstr.type":
+            "org.apache.kafka.connect.transforms.TimestampConverter$Value",
+        "transforms.tstr.field": "ts",
+        "transforms.tstr.target.type": "string",
+        "transforms.tstr.format": "yyyy-MM-dd HH:mm:ss",
+        "transforms.tts.type":
+            "org.apache.kafka.connect.transforms.TimestampConverter$Value",
+        "transforms.tts.field": "epoch_ms",
+        "transforms.tts.target.type": "Timestamp",
+        "transforms.c.type":
+            "org.apache.kafka.connect.transforms.Cast$Value",
+        "transforms.c.spec": "event_id:int32,user_id:string,value:float32",
+    })
+    return out.select(
+        "event_id",
+        F.col("user_id").alias("uid_s"),
+        F.col("value").cast("double").alias("val_f32"),
+        F.col("ts").alias("ts_str"),
+        F.col("epoch_ms").alias("ts_ms_rt"),
+    ).orderBy("event_id")

@@ -21,7 +21,13 @@ archived checkout contains no code — SURVEY.md §0):
   (B9 re-key; also the repartition key for co-located downstream joins).
 - ``transforms`` + ``transforms.<name>.type``/``.<prop>`` — SMT chain:
   ExtractNewRecordState (unwrap), Filter (condition), RegexRouter
-  (topic rewrite), applied in declared order.
+  (topic rewrite), Cast, TimestampConverter, ValueToKey, HoistField,
+  ... — applied in declared order.
+- ``predicates`` + ``predicates.<name>.type``/``.<prop>`` — Connect
+  predicate declarations (TopicNameMatches / HasHeaderKey /
+  RecordIsTombstone), attached to a transform via
+  ``transforms.<t>.predicate`` (+ optional ``.negate``) so the SMT
+  applies only to the records the predicate selects.
 
 Scale: everything here compiles to stateless projections/filters that
 Catalyst pushes into the scan — config parsing adds zero runtime cost
@@ -33,7 +39,7 @@ from __future__ import annotations
 import re
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .catalog import TABLES, table
@@ -54,6 +60,7 @@ class ConnectorConfig:
     snapshot_overrides: dict[str, str] = field(default_factory=dict)
     message_key_columns: dict[str, list[str]] = field(default_factory=dict)
     transforms: list[tuple[str, dict[str, str]]] = field(default_factory=list)
+    predicates: dict[str, dict[str, str]] = field(default_factory=dict)
 
 
 _MASK = re.compile(r"^column\.mask\.with\.(\d+)\.chars$")
@@ -91,6 +98,11 @@ def parse_config(props: dict[str, str]) -> ConnectorConfig:
             k[len(prefix):]: v for k, v in props.items() if k.startswith(prefix)
         }
         cfg.transforms.append((name, t_props))
+    for name in _csv(props.get("predicates", "")):
+        prefix = f"predicates.{name}."
+        cfg.predicates[name] = {
+            k[len(prefix):]: v for k, v in props.items() if k.startswith(prefix)
+        }
     return cfg
 
 
@@ -159,118 +171,204 @@ def snapshot(spark: SparkSession, sf_dir: str,
     return out
 
 
+def predicate_column(df: DataFrame, spec: dict[str, str]) -> Column:
+    """Compile a Kafka Connect predicate declaration (the
+    ``predicates.<name>.*`` keys) into a boolean Column over this
+    engine's record frame. The three Connect-core predicate types:
+
+    - ``TopicNameMatches`` (``pattern``): Java ``matches()`` is a FULL
+      match, so the regex is anchored here — an unanchored ``rlike``
+      would silently widen the gate to substring matches.
+    - ``HasHeaderKey`` (``name``): key present in the ``headers`` map
+      (present-with-null-value still counts, exactly like Connect).
+    - ``RecordIsTombstone``: the record value is NULL.
+
+    NULL inputs (no topic / no headers map) gate to false, never NULL —
+    a three-valued gate would make ``negate`` and the complement filter
+    disagree about the same row."""
+    ptype = spec.get("type", "").split("$")[0]
+    if ptype.endswith("TopicNameMatches"):
+        gate = F.col("topic").rlike(f"^(?:{spec['pattern']})$")
+    elif ptype.endswith("HasHeaderKey"):
+        gate = F.map_contains_key(F.col("headers"), spec["name"])
+    elif ptype.endswith("RecordIsTombstone"):
+        gate = F.col("value").isNull()
+    else:
+        raise ValueError(f"unsupported predicate type: {ptype!r}")
+    return F.coalesce(gate, F.lit(False))
+
+
 def transform_chain(df: DataFrame, props: dict[str, str]) -> DataFrame:
     """B2/B3/B5 SMT chain over an envelope/event DataFrame, applied in
-    the order declared by ``transforms``."""
-    from .cdc.envelope import unwrap
-
+    the order declared by ``transforms``. Each transform may carry the
+    Connect worker's ``predicate`` (+ ``negate``) keys, referencing a
+    ``predicates.<name>.*`` declaration: the SMT then applies ONLY to
+    records the predicate selects, and the rest pass through unchanged —
+    rendered relationally as a split on the gate, the transform over the
+    matching branch, and a by-name union (records the SMT never saw
+    simply lack any field it would have added, exactly Connect's
+    per-record outcome). Both branches are filters over the same
+    upstream plan — stateless, pushdown-eligible, no shuffle."""
     cfg = parse_config(props) if not isinstance(props, ConnectorConfig) else props
     for name, t in cfg.transforms:
-        # Connect SMT classes carry a $Value/$Key suffix. This engine's
-        # records are value-shaped — a $Key transform targets the record
-        # key and silently applying it to value columns would transform
-        # the wrong part of the record, so it must stay a loud error.
-        raw_type = t.get("type", "")
-        if raw_type.endswith("$Key"):
-            raise ValueError(
-                f"transform '{name}': key transforms (…$Key) are not "
-                "supported — records here are value-shaped; use the "
-                "$Value form or rekey() explicitly"
-            )
-        ttype = raw_type.split("$")[0]
-        if ttype.endswith("ExtractNewRecordState"):
-            meta = [c for c in df.columns if c not in ("key", "value")]
-            add = [p.strip() for p in t.get("add.fields", "").split(",")
-                   if p.strip()]
-            df = unwrap(
-                df,
-                drop_deletes=t.get("delete.handling.mode", "drop") == "drop"
-                and t.get("drop.tombstones", "true") == "true",
-                passthrough=meta,
-                add_fields=add or None,
-            )
-        elif ttype.endswith("ExtractChangedRecordState"):
-            from .cdc.envelope import changed_record_state
-
-            # row schema introspected from the envelope's after image
-            after = df.schema["value"].dataType["after"].dataType
-            df = changed_record_state(df, after)
-        elif ttype.endswith("Filter"):
-            df = df.filter(F.expr(t["condition"]))
-        elif ttype.endswith("RegexRouter"):
-            df = df.withColumn(
-                "topic",
-                F.regexp_replace(
-                    F.col("topic"), t["regex"], t["replacement"]
-                ),
-            )
-        elif ttype.endswith("PartitionRouting"):
-            from .cdc.transforms import partition_routing
-
-            fields = [p.strip()
-                      for p in t["partition.payload.fields"].split(",")
-                      if p.strip()]
-            df = partition_routing(
-                df, fields, int(t["partition.topic.num"]),
-                hash=t.get("partition.hash.function", "xxhash64"),
-            )
-        elif ttype.endswith("HeaderToValue"):
-            from .cdc.transforms import header_to_value
-
-            headers = [p.strip() for p in t["headers"].split(",")
-                       if p.strip()]
-            fields = [p.strip() for p in t.get("fields", "").split(",")
-                      if p.strip()]
-            df = header_to_value(
-                df, headers, fields=fields or None,
-                operation=t.get("operation", "move"),
-            )
-        elif ttype.endswith("TimezoneConverter"):
-            from .cdc.transforms import timezone_converter
-
-            inc = [p.strip() for p in t.get("include.list", "").split(",")
-                   if p.strip()]
-            exc = [p.strip() for p in t.get("exclude.list", "").split(",")
-                   if p.strip()]
-            df = timezone_converter(
-                df, t["converted.timezone"],
-                include=inc or None, exclude=exc or None,
-            )
-        elif ttype.endswith("ReplaceField"):
-            from .cdc.transforms import replace_field
-
-            bad = [p for p in _csv(t.get("renames", "")) if ":" not in p]
-            if bad:
+        t = dict(t)
+        pred_name = t.pop("predicate", None)
+        negate = t.pop("negate", "false").strip().lower() == "true"
+        if pred_name is None:
+            if negate:
                 raise ValueError(
-                    f"transform '{name}': malformed renames entries "
-                    f"{bad} (want old:new) — a silently skipped rename "
-                    "is how fields leak past a compliance config"
+                    f"transform '{name}': negate without predicate"
                 )
-            renames = dict(
-                pair.split(":", 1) for pair in _csv(t.get("renames", ""))
+            df = _apply_transform(df, name, t)
+            continue
+        if pred_name not in cfg.predicates:
+            raise ValueError(
+                f"transform '{name}': predicate '{pred_name}' is not "
+                f"declared (have {sorted(cfg.predicates)})"
             )
-            df = replace_field(
-                df,
-                renames=renames or None,
-                include=_csv(t.get("include", "")) or None,
-                exclude=_csv(t.get("exclude", "")) or None,
-            )
-        elif ttype.endswith("InsertField"):
-            from .cdc.transforms import insert_field
+        gate = predicate_column(df, cfg.predicates[pred_name])
+        if negate:
+            gate = ~gate
+        df = _apply_transform(df.filter(gate), name, t).unionByName(
+            df.filter(~gate), allowMissingColumns=True
+        )
+    return df
 
-            df = insert_field(
-                df,
-                static_field=t.get("static.field"),
-                static_value=t.get("static.value"),
-                timestamp_field=t.get("timestamp.field"),
-                topic_field=t.get("topic.field"),
-            )
-        elif ttype.endswith("Flatten"):
-            from .cdc.transforms import flatten_struct
 
-            df = flatten_struct(df, delimiter=t.get("delimiter", "."))
-        else:
-            raise ValueError(f"unsupported transform type for '{name}': {ttype}")
+def _apply_transform(df: DataFrame, name: str,
+                     t: dict[str, str]) -> DataFrame:
+    """Apply ONE SMT declaration to a record frame (the transform_chain
+    loop body; split out so predicate gating can route a sub-frame
+    through the same dispatch)."""
+    from .cdc.envelope import unwrap
+
+    # Connect SMT classes carry a $Value/$Key suffix. This engine's
+    # records are value-shaped — a $Key transform targets the record
+    # key and silently applying it to value columns would transform
+    # the wrong part of the record, so it must stay a loud error.
+    raw_type = t.get("type", "")
+    if raw_type.endswith("$Key"):
+        raise ValueError(
+            f"transform '{name}': key transforms (…$Key) are not "
+            "supported — records here are value-shaped; use the "
+            "$Value form or rekey() explicitly"
+        )
+    ttype = raw_type.split("$")[0]
+    if ttype.endswith("ExtractNewRecordState"):
+        meta = [c for c in df.columns if c not in ("key", "value")]
+        add = [p.strip() for p in t.get("add.fields", "").split(",")
+               if p.strip()]
+        df = unwrap(
+            df,
+            drop_deletes=t.get("delete.handling.mode", "drop") == "drop"
+            and t.get("drop.tombstones", "true") == "true",
+            passthrough=meta,
+            add_fields=add or None,
+        )
+    elif ttype.endswith("ExtractChangedRecordState"):
+        from .cdc.envelope import changed_record_state
+
+        # row schema introspected from the envelope's after image
+        after = df.schema["value"].dataType["after"].dataType
+        df = changed_record_state(df, after)
+    elif ttype.endswith("Filter"):
+        # Debezium's Filter keeps records matching `condition`; the
+        # Connect-core Filter has NO condition — it drops every record
+        # it applies to, existing purely to pair with a predicate.
+        cond = t.get("condition")
+        df = df.filter(F.expr(cond) if cond is not None else F.lit(False))
+    elif ttype.endswith("RegexRouter"):
+        df = df.withColumn(
+            "topic",
+            F.regexp_replace(
+                F.col("topic"), t["regex"], t["replacement"]
+            ),
+        )
+    elif ttype.endswith("PartitionRouting"):
+        from .cdc.transforms import partition_routing
+
+        fields = [p.strip()
+                  for p in t["partition.payload.fields"].split(",")
+                  if p.strip()]
+        df = partition_routing(
+            df, fields, int(t["partition.topic.num"]),
+            hash=t.get("partition.hash.function", "xxhash64"),
+        )
+    elif ttype.endswith("HeaderToValue"):
+        from .cdc.transforms import header_to_value
+
+        headers = [p.strip() for p in t["headers"].split(",")
+                   if p.strip()]
+        fields = [p.strip() for p in t.get("fields", "").split(",")
+                  if p.strip()]
+        df = header_to_value(
+            df, headers, fields=fields or None,
+            operation=t.get("operation", "move"),
+        )
+    elif ttype.endswith("TimezoneConverter"):
+        from .cdc.transforms import timezone_converter
+
+        inc = [p.strip() for p in t.get("include.list", "").split(",")
+               if p.strip()]
+        exc = [p.strip() for p in t.get("exclude.list", "").split(",")
+               if p.strip()]
+        df = timezone_converter(
+            df, t["converted.timezone"],
+            include=inc or None, exclude=exc or None,
+        )
+    elif ttype.endswith("ReplaceField"):
+        from .cdc.transforms import replace_field
+
+        bad = [p for p in _csv(t.get("renames", "")) if ":" not in p]
+        if bad:
+            raise ValueError(
+                f"transform '{name}': malformed renames entries "
+                f"{bad} (want old:new) — a silently skipped rename "
+                "is how fields leak past a compliance config"
+            )
+        renames = dict(
+            pair.split(":", 1) for pair in _csv(t.get("renames", ""))
+        )
+        df = replace_field(
+            df,
+            renames=renames or None,
+            include=_csv(t.get("include", "")) or None,
+            exclude=_csv(t.get("exclude", "")) or None,
+        )
+    elif ttype.endswith("InsertField"):
+        from .cdc.transforms import insert_field
+
+        df = insert_field(
+            df,
+            static_field=t.get("static.field"),
+            static_value=t.get("static.value"),
+            timestamp_field=t.get("timestamp.field"),
+            topic_field=t.get("topic.field"),
+        )
+    elif ttype.endswith("Flatten"):
+        from .cdc.transforms import flatten_struct
+
+        df = flatten_struct(df, delimiter=t.get("delimiter", "."))
+    elif ttype.endswith("TimestampConverter"):
+        from .cdc.transforms import timestamp_converter
+
+        df = timestamp_converter(
+            df, t["field"], t["target.type"], fmt=t.get("format")
+        )
+    elif ttype.endswith("Cast"):
+        from .cdc.transforms import connect_cast
+
+        df = connect_cast(df, t["spec"])
+    elif ttype.endswith("ValueToKey"):
+        from .cdc.transforms import value_to_key
+
+        df = value_to_key(df, _csv(t["fields"]))
+    elif ttype.endswith("HoistField"):
+        from .cdc.transforms import hoist_field
+
+        df = hoist_field(df, t["field"])
+    else:
+        raise ValueError(f"unsupported transform type for '{name}': {ttype}")
     return df
 
 

@@ -929,3 +929,210 @@ def test_key_transforms_and_malformed_renames_refuse(spark):
                 "org.apache.kafka.connect.transforms.ReplaceField$Value",
             "transforms.rf.renames": "ssn-masked",
         })
+
+
+# --- Connect predicates + Cast/TimestampConverter/ValueToKey/HoistField ---
+
+
+def _pred_frame(spark):
+    from pyspark.sql import Row
+
+    return spark.createDataFrame(
+        [
+            Row(id=1, topic="app.click", headers={"trace": "t1"},
+                value=Row(v=10)),
+            Row(id=2, topic="app.error", headers={"src": "x"},
+                value=Row(v=20)),
+            Row(id=3, topic="app.click", headers=None, value=None),
+        ],
+        "id bigint, topic string, headers map<string,string>, "
+        "value struct<v:int>",
+    )
+
+
+def test_predicate_gating_negate_and_null_inputs(spark):
+    """NULL headers / NULL value rows must gate FALSE (never NULL):
+    the negated branch then sees them, and matched+unmatched is a
+    partition of the input."""
+    from debezium_incubator_spark.connector import transform_chain
+
+    out = transform_chain(_pred_frame(spark), {
+        "predicates": "HasTrace",
+        "predicates.HasTrace.type":
+            "org.apache.kafka.connect.transforms.predicates.HasHeaderKey",
+        "predicates.HasTrace.name": "trace",
+        "transforms": "tag,mark",
+        "transforms.tag.type":
+            "org.apache.kafka.connect.transforms.InsertField$Value",
+        "transforms.tag.static.field": "ch",
+        "transforms.tag.static.value": "traced",
+        "transforms.tag.predicate": "HasTrace",
+        "transforms.mark.type":
+            "org.apache.kafka.connect.transforms.InsertField$Value",
+        "transforms.mark.static.field": "bulk",
+        "transforms.mark.static.value": "y",
+        "transforms.mark.predicate": "HasTrace",
+        "transforms.mark.negate": "true",
+    }).orderBy("id").collect()
+    assert [r["ch"] for r in out] == ["traced", None, None]
+    assert [r["bulk"] for r in out] == [None, "y", "y"]
+
+
+def test_predicate_tombstone_filter_and_topic_fullmatch(spark):
+    """Connect-core Filter (no condition) + RecordIsTombstone drops
+    exactly the NULL-value rows; TopicNameMatches is a FULL match —
+    a pattern matching a topic substring must not gate."""
+    from debezium_incubator_spark.connector import transform_chain
+
+    out = transform_chain(_pred_frame(spark), {
+        "predicates": "IsTomb,Sub",
+        "predicates.IsTomb.type":
+            "org.apache.kafka.connect.transforms.predicates.RecordIsTombstone",
+        "predicates.Sub.type":
+            "org.apache.kafka.connect.transforms.predicates.TopicNameMatches",
+        "predicates.Sub.pattern": "app",  # substring of every topic
+        "transforms": "drop,ren",
+        "transforms.drop.type":
+            "org.apache.kafka.connect.transforms.Filter$Value",
+        "transforms.drop.predicate": "IsTomb",
+        "transforms.ren.type":
+            "org.apache.kafka.connect.transforms.RegexRouter",
+        "transforms.ren.regex": ".*",
+        "transforms.ren.replacement": "matched",
+        "transforms.ren.predicate": "Sub",
+    }).orderBy("id").collect()
+    assert [r["id"] for r in out] == [1, 2]          # tombstone dropped
+    assert [r["topic"] for r in out] == ["app.click", "app.error"]  # no gate
+
+
+def test_predicate_config_errors(spark):
+    from debezium_incubator_spark.connector import transform_chain
+
+    df = _pred_frame(spark)
+    with pytest.raises(ValueError, match="negate without predicate"):
+        transform_chain(df, {
+            "transforms": "t",
+            "transforms.t.type":
+                "org.apache.kafka.connect.transforms.Filter$Value",
+            "transforms.t.condition": "true",
+            "transforms.t.negate": "true",
+        })
+    with pytest.raises(ValueError, match="not declared"):
+        transform_chain(df, {
+            "transforms": "t",
+            "transforms.t.type":
+                "org.apache.kafka.connect.transforms.Filter$Value",
+            "transforms.t.predicate": "NoSuch",
+        })
+    with pytest.raises(ValueError, match="unsupported predicate type"):
+        transform_chain(df, {
+            "predicates": "P",
+            "predicates.P.type": "com.example.Bogus",
+            "transforms": "t",
+            "transforms.t.type":
+                "org.apache.kafka.connect.transforms.Filter$Value",
+            "transforms.t.predicate": "P",
+        })
+
+
+def test_connect_cast_semantics_and_errors(spark):
+    from debezium_incubator_spark.cdc.transforms import connect_cast
+
+    df = spark.createDataFrame(
+        [(1000000, "7", 2.5)], "a bigint, b string, c double"
+    )
+    out = connect_cast(df, "a:int32, b:int64, c:float32")
+    assert dict(out.dtypes) == {"a": "int", "b": "bigint", "c": "float"}
+    row = out.collect()[0]
+    assert (row["a"], row["b"], row["c"]) == (1000000, 7, 2.5)
+    with pytest.raises(ValueError, match="whole-value"):
+        connect_cast(df, "int64")
+    with pytest.raises(ValueError, match="unknown Connect type"):
+        connect_cast(df, "a:decimal")
+    with pytest.raises(ValueError, match="unknown field"):
+        connect_cast(df, "zz:int32")
+
+
+def test_timestamp_converter_targets_and_sources(spark):
+    import datetime
+
+    from debezium_incubator_spark.cdc.transforms import timestamp_converter
+
+    df = spark.createDataFrame(
+        [("2024-03-10 12:34:56", 1710074096000)], "s string, ms bigint"
+    )
+    # string source (format-parsed) -> unix millis
+    out = timestamp_converter(df, "s", "unix", fmt="yyyy-MM-dd HH:mm:ss")
+    assert out.collect()[0]["s"] == 1710074096000
+    # int source -> Date / Time (millis since midnight, int32)
+    out = timestamp_converter(df, "ms", "Date")
+    assert out.collect()[0]["ms"] == datetime.date(2024, 3, 10)
+    out = timestamp_converter(df, "ms", "Time")
+    t = out.collect()[0]["ms"]
+    assert t == ((12 * 60 + 34) * 60 + 56) * 1000
+    assert dict(out.dtypes)["ms"] == "int"
+    with pytest.raises(ValueError, match="requires format"):
+        timestamp_converter(df, "s", "Timestamp")
+    with pytest.raises(ValueError, match="unknown target"):
+        timestamp_converter(df, "ms", "epoch")
+    with pytest.raises(ValueError, match="unknown field"):
+        timestamp_converter(df, "zz", "unix")
+
+
+def test_value_to_key_and_hoist_field(spark):
+    from debezium_incubator_spark.cdc.transforms import (
+        hoist_field,
+        value_to_key,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a", "t0", {"h": "1"})],
+        "id bigint, name string, topic string, headers map<string,string>",
+    )
+    keyed = value_to_key(df, ["id", "name"])
+    k = keyed.collect()[0]["__key"]
+    assert (k["id"], k["name"]) == (1, "a")
+    with pytest.raises(ValueError, match="unknown fields"):
+        value_to_key(df, ["id", "zz"])
+
+    hoisted = hoist_field(keyed, "payload")
+    assert set(hoisted.columns) == {"topic", "headers", "__key", "payload"}
+    p = hoisted.collect()[0]["payload"]
+    assert (p["id"], p["name"]) == (1, "a")
+    with pytest.raises(ValueError, match="collides"):
+        hoist_field(keyed, "topic")
+    only_meta = hoisted.select("topic", "headers", "__key")
+    with pytest.raises(ValueError, match="no value columns"):
+        hoist_field(only_meta, "payload")
+
+
+def test_cast_ts_key_hoist_via_transform_chain(spark):
+    """The four new SMTs dispatch from worker-config properties and
+    compose in declared order (cast BEFORE hoist changes the nested
+    field's type)."""
+    from debezium_incubator_spark.connector import transform_chain
+
+    df = spark.createDataFrame(
+        [(5, 1710074096000, "t0")], "id bigint, ms bigint, topic string"
+    )
+    out = transform_chain(df, {
+        "transforms": "c,tc,k,h",
+        "transforms.c.type":
+            "org.apache.kafka.connect.transforms.Cast$Value",
+        "transforms.c.spec": "id:string",
+        "transforms.tc.type":
+            "org.apache.kafka.connect.transforms.TimestampConverter$Value",
+        "transforms.tc.field": "ms",
+        "transforms.tc.target.type": "string",
+        "transforms.tc.format": "yyyy-MM-dd",
+        "transforms.k.type":
+            "org.apache.kafka.connect.transforms.ValueToKey",
+        "transforms.k.fields": "id",
+        "transforms.h.type":
+            "org.apache.kafka.connect.transforms.HoistField$Value",
+        "transforms.h.field": "after",
+    })
+    r = out.collect()[0]
+    assert set(out.columns) == {"topic", "__key", "after"}
+    assert r["__key"]["id"] == "5"
+    assert r["after"]["id"] == "5" and r["after"]["ms"] == "2024-03-10"
