@@ -1323,3 +1323,135 @@ def sim_truncated_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(10)
         .select("vec_id", F.round("cos_raw", 6).alias("cos_sim"))
     )
+
+
+# --- J9c scale path: binary (1-bit) quantization + Hamming prefilter ------
+
+#: Hamming-prefilter candidate pool (rerank reads raw vectors for these).
+BINARY_CANDIDATES = 50
+
+
+def binarize_embedding(v) -> Column:
+    """1-bit sign quantization: bit i set iff ``v[i] > 0``, packed into
+    TWO bigints of 32 bits each (lo = dims 1-32, hi = dims 33-64).
+    The 32-bit halves keep every partial sum strictly below 2^32, so
+    plain integer addition of distinct powers is exact and overflow-free
+    in BOTH engines under ANSI semantics — packing the full 64 dims into
+    one bigint would put dim 64 on the sign bit, where engines disagree
+    about shift overflow. Returns struct{lo, hi}.
+
+    At 100 TB this is the cheapest ANN prefilter there is: 16 bytes per
+    vector vs 256-512 for the floats (16-32× less scan I/O), and the
+    distance is two XORs + two popcounts — whole-stage-codegen integer
+    ops, no floating point at all."""
+    def _half(start: int) -> Column:
+        # 2^i via pow: exact in IEEE doubles for i <= 31 (shiftleft's
+        # numBits arg must be a Python int, so it can't take the
+        # transform index), and the bigint cast of an exact power is
+        # exact in both engines.
+        return F.aggregate(
+            F.transform(
+                F.slice(v, start, 32),
+                lambda x, i: F.when(
+                    x > 0, F.pow(F.lit(2.0), i).cast("bigint")
+                ).otherwise(F.lit(0).cast("bigint")),
+            ),
+            F.lit(0).cast("bigint"),
+            lambda s, x: s + x,
+        )
+
+    return F.struct(_half(1).alias("lo"), _half(33).alias("hi"))
+
+
+def hamming_distance(a, b) -> Column:
+    """Popcount Hamming distance between two packed signatures
+    (struct{lo, hi})."""
+    return (
+        F.bit_count(a["lo"].bitwiseXOR(b["lo"]))
+        + F.bit_count(a["hi"].bitwiseXOR(b["hi"]))
+    )
+
+
+_BINARY_ORACLE = """
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), sig AS (
+  SELECT vec_id, v,
+         list_reduce(list_prepend(CAST(0 AS BIGINT),
+             list_transform(range(1, 33), i ->
+                 CASE WHEN v[i] > 0 THEN (CAST(1 AS BIGINT) << (i - 1))
+                      ELSE CAST(0 AS BIGINT) END)),
+             (s, x) -> s + x) AS lo,
+         list_reduce(list_prepend(CAST(0 AS BIGINT),
+             list_transform(range(33, 65), i ->
+                 CASE WHEN v[i] > 0 THEN (CAST(1 AS BIGINT) << (i - 33))
+                      ELSE CAST(0 AS BIGINT) END)),
+             (s, x) -> s + x) AS hi
+  FROM e
+), q AS (
+  SELECT v AS qv, lo AS qlo, hi AS qhi FROM sig WHERE vec_id = 0
+), ham AS (
+  SELECT sig.vec_id, sig.v,
+         bit_count(xor(sig.lo, q.qlo)) + bit_count(xor(sig.hi, q.qhi))
+           AS hamming,
+         q.qv
+  FROM sig, q WHERE sig.vec_id <> 0
+), cand AS (
+  SELECT * FROM ham ORDER BY hamming, vec_id LIMIT 50
+), rer AS (
+  SELECT vec_id, hamming,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             list_transform(range(1, len(v) + 1), i -> v[i] * qv[i])),
+             (s, x) -> s + x)
+           / (sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                  list_transform(v, x -> x * x)), (s, x) -> s + x))
+              * sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                  list_transform(qv, x -> x * x)), (s, x) -> s + x)))
+           AS cos_raw
+  FROM cand
+)
+SELECT vec_id, hamming, ROUND(cos_raw, 6) AS cos_sim
+FROM rer ORDER BY cos_raw DESC, vec_id LIMIT 10
+"""
+
+
+@register("sim_binary_hamming", oracle=_BINARY_ORACLE)
+def sim_binary_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KNN of vec_id=0 through the binary-quantization funnel: pack
+    sign bits (16 B/vector), Hamming-prefilter to a 50-candidate pool
+    (TakeOrderedAndProject — integer XOR/popcount over the packed
+    signatures, the only full-corpus pass), exact cosine rerank on the
+    candidates' raw vectors.
+
+    Fully differentially checked: the packing is deterministic integer
+    arithmetic (distinct powers of two summed within 32-bit halves) and
+    the oracle re-derives signatures, Hamming distances, the candidate
+    cut AND the rerank from the raw embeddings in SQL — hash equality
+    pins the entire funnel, not just the final ranking. The candidate
+    ORDER BY carries vec_id so the pool is deterministic under Hamming
+    ties (sign patterns collide often at 64 bits)."""
+    e = _vectors(spark, sf_dir).withColumn(
+        "sig", binarize_embedding(F.col("v"))
+    ).withColumn("nsq", norm_sq("v"))
+    q = e.filter(F.col("vec_id") == 0).select(
+        F.col("sig").alias("qsig"),
+        F.col("v").alias("qv"),
+        F.col("nsq").alias("qn"),
+    )
+    cand = (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .withColumn("hamming", hamming_distance(F.col("sig"), F.col("qsig")))
+        .orderBy("hamming", "vec_id")
+        .limit(BINARY_CANDIDATES)
+    )
+    rer = cand.withColumn(
+        "cos_raw", dot("v", "qv") / (F.sqrt("nsq") * F.sqrt("qn"))
+    )
+    return (
+        rer.orderBy(F.desc("cos_raw"), "vec_id")
+        .limit(10)
+        .select(
+            "vec_id", "hamming", F.round("cos_raw", 6).alias("cos_sim")
+        )
+    )

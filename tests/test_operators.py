@@ -596,3 +596,42 @@ def test_decode_ppm_kernel_full_pixel_decode(spark):
     rows = {r.doc_id: (r.width, r.height)
             for r in decode_features(media, kernel=decode_ppm).collect()}
     assert rows == {1: (6, 2), 2: (3, 5)}
+
+
+def test_binary_hamming_funnel_recall_and_identities(spark):
+    """64-bit sign signatures must preserve neighborhood structure
+    (the binary top-10 of vec_id=0 overlaps the exact top-10 in >= 7
+    ids on the smoke fixture — measured 8, deterministic), and the
+    packed Hamming distance satisfies the metric identities: d(x,x)=0,
+    d(x,-x)=64 for a vector with no zero components."""
+    from pyspark.sql import functions as F
+
+    from debezium_incubator_spark.llm.similarity import (
+        binarize_embedding,
+        hamming_distance,
+    )
+    from debezium_incubator_spark.registry import all_queries
+
+    from .conftest import SF_SMOKE
+
+    Q = all_queries()
+    exact = {r.vec_id for r in Q["sim_knn"](spark, SF_SMOKE).collect()}
+    binr = {r.vec_id for r in Q["sim_binary_hamming"](spark, SF_SMOKE).collect()}
+    assert len(exact & binr) >= 7
+
+    e = (
+        spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+        .limit(20)
+        .withColumn("neg", F.transform("v", lambda x: -x))
+        .withColumn("sig", binarize_embedding(F.col("v")))
+        .withColumn("nsig", binarize_embedding(F.col("neg")))
+        .withColumn("d_self", hamming_distance(F.col("sig"), F.col("sig")))
+        .withColumn("d_flip", hamming_distance(F.col("sig"), F.col("nsig")))
+        .withColumn(
+            "zeros", F.size(F.filter("v", lambda x: x == 0))
+        )
+    )
+    rows = e.collect()
+    assert all(r["d_self"] == 0 for r in rows)
+    assert all(r["d_flip"] == 64 for r in rows if r["zeros"] == 0)
