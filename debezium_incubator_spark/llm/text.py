@@ -2146,3 +2146,94 @@ def t33_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split")
     )
+
+
+# --- t35: cross-document line-level boilerplate removal (C4-style) --------
+
+#: Segment width (tokens) standing in for a "line" — the fixture corpus
+#: is a single-line word stream, so lines are fixed 3-token segments.
+BOILER_SEG = 3
+#: A segment appearing in >= this many DISTINCT documents is boilerplate.
+BOILER_MIN_DF = 3
+
+
+@register(
+    "t35_boilerplate_lines",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), s AS (
+  SELECT doc_id, i - 1 AS segno,
+         array_to_string(toks[((i-1)*3+1):((i-1)*3+3)], ' ') AS seg
+  FROM t, LATERAL unnest(
+      range(1, CAST(ceil(len(toks) / 3.0) AS BIGINT) + 1)) AS u(i)
+), f AS (
+  SELECT seg FROM s GROUP BY seg HAVING count(DISTINCT doc_id) >= 3
+), k AS (
+  SELECT s.* FROM s ANTI JOIN f USING (seg)
+), r AS (
+  SELECT doc_id, count(*) AS n_kept,
+         string_agg(seg, ' ' ORDER BY segno) AS clean_text
+  FROM k GROUP BY doc_id
+), tot AS (
+  SELECT doc_id, count(*) AS n_seg FROM s GROUP BY doc_id
+)
+SELECT tot.doc_id, tot.n_seg, r.n_kept, r.clean_text
+FROM tot JOIN r USING (doc_id)
+ORDER BY tot.doc_id
+""",
+)
+def t35_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style cross-document boilerplate removal: a "line" (3-token
+    segment here — the fixture corpus is a single-line word stream)
+    that appears in >= 3 DISTINCT documents is removed from EVERY
+    document, and documents left with nothing are dropped. This is the
+    frequency-based counterpart of t25's keeper-based substring dedup:
+    t25 keeps one owner per repeated span; boilerplate removal deletes
+    all occurrences of corpus-frequent spans (nav bars, cookie banners,
+    license headers) regardless of owner.
+
+    Scale shape: one shuffle to build the segment document-frequency
+    table, then the boilerplate SET (df >= threshold — tiny by Zipf:
+    231 segments of 7460 at sf0.01) broadcasts into a left_anti join,
+    and one final per-doc shuffle reassembles surviving segments in
+    position order. No self-joins, nothing quadratic; the df table is
+    the same cardinality class as a vocabulary."""
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("toks")
+    )
+    n_seg = F.ceil(F.size("toks") / BOILER_SEG).cast("int")
+    segs = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_seg - 1),
+                lambda i: F.array_join(
+                    F.slice("toks", i * BOILER_SEG + 1, BOILER_SEG), " "
+                ),
+            )
+        ).alias("segno", "seg"),
+    )
+    boiler = (
+        segs.groupBy("seg")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .filter(F.col("df") >= BOILER_MIN_DF)
+        .select("seg")
+    )
+    kept = segs.join(F.broadcast(boiler), "seg", "left_anti")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.count("*").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("segno", "seg"))),
+                lambda s: s["seg"],
+            ),
+            " ",
+        ).alias("clean_text"),
+    )
+    totals = segs.groupBy("doc_id").agg(F.count("*").alias("n_seg"))
+    return (
+        totals.join(rebuilt, "doc_id")
+        .select("doc_id", "n_seg", "n_kept", "clean_text")
+        .orderBy("doc_id")
+    )

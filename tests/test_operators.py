@@ -635,3 +635,39 @@ def test_binary_hamming_funnel_recall_and_identities(spark):
     rows = e.collect()
     assert all(r["d_self"] == 0 for r in rows)
     assert all(r["d_flip"] == 64 for r in rows if r["zeros"] == 0)
+
+
+def test_boilerplate_removal_semantics(spark):
+    """A segment in >= MIN_DF distinct docs vanishes from EVERY doc
+    (including repeat occurrences inside one doc), a doc that is pure
+    boilerplate is dropped entirely, and within-one-doc repetition
+    alone does NOT trigger removal (df counts DISTINCT docs)."""
+    from pyspark.sql import functions as F
+
+    import debezium_incubator_spark.llm.text as X
+
+    banner = "cookie notice here"
+    docs = spark.createDataFrame(
+        [
+            (1, banner + " alpha beta gamma"),
+            (2, banner + " delta eps zeta"),
+            (3, banner),                          # pure boilerplate
+            (4, "self rep one self rep one self rep one"),  # df=1, 3x
+        ],
+        "doc_id bigint, text string",
+    )
+    docs.createOrReplaceTempView("boiler_docs")
+    orig_table = X.table
+    try:
+        X.table = lambda spark_, sf_dir_, name_: docs
+        out = {r["doc_id"]: r for r in
+               X.t35_boilerplate_lines(spark, "unused").collect()}
+    finally:
+        X.table = orig_table
+    assert set(out) == {1, 2, 4}                  # doc 3 dropped
+    assert out[1]["clean_text"] == "alpha beta gamma"
+    assert out[2]["clean_text"] == "delta eps zeta"
+    assert out[1]["n_seg"] == 2 and out[1]["n_kept"] == 1
+    # df counts DISTINCT docs: doc 4's thrice-repeated segment survives
+    assert out[4]["n_kept"] == 3
+    assert out[4]["clean_text"] == "self rep one self rep one self rep one"
