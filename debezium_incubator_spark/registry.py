@@ -81,7 +81,14 @@ PRIORITY: list[str] = [
     "cdc_materialize",       # A2 + B2 + H8 struct
     "cdc_scd2_history",
     "cdc_dedup_stream",      # I5 batch twin
-    "route_content_based",   # B4
+    # round-7 third block: route_content_based (B4 — stays sweep-oracled;
+    # the routing family keeps route_logical_table/route_outbox in the
+    # sweep and cdc_partition_routing in-window) gives its slot to
+    # cdc_connect_predicates, the Connect predicate-gating flagship
+    # (TopicNameMatches/HasHeaderKey/RecordIsTombstone + negate — a
+    # strictly richer record-routing differential: four gates, three
+    # gated SMT kinds, recomputed in SQL).
+    "cdc_connect_predicates",  # L155 Connect predicates
     # round-4: route_outbox (B6) demoted to the sweep so J8 multimodal —
     # never before auditable (rows-only until the portable decode twin
     # landed) — gets its first driver-audited slot.
@@ -142,7 +149,12 @@ PRIORITY: list[str] = [
     "w_combined",            # E2+E3+E4+E5+E6+E7 combo
     # §2F sorts / limits / sampling (F1 via q1 above)
     "sort_topk_offset",      # F2 + F5 combo
-    "sort_sample",           # F4 (deterministic hash-sample)
+    # round-7 third block: sort_sample (F4 — stays sweep-oracled; the F
+    # family anchor sort_topk_offset stays in-window) gives its slot to
+    # sim_binary_hamming, the binary-quantization ANN funnel (sign-bit
+    # packing + Hamming prefilter + rerank, all re-derived in SQL — the
+    # cheapest 100 TB prefilter in the ANN tier).
+    "sim_binary_hamming",    # L157 binary-quantization ANN
     # round-4 recomposition: sort_within_partitions (F3, identity
     # oracle — weakest in-window check) and e3_sliding_window (I3; the
     # I family keeps e1/e4/cdc_dedup_stream/cdc_materialize) demoted to
