@@ -205,15 +205,20 @@ WITH base AS (
 """
 
 
-def _ct_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _ct_fixture(spark: SparkSession, sf_dir: str,
+                extra: tuple[str, ...] = ()) -> DataFrame:
     """events → a synthetic cdc.<instance>_CT: signups are inserts,
     errors deletes, everything else an op-3/op-4 UPDATE PAIR (before
     value = value − 1, exact in IEEE for the fixture's magnitudes).
-    One change per event: start_lsn = hex(event_id), seqval = 0."""
+    One change per event: start_lsn = hex(event_id), seqval = 0.
+    ``extra`` carries additional source columns into the CT — the
+    capture-migration fixture uses it as the column a NEW capture
+    instance captures that the old one doesn't."""
     ev = table(spark, sf_dir, "events")
     rows = ev.select(
         "user_id",
         "event_id",
+        *extra,
         F.when(
             F.col("event_type") == "signup",
             F.array(F.struct(F.lit(OP_INSERT).alias("op"),
@@ -231,11 +236,12 @@ def _ct_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("changes"),
     ).select(
-        "user_id", "event_id", F.explode("changes").alias("ch")
+        "user_id", "event_id", *extra, F.explode("changes").alias("ch")
     )
     return rows.select(
         "user_id",
         F.col("ch.v").alias("value"),
+        *extra,
         seq_hex(F.col("event_id")).alias("__$start_lsn"),
         seq_hex(F.lit(0)).alias("__$seqval"),
         F.col("ch.op").alias("__$operation"),
@@ -306,3 +312,128 @@ def cdc_sqlserver_capture_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["__start_lsn", "__seqval"],
     )
     return state.select("user_id", "value").orderBy("user_id")
+
+
+# ---------------------------------------------------------------------------
+# Multiple capture instances (online schema evolution)
+# ---------------------------------------------------------------------------
+
+
+def merge_capture_instances(
+    instances: list[tuple[DataFrame, str]],
+    start_lsn_col: str = "__$start_lsn",
+) -> DataFrame:
+    """SQL Server online schema evolution: a capture instance has a
+    FIXED schema, so a DDL change means the DBA creates a SECOND
+    instance capturing the new shape, and both run concurrently until
+    the old one is dropped. The connector (public Debezium's
+    ``cdc.change_tables`` discovery) must stream from the old instance
+    up to the new instance's start LSN, switch there, and never read
+    the overlap window twice.
+
+    ``instances``: ``(change_table, from_lsn)`` pairs ordered by
+    ``from_lsn`` ascending — each instance is read exactly on
+    ``[from_lsn_i, from_lsn_{i+1})``, the last unbounded above. The
+    per-instance range filter IS the overlap dedup: rows the old
+    instance kept capturing past the switch LSN are cut, not
+    distinct-ed (no shuffle — the cut is a pushed scan predicate).
+    Schemas merge by name, old-instance rows surfacing NULL for
+    columns only the new instance captures (exactly the shape change a
+    Debezium consumer sees at the switch). An update's op-3/op-4 rows
+    share their start LSN, so an instance switch can never tear a pair.
+
+    ``from_lsn`` strings must be same-width (hex-lexicographic order is
+    only commit order at fixed width — the Db2 invariant) and strictly
+    increasing; violations raise up front."""
+    if not instances:
+        raise ValueError("merge_capture_instances: no instances")
+    lsns = [lsn for _, lsn in instances]
+    widths = {len(x) for x in lsns}
+    if len(widths) != 1:
+        raise ValueError(
+            f"mixed-width from_lsns {lsns} — hex-lexicographic order is "
+            "only commit order at fixed width"
+        )
+    if any(a >= b for a, b in zip(lsns, lsns[1:])):
+        raise ValueError(
+            f"from_lsns must be strictly increasing, got {lsns}"
+        )
+    out: DataFrame | None = None
+    for i, (df, lo) in enumerate(instances):
+        sel = df.filter(F.col(start_lsn_col) >= lo)
+        if i + 1 < len(instances):
+            sel = sel.filter(F.col(start_lsn_col) < instances[i + 1][1])
+        out = sel if out is None else out.unionByName(
+            sel, allowMissingColumns=True
+        )
+    return out
+
+
+#: capture-migration fixture boundaries: the new instance is created at
+#: LSN hex(600); the old one keeps capturing until hex(700) (overlap).
+MIGRATION_SWITCH, MIGRATION_OLD_END = 600, 700
+
+
+@register(
+    "cdc_sqlserver_capture_migration",
+    oracle="""
+WITH base AS (
+  SELECT user_id, value, event_id, event_type FROM events
+), ct AS (
+  SELECT user_id, value, event_id, event_type, 2 AS op FROM base
+  WHERE event_type = 'signup'
+  UNION ALL
+  SELECT user_id, value, event_id, event_type, 1 FROM base
+  WHERE event_type = 'error'
+  UNION ALL
+  SELECT user_id, value - 1, event_id, event_type, 3 FROM base
+  WHERE event_type NOT IN ('signup', 'error')
+  UNION ALL
+  SELECT user_id, value, event_id, event_type, 4 FROM base
+  WHERE event_type NOT IN ('signup', 'error')
+)
+SELECT upper(lpad(to_hex(event_id), 16, '0')) AS start_lsn,
+       CASE min(op) WHEN 1 THEN 'd' WHEN 2 THEN 'c' ELSE 'u' END AS op,
+       max(user_id) AS user_id,
+       max(CASE WHEN op IN (1, 3) THEN value END) AS before_value,
+       max(CASE WHEN op IN (2, 4) THEN value END) AS after_value,
+       CASE WHEN event_id >= 600 THEN min(event_type) END AS etype
+FROM ct GROUP BY event_id
+ORDER BY start_lsn
+""",
+)
+def cdc_sqlserver_capture_migration(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Capture-instance migration, differentially proven: the OLD
+    instance captures (user_id, value) for every change below
+    hex(700); the NEW instance — created at LSN hex(600) after a DDL
+    added a column — captures (user_id, value, event_type) from there
+    on. The [600, 700) window exists in BOTH change tables. The merged
+    stream must contain each change exactly ONCE (the oracle groups
+    the plain one-copy CT — any overlap leak would double rows and
+    fail the {3,4} pairing legality check too), with the new column
+    NULL below the switch and populated from it. Pairing runs on the
+    MERGED stream, proving the switch boundary never tears an op-3/4
+    pair (both rows share their start LSN by construction)."""
+    old_ct = _ct_fixture(spark, sf_dir).filter(
+        F.col("__$start_lsn") < seq_hex(F.lit(MIGRATION_OLD_END))
+    )
+    new_ct = _ct_fixture(spark, sf_dir, extra=("event_type",)).filter(
+        F.col("__$start_lsn") >= seq_hex(F.lit(MIGRATION_SWITCH))
+    )
+    merged = merge_capture_instances([
+        (old_ct, f"{0:016X}"),
+        (new_ct, f"{MIGRATION_SWITCH:016X}"),
+    ])
+    paired = pair_update_rows(merged)
+    return paired.select(
+        "start_lsn",
+        F.col("__op").alias("op"),
+        F.coalesce(F.col("after.user_id"), F.col("before.user_id"))
+        .alias("user_id"),
+        F.col("before.value").alias("before_value"),
+        F.col("after.value").alias("after_value"),
+        F.coalesce(F.col("after.event_type"), F.col("before.event_type"))
+        .alias("etype"),
+    ).orderBy("start_lsn")

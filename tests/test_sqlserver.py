@@ -324,3 +324,90 @@ def test_buffer_streaming_e2e_with_persisted_state(spark, tmp_path):
     }
     assert got == one_shot
     assert spark.read.parquet(buf_dir).count() == 0
+
+
+# --- multiple capture instances (online schema evolution) -----------------
+
+
+def test_capture_instance_merge_dedups_overlap_and_widens(spark):
+    """The overlap window captured by BOTH instances appears exactly
+    once in the merge (from the NEW instance, new column populated);
+    pre-switch rows surface NULL for the new column."""
+    from debezium_incubator_spark.cdc.sqlserver import (
+        merge_capture_instances,
+    )
+
+    old = _ct(spark, [
+        (1, 1.0, _h(10), _h(0), 2),
+        (2, 2.0, _h(20), _h(0), 2),   # overlap: also in `new`
+        (2, 2.5, _h(30), _h(0), 3),   # past-switch update pair the old
+        (2, 3.5, _h(30), _h(0), 4),   # instance kept capturing — cut
+    ])
+    new = spark.createDataFrame(
+        [
+            (2, 2.0, "fresh", _h(20), _h(0), 2),
+            (2, 2.5, "fresh", _h(30), _h(0), 3),
+            (2, 3.5, "fresh", _h(30), _h(0), 4),
+        ],
+        "k LONG, v DOUBLE, tag STRING, `__$start_lsn` STRING, "
+        "`__$seqval` STRING, `__$operation` INT",
+    )
+    merged = merge_capture_instances([(old, _h(0)), (new, _h(20))])
+    env = {(r["start_lsn"], r["__op"]): r
+           for r in pair_update_rows(merged).collect()}
+    assert set(env) == {(_h(10), "c"), (_h(20), "c"), (_h(30), "u")}
+    assert env[(_h(10), "c")]["after"]["tag"] is None   # old instance
+    assert env[(_h(20), "c")]["after"]["tag"] == "fresh"  # from new
+    assert env[(_h(30), "u")]["before"]["v"] == 2.5     # pair intact
+
+
+def test_capture_instance_merge_validation(spark):
+    from debezium_incubator_spark.cdc.sqlserver import (
+        merge_capture_instances,
+    )
+
+    df = _ct(spark, [(1, 1.0, _h(1), _h(0), 2)])
+    with pytest.raises(ValueError, match="no instances"):
+        merge_capture_instances([])
+    with pytest.raises(ValueError, match="strictly increasing"):
+        merge_capture_instances([(df, _h(5)), (df, _h(5))])
+    with pytest.raises(ValueError, match="mixed-width"):
+        merge_capture_instances([(df, "00"), (df, _h(5))])
+
+
+def test_capture_migration_fold_matches_single_instance(spark):
+    """Folding the MERGED two-instance stream to latest state must
+    equal folding a single full-history instance — the migration is
+    invisible to the downstream fold except for the widened column."""
+    from debezium_incubator_spark.cdc.sqlserver import (
+        _ct_fixture,
+        merge_capture_instances,
+        seq_hex,
+    )
+    from debezium_incubator_spark.cdc.sqlserver import (
+        MIGRATION_OLD_END,
+        MIGRATION_SWITCH,
+    )
+
+    from .conftest import SF_SMOKE
+
+    old = _ct_fixture(spark, SF_SMOKE).filter(
+        F.col("__$start_lsn") < seq_hex(F.lit(MIGRATION_OLD_END))
+    )
+    new = _ct_fixture(spark, SF_SMOKE, extra=("event_type",)).filter(
+        F.col("__$start_lsn") >= seq_hex(F.lit(MIGRATION_SWITCH))
+    )
+    merged = merge_capture_instances(
+        [(old, _h(0)), (new, _h(MIGRATION_SWITCH))]
+    )
+    folded = materialize_latest(
+        unwrap_paired(pair_update_rows(merged)),
+        ["user_id"], ["__start_lsn", "__seqval"],
+    ).select("user_id", "value").orderBy("user_id").collect()
+    single = materialize_latest(
+        unwrap_paired(pair_update_rows(
+            _ct_fixture(spark, SF_SMOKE, extra=("event_type",))
+        )),
+        ["user_id"], ["__start_lsn", "__seqval"],
+    ).select("user_id", "value").orderBy("user_id").collect()
+    assert folded == single
