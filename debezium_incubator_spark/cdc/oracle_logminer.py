@@ -353,3 +353,135 @@ def merge_logminer_buffer(
         emitted_raw, txn_col, row_col, pos_col, rollback_col
     )
     return new_buffer, emitted
+
+
+# ---------------------------------------------------------------------------
+# RAC multi-node redo threads (public Debezium `rac.nodes`)
+# ---------------------------------------------------------------------------
+
+
+def merge_rac_threads(
+    threads: list[tuple[DataFrame, int]],
+    scn_col: str = "scn",
+) -> tuple[DataFrame, DataFrame, int]:
+    """Oracle RAC: each cluster node writes its OWN redo thread, mined
+    independently, while SCNs are cluster-global. A merged reader may
+    only emit changes up to ``min`` of the per-thread high-water SCNs —
+    past that horizon a lagging node can still surface a LOWER-SCN
+    entry, and emitting early would deliver out of order (public
+    Debezium's multi-node resume position is exactly this min).
+
+    ``threads``: ``(redo_frame, high_water_scn)`` per node, the
+    high-water being the SCN that node has been READ to this poll.
+    Returns ``(emittable, withheld, watermark)``: the union split at
+    ``watermark = min(high_waters)``; ``withheld`` rows must be
+    re-presented next poll. A row above its OWN node's claimed
+    high-water means the poll lied about its read position — that
+    raises at execution time rather than silently re-ordering.
+
+    Scale: the split is two pushed scan predicates over the union —
+    no shuffle, no state; the watermark is driver-side arithmetic over
+    node-count integers. A transaction's redo lives on one node in RAC,
+    so no cross-thread reassembly is needed; the commit join downstream
+    is unchanged."""
+    if not threads:
+        raise ValueError("merge_rac_threads: no threads")
+    watermark = min(hw for _, hw in threads)
+    merged: DataFrame | None = None
+    for df, hw in threads:
+        scn = F.col(scn_col)
+        checked = df.withColumn(
+            scn_col,
+            F.when(scn <= F.lit(hw), scn).otherwise(
+                F.raise_error(F.concat(
+                    F.lit("redo entry at SCN "), scn.cast("string"),
+                    F.lit(f" beyond its node's claimed high-water {hw}"),
+                ))
+            ),
+        )
+        merged = checked if merged is None else merged.unionByName(checked)
+    emittable = merged.filter(F.col(scn_col) <= F.lit(watermark))
+    withheld = merged.filter(F.col(scn_col) > F.lit(watermark))
+    return emittable, withheld, watermark
+
+
+#: RAC fixture: node 1 lags — it has only been read to SCN 600.
+RAC_LAG_HW = 600
+
+
+@register(
+    "cdc_logminer_rac_merge",
+    oracle="""
+WITH redo AS (
+  SELECT user_id, event_id AS scn, value,
+         CASE event_type WHEN 'signup' THEN 'c' WHEN 'error' THEN 'd'
+              WHEN 'view' THEN 'r' ELSE 'u' END AS op,
+         event_id // 5 AS xid
+  FROM events
+), commits AS (
+  SELECT xid,
+         max(scn) + CASE WHEN xid % 2 = 1 THEN 1000 ELSE 0 END
+           AS commit_scn
+  FROM redo GROUP BY xid
+  HAVING xid % 97 <> 0
+), visible AS (
+  SELECT r.user_id, r.scn, r.value, r.op, c.commit_scn
+  FROM redo r JOIN commits c ON r.xid = c.xid
+  WHERE r.scn <= 600 AND c.commit_scn <= 600
+)
+SELECT user_id, value FROM (
+  SELECT user_id, value, op,
+         row_number() OVER (
+           PARTITION BY user_id ORDER BY commit_scn DESC, scn DESC
+         ) AS rn
+  FROM visible
+) WHERE rn = 1 AND op <> 'd'
+ORDER BY user_id
+""",
+)
+def cdc_logminer_rac_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAC two-node merge at a lagging watermark, differentially
+    proven: transactions land on node xid%2 (a transaction's redo
+    stays on one node, as in real RAC), node 0 is fully caught up
+    while node 1 has only been read to SCN 600 — so the emittable
+    horizon is 600 for BOTH nodes, and the commit horizon cuts with
+    it (a commit record past the watermark is itself unreadable redo:
+    odd transactions committing +1000 late fall out even when their
+    changes are below 600). The oracle recomputes the doubly-cut
+    visible set and its fold; equality proves the min-watermark is
+    applied to data AND commit visibility, not just rows."""
+    from .envelope import OP_CASE
+
+    ev = table(spark, sf_dir, "events")
+    redo = ev.select(
+        "user_id",
+        F.col("event_id").alias("scn"),
+        "value",
+        F.expr(OP_CASE).alias("__op"),
+        (F.col("event_id") / 5).cast("long").alias("xid"),
+    )
+    commits = (
+        redo.groupBy("xid")
+        .agg(
+            (
+                F.max("scn")
+                + F.when(F.col("xid") % 2 == 1, 1000).otherwise(0)
+            ).alias("commit_scn")
+        )
+        .filter(F.col("xid") % 97 != 0)
+    )
+    node0 = redo.filter(F.col("xid") % 2 == 0)
+    # node 1 lags: it has not READ past SCN 600 yet
+    node1 = redo.filter(
+        (F.col("xid") % 2 == 1) & (F.col("scn") <= RAC_LAG_HW)
+    )
+    emittable, _withheld, wm = merge_rac_threads(
+        [(node0, 2_000_000_000), (node1, RAC_LAG_HW)]
+    )
+    visible = logminer_commit_ordered(
+        emittable, commits.filter(F.col("commit_scn") <= F.lit(wm))
+    )
+    state = materialize_latest(
+        visible, ["user_id"], ["__commit_scn", "scn"]
+    )
+    return state.select("user_id", "value").orderBy("user_id")

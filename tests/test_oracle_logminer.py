@@ -264,3 +264,73 @@ def test_partial_rollback_composite_position_resolves_scn_ties(spark):
         ).collect()
     )
     assert got == [(10, 0)]
+
+
+# --- RAC multi-node redo threads -------------------------------------------
+
+
+def test_rac_merge_emits_only_to_min_watermark(spark):
+    from debezium_incubator_spark.cdc.oracle_logminer import (
+        merge_rac_threads,
+    )
+
+    n0 = _redo(spark, [(1, 10, 1.0, "c", 0), (1, 80, 2.0, "u", 2)])
+    n1 = _redo(spark, [(2, 20, 5.0, "c", 1), (2, 50, 6.0, "u", 3)])
+    emittable, withheld, wm = merge_rac_threads([(n0, 80), (n1, 50)])
+    assert wm == 50
+    assert sorted(r["scn"] for r in emittable.collect()) == [10, 20, 50]
+    assert [r["scn"] for r in withheld.collect()] == [80]
+
+
+def test_rac_merge_raises_on_lying_high_water(spark):
+    import pytest as _pytest
+
+    from debezium_incubator_spark.cdc.oracle_logminer import (
+        merge_rac_threads,
+    )
+
+    n0 = _redo(spark, [(1, 99, 1.0, "c", 0)])
+    emittable, _, _ = merge_rac_threads([(n0, 50)])
+    with _pytest.raises(Exception, match="beyond its node's claimed"):
+        # the illegal row is ABOVE the watermark, so force full
+        # evaluation through the withheld side too
+        merge_rac_threads([(n0, 50)])[1].collect()
+    with _pytest.raises(ValueError, match="no threads"):
+        merge_rac_threads([])
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    hw_steps=st.lists(
+        st.integers(min_value=0, max_value=120), min_size=1, max_size=4
+    )
+)
+def test_rac_polling_to_completion_equals_one_shot(spark, hw_steps):
+    """Advancing the lagging node's high-water through ANY sequence of
+    polls and unioning the emittable increments reproduces the one-shot
+    merge — no row is lost, duplicated, or emitted early."""
+    from debezium_incubator_spark.cdc.oracle_logminer import (
+        merge_rac_threads,
+    )
+
+    rows0 = [(1, s, float(s), "u", 0) for s in (5, 40, 90, 110)]
+    rows1 = [(2, s, float(s), "u", 1) for s in (15, 60, 100)]
+    n0 = _redo(spark, rows0)
+    full1 = rows1
+    seen: list[tuple] = []
+    prev_wm = -1
+    hws = sorted(set(hw_steps)) + [120]
+    for hw in hws:
+        n1 = _redo(spark, [r for r in full1 if r[1] <= hw])
+        emittable, _, wm = merge_rac_threads([(n0, 120), (n1, hw)])
+        inc = [tuple(r) for r in emittable.filter(
+            F.col("scn") > prev_wm).collect()]
+        assert all(prev_wm < r[1] <= wm for r in inc)
+        seen += inc
+        prev_wm = wm
+    one_shot = merge_rac_threads(
+        [(n0, 120), (_redo(spark, full1), 120)]
+    )[0].collect()
+    assert sorted(seen, key=lambda r: r[1]) == sorted(
+        [tuple(r) for r in one_shot], key=lambda r: r[1]
+    )
