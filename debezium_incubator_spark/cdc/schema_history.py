@@ -252,7 +252,6 @@ _CQL_SCALARS: dict[str, T.DataType] = {
     "SMALLINT": T.ShortType(),
     "INT": T.IntegerType(),
     "BIGINT": T.LongType(),
-    "COUNTER": T.LongType(),  # distributed counter reads as int64
     "VARINT": T.DecimalType(38, 0),  # arbitrary-precision integer
     "FLOAT": T.FloatType(),
     "DOUBLE": T.DoubleType(),
@@ -312,6 +311,15 @@ def _parse_cql_type(s: str, udts: dict[str, T.StructType]) -> T.DataType:
             ]
         )
     bare = _strip_ident(s).strip()
+    if bare.upper() == "COUNTER":
+        # Refused, not mapped: the Cassandra commitlog carries counter
+        # DELTAS, not values — a cell fold treating them as absolute
+        # writes corrupts state, which is why public Debezium's
+        # Cassandra connector does not support counter tables at all.
+        raise ValueError(
+            "CQL counter columns are not CDC-able (commitlog records "
+            "deltas, not values); exclude the table from capture"
+        )
     t = _CQL_SCALARS.get(bare.upper())
     if t is not None:
         return t
@@ -713,13 +721,54 @@ def _alter_cql_type(registry: SchemaRegistry, ctx: DialectContext,
 
 def replay_history(ddl_statements: list[str],
                    registry: SchemaRegistry | None = None,
-                   dialect: str = "generic") -> SchemaRegistry:
-    """Replay an ordered schema-history DDL stream into a registry."""
+                   dialect: str = "generic",
+                   captured_tables: list[str] | None = None,
+                   skip_unparseable: bool = False) -> SchemaRegistry:
+    """Replay an ordered schema-history DDL stream into a registry.
+
+    ``captured_tables`` — ``schema.history.internal.store.only.captured.
+    tables.ddl``: when set, only statements TARGETING a listed table
+    mutate the registry. The filter is by statement-level name match
+    (the same string-level filtering public Debezium applies when
+    writing the history) — an ALTER against an uncaptured table is
+    dropped without touching the registry, so it can't fail on the
+    table never having been created. CREATE/ALTER TYPE and other
+    non-table statements always apply (UDTs are shared). A RENAME
+    applies when EITHER side is captured. ``skip_unparseable`` —
+    ``schema.history.internal.skip.unparseable.ddl``: a statement the
+    parser rejects is skipped instead of stopping the replay (the
+    Debezium default is to stop — skipping risks a silently stale
+    schema, so it stays opt-in here too)."""
     reg = registry if registry is not None else SchemaRegistry()
     ctx = DialectContext(dialect=dialect)
+    captured = (
+        None if captured_tables is None
+        else {t.lower() for t in captured_tables}
+    )
     for ddl in ddl_statements:
-        apply_ddl(reg, ddl, ctx)
+        if captured is not None:
+            targets = ddl_target_tables(ddl)
+            if targets and not (targets & captured):
+                continue
+        try:
+            apply_ddl(reg, ddl, ctx)
+        except (ValueError, KeyError):
+            if not skip_unparseable:
+                raise
     return reg
+
+
+def ddl_target_tables(ddl: str) -> set[str]:
+    """Table name(s) a DDL statement targets (normalized, unqualified),
+    by the same statement regexes :func:`apply_ddl` dispatches on.
+    Empty set = not a table statement (CREATE/ALTER TYPE, GRANT, …)."""
+    s = ddl.strip().rstrip(";")
+    for rx in (_RE_CREATE, _RE_ALTER, _RE_DROP):
+        if m := rx.match(s):
+            return {_table_name(m.group("tbl"))}
+    if m := _RE_RENAME_TABLE.match(s):
+        return {_table_name(m.group("a")), _table_name(m.group("b"))}
+    return set()
 
 
 def replay_history_df(history_df, registry: SchemaRegistry | None = None,

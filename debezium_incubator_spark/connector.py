@@ -563,11 +563,19 @@ SNAPSHOT_MODES = ("initial", "initial_only", "no_data", "never", "when_needed")
 
 
 def snapshot_mode_plan(props: dict[str, str],
-                       state_exists: bool = False) -> dict[str, bool]:
+                       state_exists: bool = False,
+                       offsets_valid: bool = True) -> dict[str, bool]:
     """``snapshot.mode`` → which phases to run (Debezium semantics:
     initial = snapshot then stream; initial_only = snapshot, no stream;
     no_data/schema-only = stream only, no row snapshot; never = stream
-    only; when_needed = snapshot only if no prior committed state).
+    only; when_needed = snapshot only if no prior committed state OR
+    the stored offsets are unusable).
+
+    ``offsets_valid=False`` models the second ``when_needed`` trigger:
+    the stored offset points BEFORE the retained head of the log
+    (binlog purged / archive redo aged out), so streaming from it
+    would silently skip changes — Debezium re-snapshots instead. Use
+    :func:`offsets_available` to derive it from positions.
 
     The two booleans drive composition: ``run_snapshot`` → the
     ``snapshot()`` backfill (op='r' rows, or cdc/incremental_snapshot
@@ -583,10 +591,22 @@ def snapshot_mode_plan(props: dict[str, str],
         "initial_only": True,
         "no_data": False,
         "never": False,
-        "when_needed": not state_exists,
+        "when_needed": not (state_exists and offsets_valid),
     }[mode]
     run_stream = mode != "initial_only"
     return {"run_snapshot": run_snapshot, "run_stream": run_stream}
+
+
+def offsets_available(offset_pos: int | None, log_start_pos: int) -> bool:
+    """Can streaming resume from ``offset_pos``? True iff an offset is
+    stored AND the log still retains everything after it
+    (``offset_pos >= log_start_pos - 1`` — the entry AT the stored
+    offset has been consumed; the next needed entry is offset_pos + 1).
+    A stored offset below the retained head means changes were purged
+    unread; resuming would silently lose them."""
+    if offset_pos is None:
+        return False
+    return offset_pos >= log_start_pos - 1
 
 
 def apply_skipped_operations(df: DataFrame, props: dict[str, str],
@@ -619,6 +639,7 @@ def connector_bootstrap(
     snapshot_pos: int,
     state_exists: bool = False,
     op_col: str = "__op",
+    offsets_valid: bool = True,
 ) -> dict:
     """E2e composition of the connector's phases for one captured table,
     driven by ``snapshot.mode`` (Debezium startup semantics):
@@ -647,7 +668,7 @@ def connector_bootstrap(
     phases ran."""
     from .cdc.materialize import materialize_latest
 
-    plan = snapshot_mode_plan(props, state_exists)
+    plan = snapshot_mode_plan(props, state_exists, offsets_valid)
     out: dict = {
         "mode": props.get("snapshot.mode", "initial"),
         **plan,

@@ -111,7 +111,10 @@ def test_cql_scalar_and_collection_types():
     p = lambda s: parse_sql_type(s, "cassandra", ctx.udts)  # noqa: E731
     assert p("text") == T.StringType()
     assert p("varint") == T.DecimalType(38, 0)
-    assert p("counter") == T.LongType()
+    # counters are delta-valued in the commitlog — capture is refused
+    # (public Debezium Cassandra behavior), never silently mapped
+    with pytest.raises(ValueError, match="counter columns are not CDC-able"):
+        p("counter")
     assert p("timeuuid") == T.StringType()
     assert p("timestamp") == T.TimestampType()
     assert p("time") == T.LongType()

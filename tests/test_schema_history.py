@@ -231,3 +231,47 @@ def test_schema_change_events_rename_classified_alter(spark):
         ("CREATE", "db.a"), ("ALTER", "db.b"),
     ]
     assert [c.name for c in rows[1].columns] == ["id"]
+
+
+def test_replay_history_captured_tables_and_skip_unparseable():
+    """schema.history.internal.store.only.captured.tables.ddl keeps the
+    registry blind to uncaptured tables (and CREATE TYPE statements,
+    which target no table, always apply); skip.unparseable.ddl turns a
+    replay-stopping statement into a skip — opt-in, default raises."""
+    import pytest as _pytest
+
+    from debezium_incubator_spark.cdc.schema_history import replay_history
+
+    ddl = [
+        "CREATE TABLE keep_me (id INT, v DOUBLE)",
+        "CREATE TABLE noise (id INT)",
+        "ALTER TABLE keep_me ADD COLUMN w TEXT",
+        "ALTER TABLE noise ADD COLUMN x INT",
+    ]
+    reg = replay_history(ddl, captured_tables=["keep_me"])
+    assert [f.name for f in reg.latest("keep_me").fields] == ["id", "v", "w"]
+    with _pytest.raises(KeyError):
+        reg.latest("noise")
+
+    # an ALTER against a table the history never created stops the
+    # replay by default...
+    broken = ["CREATE TABLE t (id INT)",
+              "ALTER TABLE ghost ADD COLUMN x INT",
+              "ALTER TABLE t ADD COLUMN y INT"]
+    with _pytest.raises(KeyError):
+        replay_history(broken)
+    # ...and is skipped (later statements still apply) when opted in
+    reg2 = replay_history(broken, skip_unparseable=True)
+    assert [f.name for f in reg2.latest("t").fields] == ["id", "y"]
+
+
+def test_cql_counter_table_refused_at_create():
+    import pytest as _pytest
+
+    from debezium_incubator_spark.cdc.schema_history import replay_history
+
+    with _pytest.raises(ValueError, match="counter columns are not CDC-able"):
+        replay_history(
+            ["CREATE TABLE hits (pk int PRIMARY KEY, n counter)"],
+            dialect="cassandra",
+        )

@@ -344,3 +344,33 @@ def test_snapshot_mode_e2e_phases(spark):
     assert state_map(wn0["state"]) == full
     assert state_map(wn1["state"]) == nd_state
     ch.unpersist()
+
+
+def test_when_needed_resnapshots_on_purged_log():
+    """when_needed's second trigger: committed state EXISTS but the
+    stored offset points before the retained log head (binlog purged /
+    archive redo aged out) — resuming would silently skip changes, so
+    the plan re-snapshots. offsets_available derives the validity."""
+    from debezium_incubator_spark.connector import (
+        offsets_available,
+        snapshot_mode_plan,
+    )
+
+    wn = {"snapshot.mode": "when_needed"}
+    # healthy resume: no snapshot
+    assert snapshot_mode_plan(wn, state_exists=True, offsets_valid=True) == {
+        "run_snapshot": False, "run_stream": True,
+    }
+    # purged log: re-snapshot even though state exists
+    assert snapshot_mode_plan(wn, state_exists=True, offsets_valid=False) == {
+        "run_snapshot": True, "run_stream": True,
+    }
+    # initial/never are indifferent to offset validity
+    assert snapshot_mode_plan(
+        {"snapshot.mode": "never"}, state_exists=True, offsets_valid=False
+    )["run_snapshot"] is False
+
+    assert offsets_available(None, 0) is False          # nothing stored
+    assert offsets_available(99, 100) is True           # exactly at head
+    assert offsets_available(100, 100) is True
+    assert offsets_available(98, 100) is False          # entry 99 purged
