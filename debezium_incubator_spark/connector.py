@@ -265,6 +265,16 @@ def _apply_transform(df: DataFrame, name: str,
             passthrough=meta,
             add_fields=add or None,
         )
+        # route.by.field: the unwrapped record's own field value BECOMES
+        # the topic — Debezium's data-driven routing (e.g. an outbox-ish
+        # `aggregate_type` column). Unknown field refuses loudly.
+        if route_by := t.get("route.by.field"):
+            if route_by not in df.columns:
+                raise ValueError(
+                    f"route.by.field references unknown field "
+                    f"{route_by!r} (have {df.columns})"
+                )
+            df = df.withColumn("topic", F.col(route_by).cast("string"))
     elif ttype.endswith("ExtractChangedRecordState"):
         from .cdc.envelope import changed_record_state
 

@@ -470,3 +470,29 @@ def test_collection_merge_equals_one_shot_under_any_batching(spark):
             ).collect()
         }
         assert got == want, (bs, ts)
+
+
+def test_cross_replica_duplicates_fold_idempotently(spark):
+    """Debezium's Cassandra connector runs an agent per NODE, so a
+    keyspace at RF=3 delivers every mutation up to three times (the
+    docs call consumers 'idempotent by construction'). The cell LWW
+    fold IS that idempotence: folding the 3x-duplicated union of
+    per-replica streams equals folding one copy — including tombstone
+    shadowing and equal-writetime ties, where a naive 'count wins'
+    or arrival-order fold would diverge."""
+    base = [
+        (1, "w", 10, {"a": (1.0, 10, None), "b": (2.0, 10, None)}),
+        (1, "w", 20, {"b": (9.0, 20, None)}),
+        (2, "w", 10, {"a": (5.0, 10, None)}),
+        (2, "d", 15, {}),                       # partition tombstone
+        (3, "w", 30, {"a": (7.0, 30, None)}),
+        (3, "w", 30, {"a": (4.0, 30, None)}),   # equal-ts value tie
+    ]
+    one = _changes(spark, base)
+    # three replicas deliver the same mutations (bag union, arbitrary
+    # interleave via a shuffled copy order)
+    replicas = _changes(spark, base + base[::-1] + base[2:] + base[:2])
+    got = _state(fold_cassandra_cells(replicas, ["user_id"]))
+    want = _state(fold_cassandra_cells(one, ["user_id"]))
+    assert got == want
+    assert (1, "a") in want and (2, "a") not in want

@@ -1136,3 +1136,29 @@ def test_cast_ts_key_hoist_via_transform_chain(spark):
     assert set(out.columns) == {"topic", "__key", "after"}
     assert r["__key"]["id"] == "5"
     assert r["after"]["id"] == "5" and r["after"]["ms"] == "2024-03-10"
+
+
+def test_unwrap_route_by_field(spark):
+    """ExtractNewRecordState's route.by.field: the unwrapped record's
+    own field value becomes its topic (data-driven routing); an
+    unknown field refuses loudly."""
+    from debezium_incubator_spark.catalog import table as cat_table
+    from debezium_incubator_spark.cdc.envelope import to_envelope
+    from debezium_incubator_spark.connector import transform_chain
+
+    from .conftest import SF_SMOKE
+
+    env = to_envelope(cat_table(spark, SF_SMOKE, "events").limit(50))
+    props = {
+        "transforms": "unwrap",
+        "transforms.unwrap.type":
+            "io.debezium.transforms.ExtractNewRecordState",
+        "transforms.unwrap.route.by.field": "user_id",
+    }
+    out = transform_chain(env, props)
+    rows = out.select("topic", "user_id").collect()
+    assert rows and all(r["topic"] == str(r["user_id"]) for r in rows)
+    with pytest.raises(ValueError, match="route.by.field references"):
+        transform_chain(env, {
+            **props, "transforms.unwrap.route.by.field": "nope",
+        })
