@@ -771,3 +771,64 @@ def streaming_options(props: dict[str, str]) -> dict[str, str]:
     if v := props.get("heartbeat.interval.ms"):
         out["_heartbeat_rps"] = str(max(1, round(1000 / int(v))))
     return out
+
+
+@register(
+    "cdc_connector_e2e",
+    oracle="""
+WITH log AS (
+  SELECT user_id, event_id AS pos, value, '****' AS props,
+         CASE event_type WHEN 'signup' THEN 'c' WHEN 'error' THEN 'd'
+              WHEN 'view' THEN 'r' ELSE 'u' END AS op
+  FROM events
+  WHERE user_id % 10 <> 7
+)
+SELECT user_id, value, props FROM (
+  SELECT user_id, value, props, op,
+         row_number() OVER (PARTITION BY user_id ORDER BY pos DESC) AS rn
+  FROM log
+) WHERE rn = 1 AND op <> 'd'
+ORDER BY user_id
+""",
+)
+def cdc_connector_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The connector front end END TO END under one differential: the
+    captured table resolved from ``table.include.list``, column
+    policies (``column.mask.with.4.chars``) applied to the change
+    stream, the property-driven Filter SMT, and the two-phase
+    ``snapshot.mode=initial`` bootstrap (backfill image at position
+    600, streaming after it) folded to current state. The oracle folds
+    the masked+filtered log DIRECTLY — equality proves the
+    snapshot+stream split is invisible (image rows re-stamped at the
+    snapshot position can never beat a later streamed change), the
+    mask reached BOTH phases, and the filter semantics match Debezium's
+    (filtered events simply never existed for the consumer)."""
+    from .cdc.envelope import OP_CASE
+
+    props = {
+        "table.include.list": "events",
+        "column.mask.with.4.chars": "events.props",
+        "transforms": "f",
+        "transforms.f.type": "io.debezium.transforms.Filter",
+        "transforms.f.condition": "user_id % 10 <> 7",
+    }
+    cfg = parse_config(props)
+    (captured,) = captured_tables(cfg, available=list(TABLES))
+    ev = table(spark, sf_dir, captured)
+    changes = ev.select(
+        "user_id",
+        "value",
+        "props",
+        F.col("event_id").alias("__pos"),
+        F.expr(OP_CASE).alias("__op"),
+    )
+    changes = apply_column_policies(changes, captured, cfg)
+    changes = transform_chain(changes, cfg)
+    boot = connector_bootstrap(
+        spark, props, changes, "user_id", "__pos", snapshot_pos=600
+    )
+    return (
+        boot["state"]
+        .select("user_id", "value", "props")
+        .orderBy("user_id")
+    )
