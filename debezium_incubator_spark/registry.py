@@ -68,7 +68,11 @@ PRIORITY: list[str] = [
     # §2A scans + §2B per-record transforms
     "scan_project",          # A3 + B1
     "scan_filter_pushdown",  # A4
-    "connector_snapshot",    # A5 (include/exclude front end)
+    # round-7 third block: connector_snapshot (A5 — stays sweep-oracled)
+    # gives its slot to cdc_connector_e2e, which strictly supersedes it
+    # (same include-list + mask surface, PLUS the Filter SMT and the
+    # two-phase snapshot/stream bootstrap under one differential).
+    "cdc_connector_e2e",     # A5 + B7 + B3 + bootstrap capstone
     "filter_predicate",      # B3
     # round-5 recomposition: mask_columns (B7 — masking/truncate remain
     # sweep-oracled and the B family keeps filter/cast/route slots) gives
