@@ -725,3 +725,111 @@ def test_token_budget_greedy_prefix_semantics(spark):
     assert out["a"]["n_docs"] == 2 and out["a"]["tokens_kept"] == 600
     # source b: all 3 fit (300 <= 800) regardless of a's exhaustion
     assert out["b"]["n_docs"] == 3 and out["b"]["tokens_kept"] == 300
+
+
+def _make_png(w, h, channels=3, filters=None, seed=0):
+    """Forward-filter known pixel rows per the PNG spec and wrap them
+    in real chunks — the decoder must invert every filter exactly to
+    recover the original pixel sum."""
+    import struct
+    import zlib
+
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[channels]
+    rows = [
+        bytes((seed + y * 31 + i * 7) % 256 for i in range(w * channels))
+        for y in range(h)
+    ]
+    filters = filters or [0] * h
+    stride = w * channels
+    raw = bytearray()
+    prev = bytes(stride)
+    for y, row in enumerate(rows):
+        f = filters[y]
+        out = bytearray(row)
+        if f == 1:
+            for i in range(stride - 1, channels - 1, -1):
+                out[i] = (row[i] - row[i - channels]) & 0xFF
+        elif f == 2:
+            for i in range(stride):
+                out[i] = (row[i] - prev[i]) & 0xFF
+        elif f == 3:
+            for i in range(stride):
+                left = row[i - channels] if i >= channels else 0
+                out[i] = (row[i] - ((left + prev[i]) >> 1)) & 0xFF
+        elif f == 4:
+            for i in range(stride):
+                a = row[i - channels] if i >= channels else 0
+                b, c = prev[i], (prev[i - channels] if i >= channels else 0)
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (
+                    b if pb <= pc else c)
+                out[i] = (row[i] - pred) & 0xFF
+        raw += bytes([f]) + bytes(out)
+        prev = row
+
+    def chunk(ctype, data):
+        return (struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(">I", zlib.crc32(ctype + data)))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    png = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+           + chunk(b"IDAT", zlib.compress(bytes(raw)))
+           + chunk(b"IEND", b""))
+    expect = sum(sum(r) for r in rows) % 65536
+    return png, expect
+
+
+def test_decode_png_kernel_unfilters_all_filter_types(spark):
+    """The PNG kernel zlib-inflates and INVERTS every spec filter
+    (None/Sub/Up/Average/Paeth) — the checksum over unfiltered bytes
+    must equal the known pixel sum for each filter mix — and refuses
+    16-bit, interlaced, and paletted payloads loudly; the same
+    mapInPandas seam as the other kernels carries it."""
+    import struct
+
+    import pytest as _pt
+
+    from debezium_incubator_spark.llm.multimodal import (
+        decode_features,
+        decode_png,
+    )
+
+    for filters in ([0, 0, 0, 0], [1, 2, 3, 4], [4, 4, 4, 4],
+                    [2, 1, 4, 3]):
+        png, expect = _make_png(5, 4, channels=3, filters=filters, seed=3)
+        d = decode_png(png)
+        assert (d["width"], d["height"]) == (5, 4)
+        assert d["checksum"] == expect, filters
+    png_rgba, expect = _make_png(3, 3, channels=4, filters=[4, 2, 1])
+    assert decode_png(png_rgba)["checksum"] == expect
+
+    with _pt.raises(ValueError, match="bad signature"):
+        decode_png(b"nope")
+    bad_depth = bytearray(_make_png(2, 2)[0])
+    bad_depth[8 + 8 + 8] = 16          # IHDR bit-depth byte
+    with _pt.raises(ValueError, match="bit depth"):
+        decode_png(bytes(bad_depth))
+    bad_inter = bytearray(_make_png(2, 2)[0])
+    bad_inter[8 + 8 + 12] = 1          # IHDR interlace byte
+    with _pt.raises(ValueError, match="interlaced"):
+        decode_png(bytes(bad_inter))
+    pal = bytearray(_make_png(2, 2)[0])
+    pal[8 + 8 + 9] = 3                 # IHDR color-type byte -> palette
+    with _pt.raises(ValueError, match="color type"):
+        decode_png(bytes(pal))
+
+    from pyspark.sql import functions as _F
+
+    p1, e1 = _make_png(6, 2, filters=[4, 3], seed=7)
+    p2, e2 = _make_png(3, 5, filters=[1, 2, 4, 0, 3], seed=9)
+    media = spark.createDataFrame(
+        [(1, p1), (2, p2)], "doc_id LONG, payload BINARY",
+    ).withColumn("meta", _F.struct(
+        _F.lit("image/png").alias("mime"),
+        _F.length("payload").cast("long").alias("n_bytes"),
+        _F.lit("test").alias("source"),
+    ))
+    rows = {r.doc_id: r.checksum
+            for r in decode_features(media, kernel=decode_png).collect()}
+    assert rows == {1: e1, 2: e2}
