@@ -113,6 +113,7 @@ def snapshot_chunk(
     low_watermark: int,
     high_watermark: int,
     condition: str | None = None,
+    dedup_key: str | None = None,
 ) -> DataFrame:
     """One reconciled chunk: rows in (lo, hi] minus keys that changed
     between the chunk's low and high watermarks (those keys' truth is
@@ -122,15 +123,23 @@ def snapshot_chunk(
     ``additional-conditions`` filter for this collection) ANDed into the
     chunk scan — Catalyst pushes both the PK range and the predicate to
     the source, so a filtered ad-hoc snapshot reads only matching row
-    groups."""
+    groups.
+
+    ``dedup_key``: the signal's ``surrogate-key`` option splits the two
+    roles ``key`` normally plays — chunk RANGES run on the surrogate
+    column (useful when the PK is composite or non-range-friendly)
+    while reconciliation still anti-joins on the table's real event key
+    (deduping on a non-unique surrogate would drop every unchanged row
+    sharing a value with one changed row). Defaults to ``key``."""
     lo, hi = bounds
     chunk = snapshot_df.filter((F.col(key) > lo) & (F.col(key) <= hi))
     if condition:
         chunk = chunk.filter(F.expr(condition))
+    dk = dedup_key or key
     in_window = changes.filter(
         (F.col(pos_col) > low_watermark) & (F.col(pos_col) <= high_watermark)
-    ).select(key).distinct()
-    return chunk.join(in_window, key, "left_anti")
+    ).select(dk).distinct()
+    return chunk.join(in_window, dk, "left_anti")
 
 
 def incremental_snapshot(

@@ -52,6 +52,7 @@ def parse_signals(raw: DataFrame) -> DataFrame:
         F.from_json(
             "data",
             "`data-collections` ARRAY<STRING>, `type` STRING, "
+            "`surrogate-key` STRING, "
             "`additional-conditions` ARRAY<STRUCT<"
             "`data-collection` STRING, `filter` STRING>>",
         ).alias("_d"),
@@ -61,6 +62,7 @@ def parse_signals(raw: DataFrame) -> DataFrame:
         "data",
         F.col("_d.data-collections").alias("data_collections"),
         F.coalesce(F.col("_d.type"), F.lit("incremental")).alias("snapshot_kind"),
+        F.col("_d.surrogate-key").alias("surrogate_key"),
         F.transform(
             F.col("_d.additional-conditions"),
             lambda c: F.struct(
@@ -169,6 +171,7 @@ def dispatch_signals(
                             "data": data,
                             "data_collections": row.data_collections or [],
                             "snapshot_kind": row.snapshot_kind,
+                            "surrogate_key": row.surrogate_key,
                             "additional_conditions": {
                                 c.data_collection: c.filter
                                 for c in (row.additional_conditions or [])

@@ -68,11 +68,13 @@ class ChunkedSnapshotRunner:
         channel=None,
         condition: str | None = None,
         collection: str | None = None,
+        dedup_key: str | None = None,
     ) -> None:
         self.spark = spark
         self.snapshot_at = snapshot_at
         self.changes = changes
         self.key = key
+        self.dedup_key = dedup_key
         self.pos_col = pos_col
         self.bounds = bounds
         if watermarks is None:
@@ -198,6 +200,7 @@ class ChunkedSnapshotRunner:
                 snapshot_chunk(
                     self.snapshot_at(hw), self.key, b, self.changes,
                     self.pos_col, lw, hw, condition=self.condition,
+                    dedup_key=self.dedup_key,
                 )
                 .withColumn("__op", F.lit("r"))
                 .withColumn(self.pos_col, F.lit(lw).cast("long"))
@@ -327,20 +330,48 @@ class SnapshotCoordinator:
             "stop-snapshot": stop,
         }
 
-    def _runner_for(self, coll: str, condition: str | None):
+    def _runner_for(self, coll: str, condition: str | None,
+                    surrogate_key: str | None = None):
         if coll not in self.runners:
             if coll not in self.sources:
                 raise ValueError(
                     f"execute-snapshot names uncaptured collection '{coll}'"
                 )
             src = self.sources[coll]
+            key, bounds, watermarks, dedup = (
+                src["key"], src["bounds"], src["watermarks"], None
+            )
+            if surrogate_key and surrogate_key != key:
+                # signal `surrogate-key`: chunk RANGES on the named
+                # column, reconciliation still on the real event key.
+                # Bounds are re-derived on the surrogate over the table
+                # at the log head; watermark brackets are re-derived
+                # from the log (readonly-style) since the configured
+                # ones were sized for the default bounds.
+                from .incremental_snapshot import chunk_bounds
+
+                head = src["changes"].agg(
+                    F.max(src["pos_col"])
+                ).collect()[0][0]
+                snap = src["snapshot_at"](head)
+                if surrogate_key not in snap.columns:
+                    raise ValueError(
+                        f"surrogate-key '{surrogate_key}' is not a "
+                        f"column of '{coll}' (have {snap.columns})"
+                    )
+                dedup = key
+                key = surrogate_key
+                bounds = chunk_bounds(snap, surrogate_key,
+                                      len(src["bounds"]))
+                watermarks = None
             self.runners[coll] = ChunkedSnapshotRunner(
-                self.spark, src["snapshot_at"], src["changes"], src["key"],
-                src["pos_col"], src["bounds"], src["watermarks"],
+                self.spark, src["snapshot_at"], src["changes"], key,
+                src["pos_col"], bounds, watermarks,
                 os.path.join(self.work_root, coll.replace(".", "__")),
                 channel=self.channel,
                 condition=condition,
                 collection=coll,
+                dedup_key=dedup,
             )
         return self.runners[coll]
 
@@ -361,7 +392,9 @@ class SnapshotCoordinator:
                         data_collection=coll, reason="stop-snapshot",
                     )
                 continue
-            runner = self._runner_for(coll, conditions.get(coll))
+            runner = self._runner_for(
+                coll, conditions.get(coll), sig.get("surrogate_key")
+            )
             self._current = runner
             st = runner.run(poll=poll)
             if st != PAUSED:

@@ -1179,3 +1179,93 @@ def test_readonly_watermarks_snapshot_folds_to_latest_state(
         r.user_id: r.value for r in want.collect()
     }
     ch.unpersist()
+
+
+def test_execute_snapshot_surrogate_key(spark, tmp_path):
+    """The signal's ``surrogate-key`` chunks on the NAMED column while
+    reconciliation stays on the real event key: ranges on a non-unique
+    `bucket` column must not dedup whole buckets when one member key
+    changed in-window, and the delivered snapshot + stream still fold
+    to plain latest state. An unknown surrogate column refuses."""
+    from debezium_incubator_spark.cdc.snapshot_lifecycle import (
+        SnapshotCoordinator,
+    )
+
+    ch = _changes(spark).cache()
+    max_pos = ch.agg(F.max("pos")).first()[0]
+
+    def snapshot_at(p):
+        return materialize_latest(
+            ch.filter(F.col("pos") <= p), ["user_id"], ["pos"]
+        ).select(
+            "user_id", "value", (F.col("user_id") % 7).alias("bucket")
+        )
+
+    src = {
+        "snapshot_at": snapshot_at, "changes": ch, "key": "user_id",
+        "pos_col": "pos",
+        "bounds": chunk_bounds(ch, "user_id", 4),
+        "watermarks": [(max_pos - 5, max_pos)] * 4,
+    }
+    coord = SnapshotCoordinator(
+        spark, {"db.t": src}, str(tmp_path / "snap")
+    )
+    done = {}
+    dispatch_signals(
+        _signal(
+            spark, "sig-sk", "execute-snapshot",
+            '{"data-collections": ["db.t"], "surrogate-key": "bucket"}',
+        ),
+        handlers={"execute-snapshot": lambda s: done.update(
+            status=coord.run(s))},
+    )
+    assert done["status"] == {"db.t": COMPLETED}
+    runner = coord.runners["db.t"]
+    assert runner.key == "bucket" and runner.dedup_key == "user_id"
+    snap = runner.result()
+    assert snap.count() > 0
+    combined = snap.select("user_id", "pos", "value", "__op").unionByName(
+        ch.select("user_id", "pos", "value", "__op")
+    )
+    got = {(r.user_id, r.value) for r in materialize_latest(
+        combined, ["user_id"], ["pos"]).select("user_id", "value").collect()}
+    want = {(r.user_id, r.value) for r in materialize_latest(
+        ch, ["user_id"], ["pos"]).select("user_id", "value").collect()}
+    assert got == want and want
+
+    # unknown surrogate column refuses loudly (contained by dispatch)
+    coord2 = SnapshotCoordinator(
+        spark, {"db.t": dict(src)}, str(tmp_path / "snap2")
+    )
+    acts = dispatch_signals(
+        _signal(
+            spark, "sig-bad", "execute-snapshot",
+            '{"data-collections": ["db.t"], "surrogate-key": "ghost"}',
+        ),
+        handlers={"execute-snapshot": lambda s: coord2.run(s)},
+    )
+    assert "surrogate-key 'ghost'" in acts[0].get("error", "")
+    ch.unpersist()
+
+
+def test_snapshot_chunk_surrogate_dedup_separation(spark):
+    """Unit pin of the dedup/range split: chunking on a non-unique
+    column with reconciliation on the real key drops ONLY the changed
+    key's row — a reconcile on the surrogate would erase every row in
+    the changed row's bucket."""
+    snap = spark.createDataFrame(
+        [(1, 0, 10.0), (2, 0, 20.0), (3, 1, 30.0)],
+        "user_id LONG, bucket LONG, value DOUBLE",
+    )
+    ch = spark.createDataFrame(
+        [(2, 100, 21.0, "u")], "user_id LONG, pos LONG, value DOUBLE, __op STRING"
+    )
+    from debezium_incubator_spark.cdc.incremental_snapshot import (
+        snapshot_chunk,
+    )
+
+    out = snapshot_chunk(
+        snap, "bucket", (-1, 1), ch, "pos", 50, 150,
+        dedup_key="user_id",
+    )
+    assert {r.user_id for r in out.collect()} == {1, 3}
