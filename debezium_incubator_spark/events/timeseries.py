@@ -203,3 +203,67 @@ def e11_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("span_us").cast("double")
         ).alias("twa"),
     ).orderBy("user_id")
+
+
+@register(
+    "e12_rfm_segments",
+    oracle="""
+WITH base AS (
+  SELECT user_id,
+         max(ts) AS last_ts,
+         CAST(count(*) AS BIGINT) AS freq,
+         CAST(sum(CAST(value AS DECIMAL(38,10))) AS DOUBLE) AS monetary
+  FROM events GROUP BY user_id
+), scored AS (
+  SELECT user_id, freq, monetary,
+         ntile(5) OVER (ORDER BY last_ts DESC, user_id) AS r_score,
+         ntile(5) OVER (ORDER BY freq DESC, user_id) AS f_score,
+         ntile(5) OVER (ORDER BY monetary DESC, user_id) AS m_score
+  FROM base
+)
+SELECT user_id, freq, monetary, r_score, f_score, m_score,
+       CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR)
+         || CAST(m_score AS VARCHAR) AS segment
+FROM scored ORDER BY user_id
+""",
+)
+def e12_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation (recency / frequency / monetary quintiles —
+    the classic customer-analytics rollup): one hash aggregation to
+    per-user metrics, then ntile(5) per dimension with the engine's
+    deterministic tie-break discipline (user_id), concatenated into
+    the '515'-style segment label. Monetary sums go through
+    DECIMAL(38,10) per the money-sum parity policy.
+
+    Scale: the aggregation reduces the event stream to USER cardinality
+    before any window — the global ntile then sorts users, not events.
+    That is exact-quantile semantics for parity; at 1e9+ users the
+    production spelling swaps ntile for approx_percentile threshold
+    lookups (no global sort), trading exactness the way every RFM
+    system at that size does."""
+    ev = table(spark, sf_dir, "events")
+    base = ev.groupBy("user_id").agg(
+        F.max("ts").alias("last_ts"),
+        F.count(F.lit(1)).alias("freq"),
+        F.sum(F.col("value").cast("decimal(38,10)"))
+        .cast("double").alias("monetary"),
+    )
+    r_w = W.orderBy(F.desc("last_ts"), F.asc("user_id"))
+    f_w = W.orderBy(F.desc("freq"), F.asc("user_id"))
+    m_w = W.orderBy(F.desc("monetary"), F.asc("user_id"))
+    scored = base.select(
+        "user_id",
+        "freq",
+        "monetary",
+        F.ntile(5).over(r_w).alias("r_score"),
+        F.ntile(5).over(f_w).alias("f_score"),
+        F.ntile(5).over(m_w).alias("m_score"),
+    )
+    return scored.withColumn(
+        "segment",
+        F.concat(
+            F.col("r_score").cast("string"),
+            F.col("f_score").cast("string"),
+            F.col("m_score").cast("string"),
+        ),
+    ).orderBy("user_id")
