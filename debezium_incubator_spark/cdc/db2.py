@@ -176,3 +176,115 @@ def prune_capture_table(
             "lexicographic pruning would discard unapplied rows"
         )
     return capture.filter(F.col(commitseq_col) > F.lit(synchpoint))
+
+
+# ---------------------------------------------------------------------------
+# UOW-table commit join (SQL Replication IBMSNAP_UOW semantics)
+# ---------------------------------------------------------------------------
+
+
+def db2_uow_join(
+    cd: DataFrame,
+    uow: DataFrame,
+    uowid_col: str = "IBMSNAP_UOWID",
+    commitseq_col: str = "IBMSNAP_COMMITSEQ",
+) -> DataFrame:
+    """SQL Replication's split position: a CD row carries only its
+    INTENT sequence and the transaction's ``IBMSNAP_UOWID`` — the
+    COMMIT sequence lives in the shared ``IBMSNAP_UOW`` table, one row
+    per committed unit of work. The reader joins CD rows to UOW to gain
+    the commit position; a CD row whose UOWID has no UOW row belongs to
+    an in-flight (or rolled-back, the Capture program never records it)
+    transaction and must be withheld — the same visibility rule the
+    LogMiner path proves for Oracle, surfaced through Db2's
+    table-shaped idiom.
+
+    Scale: the UOW side is one row per transaction — broadcast next to
+    a data-plane CD stream; the inner join IS the withholding (no
+    buffered state)."""
+    return cd.join(
+        F.broadcast(uow.select(
+            F.col(uowid_col),
+            F.col(commitseq_col).alias("__commitseq"),
+        )),
+        uowid_col,
+    )
+
+
+@register(
+    "cdc_db2_uow_fold",
+    oracle="""
+WITH cd AS (
+  SELECT user_id, value, event_id,
+         CASE event_type WHEN 'signup' THEN 'c' WHEN 'error' THEN 'd'
+              ELSE 'u' END AS op,
+         event_id // 5 AS uowid
+  FROM events
+), uow AS (
+  -- odd units of work commit 1000 positions late (commit order differs
+  -- from intent order); every 97th never commits and is withheld
+  SELECT uowid,
+         max(event_id) + CASE WHEN uowid % 2 = 1 THEN 1000 ELSE 0 END
+           AS commitpos
+  FROM cd GROUP BY uowid
+  HAVING uowid % 97 <> 0
+), visible AS (
+  SELECT c.user_id, c.value, c.op, u.commitpos, c.event_id
+  FROM cd c JOIN uow u ON c.uowid = u.uowid
+)
+SELECT user_id, value FROM (
+  SELECT user_id, value, op,
+         row_number() OVER (
+           PARTITION BY user_id ORDER BY commitpos DESC, event_id DESC
+         ) AS rn
+  FROM visible
+) WHERE rn = 1 AND op <> 'd'
+ORDER BY user_id
+""",
+)
+def cdc_db2_uow_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UOW commit join, differentially proven: CD rows carry only
+    (uowid, intentseq) — the fixture groups five events per unit of
+    work, odd UOWs commit 1000 positions late (commit order genuinely
+    differs from intent order) and every 97th UOW never commits. The
+    engine joins CD→UOW (broadcast) and folds by the fixed-width-hex
+    (commitseq, intentseq) vector; the oracle recomputes with plain
+    numeric positions. Equality proves the UOW join assigns commit
+    visibility exactly like LogMiner's commit table does for Oracle,
+    AND that hex-lexicographic order still equals commit order through
+    the split-position path."""
+    from .envelope import OP_CASE
+
+    ev = table(spark, sf_dir, "events")
+    cd = ev.select(
+        "user_id",
+        "value",
+        F.expr(OP_CASE).alias("_op0"),
+        seq_hex(F.col("event_id")).alias("IBMSNAP_INTENTSEQ"),
+        (F.col("event_id") / 5).cast("long").alias("IBMSNAP_UOWID"),
+        F.col("event_id").alias("_eid"),
+    )
+    uow = (
+        cd.groupBy("IBMSNAP_UOWID")
+        .agg(
+            seq_hex(
+                F.max("_eid")
+                + F.when(F.col("IBMSNAP_UOWID") % 2 == 1, 1000).otherwise(0)
+            ).alias("IBMSNAP_COMMITSEQ")
+        )
+        .filter(F.col("IBMSNAP_UOWID") % 97 != 0)
+    )
+    visible = db2_uow_join(cd.drop("_eid"), uow)
+    # 'r' folds like 'u' (only 'd' drops a key) — map for the fold
+    ch = visible.select(
+        "user_id",
+        "value",
+        F.when(F.col("_op0") == "r", "u").otherwise(F.col("_op0"))
+        .alias("__op"),
+        "__commitseq",
+        F.col("IBMSNAP_INTENTSEQ").alias("__intentseq"),
+    )
+    state = materialize_latest(
+        ch, ["user_id"], ["__commitseq", "__intentseq"]
+    )
+    return state.select("user_id", "value").orderBy("user_id")

@@ -1162,3 +1162,64 @@ def test_unwrap_route_by_field(spark):
         transform_chain(env, {
             **props, "transforms.unwrap.route.by.field": "nope",
         })
+
+
+def test_predicate_gated_chain_stream_equals_batch(spark, tmp_path):
+    """Predicate gating is stateless too — the gate split + by-name
+    union inside foreachBatch yields row-for-row the batch result,
+    including the NULL-vs-populated inserted field per gate side."""
+    from debezium_incubator_spark.connector import transform_chain
+
+    props = {
+        "predicates": "HasCorr",
+        "predicates.HasCorr.type":
+            "org.apache.kafka.connect.transforms.predicates.HasHeaderKey",
+        "predicates.HasCorr.name": "corr",
+        "transforms": "tag,mark",
+        "transforms.tag.type":
+            "org.apache.kafka.connect.transforms.InsertField$Value",
+        "transforms.tag.static.field": "ch",
+        "transforms.tag.static.value": "traced",
+        "transforms.tag.predicate": "HasCorr",
+        "transforms.mark.type":
+            "org.apache.kafka.connect.transforms.InsertField$Value",
+        "transforms.mark.static.field": "bulk",
+        "transforms.mark.static.value": "y",
+        "transforms.mark.predicate": "HasCorr",
+        "transforms.mark.negate": "true",
+    }
+    rows = [
+        (i, {"corr": f"c-{i}"} if i % 3 == 0 else {"x": "1"})
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(rows, "id LONG, headers MAP<STRING,STRING>")
+    src = str(tmp_path / "src")
+    df.coalesce(1).write.json(src)
+    schema = "id LONG, headers MAP<STRING,STRING>"
+
+    want = {
+        (r.id, r.ch, r.bulk)
+        for r in transform_chain(
+            spark.read.schema(schema).json(src), props
+        ).collect()
+    }
+    got = set()
+
+    def on_batch(batch_df, bid):
+        got.update(
+            (r.id, r.ch, r.bulk)
+            for r in transform_chain(batch_df, props).collect()
+        )
+
+    q = (
+        spark.readStream.schema(schema).json(src)
+        .writeStream.foreachBatch(on_batch)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert got == want and len(want) == 30
+    assert {r for r in want if r[1] == "traced"} == {
+        r for r in want if r[0] % 3 == 0
+    }

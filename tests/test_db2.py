@@ -110,3 +110,36 @@ def test_pruning_preserves_every_fold(spark):
     # k=1 and k=2 end deleted; k=3 updated above the synchpoint; k=4 new
     assert full == {(3, 8.0), (4, 9.0)}
     assert got == full
+
+
+def test_uow_join_withholds_inflight_and_orders_by_commit(spark):
+    """A CD row whose UOWID has no UOW row is withheld (in-flight /
+    rolled back — Capture never records it); and the UOW table's
+    commit position, not the CD intent position, decides the fold."""
+    from debezium_incubator_spark.cdc.db2 import db2_uow_join, seq_hex
+    from pyspark.sql import functions as F
+
+    cd = spark.createDataFrame(
+        [
+            (1, 10.0, "u", 1, 100),   # uow 1: commits LATE (pos 500)
+            (1, 20.0, "u", 2, 200),   # uow 2: commits at 250
+            (2, 30.0, "u", 3, 300),   # uow 3: never commits
+        ],
+        "k LONG, v DOUBLE, __op STRING, IBMSNAP_UOWID LONG, intent LONG",
+    ).withColumn("IBMSNAP_INTENTSEQ", seq_hex(F.col("intent"))).drop("intent")
+    uow = spark.createDataFrame(
+        [(1, 500), (2, 250)], "IBMSNAP_UOWID LONG, cpos LONG"
+    ).withColumn("IBMSNAP_COMMITSEQ", seq_hex(F.col("cpos"))).drop("cpos")
+
+    joined = db2_uow_join(cd, uow)
+    rows = joined.collect()
+    assert {r["k"] for r in rows} == {1}          # uow 3 withheld
+    from debezium_incubator_spark.cdc.materialize import materialize_latest
+
+    state = materialize_latest(
+        joined.withColumnRenamed("IBMSNAP_INTENTSEQ", "__intentseq"),
+        ["k"], ["__commitseq", "__intentseq"],
+    ).collect()
+    # uow 1 committed LAST (500 > 250) — its value wins despite the
+    # earlier intent position
+    assert [(r["k"], r["v"]) for r in state] == [(1, 10.0)]
