@@ -267,3 +267,59 @@ def e12_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("m_score").cast("string"),
         ),
     ).orderBy("user_id")
+
+
+@register(
+    "e13_attribution",
+    oracle="""
+WITH attr AS (
+  SELECT user_id, event_id, event_type, value,
+     last_value(CASE WHEN event_type = 'click' THEN event_id END
+                IGNORE NULLS)
+       OVER (PARTITION BY user_id ORDER BY event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+       AS last_click,
+     first_value(CASE WHEN event_type = 'click' THEN event_id END
+                 IGNORE NULLS)
+       OVER (PARTITION BY user_id ORDER BY event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+       AS first_click
+  FROM events
+)
+SELECT event_id, user_id, last_click, first_click, value AS revenue
+FROM attr WHERE event_type = 'purchase'
+ORDER BY event_id
+""",
+)
+def e13_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marketing attribution (first-touch / last-touch): every purchase
+    is attributed to the FIRST and the LAST click preceding it in the
+    user's stream — the ignore-nulls window idiom (a conditional
+    last_value over an unbounded-to-previous frame IS an as-of lookup
+    within one table, no self-join). Purchases with no preceding click
+    surface NULL (organic), exactly what an attribution report needs.
+
+    Scale: one window per user partition — hash-partitioned on
+    user_id, running state is two event ids; no join, no second pass
+    over the stream."""
+    ev = table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    click_id = F.when(F.col("event_type") == "click", F.col("event_id"))
+    attr = ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.col("value").alias("revenue"),
+        F.last(click_id, ignorenulls=True).over(w).alias("last_click"),
+        F.first(click_id, ignorenulls=True).over(w).alias("first_click"),
+    )
+    return (
+        attr.filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "last_click", "first_click",
+                "revenue")
+        .orderBy("event_id")
+    )

@@ -411,3 +411,35 @@ def test_capture_migration_fold_matches_single_instance(spark):
         ["user_id"], ["__start_lsn", "__seqval"],
     ).select("user_id", "value").orderBy("user_id").collect()
     assert folded == single
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    switch=st.integers(min_value=1, max_value=9),
+    overlap=st.integers(min_value=0, max_value=5),
+)
+def test_capture_instance_merge_invariant_under_any_switch(
+    spark, switch, overlap
+):
+    """ANY switch LSN and ANY overlap width: the two-instance merge is
+    row-identical to the single full-history change table (modulo the
+    widened column) — overlap never duplicates, the cut never loses."""
+    from debezium_incubator_spark.cdc.sqlserver import (
+        merge_capture_instances,
+    )
+
+    full_rows = []
+    for n in range(10):
+        if n % 3 == 0:
+            full_rows.append((n, float(n), _h(n), _h(0), 2))
+        else:
+            full_rows.append((n, float(n) - 1, _h(n), _h(0), 3))
+            full_rows.append((n, float(n), _h(n), _h(0), 4))
+    full = _ct(spark, full_rows)
+    old_end = min(switch + overlap, 10)
+    old = _ct(spark, [r for r in full_rows if int(r[2], 16) < old_end])
+    new = _ct(spark, [r for r in full_rows if int(r[2], 16) >= switch])
+    merged = merge_capture_instances([(old, _h(0)), (new, _h(switch))])
+    got = sorted(tuple(r) for r in merged.collect())
+    want = sorted(tuple(r) for r in full.collect())
+    assert got == want
