@@ -2303,3 +2303,84 @@ def t36_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --- t37: character-bigram entropy quality filter --------------------------
+
+#: Docs below this bigram entropy (nats) read as repetitive/boilerplate.
+ENTROPY_KEEP_MIN = 3.0
+
+
+@register(
+    "t37_entropy_quality",
+    oracle="""
+WITH bg AS (
+  SELECT doc_id, unnest(list_transform(range(1, len(text)), i ->
+             substr(text, CAST(i AS INT), 2))) AS bigram
+  FROM documents WHERE len(text) >= 2
+), cnt AS (
+  SELECT doc_id, bigram, count(*) AS c FROM bg GROUP BY doc_id, bigram
+), tot AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n FROM cnt GROUP BY doc_id
+), ent AS (
+  SELECT c.doc_id, t.n,
+         CAST(-sum(CAST((CAST(c.c AS DOUBLE) / t.n)
+                        * ln(CAST(c.c AS DOUBLE) / t.n)
+                        AS DECIMAL(38,10))) AS DOUBLE) AS h_raw
+  FROM cnt c JOIN tot t USING (doc_id)
+  GROUP BY c.doc_id, t.n
+)
+SELECT doc_id, n AS n_bigrams,
+       floor(h_raw * 10000 + 0.5) / CAST(10000 AS DOUBLE) AS entropy,
+       h_raw >= 3.0 AS keep
+FROM ent ORDER BY doc_id
+""",
+)
+def t37_entropy_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-bigram Shannon entropy as a quality gate: repetitive
+    or boilerplate text has a collapsed bigram distribution (low
+    entropy in nats), natural prose sits high — a compression-ratio
+    proxy computable entirely in SQL (the zlib-ratio variant of this
+    filter needs a UDF; the entropy spelling keeps it differential).
+
+    Parity per the t30/ln precedent: each −p·ln p term is computed in
+    doubles (bit-identical across engines), the per-doc sum rides
+    through DECIMAL(38,10) so aggregation order can't flip a 4dp
+    boundary, and the final value uses the repo's floor-half-up
+    rounding. The keep flag compares the RAW (pre-round) sum — both
+    engines hold the identical double, so no boundary flip exists.
+
+    Scale: bigram fan-out is len(text) per doc (one explode), the
+    count agg is (doc, bigram)-keyed — hash-partitioned, no skew worse
+    than the text itself; nothing global."""
+    docs = table(spark, sf_dir, "documents").filter(
+        F.length("text") >= 2
+    )
+    bg = docs.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("text") - 1),
+                lambda i: F.col("text").substr(i, F.lit(2)),
+            )
+        ).alias("bigram"),
+    )
+    cnt = bg.groupBy("doc_id", "bigram").agg(F.count(F.lit(1)).alias("c"))
+    tot = cnt.groupBy("doc_id").agg(F.sum("c").alias("n"))
+    p = F.col("c").cast("double") / F.col("n").cast("double")
+    ent = (
+        cnt.join(tot, "doc_id")
+        .groupBy("doc_id", "n")
+        .agg(
+            (-F.sum((p * F.log(p)).cast("decimal(38,10)")))
+            .cast("double")
+            .alias("h_raw")
+        )
+    )
+    return ent.select(
+        "doc_id",
+        F.col("n").alias("n_bigrams"),
+        (F.floor(F.col("h_raw") * 10000 + 0.5)
+         / F.lit(10000.0)).alias("entropy"),
+        (F.col("h_raw") >= ENTROPY_KEEP_MIN).alias("keep"),
+    ).orderBy("doc_id")

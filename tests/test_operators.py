@@ -833,3 +833,32 @@ def test_decode_png_kernel_unfilters_all_filter_types(spark):
     rows = {r.doc_id: r.checksum
             for r in decode_features(media, kernel=decode_png).collect()}
     assert rows == {1: e1, 2: e2}
+
+
+def test_entropy_quality_separates_repetitive_text(spark):
+    """A repetitive doc (one bigram dominating) scores near zero and is
+    dropped; varied prose scores high and is kept — the semantic the
+    filter exists for."""
+    from pyspark.sql import functions as F
+
+    import debezium_incubator_spark.llm.text as X
+
+    docs = spark.createDataFrame(
+        [
+            (1, "ababababababababababababababab" * 4),   # 2 bigrams
+            (2, "the quick brown fox jumps over the lazy dog and then "
+                "runs far away into the green field near the old barn"),
+            (3, "x"),                                     # too short: out
+        ],
+        "doc_id bigint, text string",
+    )
+    orig = X.table
+    try:
+        X.table = lambda s_, d_, n_: docs
+        out = {r["doc_id"]: r for r in
+               X.t37_entropy_quality(spark, "unused").collect()}
+    finally:
+        X.table = orig
+    assert set(out) == {1, 2}
+    assert out[1]["entropy"] < 1.1 and out[1]["keep"] is False
+    assert out[2]["entropy"] > 3.0 and out[2]["keep"] is True
