@@ -598,3 +598,75 @@ def decode_png(payload: bytes) -> dict:
         "checksum": checksum,     # sum over UNFILTERED pixel bytes
         "n_bytes": len(payload),
     }
+
+
+def decode_qoi(payload: bytes) -> dict:
+    """Fourth real-format kernel — QOI ("Quite OK Image", the 2021
+    one-page spec): a stateful per-pixel decode (64-slot color hash
+    index, previous-pixel runs, DIFF/LUMA deltas) that no SQL
+    expression could express — exactly the kind of sequential codec
+    the mapInPandas seam exists to host. All six op types decoded;
+    truncated streams and bad magic refuse loudly. Same feature-dict
+    shape as the other kernels."""
+    import struct
+
+    if payload[:4] != b"qoif":
+        raise ValueError("not a QOI payload (bad magic)")
+    if len(payload) < 14 + 8:
+        raise ValueError("truncated QOI header")
+    width, height = struct.unpack(">II", payload[4:12])
+    channels, _colorspace = payload[12], payload[13]
+    if channels not in (3, 4):
+        raise ValueError(f"unsupported QOI channels {channels}")
+    n_px = width * height
+    pos = 14
+    r = g = b = 0
+    a = 255
+    index = [(0, 0, 0, 0)] * 64
+    checksum = 0
+    decoded = 0
+    end = len(payload) - 8  # stream end marker: 7x00 + 01
+    while decoded < n_px:
+        if pos >= end:
+            raise ValueError(
+                f"truncated QOI stream: {decoded} of {n_px} pixels"
+            )
+        b1 = payload[pos]
+        pos += 1
+        run = 1
+        if b1 == 0xFE:                      # QOI_OP_RGB
+            r, g, b = payload[pos], payload[pos + 1], payload[pos + 2]
+            pos += 3
+        elif b1 == 0xFF:                    # QOI_OP_RGBA
+            r, g, b, a = (payload[pos], payload[pos + 1],
+                          payload[pos + 2], payload[pos + 3])
+            pos += 4
+        else:
+            tag = b1 >> 6
+            if tag == 0:                    # QOI_OP_INDEX
+                r, g, b, a = index[b1 & 0x3F]
+            elif tag == 1:                  # QOI_OP_DIFF (bias 2)
+                r = (r + ((b1 >> 4) & 3) - 2) & 0xFF
+                g = (g + ((b1 >> 2) & 3) - 2) & 0xFF
+                b = (b + (b1 & 3) - 2) & 0xFF
+            elif tag == 2:                  # QOI_OP_LUMA (bias 32 / 8)
+                b2 = payload[pos]
+                pos += 1
+                dg = (b1 & 0x3F) - 32
+                r = (r + dg - 8 + ((b2 >> 4) & 0x0F)) & 0xFF
+                g = (g + dg) & 0xFF
+                b = (b + dg - 8 + (b2 & 0x0F)) & 0xFF
+            else:                           # QOI_OP_RUN (bias -1)
+                run = (b1 & 0x3F) + 1
+        index[(r * 3 + g * 5 + b * 7 + a * 11) % 64] = (r, g, b, a)
+        take = min(run, n_px - decoded)
+        checksum = (checksum + take * (r + g + b + a)) % 65536
+        decoded += take
+    if payload[end:] != b"\x00" * 7 + b"\x01":
+        raise ValueError("missing QOI end marker")
+    return {
+        "width": width,
+        "height": height,
+        "checksum": checksum,
+        "n_bytes": len(payload),
+    }

@@ -732,3 +732,44 @@ def agg_bool_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "agg_mode_det",
+    oracle="""
+WITH c AS (
+  SELECT event_type, user_id, CAST(count(*) AS BIGINT) AS cnt
+  FROM events GROUP BY event_type, user_id
+), r AS (
+  SELECT event_type, user_id, cnt,
+         row_number() OVER (
+           PARTITION BY event_type ORDER BY cnt DESC, user_id DESC
+         ) AS rn
+  FROM c
+)
+SELECT event_type, user_id AS mode_user, cnt AS mode_count
+FROM r WHERE rn = 1 ORDER BY event_type
+""",
+)
+def agg_mode_det(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DETERMINISTIC mode (D-family closure): the built-in ``mode()``
+    breaks frequency ties arbitrarily in BOTH engines — useless under a
+    hash gate — so the engine's spelling is a lexicographic struct max
+    over (count, value): two hash aggregations, no window, and ties
+    resolve to the largest value on both sides by construction. At
+    scale this beats the window spelling (no per-group sort; partial
+    aggregation applies to both layers)."""
+    from ..catalog import table
+
+    ev = table(spark, sf_dir, "events")
+    c = ev.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    top = c.groupBy("event_type").agg(
+        F.max(F.struct("cnt", "user_id")).alias("m")
+    )
+    return top.select(
+        "event_type",
+        F.col("m.user_id").alias("mode_user"),
+        F.col("m.cnt").alias("mode_count"),
+    ).orderBy("event_type")

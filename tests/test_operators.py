@@ -862,3 +862,69 @@ def test_entropy_quality_separates_repetitive_text(spark):
     assert set(out) == {1, 2}
     assert out[1]["entropy"] < 1.1 and out[1]["keep"] is False
     assert out[2]["entropy"] > 3.0 and out[2]["keep"] is True
+
+
+def test_decode_qoi_kernel_all_ops(spark):
+    """Hand-crafted QOI streams hit every op type with hand-computed
+    expected pixels — the decoder's 64-slot index, delta arithmetic,
+    and run expansion are pinned against literal arithmetic, not a
+    re-implementation; refusals are loud."""
+    import struct
+
+    import pytest as _pt
+
+    from debezium_incubator_spark.llm.multimodal import (
+        decode_features,
+        decode_qoi,
+    )
+
+    def qoi(w, h, body):
+        return (b"qoif" + struct.pack(">II", w, h) + bytes([3, 0])
+                + body + b"\x00" * 7 + b"\x01")
+
+    # pixels: RGB(10,20,30); RUN of 2 more; DIFF(+1,+1,+1) -> (11,21,31);
+    # INDEX back to (10,20,30) (hash slot (30+100+210+2805)%64 = 9);
+    # LUMA dg=+10, dr-dg=-3, db-dg=+2 -> (17,30,42). Total 7 pixels.
+    body = bytes([
+        0xFE, 10, 20, 30,        # RGB
+        0xC0 | 1,                # RUN 2
+        0x40 | (3 << 4) | (3 << 2) | 3,   # DIFF +1,+1,+1
+        0x00 | 9,                # INDEX slot 9 -> (10,20,30)
+        0x80 | (10 + 32), ((-3 + 8) << 4) | (2 + 8),  # LUMA
+        0xC0 | 0,                # RUN 1 (repeat LUMA pixel)
+    ])
+    expect = (
+        3 * (10 + 20 + 30 + 255)
+        + (11 + 21 + 31 + 255)
+        + (10 + 20 + 30 + 255)
+        + 2 * (17 + 30 + 42 + 255)
+    ) % 65536
+    d = decode_qoi(qoi(7, 1, body))
+    assert (d["width"], d["height"], d["checksum"]) == (7, 1, expect)
+
+    # RGBA op changes alpha; subsequent RGB keeps it
+    body2 = bytes([0xFF, 1, 2, 3, 100, 0xFE, 4, 5, 6])
+    d2 = decode_qoi(qoi(2, 1, b"" + body2))
+    assert d2["checksum"] == ((1 + 2 + 3 + 100) + (4 + 5 + 6 + 100)) % 65536
+
+    with _pt.raises(ValueError, match="bad magic"):
+        decode_qoi(b"nope")
+    with _pt.raises(ValueError, match="truncated QOI stream"):
+        decode_qoi(qoi(5, 1, bytes([0xFE, 1, 2, 3])))
+    with _pt.raises(ValueError, match="unsupported QOI channels"):
+        decode_qoi(b"qoif" + struct.pack(">II", 1, 1) + bytes([5, 0])
+                   + bytes([0xFE, 1, 2, 3]) + b"\x00" * 7 + b"\x01")
+
+    from pyspark.sql import functions as _F
+
+    media = spark.createDataFrame(
+        [(1, qoi(7, 1, body)), (2, qoi(2, 1, body2))],
+        "doc_id LONG, payload BINARY",
+    ).withColumn("meta", _F.struct(
+        _F.lit("image/qoi").alias("mime"),
+        _F.length("payload").cast("long").alias("n_bytes"),
+        _F.lit("test").alias("source"),
+    ))
+    rows = {r.doc_id: r.checksum
+            for r in decode_features(media, kernel=decode_qoi).collect()}
+    assert rows == {1: expect, 2: d2["checksum"]}
