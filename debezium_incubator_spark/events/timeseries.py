@@ -323,3 +323,55 @@ def e13_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "revenue")
         .orderBy("event_id")
     )
+
+
+@register(
+    "e14_time_to_convert",
+    oracle="""
+WITH attr AS (
+  SELECT event_id, event_type, epoch_ms(ts) AS tms,
+     last_value(CASE WHEN event_type = 'click' THEN epoch_ms(ts) END
+                IGNORE NULLS)
+       OVER (PARTITION BY user_id ORDER BY event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+       AS click_ms
+  FROM events
+), p AS (
+  SELECT tms - click_ms AS delta_ms FROM attr
+  WHERE event_type = 'purchase'
+)
+SELECT CAST(count(*) AS BIGINT) AS n_purchases,
+       CAST(count(delta_ms) AS BIGINT) AS n_converted,
+       ROUND(quantile_cont(delta_ms, 0.5), 4) AS p50_ms,
+       ROUND(quantile_cont(delta_ms, 0.9), 4) AS p90_ms
+FROM p
+""",
+)
+def e14_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution: e13's as-of click lookup carried
+    as the click's epoch-millis, the purchase-minus-click delta in
+    exact integer milliseconds, and the conversion-latency quantiles
+    every funnel dashboard reports (organic purchases count toward
+    n_purchases but carry NULL deltas — both engines' percentile
+    skips them identically). Same one-window-per-user plan as e13;
+    the final agg is a single row."""
+    ev = table(spark, sf_dir, "events")
+    tms = F.unix_millis(F.col("ts").cast("timestamp"))
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    click_ms = F.last(
+        F.when(F.col("event_type") == "click", tms), ignorenulls=True
+    ).over(w)
+    p = ev.select(
+        "event_type",
+        (tms - click_ms).alias("delta_ms"),
+    ).filter(F.col("event_type") == "purchase")
+    return p.agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        F.count("delta_ms").alias("n_converted"),
+        F.expr("ROUND(percentile(delta_ms, 0.5), 4)").alias("p50_ms"),
+        F.expr("ROUND(percentile(delta_ms, 0.9), 4)").alias("p90_ms"),
+    )
