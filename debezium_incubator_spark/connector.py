@@ -650,6 +650,7 @@ def connector_bootstrap(
     state_exists: bool = False,
     op_col: str = "__op",
     offsets_valid: bool = True,
+    channel=None,
 ) -> dict:
     """E2e composition of the connector's phases for one captured table,
     driven by ``snapshot.mode`` (Debezium startup semantics):
@@ -688,6 +689,12 @@ def connector_bootstrap(
     }
     delivered = None
     if plan["run_snapshot"]:
+        # public Debezium emits "Initial Snapshot" aggregate
+        # notifications (STARTED/COMPLETED; SKIPPED when the mode's
+        # plan runs no backfill) — same channel as the incremental tier
+        if channel is not None:
+            channel.notify("Initial Snapshot", "STARTED",
+                           position=snapshot_pos)
         out["backfill"] = (
             materialize_latest(
                 changes.filter(F.col(pos_col) <= snapshot_pos),
@@ -697,6 +704,13 @@ def connector_bootstrap(
             .withColumn(op_col, F.lit("r"))
         )
         delivered = out["backfill"]
+        if channel is not None:
+            channel.notify("Initial Snapshot", "COMPLETED",
+                           position=snapshot_pos)
+    elif channel is not None:
+        channel.notify("Initial Snapshot", "SKIPPED",
+                       position=snapshot_pos,
+                       reason=out["mode"])
     if plan["run_stream"]:
         stream = apply_skipped_operations(
             changes.filter(F.col(pos_col) > snapshot_pos), props, op_col

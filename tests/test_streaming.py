@@ -374,3 +374,33 @@ def test_when_needed_resnapshots_on_purged_log():
     assert offsets_available(99, 100) is True           # exactly at head
     assert offsets_available(100, 100) is True
     assert offsets_available(98, 100) is False          # entry 99 purged
+
+
+def test_bootstrap_emits_initial_snapshot_notifications(spark):
+    """connector_bootstrap surfaces the public 'Initial Snapshot'
+    notification aggregate: STARTED+COMPLETED around a backfill,
+    SKIPPED (with the mode as reason) when the plan runs none."""
+    from pyspark.sql import functions as F
+
+    from debezium_incubator_spark.cdc.notifications import (
+        NotificationChannel,
+    )
+    from debezium_incubator_spark.connector import connector_bootstrap
+
+    ch = spark.createDataFrame(
+        [(1, 10, 1.0, "c"), (1, 20, 2.0, "u"), (2, 30, 3.0, "c")],
+        "user_id LONG, pos LONG, value DOUBLE, __op STRING",
+    )
+    nc = NotificationChannel()
+    b = connector_bootstrap(spark, {}, ch, "user_id", "pos", 20,
+                            channel=nc)
+    assert b["backfill"] is not None
+    seq = [(r[1], r[2]) for r in nc._rows]
+    assert seq == [("Initial Snapshot", "STARTED"),
+                   ("Initial Snapshot", "COMPLETED")]
+
+    nc2 = NotificationChannel()
+    connector_bootstrap(spark, {"snapshot.mode": "no_data"}, ch,
+                        "user_id", "pos", 20, channel=nc2)
+    seq2 = [(r[1], r[2]) for r in nc2._rows]
+    assert seq2 == [("Initial Snapshot", "SKIPPED")]
