@@ -2384,3 +2384,41 @@ def t37_entropy_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
          / F.lit(10000.0)).alias("entropy"),
         (F.col("h_raw") >= ENTROPY_KEEP_MIN).alias("keep"),
     ).orderBy("doc_id")
+
+
+# --- t38: duplicate-multiplicity keeper weights ----------------------------
+
+@register(
+    "t38_keeper_weights",
+    oracle="""
+WITH g AS (
+  SELECT md5(text) AS h,
+         min(doc_id) AS keeper,
+         CAST(count(*) AS BIGINT) AS weight,
+         CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+  FROM documents GROUP BY md5(text)
+)
+SELECT keeper AS doc_id, weight, n_sources
+FROM g ORDER BY doc_id
+""",
+)
+def t38_keeper_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-multiplicity weights: after exact dedup, the keeper
+    carries its cluster's SIZE so a trainer can re-weight the loss
+    instead of silently flattening the natural distribution (the
+    'deduplicating trainers' correction), plus the distinct-source
+    count (a cross-source duplicate is boilerplate evidence; a
+    within-source one is a crawl artifact). ONE hash aggregation on
+    the content hash — the same shuffle exact dedup already pays, the
+    weights are free."""
+    docs = table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(F.md5("text").alias("h"))
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.count(F.lit(1)).alias("weight"),
+            F.countDistinct("source").alias("n_sources"),
+        )
+        .select("doc_id", "weight", "n_sources")
+        .orderBy("doc_id")
+    )

@@ -928,3 +928,28 @@ def test_decode_qoi_kernel_all_ops(spark):
     rows = {r.doc_id: r.checksum
             for r in decode_features(media, kernel=decode_qoi).collect()}
     assert rows == {1: expect, 2: d2["checksum"]}
+
+
+def test_keeper_weights_semantics(spark):
+    """Cluster size and distinct-source count land on the MIN-doc_id
+    keeper; singletons carry weight 1 (the sf fixtures hold no exact
+    duplicates, so the multiplicity semantics are pinned here)."""
+    import debezium_incubator_spark.llm.text as X
+
+    docs = spark.createDataFrame(
+        [
+            (1, "same text", "a"),
+            (5, "same text", "b"),
+            (9, "same text", "a"),
+            (2, "unique", "a"),
+        ],
+        "doc_id bigint, text string, source string",
+    )
+    orig = X.table
+    try:
+        X.table = lambda s_, d_, n_: docs
+        out = {r["doc_id"]: (r["weight"], r["n_sources"]) for r in
+               X.t38_keeper_weights(spark, "unused").collect()}
+    finally:
+        X.table = orig
+    assert out == {1: (3, 2), 2: (1, 1)}
