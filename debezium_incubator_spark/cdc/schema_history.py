@@ -80,6 +80,15 @@ class DialectContext:
 
 _GENERIC_CTX = DialectContext()
 
+
+class UnparseableDDLError(ValueError):
+    """A statement the DDL *parser* rejects (unbalanced parens, no
+    parseable columns, an unknown type token). This — and ONLY this —
+    is what ``schema.history.internal.skip.unparseable.ddl`` may skip.
+    Semantic refusals (CQL counter tables, a RENAME whose source the
+    registry never saw) are deliberate engine decisions and stay plain
+    ``ValueError`` so they always surface."""
+
 # --- identifier / type lexing --------------------------------------------
 
 _IDENT = r"(?:`([^`]+)`|\"([^\"]+)\"|\[([^\]]+)\]|([A-Za-z_][A-Za-z0-9_$]*))"
@@ -191,7 +200,7 @@ def parse_sql_type(type_str: str, dialect: str = "generic",
         return T.StringType()
     m = re.match(r"([A-Z_][A-Z0-9_]*)(?:\s+PRECISION)?(?:\s*\(([^)]*)\))?", s)
     if not m:
-        raise ValueError(f"unparseable SQL type: {type_str!r}")
+        raise UnparseableDDLError(f"unparseable SQL type: {type_str!r}")
     base, args = m.group(1), m.group(2)
     if dialect == "sqlserver":
         if base == "TIMESTAMP":
@@ -298,7 +307,7 @@ def _parse_cql_type(s: str, udts: dict[str, T.StructType]) -> T.DataType:
         args = _split_angle_args(inner)
         if kind == "map":
             if len(args) != 2:
-                raise ValueError(f"bad CQL map type: {s!r}")
+                raise UnparseableDDLError(f"bad CQL map type: {s!r}")
             return T.MapType(
                 _parse_cql_type(args[0], udts), _parse_cql_type(args[1], udts)
             )
@@ -395,7 +404,7 @@ def _paren_body(stmt: str, start: int) -> str:
             depth -= 1
             if depth == 0:
                 return stmt[start + 1:i]
-    raise ValueError(f"unbalanced parentheses in DDL: {stmt[:80]!r}")
+    raise UnparseableDDLError(f"unbalanced parentheses in DDL: {stmt[:80]!r}")
 
 
 # CQL column defs may end in STATIC / PRIMARY KEY modifiers
@@ -484,6 +493,25 @@ _RE_RENAME_TABLE = re.compile(
 )
 
 
+def _rename_table(registry: SchemaRegistry, ctx: DialectContext,
+                  a: str, b: str) -> None:
+    """Shared rename semantics for ``RENAME TABLE a TO b`` and
+    ``ALTER TABLE a RENAME TO b``. A rename whose source the registry
+    never saw is a SEMANTIC error (typically the source was excluded by
+    ``captured_tables`` while the destination is captured) — raised as a
+    plain ValueError, never skippable by ``skip_unparseable``."""
+    if a not in registry.versions:
+        raise ValueError(
+            f"RENAME of unknown table {a!r} to {b!r}: the source was "
+            f"never registered (was its CREATE filtered out by "
+            f"captured_tables while {b!r} is captured?) — refusing to "
+            f"silently drop the rename"
+        )
+    registry.versions[b] = registry.versions.pop(a)
+    if a in ctx.column_types:
+        ctx.column_types[b] = ctx.column_types.pop(a)
+
+
 def apply_ddl(registry: SchemaRegistry, ddl: str,
               ctx: DialectContext | None = None) -> str | None:
     """Apply ONE DDL statement to the registry; returns the affected
@@ -506,7 +534,7 @@ def apply_ddl(registry: SchemaRegistry, ddl: str,
                 fields.append(f)
                 tstrs[f.name] = tstr
         if not fields:
-            raise ValueError(f"CREATE TABLE with no parseable columns: {ddl!r}")
+            raise UnparseableDDLError(f"CREATE TABLE with no parseable columns: {ddl!r}")
         registry.register(tbl, T.StructType(fields))
         if cql:
             ctx.column_types[tbl] = tstrs
@@ -536,9 +564,7 @@ def apply_ddl(registry: SchemaRegistry, ddl: str,
     m = _RE_RENAME_TABLE.match(ddl)
     if m:
         a, b = _table_name(m.group("a")), _table_name(m.group("b"))
-        registry.versions[b] = registry.versions.pop(a)
-        if a in ctx.column_types:
-            ctx.column_types[b] = ctx.column_types.pop(a)
+        _rename_table(registry, ctx, a, b)
         return b
 
     m = _RE_DROP.match(ddl)
@@ -556,10 +582,18 @@ def apply_ddl(registry: SchemaRegistry, ddl: str,
         rt = re.match(r"RENAME\s+TO\s+(?P<b>[^\s;]+)", rest, re.IGNORECASE)
         if rt:
             b = _table_name(rt.group("b"))
-            registry.versions[b] = registry.versions.pop(tbl)
-            if tbl in ctx.column_types:
-                ctx.column_types[b] = ctx.column_types.pop(tbl)
+            _rename_table(registry, ctx, tbl, b)
             return b
+        if tbl not in registry.versions:
+            # can't be interpreted against the known model (its CREATE
+            # was itself skipped/filtered) — a PARSE-tier failure, so
+            # skip_unparseable may skip it. Renames are different: a
+            # missing rename SOURCE loses a captured table and raises a
+            # plain ValueError above.
+            raise UnparseableDDLError(
+                f"ALTER TABLE against unknown table {tbl!r}: this "
+                f"history never created it"
+            )
         fields = list(registry.latest(tbl).fields)
         record = ctx.column_types.setdefault(tbl, {}) if cql else {}
         changed = False
@@ -752,7 +786,10 @@ def replay_history(ddl_statements: list[str],
                 continue
         try:
             apply_ddl(reg, ddl, ctx)
-        except (ValueError, KeyError):
+        except UnparseableDDLError:
+            # only true parse rejections are skippable; semantic
+            # refusals (counter tables, missing rename source, ALTER of
+            # an unknown table) propagate even with the flag set.
             if not skip_unparseable:
                 raise
     return reg
@@ -763,11 +800,22 @@ def ddl_target_tables(ddl: str) -> set[str]:
     by the same statement regexes :func:`apply_ddl` dispatches on.
     Empty set = not a table statement (CREATE/ALTER TYPE, GRANT, …)."""
     s = ddl.strip().rstrip(";")
-    for rx in (_RE_CREATE, _RE_ALTER, _RE_DROP):
-        if m := rx.match(s):
-            return {_table_name(m.group("tbl"))}
+    # renames FIRST (both spellings) — they target TWO tables, and the
+    # ALTER TABLE … RENAME TO form would otherwise be swallowed by the
+    # generic _RE_ALTER single-table answer, silently dropping a rename
+    # INTO a captured table under captured_tables filtering.
     if m := _RE_RENAME_TABLE.match(s):
         return {_table_name(m.group("a")), _table_name(m.group("b"))}
+    if m := _RE_ALTER.match(s):
+        rt = re.match(r"RENAME\s+TO\s+(?P<b>[^\s;]+)",
+                      m.group("rest").strip(), re.IGNORECASE)
+        if rt:
+            return {_table_name(m.group("tbl")),
+                    _table_name(rt.group("b"))}
+        return {_table_name(m.group("tbl"))}
+    for rx in (_RE_CREATE, _RE_DROP):
+        if m := rx.match(s):
+            return {_table_name(m.group("tbl"))}
     return set()
 
 

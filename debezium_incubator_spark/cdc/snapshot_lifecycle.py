@@ -297,6 +297,13 @@ class SnapshotCoordinator:
         self.work_root = work_root
         self.channel = channel
         self.runners: dict[str, ChunkedSnapshotRunner] = {}
+        # (condition, surrogate_key) the cached runner was built with —
+        # a later execute-snapshot with DIFFERENT options must not
+        # silently reuse the old runner's key/bounds/condition
+        self._runner_opts: dict[str, tuple] = {}
+        # per-collection rebuild generation: a rebuilt runner gets a
+        # fresh work dir so the retired runner's bookmark can't bleed in
+        self._gen: dict[str, int] = {}
         self._removed: set[str] = set()
         self._stop_all = False
         self._current: ChunkedSnapshotRunner | None = None
@@ -332,6 +339,22 @@ class SnapshotCoordinator:
 
     def _runner_for(self, coll: str, condition: str | None,
                     surrogate_key: str | None = None):
+        opts = (condition, surrogate_key)
+        cached = self.runners.get(coll)
+        if cached is not None and self._runner_opts[coll] != opts:
+            st = cached.status
+            if st not in (COMPLETED, ABORTED):
+                raise ValueError(
+                    f"execute-snapshot for '{coll}' with different "
+                    f"options (condition/surrogate-key) while a "
+                    f"snapshot is '{st}' — stop-snapshot or resume it "
+                    f"first; refusing to silently reuse the old "
+                    f"runner's key, bounds, and condition"
+                )
+            # finished under the OLD options: retire it and rebuild
+            # under the new ones in a fresh work dir
+            del self.runners[coll]
+            self._gen[coll] = self._gen.get(coll, 0) + 1
         if coll not in self.runners:
             if coll not in self.sources:
                 raise ValueError(
@@ -364,15 +387,20 @@ class SnapshotCoordinator:
                 bounds = chunk_bounds(snap, surrogate_key,
                                       len(src["bounds"]))
                 watermarks = None
+            gen = self._gen.get(coll, 0)
+            dirname = coll.replace(".", "__") + (
+                f"__g{gen}" if gen else ""
+            )
             self.runners[coll] = ChunkedSnapshotRunner(
                 self.spark, src["snapshot_at"], src["changes"], key,
                 src["pos_col"], bounds, watermarks,
-                os.path.join(self.work_root, coll.replace(".", "__")),
+                os.path.join(self.work_root, dirname),
                 channel=self.channel,
                 condition=condition,
                 collection=coll,
                 dedup_key=dedup,
             )
+            self._runner_opts[coll] = opts
         return self.runners[coll]
 
     def run(self, sig: dict, poll=None) -> dict[str, str]:

@@ -285,7 +285,17 @@ def _apply_transform(df: DataFrame, name: str,
         # Debezium's Filter keeps records matching `condition`; the
         # Connect-core Filter has NO condition — it drops every record
         # it applies to, existing purely to pair with a predicate.
+        # The drop-all default is ONLY correct for the Connect-core
+        # class; a Debezium Filter missing its condition is a config
+        # error and must not become a silent drop-everything path.
         cond = t.get("condition")
+        if cond is None and "debezium" in raw_type.lower():
+            raise ValueError(
+                f"transform '{name}' ({raw_type}) requires a "
+                f"'condition' property — only the Connect-core "
+                f"org.apache.kafka.connect.transforms.Filter drops "
+                f"records unconditionally"
+            )
         df = df.filter(F.expr(cond) if cond is not None else F.lit(False))
     elif ttype.endswith("RegexRouter"):
         df = df.withColumn(

@@ -342,8 +342,8 @@ WITH attr AS (
 )
 SELECT CAST(count(*) AS BIGINT) AS n_purchases,
        CAST(count(delta_ms) AS BIGINT) AS n_converted,
-       ROUND(quantile_cont(delta_ms, 0.5), 4) AS p50_ms,
-       ROUND(quantile_cont(delta_ms, 0.9), 4) AS p90_ms
+       floor(quantile_cont(delta_ms, 0.5) * 10000 + 0.5) / 10000 AS p50_ms,
+       floor(quantile_cont(delta_ms, 0.9) * 10000 + 0.5) / 10000 AS p90_ms
 FROM p
 """,
 )
@@ -354,7 +354,11 @@ def e14_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
     every funnel dashboard reports (organic purchases count toward
     n_purchases but carry NULL deltas — both engines' percentile
     skips them identically). Same one-window-per-user plan as e13;
-    the final agg is a single row."""
+    the final agg is a single row. Quantiles go through round4x (the
+    repo's tie-free 4dp policy) — deltas are integer-derived, so
+    engine interpolation can land on a ROUND(,4) half-boundary."""
+    from ..exprs import round4x
+
     ev = table(spark, sf_dir, "events")
     tms = F.unix_millis(F.col("ts").cast("timestamp"))
     w = (
@@ -372,6 +376,6 @@ def e14_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return p.agg(
         F.count(F.lit(1)).alias("n_purchases"),
         F.count("delta_ms").alias("n_converted"),
-        F.expr("ROUND(percentile(delta_ms, 0.5), 4)").alias("p50_ms"),
-        F.expr("ROUND(percentile(delta_ms, 0.9), 4)").alias("p90_ms"),
+        round4x("percentile(delta_ms, 0.5)").alias("p50_ms"),
+        round4x("percentile(delta_ms, 0.9)").alias("p90_ms"),
     )

@@ -348,3 +348,29 @@ def test_field_name_adjustment_modes(spark):
         adjust_field_names(
             clash, {"field.name.adjustment.mode": "avro"}
         )
+
+
+def test_debezium_filter_without_condition_raises(spark):
+    """Round-7 ADVICE: io.debezium.transforms.Filter REQUIRES a
+    condition — a missing/typo'd key must raise, not silently drop
+    every record. Only the Connect-core Filter (which has no condition
+    by contract, pairing with a predicate) keeps the drop-all default."""
+    import pytest
+
+    from debezium_incubator_spark.connector import transform_chain
+
+    env = to_envelope(table(spark, SF_SMOKE, "events")).withColumn(
+        "topic", F.lit("srv1.testdb.events")
+    )
+    with pytest.raises(ValueError, match="requires a 'condition'"):
+        transform_chain(env, {
+            "transforms": "f",
+            "transforms.f.type": "io.debezium.transforms.Filter",
+            # note: no transforms.f.condition
+        })
+    # Connect-core Filter without a condition: drop-all is the contract
+    out = transform_chain(env, {
+        "transforms": "f",
+        "transforms.f.type": "org.apache.kafka.connect.transforms.Filter",
+    })
+    assert out.count() == 0

@@ -254,15 +254,76 @@ def test_replay_history_captured_tables_and_skip_unparseable():
         reg.latest("noise")
 
     # an ALTER against a table the history never created stops the
-    # replay by default...
+    # replay by default (a parse-tier rejection: the statement can't be
+    # interpreted against the known model)...
+    from debezium_incubator_spark.cdc.schema_history import (
+        UnparseableDDLError,
+    )
+
     broken = ["CREATE TABLE t (id INT)",
               "ALTER TABLE ghost ADD COLUMN x INT",
               "ALTER TABLE t ADD COLUMN y INT"]
-    with _pytest.raises(KeyError):
+    with _pytest.raises(UnparseableDDLError):
         replay_history(broken)
     # ...and is skipped (later statements still apply) when opted in
     reg2 = replay_history(broken, skip_unparseable=True)
     assert [f.name for f in reg2.latest("t").fields] == ["id", "y"]
+
+
+def test_skip_unparseable_never_swallows_semantic_refusals():
+    """skip.unparseable.ddl skips PARSE rejections only — the CQL
+    counter refusal and a rename whose source the registry never saw
+    are deliberate engine decisions and must surface even with the
+    flag set (round-7 ADVICE: they used to vanish silently)."""
+    import pytest as _pytest
+
+    from debezium_incubator_spark.cdc.schema_history import replay_history
+
+    with _pytest.raises(ValueError, match="counter columns are not CDC-able"):
+        replay_history(
+            ["CREATE TABLE hits (pk int PRIMARY KEY, n counter)"],
+            dialect="cassandra",
+            skip_unparseable=True,
+        )
+    with _pytest.raises(ValueError, match="RENAME of unknown table"):
+        replay_history(
+            ["RENAME TABLE ghost TO phantom"],
+            skip_unparseable=True,
+        )
+
+
+def test_rename_into_captured_table_is_not_silently_dropped():
+    """Round-7 ADVICE (medium): ddl_target_tables must report BOTH
+    sides of a rename for both spellings, so captured_tables filtering
+    applies the statement when either side is captured; a rename whose
+    source was filtered out raises loudly instead of KeyErroring or
+    vanishing."""
+    import pytest as _pytest
+
+    from debezium_incubator_spark.cdc.schema_history import (
+        ddl_target_tables, replay_history,
+    )
+
+    assert ddl_target_tables("RENAME TABLE a TO b") == {"a", "b"}
+    assert ddl_target_tables("ALTER TABLE a RENAME TO b") == {"a", "b"}
+    assert ddl_target_tables("ALTER TABLE a ADD COLUMN x INT") == {"a"}
+
+    # rename OUT of a captured table into an uncaptured name applies
+    # (the captured table's history keeps tracking it under the new id)
+    reg = replay_history(
+        ["CREATE TABLE a (id INT)", "ALTER TABLE a RENAME TO b"],
+        captured_tables=["a"],
+    )
+    assert [f.name for f in reg.latest("b").fields] == ["id"]
+
+    # rename INTO a captured table from an uncaptured source: the
+    # source's CREATE was filtered, so the rename cannot be interpreted
+    # — loud error, not a silent drop or a bare KeyError
+    with _pytest.raises(ValueError, match="RENAME of unknown table"):
+        replay_history(
+            ["CREATE TABLE src (id INT)", "RENAME TABLE src TO dst"],
+            captured_tables=["dst"],
+        )
 
 
 def test_cql_counter_table_refused_at_create():

@@ -1269,3 +1269,56 @@ def test_snapshot_chunk_surrogate_dedup_separation(spark):
         dedup_key="user_id",
     )
     assert {r.user_id for r in out.collect()} == {1, 3}
+
+
+def test_coordinator_rebuilds_runner_when_signal_options_change(
+    spark, tmp_path
+):
+    """Round-7 ADVICE: a second execute-snapshot for the same
+    collection with a DIFFERENT additional-condition must not silently
+    reuse the first runner's condition — rebuilt (fresh work dir) when
+    the old snapshot finished, refused loudly while one is in flight."""
+    import pytest
+
+    from debezium_incubator_spark.cdc.snapshot_lifecycle import (
+        SnapshotCoordinator,
+    )
+
+    ch = _changes(spark).cache()
+    bounds, watermarks, snapshot_at, calls = _fixture(spark, ch)
+    src = {
+        "snapshot_at": snapshot_at, "changes": ch, "key": "user_id",
+        "pos_col": "pos", "bounds": bounds, "watermarks": watermarks,
+    }
+    coord = SnapshotCoordinator(spark, {"db.a": dict(src)},
+                                str(tmp_path / "opts"))
+    sig_all = {"data_collections": ["db.a"], "additional_conditions": {}}
+    assert coord.run(sig_all) == {"db.a": COMPLETED}
+    n_all = coord.runners["db.a"].result().count()
+
+    # same collection, NEW condition: old runner completed → rebuild
+    sig_cond = {
+        "data_collections": ["db.a"],
+        "additional_conditions": {"db.a": "user_id <= 5"},
+    }
+    assert coord.run(sig_cond) == {"db.a": COMPLETED}
+    n_cond = coord.runners["db.a"].result().count()
+    assert 0 < n_cond < n_all
+    assert coord.runners["db.a"].result().agg(
+        F.max("user_id")
+    ).first()[0] <= 5
+
+    # pause a third snapshot mid-run, then signal different options:
+    # refused while in flight
+    coord2 = SnapshotCoordinator(spark, {"db.a": dict(src)},
+                                 str(tmp_path / "opts2"))
+    pending = [None, None, _signal(spark, "pz", "pause-snapshot")]
+
+    def poll():
+        if pending and (s := pending.pop(0)) is not None:
+            dispatch_signals(s, handlers=coord2.signal_handlers())
+
+    assert coord2.run(sig_all, poll=poll) == {"db.a": PAUSED}
+    with pytest.raises(ValueError, match="different\\s+options"):
+        coord2.run(sig_cond)
+    ch.unpersist()
