@@ -254,7 +254,7 @@ def load_all() -> None:
         sqlserver,
         transforms,
     )
-    from .llm import clustering  # noqa: F401
+    from .llm import bpe, clustering  # noqa: F401
     from .llm import dedup, multimodal, pq, similarity, text, urls  # noqa: F401
 
     _reorder()
