@@ -176,3 +176,88 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_id", "doc_id")
     )
+
+
+# --- t40: near-dup pipeline capstone (find → cluster → keep → weight) ------
+
+def _t40_oracle() -> str:
+    from .dedup import _PORT_JACCARD_MIN, portable_pairs_cte
+
+    return f"""
+WITH RECURSIVE {portable_pairs_cte()},
+edges AS (
+  SELECT i.doc_a, i.doc_b
+  FROM inter i
+  JOIN sizes sa ON sa.doc_id = i.doc_a
+  JOIN sizes sb ON sb.doc_id = i.doc_b
+  WHERE i.i / (sa.n + sb.n - i.i) >= {_PORT_JACCARD_MIN}
+), sym AS (
+  SELECT doc_a AS a, doc_b AS b FROM edges
+  UNION
+  SELECT doc_b, doc_a FROM edges
+), reach(a, b) AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+  WHERE s.b <> r.a
+), labels AS (
+  SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id FROM reach GROUP BY a
+), alldocs AS (
+  SELECT d.doc_id, d.source,
+         COALESCE(l.cluster_id, d.doc_id) AS cluster_id
+  FROM documents d LEFT JOIN labels l USING (doc_id)
+)
+SELECT min(doc_id) AS doc_id,
+       CAST(count(*) AS BIGINT) AS weight,
+       CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+FROM alldocs GROUP BY cluster_id ORDER BY doc_id
+"""
+
+
+@register("t40_neardup_pipeline", oracle=_t40_oracle())
+def t40_neardup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup dedup END TO END under one differential (each stage is
+    proven alone elsewhere — this proves they COMPOSE): portable
+    MinHash-LSH candidates → exact-Jaccard verification (≥ 0.5) →
+    connected-components cluster resolution (large-star/small-star) →
+    keeper = min doc_id per cluster → t38-style multiplicity weights
+    (cluster size for loss reweighting + distinct-source count).
+    Singletons keep themselves with weight 1 — the output is the
+    deduplicated corpus manifest a trainer consumes.
+
+    The oracle re-derives the SAME funnel in SQL (shared CTE chain
+    with dedup_minhash_portable) and resolves components by WITH
+    RECURSIVE transitive closure — so the composition is hash-parity
+    checked against the textbook definition, not against itself.
+
+    Scale: LSH banding keeps pairing inside buckets (never all-pairs),
+    CC is O(log n) rounds over the (tiny) verified edge list, and the
+    final weight agg is one shuffle on cluster_id. The dominant cost
+    is the signature aggregation — the same one every MinHash dedup
+    already pays."""
+    from .dedup import _PORT_JACCARD_MIN, portable_neardup_pairs
+
+    d = table(spark, sf_dir, "documents")
+    inter = portable_neardup_pairs(d)
+    jac = F.col("i") / (F.col("na") + F.col("nb") - F.col("i"))
+    edges = inter.filter(jac >= _PORT_JACCARD_MIN).select("doc_a", "doc_b")
+    comps = connected_components(edges)  # only docs touching an edge
+    labeled = (
+        d.select("doc_id", "source")
+        .join(comps, "doc_id", "left")
+        .select(
+            "doc_id",
+            "source",
+            F.coalesce("cluster_id", "doc_id").alias("cluster_id"),
+        )
+    )
+    return (
+        labeled.groupBy("cluster_id")
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.count(F.lit(1)).alias("weight"),
+            F.countDistinct("source").alias("n_sources"),
+        )
+        .select("doc_id", "weight", "n_sources")
+        .orderBy("doc_id")
+    )

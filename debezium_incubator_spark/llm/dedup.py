@@ -458,7 +458,11 @@ WITH toks AS (
 )"""
 
 
-def _minhash_portable_oracle() -> str:
+def portable_pairs_cte() -> str:
+    """The CTE chain (no leading WITH) rebuilding the portable funnel
+    in DuckDB up to ``inter``/``sizes`` — shared by the
+    ``dedup_minhash_portable`` oracle and the ``t40`` capstone oracle
+    so both SQL twins re-derive the SAME funnel."""
     mins = ",\n         ".join(
         f"MIN({_phash_duck('sh', p)}) AS mh{p}" for p in range(_PORT_PERM)
     )
@@ -472,7 +476,7 @@ def _minhash_portable_oracle() -> str:
         )
         for b in range(_PORT_BANDS)
     )
-    return f"""{_PORT_SHINGLE_CTE},
+    return f"""{_PORT_SHINGLE_CTE.lstrip().removeprefix("WITH ")},
 sigs AS (
   SELECT doc_id,
          {mins}
@@ -492,7 +496,11 @@ sigs AS (
   JOIN sh a ON a.doc_id = p.doc_a
   JOIN sh b ON b.doc_id = p.doc_b AND b.sh = a.sh
   GROUP BY 1, 2
-)
+)"""
+
+
+def _minhash_portable_oracle() -> str:
+    return f"""WITH {portable_pairs_cte()}
 SELECT i.doc_a, i.doc_b, CAST(i.i AS BIGINT) AS n_common,
        floor(i.i / (sa.n + sb.n - i.i) * 10000 + 0.5)
          / CAST(10000 AS DOUBLE) AS jaccard
@@ -519,6 +527,28 @@ def dedup_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     use the xxhash64 variant in production; this twin exists so the
     pipeline's *semantics* are differentially verified."""
     d = table(spark, sf_dir, "documents")
+    inter = portable_neardup_pairs(d)
+    jac = F.col("i") / (F.col("na") + F.col("nb") - F.col("i"))
+    return (
+        inter.filter(jac >= _PORT_JACCARD_MIN)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("i").cast("bigint").alias("n_common"),
+            (F.floor(jac * 10000 + 0.5) / F.lit(10000.0)).alias("jaccard"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def portable_neardup_pairs(d: DataFrame) -> DataFrame:
+    """The portable-md5 MinHash-LSH candidate funnel with exact-Jaccard
+    verification numbers attached: shingling → 8 portable minhash
+    permutations → 4×2 LSH bands → bucket-join candidates → shingle
+    intersection counts. Returns ``(doc_a, doc_b, i, na, nb)`` —
+    callers apply their own Jaccard threshold (``i/(na+nb-i)``).
+    Shared by ``dedup_minhash_portable`` and the ``t40`` near-dup
+    pipeline capstone so both differentials exercise ONE code path."""
     sh = (
         d.filter(F.size(F.split(F.lower("text"), " ")) >= 3)
         .select("doc_id", F.explode(F.array_distinct(shingles("text"))).alias("sh"))
@@ -563,18 +593,9 @@ def dedup_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("i"))
     )
-    jac = F.col("i") / (F.col("na") + F.col("nb") - F.col("i"))
     return (
         inter.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")), "doc_a")
         .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")), "doc_b")
-        .filter(jac >= _PORT_JACCARD_MIN)
-        .select(
-            "doc_a",
-            "doc_b",
-            F.col("i").cast("bigint").alias("n_common"),
-            (F.floor(jac * 10000 + 0.5) / F.lit(10000.0)).alias("jaccard"),
-        )
-        .orderBy("doc_a", "doc_b")
     )
 
 

@@ -159,13 +159,13 @@ PRIORITY: list[str] = [
     # packing + Hamming prefilter + rerank, all re-derived in SQL — the
     # cheapest 100 TB prefilter in the ANN tier).
     "sim_binary_hamming",    # L157 binary-quantization ANN
-    # round-4 recomposition: sort_within_partitions (F3, identity
-    # oracle — weakest in-window check) and e3_sliding_window (I3; the
-    # I family keeps e1/e4/cdc_dedup_stream/cdc_materialize) demoted to
-    # the sweep in favor of D3's exact-regime sketch twin and the
-    # portable IVF candidate-set differential — two families the window
-    # previously could not audit at all.
-    "agg_approx_distinct_exact",  # D3 (HLL++ in its exact regime)
+    # round-8 rotation (r7 verdict #6): agg_approx_distinct_exact (D3 —
+    # stays sweep-oracled, and the family keeps agg_hll_exact /
+    # agg_approx_percentile_exact sweep twins) gives its slot to
+    # cdc_db2_uow_fold, connector #2's distinguishing split-position
+    # mechanic (CD rows carry only (UOWID, INTENTSEQ); the broadcast
+    # IBMSNAP_UOW commit join IS the in-flight withholding).
+    "cdc_db2_uow_fold",      # Db2 SQL-Replication UOW commit join
     # round-7 second continuation: sim_ivf_portable (J4 portable twin —
     # stays sweep-oracled; sim_ivf_knn/sim_ivf_probe keep the persisted
     # IVF differential in the sweep too) gives its slot to the strictly
@@ -187,14 +187,17 @@ PRIORITY: list[str] = [
     "k5_udtf_shingles",
     # §2J LLM-pipeline tier (J3/J5 via s1/t1 above)
     "dedup_exact",           # J1
-    # round-6 recomposition: dedup_ngram_jaccard (J2 verify stage —
-    # stays sweep-oracled; J2 keeps dedup_ngram_capped/dedup_exact in
-    # the window) and sim_knn (J4 — sim_ivf_portable keeps the family's
-    # slot) give their slots to the two round-6 training-pipeline
-    # flagships: SemDeDup over the persisted IVF artifacts and the
-    # exact-substring corpus dedup.
-    "dedup_semantic",        # J2+ SemDeDup (persisted-index differential)
-    "t25_substring_dedup",   # J2+ exact-substring dedup (RefinedWeb)
+    # round-8 rotation (r7 verdict #1/#2/#6): dedup_semantic and
+    # t25_substring_dedup (both stay sweep-oracled; the persisted-
+    # artifact audit pattern stays in-window via sim_ivfpq_adc) give
+    # their slots to the two round-8 flagships — the BPE tokenizer
+    # (the north-star token-accounting upgrade: pinned merges, JVM
+    # replace-chain ≡ priority-algorithm, SQL-re-derived counts) and
+    # the near-dup END-TO-END capstone (LSH candidates → verified
+    # edges → connected components → keeper multiplicity weights under
+    # ONE hash-parity differential — proving the J2 stages COMPOSE).
+    "t39_bpe_tokens",        # J5+ BPE token accounting (pinned merges)
+    "t40_neardup_pipeline",  # J2 capstone: find→cluster→keep→weight
     # round-3 additions: the two new §2L families (iterative graph /
     # time-series) get audited representatives; the demoted C9/B5 keys
     # remain oracle-checked by the repo sweep.
