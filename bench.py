@@ -16,6 +16,17 @@ adjudicating a phantom 2.2× regression that was pure box drift (the
 DuckDB numbers in BASELINE.md had drifted identically); same-box,
 same-minute pairing makes machine noise cancel. BASELINE.md stays as
 provenance; the paired ratio supersedes it operationally.
+
+ENGINE-ONLY A/B (round 8, r7 verdict #7): ``engine_sec`` /
+``duckdb_engine_sec`` / ``engine_ratio`` time a one-row
+bit_xor-of-row-hash fold of each query on BOTH engines — the full
+result never crosses the Py4J/Arrow (or duckdb-to-pandas) boundary.
+First artifact-run finding, recorded for honesty: on the smallest
+queries (e2: 150 rows) the Spark fold is NOT faster than the full
+fetch (~30 ms either way vs DuckDB's ~13 ms total), i.e. the fixed
+floor is per-JOB dispatch/execution, not result fetch per se. It is a
+constant independent of data volume — invisible at 100 TB, structural
+at 150-row outputs.
 """
 
 from __future__ import annotations
@@ -164,10 +175,34 @@ def main() -> None:
         df.toPandas()  # warm-up: optimize + codegen + first run
         plan_cost[name] = time.perf_counter() - t0
         compiled[name] = df
+        # ENGINE-ONLY twin (r7 verdict #7): fold the full result to one
+        # row inside the JVM (bit_xor of xxhash64 over every column) so
+        # the per-row Py4J/Arrow result-fetch floor — ~15-20 ms fixed on
+        # this box, the documented e2 gate asterisk — is separated from
+        # engine execution in the artifact itself. The fold ADDS hash
+        # work, so engine_sec slightly overstates pure execution.
+        from pyspark.sql import functions as F
+
+        fold = df.select(
+            F.xxhash64(*df.columns).alias("__h")
+        ).agg(F.expr("bit_xor(__h)"))
+        fold.collect()  # warm-up
+        compiled_fold = compiled.setdefault("__folds__", {})
+        compiled_fold[name] = fold
+    folds = compiled.pop("__folds__")
+    # DuckDB engine-only twin: same one-row fold (whole-row hash) so
+    # engine_ratio compares fold-to-fold, fetch-free on both sides.
+    duck_fold_sql = {
+        name: f"SELECT bit_xor(hash(t)) FROM ({baseline_sql[name]}) t"
+        for name in HEADLINE
+    }
     for name in HEADLINE:  # DuckDB warm-up (plan + OS-cache, excluded)
         con.execute(baseline_sql[name]).df()
+        con.execute(duck_fold_sql[name]).fetchall()
     samples: dict[str, list] = {name: [] for name in HEADLINE}
     duck_samples: dict[str, list] = {name: [] for name in HEADLINE}
+    eng_samples: dict[str, list] = {name: [] for name in HEADLINE}
+    duck_eng_samples: dict[str, list] = {name: [] for name in HEADLINE}
     for _ in range(N_SAMPLES):
         for name in HEADLINE:
             t0 = time.perf_counter()
@@ -176,11 +211,24 @@ def main() -> None:
             t0 = time.perf_counter()
             con.execute(baseline_sql[name]).df()  # same full fetch
             duck_samples[name].append(time.perf_counter() - t0)
+            t0 = time.perf_counter()
+            folds[name].collect()  # one-row fetch: engine time only
+            eng_samples[name].append(time.perf_counter() - t0)
+            t0 = time.perf_counter()
+            con.execute(duck_fold_sql[name]).fetchall()
+            duck_eng_samples[name].append(time.perf_counter() - t0)
     per_query = {
         name: sorted(ts)[len(ts) // 2] for name, ts in samples.items()
     }
     per_duck = {
         name: sorted(ts)[len(ts) // 2] for name, ts in duck_samples.items()
+    }
+    per_eng = {
+        name: sorted(ts)[len(ts) // 2] for name, ts in eng_samples.items()
+    }
+    per_duck_eng = {
+        name: sorted(ts)[len(ts) // 2]
+        for name, ts in duck_eng_samples.items()
     }
 
     total = sum(per_query.values())
@@ -198,6 +246,14 @@ def main() -> None:
                 },
                 "total_duckdb_sec": round(total_duck, 4),
                 "total_ratio": round(total / total_duck, 3),
+                "engine_sec": {k: round(v, 4) for k, v in per_eng.items()},
+                "duckdb_engine_sec": {
+                    k: round(v, 4) for k, v in per_duck_eng.items()
+                },
+                "engine_ratio": {
+                    k: round(per_eng[k] / per_duck_eng[k], 3)
+                    for k in HEADLINE
+                },
                 "plan_compile_sec": {k: round(v, 4) for k, v in plan_cost.items()},
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
