@@ -485,3 +485,129 @@ def cdc_logminer_rac_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         visible, ["user_id"], ["__commit_scn", "scn"]
     )
     return state.select("user_id", "value").orderBy("user_id")
+
+
+# ---------------------------------------------------------------------------
+# XStream adapter (public Debezium `database.connection.adapter=xstream`)
+# ---------------------------------------------------------------------------
+
+
+def xstream_lcrs(
+    redo: DataFrame,
+    commits: DataFrame,
+    xid_col: str = "xid",
+) -> DataFrame:
+    """Model the XStream Out delivery: the Oracle server hands Debezium
+    Logical Change Records ALREADY in commit order — in-flight
+    transactions never appear, each LCR carries its transaction's
+    commit position plus a within-transaction statement sequence, and
+    the connector's resume position is a single byte-comparable blob.
+
+    Construction from the same redo/commit model LogMiner uses:
+    committed entries (the same broadcast commit join — absence IS the
+    withholding), ``sequence`` = statement order within the
+    transaction (row_number over scn), and ``position`` = fixed-width
+    hex ``commit_scn`` ‖ ``sequence`` — lexicographic order equals
+    numeric (commit_scn, sequence) order, the Db2 position-vector
+    trick applied to XStream's opaque position blob.
+
+    Equivalence to the LogMiner fold (proven by `cdc_xstream_fold`'s
+    oracle, which folds in LogMiner (commit_scn, scn) order): when
+    commit SCNs are unique per transaction, ordering by
+    (commit_scn, sequence) and by (commit_scn, scn) induce the same
+    total order — blocks sort by commit_scn either way, and within a
+    transaction sequence is scn-monotonic by construction."""
+    joined = logminer_commit_ordered(redo, commits, xid_col)
+    w = W.partitionBy(xid_col).orderBy("scn")
+    return (
+        joined.withColumn("sequence", F.row_number().over(w))
+        .withColumn(
+            "position",
+            F.concat(
+                F.lpad(F.hex(F.col("__commit_scn")), 16, "0"),
+                F.lpad(F.hex(F.col("sequence")), 8, "0"),
+            ),
+        )
+    )
+
+
+@register(
+    "cdc_xstream_fold",
+    oracle="""
+WITH redo AS (
+  SELECT user_id, event_id AS scn, value,
+         CASE event_type WHEN 'signup' THEN 'c' WHEN 'error' THEN 'd'
+              WHEN 'view' THEN 'r' ELSE 'u' END AS op,
+         event_id // 5 AS xid
+  FROM events
+), gm AS (
+  SELECT max(event_id) AS gmax FROM events
+), commits AS (
+  -- odd transactions commit after EVERY even one (gmax + xid keeps
+  -- commit SCNs unique — the precondition for LCR-order equivalence);
+  -- every 97th transaction never commits and must be withheld
+  SELECT xid,
+         CASE WHEN xid % 2 = 1 THEN gm.gmax + xid
+              ELSE max(scn) END AS commit_scn
+  FROM redo, gm GROUP BY xid, gm.gmax
+  HAVING xid % 97 <> 0
+), visible AS (
+  SELECT r.user_id, r.scn, r.value, r.op, c.commit_scn
+  FROM redo r JOIN commits c ON r.xid = c.xid
+)
+SELECT user_id, value FROM (
+  SELECT user_id, value, op,
+         row_number() OVER (
+           PARTITION BY user_id ORDER BY commit_scn DESC, scn DESC
+         ) AS rn
+  FROM visible
+) WHERE rn = 1 AND op <> 'd'
+ORDER BY user_id
+""",
+)
+def cdc_xstream_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Oracle connector's SECOND adapter, differentially proven:
+    the engine folds the XStream LCR stream by its byte-comparable
+    position (fixed-width hex commit_scn ‖ sequence), while the ORACLE
+    folds the same log in LogMiner (commit_scn, scn) order — hash
+    parity IS the proof that the two adapters' visibility semantics
+    coincide, which is exactly the public contract (adapter choice
+    must not change the materialized state).
+
+    Fixture: transactions of 5; odd transactions commit after every
+    even one (commit_scn = global-max-SCN + xid — unique per
+    transaction, the equivalence precondition), every 97th transaction
+    stays in flight and is withheld. Commit order genuinely differs
+    from SCN order, so a plain scn fold gives a different state
+    (pinned by test).
+
+    Scale: one broadcast commit join + ONE per-transaction window for
+    sequence numbers (partitioned by xid — transaction-sized, never
+    global) + the usual per-key fold. The global-max scalar is a
+    one-row broadcast."""
+    from .envelope import OP_CASE
+
+    ev = table(spark, sf_dir, "events")
+    redo = ev.select(
+        "user_id",
+        F.col("event_id").alias("scn"),
+        "value",
+        F.expr(OP_CASE).alias("__op"),
+        (F.col("event_id") / 5).cast("long").alias("xid"),
+    )
+    gmax = redo.agg(F.max("scn").alias("gmax"))
+    commits = (
+        redo.groupBy("xid")
+        .agg(F.max("scn").alias("last_scn"))
+        .filter(F.col("xid") % 97 != 0)
+        .crossJoin(F.broadcast(gmax))
+        .select(
+            "xid",
+            F.when(
+                F.col("xid") % 2 == 1, F.col("gmax") + F.col("xid")
+            ).otherwise(F.col("last_scn")).alias("commit_scn"),
+        )
+    )
+    lcrs = xstream_lcrs(redo, commits)
+    state = materialize_latest(lcrs, ["user_id"], ["position"])
+    return state.select("user_id", "value").orderBy("user_id")

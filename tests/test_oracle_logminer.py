@@ -334,3 +334,133 @@ def test_rac_polling_to_completion_equals_one_shot(spark, hw_steps):
     assert sorted(seen, key=lambda r: r[1]) == sorted(
         [tuple(r) for r in one_shot], key=lambda r: r[1]
     )
+
+
+# --- XStream adapter (LCR commit-order delivery) ---------------------------
+
+
+def _fold_py(entries, order_key):
+    """Per-user latest-state python fold under an arbitrary total
+    order: entries = (user, scn, xid, seq, commit_scn, op, value)."""
+    state = {}
+    for e in sorted(entries, key=order_key):
+        user, op, value = e[0], e[5], e[6]
+        if op == "d":
+            state.pop(user, None)
+        else:
+            state[user] = value
+    return state
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.data())
+def test_xstream_order_equals_logminer_order(data):
+    """The adapter-equivalence keystone, pure-python: with UNIQUE
+    commit SCNs per transaction, folding in XStream LCR order
+    (commit_scn, sequence) equals folding in LogMiner order
+    (commit_scn, scn) for ANY log."""
+    n_txn = data.draw(st.integers(2, 6))
+    entries = []
+    scn = 0
+    for xid in range(n_txn):
+        for seq in range(1, data.draw(st.integers(1, 4)) + 1):
+            scn += 1
+            entries.append([
+                data.draw(st.integers(0, 3)),       # user
+                scn, xid, seq, None,
+                data.draw(st.sampled_from(["c", "u", "d"])),
+                data.draw(st.integers(0, 99)),      # value
+            ])
+    # unique commit scns, arbitrary commit ORDER (a permutation)
+    commit_order = data.draw(st.permutations(list(range(n_txn))))
+    commit_scn = {xid: 10_000 + i for i, xid in enumerate(commit_order)}
+    for e in entries:
+        e[4] = commit_scn[e[2]]
+    lm = _fold_py(entries, lambda e: (e[4], e[1]))   # (commit_scn, scn)
+    xs = _fold_py(entries, lambda e: (e[4], e[3]))   # (commit_scn, seq)
+    assert lm == xs
+
+
+def test_xstream_lcrs_positions_and_withholding(spark):
+    from debezium_incubator_spark.cdc.oracle_logminer import xstream_lcrs
+
+    redo = spark.createDataFrame(
+        [
+            # xid 0: two entries, interleaved with xid 1's scns
+            (1, 10, 0, "c", 1.0),
+            (1, 30, 0, "u", 3.0),
+            # xid 1 commits FIRST despite later scns
+            (1, 20, 1, "u", 2.0),
+            # xid 2 never commits
+            (2, 40, 2, "c", 9.0),
+        ],
+        "user_id LONG, scn LONG, xid LONG, __op STRING, value DOUBLE",
+    )
+    # commit scns cross the 9→10 hex-digit boundary: unpadded hex would
+    # order '1000000000' < 'FF' lexicographically — lpad(16) must not
+    commits = spark.createDataFrame(
+        [(1, 255), (0, 1 << 36)], "xid LONG, commit_scn LONG"
+    )
+    rows = {
+        (r.xid, r.scn): r
+        for r in xstream_lcrs(redo, commits).collect()
+    }
+    assert (2, 40) not in rows  # in-flight withheld
+    assert rows[(0, 10)].sequence == 1 and rows[(0, 30)].sequence == 2
+    # byte-comparable: xid 1 (commit 255) sorts BEFORE xid 0 (2^36)
+    assert rows[(1, 20)].position < rows[(0, 10)].position
+    assert len(rows[(0, 10)].position) == 24  # 16 + 8 fixed width
+    st8 = materialize_latest(
+        xstream_lcrs(redo, commits), ["user_id"], ["position"]
+    ).collect()
+    # xid 0 committed later, so its scn-30 value wins for user 1
+    assert {(r.user_id, r.value) for r in st8} == {(1, 3.0)}
+
+
+def test_xstream_fixture_flips_plain_scn_fold(spark):
+    """The registered fixture is load-bearing: folding the same
+    visible set by plain scn yields a DIFFERENT state than the
+    commit-ordered fold (so parity is proving visibility semantics,
+    not a rename)."""
+    from debezium_incubator_spark.cdc.oracle_logminer import (
+        cdc_xstream_fold, logminer_commit_ordered, xstream_lcrs,
+    )
+    from debezium_incubator_spark.catalog import table
+    from debezium_incubator_spark.cdc.envelope import OP_CASE
+
+    from .conftest import SF_SMOKE
+
+    ev = table(spark, SF_SMOKE, "events")
+    redo = ev.select(
+        "user_id", F.col("event_id").alias("scn"), "value",
+        F.expr(OP_CASE).alias("__op"),
+        (F.col("event_id") / 5).cast("long").alias("xid"),
+    )
+    gmax = redo.agg(F.max("scn").alias("gmax"))
+    commits = (
+        redo.groupBy("xid").agg(F.max("scn").alias("last_scn"))
+        .filter(F.col("xid") % 97 != 0)
+        .crossJoin(F.broadcast(gmax))
+        .select("xid", F.when(
+            F.col("xid") % 2 == 1, F.col("gmax") + F.col("xid")
+        ).otherwise(F.col("last_scn")).alias("commit_scn"))
+    )
+    xs = cdc_xstream_fold(spark, SF_SMOKE).collect()
+    plain = (
+        materialize_latest(
+            logminer_commit_ordered(redo, commits), ["user_id"], ["scn"]
+        )
+        .select("user_id", "value").orderBy("user_id").collect()
+    )
+    assert {(r.user_id, r.value) for r in xs} != \
+        {(r.user_id, r.value) for r in plain}
+    # and the engine-side LogMiner fold agrees with the XStream fold
+    lm = (
+        materialize_latest(
+            logminer_commit_ordered(redo, commits),
+            ["user_id"], ["__commit_scn", "scn"],
+        )
+        .select("user_id", "value").orderBy("user_id").collect()
+    )
+    assert [(r.user_id, r.value) for r in xs] == \
+        [(r.user_id, r.value) for r in lm]
