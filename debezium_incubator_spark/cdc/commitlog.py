@@ -1,0 +1,273 @@
+"""Cassandra commitlog SEGMENT reader — the binary on-disk seam of the
+archived repo's first connector (`/root/reference/README.md:21`; the
+real connector tails commitlog segment files and parses mutations out
+of them). The cell-stream SEMANTICS (cell LWW, tombstone shadowing,
+TTL, collections, statics) are proven in `cdc/cassandra.py`; this
+module makes the connector "real format" end to end: a pure-stdlib
+parser for a pinned segment format feeding the EXISTING cell fold
+through the Arrow ``mapInPandas`` decode seam (the PNG/QOI kernel
+pattern from `llm/multimodal.py`).
+
+Pinned format (version 1) — a documented MODELED SUBSET of Cassandra's
+commitlog layout, keeping its load-bearing structure (magic + version
+header, CRC-guarded sync sections, size-prefixed mutation envelopes,
+zero-filled preallocated tail) while simplifying the mutation body to
+the cell model the fold consumes. All integers big-endian:
+
+- header: magic ``CMLG`` (4s) ‖ version u16 ‖ segment_id u64 ‖
+  crc32 u32 over the preceding 14 bytes
+- sections, repeated: payload_len u32 (0 terminates the segment) ‖
+  crc32 u32 over payload ‖ payload
+- payload = size-prefixed mutations: size u32 ‖ body —
+  keyspace (u8-len utf8) ‖ table (u8-len utf8) ‖ pk i64 ‖ op u8
+  (0 write / 1 partition delete) ‖ ts u64 ‖ n_cells u16 ‖ cells:
+  column (u8-len utf8) ‖ flags u8 (bit0 has-value, bit1 has-ttl) ‖
+  [value f64] ‖ cell_ts u64 ‖ [ttl u32]
+- after the 0 terminator only ZERO padding may follow (segments are
+  preallocated and zero-filled, like the real files); any nonzero
+  trailing byte is corruption and refused loudly.
+
+Every refusal branch is loud (ValueError naming offset + cause) and
+pinned by forward-encoded fixtures in ``tests/test_commitlog.py``.
+
+Scale: one segment file is one row (segments are 32 MB in production);
+``commitlog_to_cells`` decodes per Arrow batch inside ``mapInPandas``
+— partition-local, no shuffle — and the output feeds
+``fold_cassandra_cells`` unchanged, so the binary seam adds zero new
+distributed semantics.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+from collections.abc import Iterator
+from typing import Any
+
+from pyspark.sql import DataFrame
+
+MAGIC = b"CMLG"
+VERSION = 1
+
+OP_CODE = {0: "w", 1: "d"}
+OP_BYTE = {v: k for k, v in OP_CODE.items()}
+
+
+# --- encoding (fixture / round-trip utility; the connector only reads) ----
+
+
+def encode_mutation(m: dict[str, Any]) -> bytes:
+    """Serialize one mutation dict: ``{keyspace, table, pk, op ('w'/'d'),
+    ts, cells: {column: (value|None, cell_ts, ttl|None)}}``."""
+    ks = m["keyspace"].encode()
+    tb = m["table"].encode()
+    body = bytearray()
+    body += struct.pack(">B", len(ks)) + ks
+    body += struct.pack(">B", len(tb)) + tb
+    body += struct.pack(">qBQ", m["pk"], OP_BYTE[m["op"]], m["ts"])
+    cells = m.get("cells") or {}
+    body += struct.pack(">H", len(cells))
+    for col, (v, cts, ttl) in cells.items():
+        cb = col.encode()
+        flags = (1 if v is not None else 0) | (2 if ttl is not None else 0)
+        body += struct.pack(">B", len(cb)) + cb
+        body += struct.pack(">B", flags)
+        if v is not None:
+            body += struct.pack(">d", float(v))
+        body += struct.pack(">Q", cts)
+        if ttl is not None:
+            body += struct.pack(">I", ttl)
+    return struct.pack(">I", len(body)) + bytes(body)
+
+
+def encode_commitlog_segment(
+    mutations: list[dict[str, Any]],
+    segment_id: int = 1,
+    mutations_per_section: int = 4,
+    tail_padding: int = 0,
+) -> bytes:
+    """Assemble a version-1 segment: header, CRC-guarded sync sections
+    of ``mutations_per_section`` each, 0 terminator, optional zero
+    padding (the preallocated-file tail)."""
+    head = MAGIC + struct.pack(">HQ", VERSION, segment_id)
+    out = bytearray(head + struct.pack(">I", zlib.crc32(head)))
+    for i in range(0, len(mutations), mutations_per_section):
+        payload = b"".join(
+            encode_mutation(m)
+            for m in mutations[i:i + mutations_per_section]
+        )
+        out += struct.pack(">II", len(payload), zlib.crc32(payload))
+        out += payload
+    out += struct.pack(">I", 0)
+    out += b"\x00" * tail_padding
+    return bytes(out)
+
+
+# --- parsing ---------------------------------------------------------------
+
+
+def _need(data: bytes, off: int, n: int, what: str) -> None:
+    if off + n > len(data):
+        raise ValueError(
+            f"truncated commitlog segment: need {n} bytes for {what} "
+            f"at offset {off}, have {len(data) - off}"
+        )
+
+
+def _parse_mutation(body: bytes, base_off: int) -> dict[str, Any]:
+    off = 0
+
+    def take(n: int, what: str) -> bytes:
+        nonlocal off
+        if off + n > len(body):
+            raise ValueError(
+                f"truncated mutation body: need {n} bytes for {what} "
+                f"at offset {base_off + off}"
+            )
+        b = body[off:off + n]
+        off += n
+        return b
+
+    ks_len = take(1, "keyspace length")[0]
+    ks = take(ks_len, "keyspace").decode()
+    tb_len = take(1, "table length")[0]
+    tb = take(tb_len, "table").decode()
+    pk, op_b, ts = struct.unpack(">qBQ", take(17, "pk/op/ts"))
+    if op_b not in OP_CODE:
+        raise ValueError(
+            f"unknown mutation op byte {op_b} at offset {base_off}"
+        )
+    (n_cells,) = struct.unpack(">H", take(2, "cell count"))
+    cells: dict[str, tuple] = {}
+    for _ in range(n_cells):
+        col_len = take(1, "column length")[0]
+        col = take(col_len, "column").decode()
+        flags = take(1, "cell flags")[0]
+        if flags & ~3:
+            raise ValueError(
+                f"unknown cell flag bits 0x{flags:02x} at offset "
+                f"{base_off + off - 1}"
+            )
+        v = struct.unpack(">d", take(8, "cell value"))[0] \
+            if flags & 1 else None
+        (cts,) = struct.unpack(">Q", take(8, "cell writetime"))
+        ttl = struct.unpack(">I", take(4, "cell ttl"))[0] \
+            if flags & 2 else None
+        cells[col] = (v, cts, ttl)
+    if off != len(body):
+        raise ValueError(
+            f"mutation body not fully consumed: {len(body) - off} "
+            f"stray bytes at offset {base_off + off}"
+        )
+    return {"keyspace": ks, "table": tb, "pk": pk,
+            "op": OP_CODE[op_b], "ts": ts, "cells": cells}
+
+
+def parse_commitlog_segment(data: bytes) -> list[dict[str, Any]]:
+    """Parse one segment into its mutation dicts, in write order.
+    Every corruption class refuses loudly — a CDC reader silently
+    skipping a bad section would silently lose committed writes."""
+    _need(data, 0, 18, "segment header")
+    if data[:4] != MAGIC:
+        raise ValueError(
+            f"not a commitlog segment: magic {data[:4]!r} != {MAGIC!r}"
+        )
+    version, segment_id = struct.unpack(">HQ", data[4:14])
+    if version != VERSION:
+        raise ValueError(
+            f"unsupported commitlog segment version {version} "
+            f"(this reader pins version {VERSION})"
+        )
+    (head_crc,) = struct.unpack(">I", data[14:18])
+    if head_crc != zlib.crc32(data[:14]):
+        raise ValueError(
+            f"segment header CRC mismatch (stored 0x{head_crc:08x}, "
+            f"computed 0x{zlib.crc32(data[:14]):08x})"
+        )
+    out: list[dict[str, Any]] = []
+    off = 18
+    while True:
+        _need(data, off, 4, "section length")
+        (sec_len,) = struct.unpack(">I", data[off:off + 4])
+        off += 4
+        if sec_len == 0:
+            break  # segment terminator
+        _need(data, off, 4, "section CRC")
+        (sec_crc,) = struct.unpack(">I", data[off:off + 4])
+        off += 4
+        _need(data, off, sec_len, "section payload")
+        payload = data[off:off + sec_len]
+        if sec_crc != zlib.crc32(payload):
+            raise ValueError(
+                f"section CRC mismatch at offset {off - 8} (stored "
+                f"0x{sec_crc:08x}, computed 0x{zlib.crc32(payload):08x})"
+            )
+        p = 0
+        while p < sec_len:
+            if p + 4 > sec_len:
+                raise ValueError(
+                    f"truncated mutation size at section offset {p}"
+                )
+            (m_size,) = struct.unpack(">I", payload[p:p + 4])
+            p += 4
+            if p + m_size > sec_len:
+                raise ValueError(
+                    f"mutation of {m_size} bytes overruns its section "
+                    f"at section offset {p - 4}"
+                )
+            out.append(_parse_mutation(payload[p:p + m_size], off + p))
+            p += m_size
+        off += sec_len
+    # preallocated zero-filled tail is fine; nonzero garbage is not
+    tail = data[off:]
+    if tail.strip(b"\x00"):
+        raise ValueError(
+            f"nonzero bytes after segment terminator at offset {off} "
+            f"— corrupted tail"
+        )
+    return out
+
+
+# --- the Spark seam ---------------------------------------------------------
+
+#: output shape = the cell-change stream `fold_cassandra_cells` consumes
+CELL_CHANGE_SCHEMA = (
+    "keyspace STRING, table_name STRING, pk BIGINT, op STRING, "
+    "ts BIGINT, cells MAP<STRING, "
+    "STRUCT<v: DOUBLE, ts: BIGINT, ttl: BIGINT>>"
+)
+
+
+def commitlog_to_cells(segments: DataFrame,
+                       blob_col: str = "segment") -> DataFrame:
+    """Decode a DataFrame of raw segment blobs into the cell-change
+    stream (one row per mutation) via ``mapInPandas`` — Arrow batches
+    in, partition-local stdlib parsing, no shuffle. Feed the result to
+    ``fold_cassandra_cells(key_cols=["pk"])`` (optionally filtered by
+    keyspace/table first — the include-list lives ABOVE the seam, as
+    in the real connector)."""
+    import pandas as pd
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            rows = []
+            for blob in pdf[blob_col]:
+                for m in parse_commitlog_segment(bytes(blob)):
+                    rows.append({
+                        "keyspace": m["keyspace"],
+                        "table_name": m["table"],
+                        "pk": m["pk"],
+                        "op": m["op"],
+                        "ts": m["ts"],
+                        "cells": {
+                            c: {"v": v, "ts": cts, "ttl": ttl}
+                            for c, (v, cts, ttl) in m["cells"].items()
+                        } or None,
+                    })
+            yield pd.DataFrame(
+                rows,
+                columns=["keyspace", "table_name", "pk", "op", "ts",
+                         "cells"],
+            )
+
+    return segments.mapInPandas(run, CELL_CHANGE_SCHEMA)
