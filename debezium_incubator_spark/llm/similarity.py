@@ -1595,3 +1595,82 @@ def sim_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("cos_raw", 6).alias("cos_sim"),
         )
     )
+
+
+# --- J4+/J2+ streaming ingest: continuous dedup-on-ingest -------------------
+
+
+def semdedup_ingest_foreach_batch(index_dir: str, out_dir: str,
+                                  tau: float = 0.9):
+    """foreachBatch handler for CONTINUOUS dedup-on-ingest: each
+    micro-batch of (vec_id, v) is (1) appended to the persisted IVF
+    index with no refit and (2) delta-semdeduped
+    (``min_vec_id`` = the batch's smallest id — the L111 invariant:
+    owners are always lower-id, so the delta equals the batch's slice
+    of a full run), with the removal list written to
+    ``out_dir/batch=<epoch_id>``.
+
+    Restart semantics (exactly-once effect without a transactional
+    store): a replayed batch (crash before the checkpoint commit) is
+    made idempotent two ways — the APPEND anti-joins the batch against
+    vec_ids already in the store (replayed vectors fold away, the
+    same RF×-duplicates-fold-to-one-copy discipline the Cassandra
+    tests pin), and the RESULT write overwrites the deterministic
+    per-batch directory. Requires vec_ids assigned monotonically
+    across batches (the dedup-on-ingest contract).
+
+    Scale: the anti-join reads only the store's vec_id column
+    (column-pruned); the delta join is O(batch × cell). At 100 TB the
+    vec_id read becomes a bloom/ledger lookup — this is the semantics
+    seam, not the physical index."""
+    import os
+
+    def handle(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        first = batch.agg(F.min("vec_id")).first()
+        if first is None or first[0] is None:
+            return
+        min_id = first[0]
+        existing = spark.read.parquet(
+            os.path.join(index_dir, "vectors")
+        ).select("vec_id")
+        fresh = batch.select("vec_id", "v").join(
+            existing, "vec_id", "left_anti"
+        )
+        if fresh.limit(1).count():
+            ivf_index_append(spark, index_dir, fresh)
+        (
+            semdedup(spark, index_dir, tau=tau, min_vec_id=min_id)
+            .write.mode("overwrite")
+            .parquet(os.path.join(out_dir, f"batch={batch_id}"))
+        )
+
+    return handle
+
+
+def start_semdedup_ingest_stream(
+    spark: SparkSession,
+    stage_dir: str,
+    schema,
+    index_dir: str,
+    out_dir: str,
+    checkpoint: str,
+    tau: float = 0.9,
+):
+    """Run the continuous dedup-on-ingest pipeline as a real Structured
+    Streaming query over a parquet file source (one file per
+    micro-batch, availableNow — drains what exists, then stops;
+    re-invoke after a restart and the checkpoint resumes from the
+    first unprocessed file). Returns the StreamingQuery."""
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage_dir)
+    )
+    return (
+        stream.writeStream
+        .foreachBatch(semdedup_ingest_foreach_batch(index_dir, out_dir, tau))
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -259,3 +259,88 @@ def test_semdedup_tolerates_zero_vectors(spark, tmp_path):
     )
     got = {r.vec_id: r.dup_of for r in semdedup(spark, idx, tau=0.99).collect()}
     assert got == {2: 1}  # zeros neither removed nor owning
+
+
+def test_streaming_dedup_on_ingest_across_restart(spark, tmp_path):
+    """r7 verdict #5: ivf_index_append + semdedup delta inside a REAL
+    foreachBatch stream — two batches drained, a simulated uncommitted-
+    batch replay, then a checkpoint restart over a third file. The
+    accumulated per-batch removal lists equal the batch-mode full-run
+    slice over the final index, and the store holds no duplicate
+    vectors despite the replay."""
+    import glob
+    import os
+
+    from debezium_incubator_spark.llm.similarity import (
+        build_ivf_index,
+        ivf_index_append,
+        semdedup,
+        semdedup_ingest_foreach_batch,
+        start_semdedup_ingest_stream,
+    )
+
+    schema = "vec_id LONG, v ARRAY<DOUBLE>"
+    base = [(i, [float(i % 5) + 0.1, float((i * 3) % 7) + 0.1])
+            for i in range(40)]
+    idx = str(tmp_path / "idx")
+    build_ivf_index(
+        spark.createDataFrame(base, schema), idx, nlist=3, seed=11,
+    )
+
+    def batch_rows(start):
+        return [(start + i, [float(i % 5), float((i * 2) % 7) + 0.01])
+                for i in range(12)]
+
+    stage = str(tmp_path / "stage")
+    os.makedirs(stage)
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    for j, start in enumerate([100, 200]):
+        spark.createDataFrame(batch_rows(start), schema) \
+            .coalesce(1).write.parquet(str(tmp_path / f"tmp{j}"))
+        src = glob.glob(str(tmp_path / f"tmp{j}" / "*.parquet"))[0]
+        os.rename(src, os.path.join(stage, f"b{j}.parquet"))
+
+    q = start_semdedup_ingest_stream(
+        spark, stage, schema, idx, out, ckpt, tau=0.95,
+    )
+    q.awaitTermination(120)
+    vecs = spark.read.parquet(f"{idx}/vectors")
+    assert vecs.count() == 40 + 24
+
+    # simulate a crash-replay of the last batch (checkpoint commit
+    # lost): re-invoking the handler must not double-append or change
+    # the persisted results
+    before = sorted(
+        (r.vec_id, r.dup_of)
+        for r in spark.read.parquet(out).drop("batch").collect()
+    )
+    handler = semdedup_ingest_foreach_batch(idx, out, tau=0.95)
+    handler(spark.createDataFrame(batch_rows(200), schema), 1)
+    assert spark.read.parquet(f"{idx}/vectors").count() == 64
+    assert sorted(
+        (r.vec_id, r.dup_of)
+        for r in spark.read.parquet(out).drop("batch").collect()
+    ) == before
+
+    # third file lands; RESTART from the same checkpoint processes it
+    spark.createDataFrame(batch_rows(300), schema) \
+        .coalesce(1).write.parquet(str(tmp_path / "tmp2"))
+    src = glob.glob(str(tmp_path / "tmp2" / "*.parquet"))[0]
+    os.rename(src, os.path.join(stage, "b2.parquet"))
+    q2 = start_semdedup_ingest_stream(
+        spark, stage, schema, idx, out, ckpt, tau=0.95,
+    )
+    q2.awaitTermination(120)
+    assert spark.read.parquet(f"{idx}/vectors").count() == 76
+
+    streamed = sorted(
+        (r.vec_id, r.dup_of, float(r.cos_sim))
+        for r in spark.read.parquet(out).collect()
+    )
+    full_slice = sorted(
+        (r.vec_id, r.dup_of, float(r.cos_sim))
+        for r in semdedup(spark, idx, tau=0.95).collect()
+        if r.vec_id >= 100
+    )
+    assert streamed == full_slice and len(streamed) > 0
