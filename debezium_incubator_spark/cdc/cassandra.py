@@ -51,6 +51,7 @@ def fold_cassandra_cells(
     op_col: str = "op",
     ts_col: str = "ts",
     tomb_cols: list[str] | None = None,
+    drop_cell_tombstones: bool = True,
 ) -> DataFrame:
     """Assemble current row state from cell-level change events.
 
@@ -75,6 +76,16 @@ def fold_cassandra_cells(
     partition-level passes ``tomb_cols=[pk]`` so one tombstone shadows
     every clustering row of the partition (the static-columns query
     exercises this).
+
+    CELL tombstones (single-column deletes — ``DELETE col FROM t``):
+    a cell whose ``v`` is NULL deletes the column at its writetime. It
+    competes in the per-column LWW like any cell, WINNING an
+    equal-writetime tie against a value cell (Cassandra's
+    delete-beats-write rule, same as the collection fold), and a
+    winning tombstone makes the column ABSENT from the assembled row
+    (``drop_cell_tombstones=True``, the read semantics; pass False to
+    retain winners for state-merge callers where the tombstone must
+    keep shadowing later-arriving lower-ts cells).
     """
     if tomb_cols is None:
         tomb_cols = key_cols
@@ -104,13 +115,16 @@ def fold_cassandra_cells(
         F.col("ttl").isNull() | (F.col("cell_ts") + F.col("ttl") > F.lit(as_of))
     )
     w = W.partitionBy(*key_cols, "column").orderBy(
-        F.desc("cell_ts"), F.desc("v")
+        F.desc("cell_ts"), F.col("v").isNotNull().asc(), F.desc("v")
     )
-    return (
+    out = (
         cells.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
         .select(*key_cols, "column", "v")
     )
+    if drop_cell_tombstones:
+        out = out.filter(F.col("v").isNotNull())
+    return out
 
 
 def merge_cassandra_cells(
@@ -168,8 +182,12 @@ def merge_cassandra_cells(
     live = all_cells.join(F.broadcast(new_tombs), key_cols, "left").filter(
         F.col("del_ts").isNull() | (F.col("cell_ts") > F.col("del_ts"))
     ).drop("del_ts")
+    # tie order matches the one-shot fold: cell tombstones (NULL v)
+    # beat value writes at equal writetime. NULL winners are RETAINED
+    # in state — the cell tombstone must keep shadowing lower-ts cells
+    # arriving in later batches; the read path drops them.
     w = W.partitionBy(*key_cols, "column").orderBy(
-        F.desc("cell_ts"), F.desc("v")
+        F.desc("cell_ts"), F.col("v").isNotNull().asc(), F.desc("v")
     )
     new_cells = (
         live.withColumn("__rn", F.row_number().over(w))
@@ -184,9 +202,11 @@ def read_cassandra_state(
 ) -> DataFrame:
     """Current row state from merged cell state at read position
     ``as_of``: TTL expiry applied here (it is a property of WHEN you
-    read, not of the merge)."""
+    read, not of the merge), and cell-tombstone winners (NULL ``v`` —
+    retained in state so they keep shadowing) read as ABSENT."""
     return cells.filter(
-        F.col("ttl").isNull() | (F.col("cell_ts") + F.col("ttl") > as_of)
+        (F.col("ttl").isNull() | (F.col("cell_ts") + F.col("ttl") > as_of))
+        & F.col("v").isNotNull()
     ).select(*key_cols, "column", "v")
 
 
@@ -736,3 +756,105 @@ def read_cassandra_collection_state(
     return cells.filter(F.col(v_col).isNotNull()).select(
         *key_cols, column_col, path_col, v_col
     )
+
+
+# ---------------------------------------------------------------------------
+# Cell tombstones (single-column deletes: `DELETE col FROM t WHERE pk=…`)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "cdc_cassandra_cell_tombstones",
+    oracle="""
+WITH ev AS (
+  SELECT user_id, event_id AS ts, value, event_type,
+         CASE WHEN event_type = 'error' THEN 'd' ELSE 'w' END AS op
+  FROM events
+), cells AS (
+  -- column 'v': every write event; 'purchase' DELETES the column
+  -- (cell tombstone: NULL value at the event's writetime)
+  SELECT user_id, 'v' AS column,
+         CASE WHEN event_type = 'purchase' THEN NULL ELSE value END AS v,
+         ts AS wt
+  FROM ev WHERE op = 'w'
+  UNION ALL
+  -- column 'w': clicks write, views delete — writetime ts - ts%2
+  -- COLLIDES across adjacent events, making the delete-beats-write
+  -- equal-writetime rule load-bearing
+  SELECT user_id, 'w',
+         CASE WHEN event_type = 'view' THEN NULL ELSE value END,
+         ts - ts % 2
+  FROM ev WHERE op = 'w' AND event_type IN ('click', 'view')
+), tomb AS (
+  SELECT user_id, max(ts) AS del_ts FROM ev WHERE op = 'd'
+  GROUP BY user_id
+), live AS (
+  SELECT c.user_id, c.column, c.v, c.wt
+  FROM cells c LEFT JOIN tomb t ON c.user_id = t.user_id
+  WHERE t.del_ts IS NULL OR c.wt > t.del_ts
+)
+SELECT user_id, "column", v FROM (
+  SELECT user_id, "column", v,
+         row_number() OVER (
+           PARTITION BY user_id, "column"
+           ORDER BY wt DESC, (v IS NOT NULL) ASC, v DESC
+         ) AS rn
+  FROM live
+) WHERE rn = 1 AND v IS NOT NULL
+ORDER BY user_id, "column"
+""",
+)
+def cdc_cassandra_cell_tombstones(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """Single-column deletes, differentially proven: 'purchase' events
+    delete column 'v' (a NULL-value cell at the event's writetime) and
+    'view' events delete column 'w' — whose writetime ``ts - ts%2``
+    collides with the neighboring click's write, so the
+    delete-beats-write equal-writetime rule decides real rows, not
+    just a unit fixture. The oracle recomputes the LWW with the same
+    (wt DESC, tombstone-first, v DESC) order and drops NULL winners;
+    equality proves a winning tombstone makes the column ABSENT while
+    a later write resurrects it, with partition tombstones composing
+    on top. Same single-shuffle plan as cdc_cassandra_cell_lww."""
+    ev = table(spark, sf_dir, "events").select(
+        "user_id",
+        F.col("event_id").alias("ts"),
+        "value",
+        "event_type",
+        F.when(F.col("event_type") == "error", OP_PARTITION_DELETE)
+        .otherwise(OP_WRITE)
+        .alias("op"),
+    )
+    cell = lambda v, ts: F.struct(  # noqa: E731
+        v.alias("v"), ts.cast("long").alias("ts"),
+        F.lit(None).cast("long").alias("ttl"),
+    )
+    changes = ev.withColumn(
+        "cells",
+        F.when(
+            F.col("op") == OP_WRITE,
+            F.map_filter(
+                F.map_from_arrays(
+                    F.array(F.lit("v"), F.lit("w")),
+                    F.array(
+                        cell(
+                            F.when(F.col("event_type") != "purchase",
+                                   F.col("value")),
+                            F.col("ts"),
+                        ),
+                        F.when(
+                            F.col("event_type").isin("click", "view"),
+                            cell(
+                                F.when(F.col("event_type") == "click",
+                                       F.col("value")),
+                                F.col("ts") - F.col("ts") % 2,
+                            ),
+                        ),
+                    ),
+                ),
+                lambda _, c: c.isNotNull(),
+            ),
+        ),
+    )
+    state = fold_cassandra_cells(changes, ["user_id"])
+    return state.orderBy("user_id", "column")

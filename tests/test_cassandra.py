@@ -496,3 +496,49 @@ def test_cross_replica_duplicates_fold_idempotently(spark):
     want = _state(fold_cassandra_cells(one, ["user_id"]))
     assert got == want
     assert (1, "a") in want and (2, "a") not in want
+
+
+def test_cell_tombstone_semantics(spark):
+    """Single-column deletes: a NULL-v cell (1) wins the equal-
+    writetime tie against a value write (delete-beats-write), (2)
+    makes the column ABSENT from the assembled row, (3) is resurrected
+    by a strictly later write, and (4) retained in merged STATE keeps
+    shadowing a lower-ts cell arriving in a later batch."""
+    from debezium_incubator_spark.cdc.cassandra import (
+        fold_cassandra_cells,
+        merge_cassandra_cells,
+        read_cassandra_state,
+    )
+
+    def chg(rows):
+        return spark.createDataFrame(
+            rows,
+            "pk LONG, op STRING, ts LONG, cells MAP<STRING, "
+            "STRUCT<v: DOUBLE, ts: BIGINT, ttl: BIGINT>>",
+        )
+
+    changes = chg([
+        # pk 1: write a@10, delete a@10 (equal-ts tie → delete wins),
+        # b stays live
+        (1, "w", 10, {"a": {"v": 1.0, "ts": 10, "ttl": None},
+                      "b": {"v": 2.0, "ts": 10, "ttl": None}}),
+        (1, "w", 11, {"a": {"v": None, "ts": 10, "ttl": None}}),
+        # pk 2: delete a@20, later write a@30 resurrects
+        (2, "w", 20, {"a": {"v": None, "ts": 20, "ttl": None}}),
+        (2, "w", 21, {"a": {"v": 5.0, "ts": 30, "ttl": None}}),
+    ])
+    got = {(r.pk, r.column): r.v
+           for r in fold_cassandra_cells(changes, ["pk"]).collect()}
+    assert got == {(1, "b"): 2.0, (2, "a"): 5.0}
+
+    # retention: batch 1 delivers the tombstone, batch 2 a LOWER-ts
+    # write for the same column — state keeps it shadowed
+    b1 = chg([(3, "w", 50, {"a": {"v": None, "ts": 50, "ttl": None}})])
+    b2 = chg([(3, "w", 51, {"a": {"v": 9.0, "ts": 40, "ttl": None}})])
+    cells, tombs = merge_cassandra_cells(None, None, b1, ["pk"])
+    cells, tombs = merge_cassandra_cells(cells, tombs, b2, ["pk"])
+    state = cells.collect()
+    assert len(state) == 1 and state[0].v is None  # tombstone retained
+    assert read_cassandra_state(
+        cells, as_of=100, key_cols=["pk"]
+    ).count() == 0  # but reads as absent
