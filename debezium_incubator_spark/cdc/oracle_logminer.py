@@ -611,3 +611,65 @@ def cdc_xstream_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
     lcrs = xstream_lcrs(redo, commits)
     state = materialize_latest(lcrs, ["user_id"], ["position"])
     return state.select("user_id", "value").orderBy("user_id")
+
+
+# ---------------------------------------------------------------------------
+# log.mining.strategy (public Debezium Oracle connector config)
+# ---------------------------------------------------------------------------
+
+LOG_MINING_STRATEGIES = ("redo_log_catalog", "online_catalog", "hybrid")
+
+
+def validate_mining_strategy(
+    strategy: str,
+    ddl_positions: list[tuple[int, str]],
+    lo: int,
+    hi: int,
+    captured_tables: list[str] | None = None,
+) -> dict:
+    """``log.mining.strategy`` semantics as a decode-plan gate.
+
+    - ``redo_log_catalog`` (default): the data dictionary is written
+      INTO the redo log, so LogMiner can decode every row against the
+      schema current at its SCN — DDL against captured tables
+      mid-stream is supported (the schema-history replay path).
+    - ``online_catalog``: faster (no dictionary extraction), but rows
+      are decoded against the CURRENT catalog — a DDL against a
+      captured table inside the mined range means rows before it
+      would silently decode against the post-DDL shape. That is data
+      corruption, not a degraded mode: this gate REFUSES the range.
+    - ``hybrid``: online catalog for speed, DDL tracked via the schema
+      history — supported, like redo_log_catalog.
+
+    ``ddl_positions``: ``(scn, table)`` per DDL seen in the redo;
+    the mined range is ``(lo, hi]``. Control-plane: runs driver-side
+    on DDL-count-sized input before any scan is planned."""
+    if strategy not in LOG_MINING_STRATEGIES:
+        raise ValueError(
+            f"unsupported log.mining.strategy '{strategy}' "
+            f"(one of {LOG_MINING_STRATEGIES})"
+        )
+    captured = (
+        None if captured_tables is None
+        else {t.lower() for t in captured_tables}
+    )
+    in_range = [
+        (scn, tbl) for scn, tbl in ddl_positions
+        if lo < scn <= hi and (captured is None or tbl.lower() in captured)
+    ]
+    if strategy == "online_catalog" and in_range:
+        scn, tbl = in_range[0]
+        raise ValueError(
+            f"log.mining.strategy=online_catalog cannot decode across "
+            f"a schema change: DDL against captured table '{tbl}' at "
+            f"SCN {scn} falls inside the mined range ({lo}, {hi}] — "
+            f"rows before it would silently decode against the "
+            f"post-DDL catalog; use redo_log_catalog or hybrid"
+        )
+    return {
+        "strategy": strategy,
+        "dictionary": "redo" if strategy == "redo_log_catalog"
+        else "online",
+        "ddl_tracking": strategy != "online_catalog",
+        "ddl_in_range": in_range,
+    }

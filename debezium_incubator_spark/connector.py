@@ -579,7 +579,8 @@ def connector_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return snapshot(spark, sf_dir, props)["customer"]
 
 
-SNAPSHOT_MODES = ("initial", "initial_only", "no_data", "never", "when_needed")
+SNAPSHOT_MODES = ("initial", "initial_only", "no_data", "never",
+                  "when_needed", "always", "recovery")
 
 
 def snapshot_mode_plan(props: dict[str, str],
@@ -589,7 +590,16 @@ def snapshot_mode_plan(props: dict[str, str],
     initial = snapshot then stream; initial_only = snapshot, no stream;
     no_data/schema-only = stream only, no row snapshot; never = stream
     only; when_needed = snapshot only if no prior committed state OR
-    the stored offsets are unusable).
+    the stored offsets are unusable; always = data snapshot on EVERY
+    connector start regardless of state; recovery = rebuild the schema
+    history from the current catalog — schema phase only, no data
+    snapshot, stream resumes from stored offsets).
+
+    ``recovery`` additionally REQUIRES usable offsets: Debezium
+    documents it as a history-repair mode, not a data-loss escape
+    hatch — recovering history while the stored offset predates the
+    retained log would silently skip changes, so that combination
+    raises here.
 
     ``offsets_valid=False`` models the second ``when_needed`` trigger:
     the stored offset points BEFORE the retained head of the log
@@ -606,15 +616,28 @@ def snapshot_mode_plan(props: dict[str, str],
         raise ValueError(
             f"unsupported snapshot.mode '{mode}' (one of {SNAPSHOT_MODES})"
         )
+    if mode == "recovery" and not (state_exists and offsets_valid):
+        raise ValueError(
+            "snapshot.mode=recovery requires committed state with "
+            "usable offsets — it repairs a lost/corrupted schema "
+            "history, it does not replace a data snapshot (use "
+            "when_needed or initial)"
+        )
     run_snapshot = {
         "initial": True,
         "initial_only": True,
         "no_data": False,
         "never": False,
         "when_needed": not (state_exists and offsets_valid),
+        "always": True,
+        "recovery": False,
     }[mode]
     run_stream = mode != "initial_only"
-    return {"run_snapshot": run_snapshot, "run_stream": run_stream}
+    return {
+        "run_snapshot": run_snapshot,
+        "run_stream": run_stream,
+        "rebuild_schema_history": mode == "recovery",
+    }
 
 
 def offsets_available(offset_pos: int | None, log_start_pos: int) -> bool:

@@ -317,3 +317,58 @@ def t41_bpe_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+#: packing budget in BPE tokens (t11 packs 64 whitespace words; BPE
+#: tokens are denser, so bins hold more docs at the same text volume)
+BPE_PACK = 256
+
+
+def _t42_oracle() -> str:
+    return f"""
+WITH {oracle_docs_with_counts("__d0")},
+c AS (
+  SELECT lang, doc_id, n_tok,
+         SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+                          ROWS UNBOUNDED PRECEDING) AS cs
+  FROM __d0
+)
+SELECT lang, CAST((cs - n_tok) // {BPE_PACK} AS BIGINT) AS bin,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS bin_tokens
+FROM c
+GROUP BY lang, bin
+ORDER BY lang, bin
+"""
+
+
+@register("t42_bpe_packing", oracle=_t42_oracle())
+def t42_bpe_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t11's greedy in-order sequence packing, denominated in BPE
+    tokens — the bins a trainer actually fills (a 4096-token context
+    is 4096 TOKENIZER tokens, not words). Same exclusive-running-sum
+    bucketing, same one-window-per-language plan; the tokenizer is
+    per-row JVM expression work on top."""
+    from pyspark.sql.window import Window as W
+
+    d = table(spark, sf_dir, "documents").select(
+        "lang", "doc_id", bpe_token_count("text").alias("n_tok")
+    )
+    w = (
+        W.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    c = d.withColumn("cs", F.sum("n_tok").over(w))
+    return (
+        c.groupBy(
+            "lang",
+            F.expr(f"CAST((cs - n_tok) DIV {BPE_PACK} AS BIGINT)")
+            .alias("bin"),
+        )
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("bin_tokens"),
+        )
+        .orderBy("lang", "bin")
+    )

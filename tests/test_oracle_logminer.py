@@ -464,3 +464,39 @@ def test_xstream_fixture_flips_plain_scn_fold(spark):
     )
     assert [(r.user_id, r.value) for r in xs] == \
         [(r.user_id, r.value) for r in lm]
+
+
+def test_log_mining_strategy_gate():
+    """online_catalog refuses a mined range containing DDL against a
+    CAPTURED table (decode corruption, not degradation); uncaptured
+    DDL and out-of-range DDL pass; redo_log_catalog/hybrid always
+    pass with ddl_tracking on."""
+    import pytest
+
+    from debezium_incubator_spark.cdc.oracle_logminer import (
+        validate_mining_strategy,
+    )
+
+    ddls = [(150, "orders"), (300, "noise")]
+    with pytest.raises(ValueError, match="online_catalog cannot decode"):
+        validate_mining_strategy(
+            "online_catalog", ddls, 100, 200, captured_tables=["orders"]
+        )
+    # out of range / uncaptured: fine
+    ok = validate_mining_strategy(
+        "online_catalog", ddls, 200, 400, captured_tables=["orders"]
+    )
+    assert ok["ddl_tracking"] is False and ok["ddl_in_range"] == []
+    # boundary: scn == lo is OUTSIDE the (lo, hi] range
+    assert validate_mining_strategy(
+        "online_catalog", [(100, "orders")], 100, 200,
+        captured_tables=["orders"],
+    )["ddl_in_range"] == []
+    for s in ("redo_log_catalog", "hybrid"):
+        plan = validate_mining_strategy(
+            s, ddls, 100, 400, captured_tables=["orders"]
+        )
+        assert plan["ddl_tracking"] is True
+        assert plan["ddl_in_range"] == [(150, "orders")]
+    with pytest.raises(ValueError, match="unsupported log.mining"):
+        validate_mining_strategy("bogus", [], 0, 1)

@@ -160,13 +160,31 @@ def test_latest_state_tws_gated(spark):
 def test_snapshot_mode_plan():
     from debezium_incubator_spark.connector import snapshot_mode_plan
 
-    assert snapshot_mode_plan({}) == {"run_snapshot": True, "run_stream": True}
-    assert snapshot_mode_plan({"snapshot.mode": "initial_only"}) == {
+    def plan(props, **kw):
+        full = snapshot_mode_plan(props, **kw)
+        return {k: full[k] for k in ("run_snapshot", "run_stream")}
+
+    assert plan({}) == {"run_snapshot": True, "run_stream": True}
+    assert plan({"snapshot.mode": "initial_only"}) == {
         "run_snapshot": True, "run_stream": False,
     }
-    assert snapshot_mode_plan({"snapshot.mode": "never"}) == {
+    assert plan({"snapshot.mode": "never"}) == {
         "run_snapshot": False, "run_stream": True,
     }
+    # always: data snapshot on EVERY start, even with healthy state
+    assert plan({"snapshot.mode": "always"}, state_exists=True,
+                offsets_valid=True) == {
+        "run_snapshot": True, "run_stream": True,
+    }
+    # recovery: schema-history repair only — no data snapshot, stream
+    # resumes; requires usable offsets (else it would skip changes)
+    rec = snapshot_mode_plan({"snapshot.mode": "recovery"},
+                             state_exists=True, offsets_valid=True)
+    assert rec == {"run_snapshot": False, "run_stream": True,
+                   "rebuild_schema_history": True}
+    with pytest.raises(ValueError, match="recovery requires"):
+        snapshot_mode_plan({"snapshot.mode": "recovery"},
+                           state_exists=True, offsets_valid=False)
     assert snapshot_mode_plan({"snapshot.mode": "when_needed"},
                               state_exists=True)["run_snapshot"] is False
     assert snapshot_mode_plan({"snapshot.mode": "when_needed"},
@@ -358,13 +376,11 @@ def test_when_needed_resnapshots_on_purged_log():
 
     wn = {"snapshot.mode": "when_needed"}
     # healthy resume: no snapshot
-    assert snapshot_mode_plan(wn, state_exists=True, offsets_valid=True) == {
-        "run_snapshot": False, "run_stream": True,
-    }
+    healthy = snapshot_mode_plan(wn, state_exists=True, offsets_valid=True)
+    assert (healthy["run_snapshot"], healthy["run_stream"]) == (False, True)
     # purged log: re-snapshot even though state exists
-    assert snapshot_mode_plan(wn, state_exists=True, offsets_valid=False) == {
-        "run_snapshot": True, "run_stream": True,
-    }
+    purged = snapshot_mode_plan(wn, state_exists=True, offsets_valid=False)
+    assert (purged["run_snapshot"], purged["run_stream"]) == (True, True)
     # initial/never are indifferent to offset validity
     assert snapshot_mode_plan(
         {"snapshot.mode": "never"}, state_exists=True, offsets_valid=False
