@@ -271,3 +271,109 @@ def commitlog_to_cells(segments: DataFrame,
             )
 
     return segments.mapInPandas(run, CELL_CHANGE_SCHEMA)
+
+
+# --- connector #1 operating mode: tail the commitlog directory --------------
+
+
+def commitlog_merge_foreach_batch(
+    state_dir: str,
+    key_cols: list[str],
+    keyspace: str | None = None,
+    table: str | None = None,
+):
+    """foreachBatch handler for the real Cassandra-connector loop: each
+    micro-batch of commitlog segment FILES is decoded through the seam,
+    scoped by the include-list (keyspace/table), and merged into
+    persisted cell state with ``merge_cassandra_cells`` — the batching-
+    invariant fold (any segmentation of the log converges to the
+    one-shot state, the property its tests pin).
+
+    State commits per epoch under ``state_dir/v{epoch}/{cells,tombs}``
+    with the engine's crash-atomic ``_LATEST`` pointer protocol: a
+    replayed batch (crash before the checkpoint commit) rewrites the
+    SAME epoch directory and re-points — idempotent because the merge
+    re-reads the PREVIOUS epoch's state, not its own output."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from ..streaming.upsert import _commit_pointer, _latest_path
+    from .cassandra import merge_cassandra_cells
+
+    def handle(batch: DataFrame, epoch: int) -> None:
+        spark = batch.sparkSession
+        decoded = commitlog_to_cells(batch, blob_col="content")
+        if keyspace is not None:
+            decoded = decoded.filter(F.col("keyspace") == keyspace)
+        if table is not None:
+            decoded = decoded.filter(F.col("table_name") == table)
+        prev = _latest_path(state_dir)
+        # a replayed epoch must merge against the state BEFORE itself:
+        # _LATEST pointing at this epoch means the previous commit
+        # finished but the checkpoint didn't — step back one version
+        if prev is not None and os.path.basename(prev) == f"v{epoch}":
+            prior = f"v{epoch - 1}"
+            prev = (
+                os.path.join(state_dir, prior)
+                if os.path.isdir(os.path.join(state_dir, prior))
+                else None
+            )
+        cells = tombs = None
+        if prev is not None:
+            cells = spark.read.parquet(os.path.join(prev, "cells"))
+            tombs = spark.read.parquet(os.path.join(prev, "tombs"))
+        new_cells, new_tombs = merge_cassandra_cells(
+            cells, tombs, decoded, key_cols
+        )
+        out = os.path.join(state_dir, f"v{epoch}")
+        new_cells.write.mode("overwrite").parquet(
+            os.path.join(out, "cells")
+        )
+        new_tombs.write.mode("overwrite").parquet(
+            os.path.join(out, "tombs")
+        )
+        _commit_pointer(state_dir, f"v{epoch}")
+
+    return handle
+
+
+def start_commitlog_stream(
+    spark,
+    segments_dir: str,
+    state_dir: str,
+    checkpoint: str,
+    key_cols: list[str],
+    keyspace: str | None = None,
+    table: str | None = None,
+):
+    """Tail a commitlog directory as a real Structured Streaming query:
+    the ``binaryFile`` source picks up each new segment file exactly
+    once (checkpointed), one file per micro-batch so segment order is
+    preserved per the commitlog's append discipline. availableNow —
+    drains what exists then stops; re-invoke after restart to resume
+    from the first unprocessed segment."""
+    stream = (
+        spark.readStream.format("binaryFile")
+        # binaryFile's schema is FIXED but the streaming source still
+        # requires it spelled out
+        .schema(
+            "path STRING, modificationTime TIMESTAMP, "
+            "length LONG, content BINARY"
+        )
+        .option("pathGlobFilter", "*.log")
+        .option("maxFilesPerTrigger", 1)
+        .load(segments_dir)
+    )
+    return (
+        stream.select("content")
+        .writeStream
+        .foreachBatch(
+            commitlog_merge_foreach_batch(
+                state_dir, key_cols, keyspace, table
+            )
+        )
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -372,3 +372,119 @@ def t42_bpe_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "bin")
     )
+
+
+def tokens_sql(col: str, merges: list[tuple[str, str]] | None = None,
+               dialect: str = "spark") -> str:
+    """The token ARRAY (not just the count) as generated SQL — the
+    rendered replace-chain string IS the tokenization, so splitting on
+    the double separator recovers the tokens with zero Python. Same
+    dialect caveats as :func:`count_sql`."""
+    merges = merges if merges is not None else load_merges()
+    if dialect == "duckdb" and len(merges) > 100:
+        raise ValueError(
+            "DuckDB caps expression depth at 128 — use "
+            "oracle_docs_with_tokens() (staged CTEs) for the full "
+            "merges table"
+        )
+    if dialect == "spark":
+        base = f"regexp_replace({col}, '(?s)(.)', '{SEP}$1{SEP}')"
+        chain = _chain_sql(base, merges)
+        return f"split(btrim({chain}, '{SEP}'), '{SEP}{SEP}')"
+    if dialect == "duckdb":
+        base = f"regexp_replace({col}, '(.)', '{SEP}\\1{SEP}', 'gs')"
+        chain = _chain_sql(base, merges)
+        return f"string_split(trim({chain}, '{SEP}'), '{SEP}{SEP}')"
+    raise ValueError(f"unknown dialect {dialect!r}")
+
+
+def bpe_tokens_col(col: str = "text",
+                   merges: list[tuple[str, str]] | None = None) -> Column:
+    """JVM-side token extraction (array<string>) — the replace-chain
+    string split on the double separator. Prefer this over the
+    pandas-UDF :func:`bpe_tokens` everywhere: same tokens (the chain ≡
+    priority-algorithm equivalence), no Python worker, no Arrow hop.
+    Empty/NULL text yields an empty array / NULL."""
+    toks = F.expr(tokens_sql(col, merges, "spark"))
+    return (
+        F.when(F.col(col).isNull(), F.lit(None).cast("array<string>"))
+        .when(F.length(col) == 0, F.array().cast("array<string>"))
+        .when(
+            F.col(col).contains(SEP),
+            F.raise_error(F.lit(
+                "bpe_tokens_col: text contains the \\x1f render separator"
+            )).cast("array<string>"),
+        )
+        .otherwise(toks)
+    )
+
+
+def oracle_docs_with_tokens(cte_name: str = "d") -> str:
+    """Like :func:`oracle_docs_with_counts`, but the final CTE keeps
+    the token ARRAY (``toks``) for token-level oracles."""
+    merges = load_merges()
+    base = f"regexp_replace(text, '(.)', '{SEP}\\1{SEP}', 'gs')"
+    parts = [f"__b0 AS (SELECT *, {base} AS __s FROM documents)"]
+    prev = "__b0"
+    for j in range(0, len(merges), _ORACLE_CHUNK):
+        expr = _chain_sql("__s", merges[j:j + _ORACLE_CHUNK])
+        nxt = f"__b{j // _ORACLE_CHUNK + 1}"
+        parts.append(
+            f"{nxt} AS (SELECT * EXCLUDE (__s), {expr} AS __s FROM {prev})"
+        )
+        prev = nxt
+    parts.append(
+        f"{cte_name} AS (SELECT * EXCLUDE (__s), "
+        f"string_split(trim(__s, '{SEP}'), '{SEP}{SEP}') AS toks "
+        f"FROM {prev} WHERE length(text) > 0)"
+    )
+    return ",\n".join(parts)
+
+
+#: top-k subword vocabulary size for t43
+BPE_VOCAB_K = 20
+
+
+def _t43_oracle() -> str:
+    return f"""
+WITH {oracle_docs_with_tokens("__d0")},
+tok AS (
+  SELECT unnest(toks) AS token FROM __d0
+), freq AS (
+  SELECT token, CAST(count(*) AS BIGINT) AS n_occurrences,
+         CAST(length(token) AS BIGINT) AS token_len
+  FROM tok GROUP BY token
+)
+SELECT token, n_occurrences, token_len
+FROM freq
+ORDER BY n_occurrences DESC, token
+LIMIT {BPE_VOCAB_K}
+"""
+
+
+@register("t43_bpe_vocab", oracle=_t43_oracle())
+def t43_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subword vocabulary statistics: top-{BPE_VOCAB_K} BPE tokens by
+    corpus frequency (deterministic tie-break on the token itself) —
+    t26's vocab-coverage shape moved into tokenizer space, and the
+    number a vocab-size decision actually looks at. Token extraction
+    is the JVM split of the replace-chain render (``bpe_tokens_col``,
+    zero Python); the explode fans out ~tokens/doc rows, map-side
+    combine collapses them to |vocab| — the t2 term-frequency shuffle
+    shape. Top-k is orderBy+limit → TakeOrderedAndProject, never a
+    global sort."""
+    d = table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    tok = d.select(
+        F.explode(bpe_tokens_col("text")).alias("token")
+    )
+    return (
+        tok.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .select(
+            "token",
+            "n_occurrences",
+            F.length("token").cast("long").alias("token_len"),
+        )
+        .orderBy(F.desc("n_occurrences"), "token")
+        .limit(BPE_VOCAB_K)
+    )

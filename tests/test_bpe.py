@@ -130,3 +130,19 @@ def test_token_extraction_udf_lossless_and_consistent(spark):
     for r in out:
         assert "".join(r.bpe_tokens) == r.text
         assert len(r.bpe_tokens) == r.n_chain
+
+
+def test_jvm_tokens_col_matches_udf_and_reference(spark):
+    """bpe_tokens_col (pure JVM split of the chain) returns the SAME
+    token arrays as the priority-algorithm UDF path, plus the
+    empty/NULL contracts."""
+    from debezium_incubator_spark.llm.bpe import bpe_tokens_col
+
+    d = table(spark, SF_SMOKE, "documents").limit(40)
+    rows = d.select("text", bpe_tokens_col("text").alias("toks")).collect()
+    for r in rows:
+        assert r.toks == bpe_encode(r.text, RANKS)
+    edge = spark.createDataFrame([(None,), ("",)], "text STRING")
+    got = {r.text: r.toks for r in
+           edge.select("text", bpe_tokens_col("text").alias("toks")).collect()}
+    assert got[None] is None and got[""] == []
