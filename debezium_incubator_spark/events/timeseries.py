@@ -379,3 +379,84 @@ def e14_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         round4x("percentile(delta_ms, 0.5)").alias("p50_ms"),
         round4x("percentile(delta_ms, 0.9)").alias("p90_ms"),
     )
+
+
+@register(
+    "e15_funnel",
+    oracle="""
+WITH s AS (
+  SELECT user_id, min(event_id) AS s FROM events
+  WHERE event_type = 'signup' GROUP BY user_id
+), v AS (
+  SELECT e.user_id, min(e.event_id) AS v
+  FROM events e JOIN s ON e.user_id = s.user_id
+   AND e.event_id > s.s AND e.event_id <= s.s + 500
+  WHERE e.event_type = 'view' GROUP BY e.user_id
+), p AS (
+  SELECT e.user_id, min(e.event_id) AS p
+  FROM events e JOIN v ON e.user_id = v.user_id
+   AND e.event_id > v.v AND e.event_id <= v.v + 500
+  WHERE e.event_type = 'purchase' GROUP BY e.user_id
+)
+SELECT CAST((SELECT count(DISTINCT user_id) FROM events) AS BIGINT)
+         AS n_users,
+       CAST((SELECT count(*) FROM s) AS BIGINT) AS n_signup,
+       CAST((SELECT count(*) FROM v) AS BIGINT) AS n_signup_view,
+       CAST((SELECT count(*) FROM p) AS BIGINT) AS n_full_funnel,
+       floor(CAST((SELECT count(*) FROM p) AS DOUBLE)
+             / CAST((SELECT count(*) FROM s) AS DOUBLE)
+             * 10000 + 0.5) / 10000 AS conv_rate
+""",
+)
+def e15_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict ORDERED conversion funnel signup → view → purchase: each
+    stage's earliest event must come strictly AFTER the previous
+    stage's earliest qualifying event AND land within the 500-position
+    conversion window (the product-analytics funnel rule — a view
+    before the signup does not count, and a purchase a year later is
+    not attributable; the window makes every stage genuinely cut:
+    150 → 60 → 30 at sf0.01). Three
+    user-cardinality stage aggregations, each joined broadcast onto
+    the next stage's filtered scan (users ≪ events, so every stage
+    table is broadcastable at any SF); the final one-row summary cross-
+    joins four single-row aggregates. Integer-derived conversion rate
+    goes through round4x."""
+    from ..exprs import round4x_col
+
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", F.col("event_id").alias("ts"), "event_type"
+    )
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id").agg(F.min("ts").alias("s"))
+    )
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .join(F.broadcast(s), "user_id")
+        .filter((F.col("ts") > F.col("s")) & (F.col("ts") <= F.col("s") + 500))
+        .groupBy("user_id").agg(F.min("ts").alias("v"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(F.broadcast(v), "user_id")
+        .filter((F.col("ts") > F.col("v")) & (F.col("ts") <= F.col("v") + 500))
+        .groupBy("user_id").agg(F.min("ts").alias("p"))
+    )
+    out = (
+        ev.agg(F.countDistinct("user_id").alias("n_users"))
+        .crossJoin(F.broadcast(s.agg(F.count(F.lit(1)).alias("n_signup"))))
+        .crossJoin(F.broadcast(
+            v.agg(F.count(F.lit(1)).alias("n_signup_view"))))
+        .crossJoin(F.broadcast(
+            p.agg(F.count(F.lit(1)).alias("n_full_funnel"))))
+    )
+    return out.select(
+        "n_users",
+        "n_signup",
+        "n_signup_view",
+        "n_full_funnel",
+        round4x_col(
+            F.col("n_full_funnel").cast("double")
+            / F.col("n_signup").cast("double")
+        ).alias("conv_rate"),
+    )

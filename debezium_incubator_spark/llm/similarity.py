@@ -1638,6 +1638,19 @@ def semdedup_ingest_foreach_batch(index_dir: str, out_dir: str,
             existing, "vec_id", "left_anti"
         )
         if fresh.limit(1).count():
+            # the delta-dedup contract REQUIRES monotone ids across
+            # batches (owners are lower-id). A genuinely new vector
+            # below the store's high-water is not a replay — it would
+            # silently produce wrong deltas, so refuse loudly.
+            hw = existing.agg(F.max("vec_id")).first()[0]
+            lo = fresh.agg(F.min("vec_id")).first()[0]
+            if hw is not None and lo <= hw:
+                raise ValueError(
+                    f"dedup-on-ingest requires monotone vec_ids: batch "
+                    f"{batch_id} carries NEW id {lo} at or below the "
+                    f"store's high-water {hw} — re-id the stream or "
+                    f"rebuild the index"
+                )
             ivf_index_append(spark, index_dir, fresh)
         (
             semdedup(spark, index_dir, tau=tau, min_vec_id=min_id)

@@ -344,3 +344,34 @@ def test_streaming_dedup_on_ingest_across_restart(spark, tmp_path):
         if r.vec_id >= 100
     )
     assert streamed == full_slice and len(streamed) > 0
+
+
+def test_streaming_ingest_refuses_non_monotone_ids(spark, tmp_path):
+    """A genuinely NEW vec_id at/below the store's high-water is not a
+    replay — silent acceptance would corrupt the delta-dedup contract
+    (owners are lower-id), so the handler refuses loudly."""
+    import pytest
+
+    from debezium_incubator_spark.llm.similarity import (
+        build_ivf_index,
+        semdedup_ingest_foreach_batch,
+    )
+
+    schema = "vec_id LONG, v ARRAY<DOUBLE>"
+    base = [(i, [float(i % 5) + 0.1, float((i * 3) % 7) + 0.1])
+            for i in range(40)]
+    idx = str(tmp_path / "idx")
+    build_ivf_index(spark.createDataFrame(base, schema), idx,
+                    nlist=3, seed=11)
+    handler = semdedup_ingest_foreach_batch(
+        idx, str(tmp_path / "out"), tau=0.95)
+    # a proper batch raises the high-water to 104...
+    handler(spark.createDataFrame(
+        [(100 + i, [1.0, float(i)]) for i in range(5)], schema), 0)
+    # ...replay of EXISTING ids still folds away silently (idempotence)
+    handler(spark.createDataFrame(base[:5], schema), 0)
+    # ...but a genuinely NEW id below the high-water refuses
+    bad = spark.createDataFrame([(50, [9.0, 9.0]), (200, [1.0, 1.0])],
+                                schema)
+    with pytest.raises(ValueError, match="monotone vec_ids"):
+        handler(bad, 1)
