@@ -188,6 +188,7 @@ def db2_uow_join(
     uow: DataFrame,
     uowid_col: str = "IBMSNAP_UOWID",
     commitseq_col: str = "IBMSNAP_COMMITSEQ",
+    broadcast: bool = True,
 ) -> DataFrame:
     """SQL Replication's split position: a CD row carries only its
     INTENT sequence and the transaction's ``IBMSNAP_UOWID`` — the
@@ -199,16 +200,22 @@ def db2_uow_join(
     LogMiner path proves for Oracle, surfaced through Db2's
     table-shaped idiom.
 
-    Scale: the UOW side is one row per transaction — broadcast next to
-    a data-plane CD stream; the inner join IS the withholding (no
-    buffered state)."""
-    return cd.join(
-        F.broadcast(uow.select(
-            F.col(uowid_col),
-            F.col(commitseq_col).alias("__commitseq"),
-        )),
-        uowid_col,
+    Scale caveat (``broadcast``): per POLL the UOW side is one row per
+    open transaction — genuinely broadcastable, the default. But this
+    same function is the ONE-SHOT batch twin, where ``uow`` holds every
+    unit of work of the WHOLE captured history — a side that grows with
+    the data, unlike the bounded per-poll form. Whole-history callers
+    must pass ``broadcast=False`` and let AQE pick the strategy (an
+    explicit F.broadcast is a hint AQE cannot override; at 100× it OOMs
+    executors instead of degrading to a shuffle join). The inner join IS
+    the withholding either way (no buffered state)."""
+    uow_side = uow.select(
+        F.col(uowid_col),
+        F.col(commitseq_col).alias("__commitseq"),
     )
+    if broadcast:
+        uow_side = F.broadcast(uow_side)
+    return cd.join(uow_side, uowid_col)
 
 
 @register(
@@ -274,7 +281,8 @@ def cdc_db2_uow_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("IBMSNAP_UOWID") % 97 != 0)
     )
-    visible = db2_uow_join(cd.drop("_eid"), uow)
+    # whole-history one-shot: UOW side grows with the data -> no forced broadcast
+    visible = db2_uow_join(cd.drop("_eid"), uow, broadcast=False)
     # 'r' folds like 'u' (only 'd' drops a key) — map for the fold
     ch = visible.select(
         "user_id",

@@ -100,9 +100,11 @@ def jdbc_sink_apply(
 
     if insert_mode == "update" and current is not None:
         # only pre-existing keys may change: semi-join the batch on the
-        # target's key set (broadcast-able — it is keys, not rows)
+        # target's key set. NO forced broadcast: the key set scales with
+        # the TARGET table (1e9 keys is still GBs) — AQE broadcasts when
+        # genuinely small and degrades to a shuffle semi-join otherwise
         batch = batch.join(
-            F.broadcast(current.select(*keys).distinct()), keys, "semi"
+            current.select(*keys).distinct(), keys, "semi"
         )
     elif insert_mode == "update" and current is None:
         return  # empty target: UPDATE affects nothing

@@ -36,20 +36,30 @@ def logminer_commit_ordered(
     redo: DataFrame,
     commits: DataFrame,
     xid_col: str = "xid",
+    broadcast: bool = True,
 ) -> DataFrame:
     """Join redo entries to their transaction's commit record: committed
     changes gain ``__commit_scn`` (the fold's primary position), changes
     of transactions absent from ``commits`` (in-flight or rolled back)
     are withheld. ``commits``: one ``(xid, commit_scn)`` row per
-    committed transaction — broadcast, it is txn-count-sized while the
-    redo side is the data plane."""
-    return redo.join(
-        F.broadcast(commits.select(
-            F.col(xid_col),
-            F.col("commit_scn").alias("__commit_scn"),
-        )),
-        xid_col,
+    committed transaction.
+
+    Scale caveat (``broadcast``): per POLL / micro-batch the commit side
+    is open-txn-count-sized — genuinely broadcastable, the default. But
+    this same function is the ONE-SHOT batch twin, where ``commits``
+    holds every transaction of the WHOLE mined log — a side that grows
+    with the data, unlike the bounded per-poll form in
+    ``merge_logminer_buffer``. Whole-log callers must pass
+    ``broadcast=False`` and let AQE pick the strategy (an explicit
+    F.broadcast is a hint AQE cannot override; at 100× it OOMs the
+    executors instead of degrading to a shuffle join)."""
+    commit_side = commits.select(
+        F.col(xid_col),
+        F.col("commit_scn").alias("__commit_scn"),
     )
+    if broadcast:
+        commit_side = F.broadcast(commit_side)
+    return redo.join(commit_side, xid_col)
 
 
 @register(
@@ -114,7 +124,8 @@ def cdc_logminer_commit_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("xid") % 97 != 0)
     )
-    visible = logminer_commit_ordered(redo, commits)
+    # whole-log one-shot: commit side grows with the data -> no forced broadcast
+    visible = logminer_commit_ordered(redo, commits, broadcast=False)
     state = materialize_latest(
         visible, ["user_id"], ["__commit_scn", "scn"]
     )
@@ -293,7 +304,9 @@ def cdc_logminer_full_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("xid") % 97 != 0)
     )
-    visible = logminer_commit_ordered(kept, commits).withColumn(
+    visible = logminer_commit_ordered(
+        kept, commits, broadcast=False
+    ).withColumn(
         "__op", F.lit("u")
     )
     state = materialize_latest(visible, ["user_id"], ["__commit_scn", "scn"])
@@ -479,7 +492,9 @@ def cdc_logminer_rac_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(node0, 2_000_000_000), (node1, RAC_LAG_HW)]
     )
     visible = logminer_commit_ordered(
-        emittable, commits.filter(F.col("commit_scn") <= F.lit(wm))
+        emittable,
+        commits.filter(F.col("commit_scn") <= F.lit(wm)),
+        broadcast=False,
     )
     state = materialize_latest(
         visible, ["user_id"], ["__commit_scn", "scn"]
@@ -496,6 +511,7 @@ def xstream_lcrs(
     redo: DataFrame,
     commits: DataFrame,
     xid_col: str = "xid",
+    broadcast: bool = True,
 ) -> DataFrame:
     """Model the XStream Out delivery: the Oracle server hands Debezium
     Logical Change Records ALREADY in commit order — in-flight
@@ -517,7 +533,7 @@ def xstream_lcrs(
     (commit_scn, sequence) and by (commit_scn, scn) induce the same
     total order — blocks sort by commit_scn either way, and within a
     transaction sequence is scn-monotonic by construction."""
-    joined = logminer_commit_ordered(redo, commits, xid_col)
+    joined = logminer_commit_ordered(redo, commits, xid_col, broadcast=broadcast)
     w = W.partitionBy(xid_col).orderBy("scn")
     return (
         joined.withColumn("sequence", F.row_number().over(w))
@@ -581,7 +597,8 @@ def cdc_xstream_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
     from SCN order, so a plain scn fold gives a different state
     (pinned by test).
 
-    Scale: one broadcast commit join + ONE per-transaction window for
+    Scale: one commit join (AQE-chosen strategy; whole-log commit side
+    so no forced broadcast) + ONE per-transaction window for
     sequence numbers (partitioned by xid — transaction-sized, never
     global) + the usual per-key fold. The global-max scalar is a
     one-row broadcast."""
@@ -608,7 +625,8 @@ def cdc_xstream_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(F.col("last_scn")).alias("commit_scn"),
         )
     )
-    lcrs = xstream_lcrs(redo, commits)
+    # whole-log one-shot: commit side grows with the data -> no forced broadcast
+    lcrs = xstream_lcrs(redo, commits, broadcast=False)
     state = materialize_latest(lcrs, ["user_id"], ["position"])
     return state.select("user_id", "value").orderBy("user_id")
 

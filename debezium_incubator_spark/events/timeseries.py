@@ -415,12 +415,15 @@ def e15_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     conversion window (the product-analytics funnel rule — a view
     before the signup does not count, and a purchase a year later is
     not attributable; the window makes every stage genuinely cut:
-    150 → 60 → 30 at sf0.01). Three
-    user-cardinality stage aggregations, each joined broadcast onto
-    the next stage's filtered scan (users ≪ events, so every stage
-    table is broadcastable at any SF); the final one-row summary cross-
-    joins four single-row aggregates. Integer-derived conversion rate
-    goes through round4x."""
+    150 → 60 → 30 at sf0.01). The stage aggregates `s` and `v` are one
+    row per USER — a side that GROWS with the data (1e9 users at the
+    100 TB target) — so the stage joins carry NO broadcast hint: AQE
+    broadcasts them when they are genuinely small and degrades to a
+    shuffle join when they are not (an explicit F.broadcast is a hint
+    AQE cannot override and would OOM executors at 100×). Only the
+    final one-row summary cross-joins keep F.broadcast — those sides
+    are single-row aggregates at any SF. Integer-derived conversion
+    rate goes through round4x."""
     from ..exprs import round4x_col
 
     ev = table(spark, sf_dir, "events").select(
@@ -432,13 +435,13 @@ def e15_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     v = (
         ev.filter(F.col("event_type") == "view")
-        .join(F.broadcast(s), "user_id")
+        .join(s, "user_id")
         .filter((F.col("ts") > F.col("s")) & (F.col("ts") <= F.col("s") + 500))
         .groupBy("user_id").agg(F.min("ts").alias("v"))
     )
     p = (
         ev.filter(F.col("event_type") == "purchase")
-        .join(F.broadcast(v), "user_id")
+        .join(v, "user_id")
         .filter((F.col("ts") > F.col("v")) & (F.col("ts") <= F.col("v") + 500))
         .groupBy("user_id").agg(F.min("ts").alias("p"))
     )

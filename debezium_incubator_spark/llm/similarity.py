@@ -562,15 +562,32 @@ def sim_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
 # its nprobe partition directories (parquet partition pruning) — per-
 # query I/O drops by nlist/nprobe with zero recompute.
 
+#: Cap on rows fed to the KMeans FIT (not the assignment). Production
+#: IVF builds (faiss trains on a bounded training set) fit centroids on
+#: a sample: fit cost is O(sample · nlist · iters) instead of
+#: O(n · nlist · iters), which under the nlist ∝ n sizing rule would be
+#: quadratic in the corpus (the g3→g10 probe measured exponent 1.217
+#: before this cap). Assignment stays distributed and EXACT over all n
+#: rows. Fixture SFs sit far below the cap, so test builds are
+#: bit-identical to the uncapped fit.
+IVF_FIT_SAMPLE_CAP = 50_000
+
+
 def build_ivf_index(source: DataFrame, index_dir: str, nlist: int = IVF_NLIST,
-                    seed: int = 42, max_iter: int = 10) -> None:
+                    seed: int = 42, max_iter: int = 10,
+                    fit_sample_cap: int = IVF_FIT_SAMPLE_CAP) -> None:
     """One-time IVF indexing pass over ``source`` (vec_id, v:array<double>):
 
     - ``{index_dir}/vectors``   — the corpus + precomputed ``nsq``,
       written ``partitionBy("cluster")`` so probes prune directories;
     - ``{index_dir}/centroids`` — the nlist routing rows.
 
-    100 TB posture: the KMeans fit runs on a sample/full pass once; the
+    100 TB posture: the KMeans fit runs on a bounded DETERMINISTIC
+    sample (``fit_sample_cap`` rows via a hash-mod filter on vec_id —
+    no RNG, no partitioning dependence), so build cost is
+    O(cap · nlist) ∝ n under the nlist ∝ n rule, not O(n · nlist) ∝ n².
+    The cluster ASSIGNMENT runs distributed over every row — only the
+    centroid estimate is sampled, exactly faiss's train/add split. The
     partitioned write is a single shuffle on ``cluster`` (bounded
     cardinality — no skew beyond cluster imbalance, which nlist sizing
     controls); probes never touch the fit again. Rebuild cadence is a
@@ -580,10 +597,20 @@ def build_ivf_index(source: DataFrame, index_dir: str, nlist: int = IVF_NLIST,
 
     spark = source.sparkSession
     vec = source.withColumn("fv", array_to_vector("v"))
+    n = vec.count()
+    # the sample must still hold ≥ nlist points (k-means needs k ≤ n);
+    # a few points per centroid beats the floor without re-growing the
+    # fit toward O(n·nlist)
+    cap = max(fit_sample_cap, 4 * nlist)
+    fit_rows = vec
+    if n > cap:
+        # deterministic ~cap-row sample: keep vec_id hashes ≡ 0 (mod m)
+        m = n // cap + 1
+        fit_rows = vec.filter(F.xxhash64("vec_id") % m == 0)
     model = KMeans(
         k=nlist, seed=seed, maxIter=max_iter,
         featuresCol="fv", predictionCol="cluster",
-    ).fit(vec)
+    ).fit(fit_rows)
     assigned = (
         model.transform(vec)
         .withColumn("nsq", norm_sq("v"))

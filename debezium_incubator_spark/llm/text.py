@@ -113,15 +113,17 @@ ORDER BY doc_id
 )
 def t6_tfidf_top_term(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TF-IDF: tf(term,doc) · ln(N/df(term)); highest-scoring term per
-    doc. The doc-frequency side is a small broadcast join against the
-    exploded term table. Parity: ln(n/df) is one libm call on identical
+    doc. The doc-frequency side carries NO broadcast hint — the term
+    vocabulary scales with the corpus (heavy-tailed; billions of
+    distinct terms at 100 TB), so AQE picks broadcast only when it is
+    genuinely small. Parity: ln(n/df) is one libm call on identical
     int ratios → identical doubles; tf multiplier integer."""
     d = table(spark, sf_dir, "documents")
     t = d.select("doc_id", F.explode(tokens()).alias("term"))
     tf = t.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
     df = t.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
     n = d.count()  # scalar: corpus size (driver-side constant is fine)
-    scored = tf.join(F.broadcast(df), "term").withColumn(
+    scored = tf.join(df, "term").withColumn(
         "tfidf", F.col("tf") * F.log(F.lit(n) / F.col("df"))
     )
     from pyspark.sql.window import Window as W
@@ -2220,7 +2222,9 @@ def t35_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("df") >= BOILER_MIN_DF)
         .select("seg")
     )
-    kept = segs.join(F.broadcast(boiler), "seg", "left_anti")
+    # boilerplate-segment set scales with the corpus — no forced
+    # broadcast; AQE broadcasts when genuinely small
+    kept = segs.join(boiler, "seg", "left_anti")
     rebuilt = kept.groupBy("doc_id").agg(
         F.count("*").alias("n_kept"),
         F.array_join(

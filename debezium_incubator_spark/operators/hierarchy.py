@@ -44,7 +44,9 @@ def hierarchy_depth(nodes: DataFrame, max_rounds: int = 40) -> DataFrame:
     for _ in range(max_rounds):
         pending = (
             state.join(
-                F.broadcast(roots),
+                # root count scales with the forest — no forced
+                # broadcast; AQE broadcasts when genuinely small
+                roots,
                 F.col("anc") == F.col("root_k"),
                 "left_anti",
             )

@@ -92,7 +92,8 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NATION_2 suppliers' share of revenue sold to ASIA customers, by
     year. The ratio is fixed-point-quantized before the conditional sum
     so numerator and denominator are exact on both engines. Plan: one
-    fact scan, five broadcast dim joins, one shuffle on order_year."""
+    fact scan, nation/region broadcast (fixed 25/5 rows); supplier
+    carries NO hint — it scales with SF, AQE broadcasts when small."""
     li = table(spark, sf_dir, "lineitem")
     o = table(spark, sf_dir, "orders")
     c = table(spark, sf_dir, "customer")
@@ -107,7 +108,7 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n1), c.c_nationkey == F.col("c_nk"))
         .join(F.broadcast(r), F.col("c_rk") == r.r_regionkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n2), s.s_nationkey == F.col("s_nk"))
         .select(F.year("o_orderdate").alias("order_year"), v.alias("v"), "supp_nation")
     )
@@ -144,15 +145,16 @@ ORDER BY nation, order_year
 def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Profit on PROMO parts by supplier nation and year (q9 with
     p_retailprice*qty*0.1 standing in for ps_supplycost). The p_type
-    filter reaches the part scan; part/supplier/nation broadcast."""
+    filter reaches the part scan; nation broadcasts (25 rows fixed);
+    part/supplier carry NO hint — they scale with SF, AQE decides."""
     li = table(spark, sf_dir, "lineitem")
     p = table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
     s = table(spark, sf_dir, "supplier")
     n = table(spark, sf_dir, "nation")
     o = table(spark, sf_dir, "orders")
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(o, li.l_orderkey == o.o_orderkey)
         .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("order_year"))
@@ -258,13 +260,14 @@ ORDER BY ship_month
 )
 def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Percent of monthly revenue from PROMO parts — conditional
-    aggregation over a broadcast part join, fixed-point-exact ratio."""
+    aggregation over a part join (no forced broadcast — part scales
+    with SF; AQE broadcasts when small), fixed-point-exact ratio."""
     li = table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1998-01-01")
     )
     p = table(spark, sf_dir, "part")
     v = F.expr(f"CAST(floor(l_extendedprice * (1 - l_discount) * {FX} + 0.5) AS BIGINT)")
-    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey).select(
+    j = li.join(p, li.l_partkey == p.p_partkey).select(
         F.date_trunc("month", "l_shipdate").alias("ship_month"),
         v.alias("v"),
         (F.col("p_type") == "PROMO").alias("is_promo"),
@@ -320,7 +323,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         revenue.crossJoin(F.broadcast(mx))
         .filter(F.col("total_revenue") == F.col("__max_rev"))
-        .join(F.broadcast(s), F.col("supplier_no") == s.s_suppkey)
+        .join(s, F.col("supplier_no") == s.s_suppkey)
         .select("s_suppkey", "s_name", "total_revenue")
         .orderBy("s_suppkey")
     )
@@ -345,7 +348,8 @@ ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
 def q16_part_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
     """How many distinct suppliers ship each surviving (brand, type,
     size) — q16 with lineitem standing in for partsupp. The exclusion
-    predicates push into the broadcast part scan; count(distinct) is
+    predicates push into the part scan (AQE-chosen join strategy —
+    part scales with SF, no forced broadcast); count(distinct) is
     Spark's two-phase expand-aggregate (scale-safe, no driver set)."""
     li = table(spark, sf_dir, "lineitem")
     p = table(spark, sf_dir, "part").filter(
@@ -354,7 +358,7 @@ def q16_part_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("p_size").isin(1, 4, 9, 16, 25, 36, 49))
     )
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
         .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
@@ -388,7 +392,7 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.lit(0.2) * F.avg("l_quantity")).alias("qty_threshold")
     )
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .join(thr, li.l_partkey == F.col("t_partkey"))
         .filter(F.col("l_quantity") < F.col("qty_threshold"))
         .agg(
@@ -426,7 +430,7 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     are pushed to the part scan by constraint propagation."""
     li = table(spark, sf_dir, "lineitem")
     p = table(spark, sf_dir, "part")
-    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    j = li.join(p, li.l_partkey == p.p_partkey)
     cond = (
         ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 15) & F.col("l_quantity").between(1, 11))
         | ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(1, 25) & F.col("l_quantity").between(10, 20))
@@ -466,7 +470,7 @@ def q20_promo_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     p = table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
     heavy = (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .groupBy("l_suppkey")
         .agg(F.sum("l_quantity").alias("qty"))
         .filter(F.col("qty") > 400)
@@ -562,7 +566,7 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("p_size") <= 15) & (F.col("p_type") == "STANDARD")
     )
     cand = (
-        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        li.join(s, li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .select(
@@ -649,7 +653,7 @@ def q21_sole_returner(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         base.join(o, base.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(s), base.l_suppkey == s.s_suppkey)
+        .join(s, base.l_suppkey == s.s_suppkey)
         .groupBy("s_name")
         .agg(F.count("*").alias("numwait"))
         .orderBy(F.desc("numwait"), "s_name")

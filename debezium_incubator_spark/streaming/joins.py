@@ -19,11 +19,16 @@ from pyspark.sql import functions as F
 
 
 def stream_static_enrich(stream: DataFrame, dim: DataFrame,
-                         on, how: str = "left") -> DataFrame:
+                         on, how: str = "left",
+                         broadcast: bool = True) -> DataFrame:
     """C11: enrich a CDC stream with a dimension table. The static side
-    re-resolves per micro-batch (picks up dim updates between batches);
-    broadcast it when small."""
-    return stream.join(F.broadcast(dim), on, how)
+    re-resolves per micro-batch (picks up dim updates between batches).
+    ``broadcast=True`` (default) is for genuinely dim-sized sides; pass
+    False for dimensions that scale with the data (user/account tables
+    at 1e9 rows) — an explicit hint cannot be overridden by AQE and
+    would OOM executors instead of degrading to a shuffle join."""
+    dim_side = F.broadcast(dim) if broadcast else dim
+    return stream.join(dim_side, on, how)
 
 
 def stream_stream_interval_join(

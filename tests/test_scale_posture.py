@@ -538,3 +538,37 @@ def test_round7_fold_plan_shapes(spark):
 
     p = _plan(q["t29_domain_cap"](spark, SF_SMOKE))
     assert p.count("WindowGroupLimit") >= 2
+
+
+def _hint_count(df) -> int:
+    """Number of user-forced join-strategy hints in the ANALYZED plan.
+
+    F.broadcast() becomes a ResolvedHint node before optimization; a
+    join the optimizer broadcasts on its own (size statistics / AQE)
+    carries none. Zero hints on a data-scaling side means AQE can
+    degrade the join to shuffle at 100× instead of OOMing on a hint it
+    is not allowed to override."""
+    return df._jdf.queryExecution().analyzed().toString().count(
+        "ResolvedHint"
+    )
+
+
+def test_no_forced_broadcast_of_data_scaling_sides(spark):
+    """Round-9 broadcast-inventory audit (r8 verdict #1): the plans
+    whose broadcast side GROWS with the data must carry no F.broadcast
+    hint — only genuinely bounded sides (one-row aggregates) may keep
+    one. BroadcastHashJoin may still appear in the small-SF physical
+    plan (statistics-chosen) — that is the point: the choice belongs to
+    the optimizer, not a hint."""
+    from debezium_incubator_spark.registry import all_queries
+
+    q = all_queries()
+    # e15: three one-row summary crossJoins keep hints; the
+    # user-cardinality stage joins (s, v) must carry none
+    assert _hint_count(q["e15_funnel"](spark, SF_SMOKE)) == 3
+    # whole-log one-shot commit joins: zero forced broadcasts (the
+    # commit/UOW side holds every transaction of the mined history)
+    assert _hint_count(q["cdc_logminer_commit_order"](spark, SF_SMOKE)) == 0
+    assert _hint_count(q["cdc_db2_uow_fold"](spark, SF_SMOKE)) == 0
+    # xstream one-shot: only the one-row gmax broadcast survives
+    assert _hint_count(q["cdc_xstream_fold"](spark, SF_SMOKE)) == 1
