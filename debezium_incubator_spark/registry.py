@@ -74,12 +74,17 @@ PRIORITY: list[str] = [
     # two-phase snapshot/stream bootstrap under one differential).
     "cdc_connector_e2e",     # A5 + B7 + B3 + bootstrap capstone
     "filter_predicate",      # B3
-    # round-5 recomposition: mask_columns (B7 — masking/truncate remain
-    # sweep-oracled and the B family keeps filter/cast/route slots) gives
-    # its slot to dedup_ngram_capped, round-4's scale-critical semantics
-    # (max_df fan-out cap — the fix for the quadratic shingle join).
-    "dedup_ngram_capped",    # J2 capped shingle join (scale-hardened)
-    "join_dpp",              # L39 dynamic partition pruning (star schema)
+    # round-9 rotation (r8 verdict #6): dedup_ngram_capped (J2 — stays
+    # sweep-oracled; the capped shingle-join semantics stay audited
+    # in-window via t40_neardup_pipeline, which composes the same
+    # max_df-capped funnel) and join_dpp (L39 — sweep-oracled + its
+    # partition-pruning plan audit) give their slots to e15_funnel (the
+    # ordered conversion funnel, audited on the round-9 FIXED plan —
+    # no forced user-cardinality broadcasts) and t44_language_id (the
+    # last missing standard curation stage: Cavnar-Trenkle LID, pure
+    # integer rank arithmetic differential).
+    "e15_funnel",            # ordered funnel (fixed broadcast plan)
+    "t44_language_id",       # Cavnar-Trenkle LID
     "cast_coerce",           # B10 + H10
     # CDC pipeline (A2 envelope + B2 unwrap exercised inside materialize)
     "cdc_materialize",       # A2 + B2 + H8 struct
@@ -93,17 +98,21 @@ PRIORITY: list[str] = [
     # strictly richer record-routing differential: four gates, three
     # gated SMT kinds, recomputed in SQL).
     "cdc_connect_predicates",  # L155 Connect predicates
-    # round-4: route_outbox (B6) demoted to the sweep so J8 multimodal —
-    # never before auditable (rows-only until the portable decode twin
-    # landed) — gets its first driver-audited slot.
-    "mm_decode_portable",    # J8 Arrow decode seam (portable twin)
+    # round-9 rotation: mm_decode_portable (J8 — stays sweep-oracled
+    # with mm_frame_portable; the Arrow decode seam keeps its kernel
+    # tests) gives its slot to cdc_cassandra_cell_tombstones, whose
+    # delete-beats-write equal-writetime tie rule is load-bearing (the
+    # fixture's colliding writetimes make the rule the difference
+    # between right and wrong state — r8 verdict #6 named it).
+    "cdc_cassandra_cell_tombstones",  # cell tombstones + LWW tie rule
     # §2C joins
     "join_broadcast",        # C1
-    # round-6 recomposition: join_outer (C3 — stays sweep-oracled, and
-    # the family keeps full_outer coverage there) gives its slot to the
-    # round-5 flagship cdc_blocking_snapshot (overlap-window dedup proof
-    # for the signal-driven blocking snapshot kind).
-    "cdc_blocking_snapshot",
+    # round-9 rotation: cdc_blocking_snapshot (stays sweep-oracled;
+    # the snapshot tier keeps cdc_txn_reassembly + the lifecycle tests)
+    # gives its slot to t43_bpe_vocab — the JVM token-ARRAY spelling of
+    # the BPE chain (bpe_tokens_col), a different engine path from
+    # t39's count chain (r8 verdict #6 named it).
+    "t43_bpe_vocab",         # BPE subword vocab (JVM token arrays)
     # round-7 recomposition: join_anti (C5 — stays sweep-oracled, and
     # the family's null-aware form sql_not_in_null_aware remains the
     # stronger C5 sweep check) gives its slot to cdc_partition_routing,
@@ -258,7 +267,8 @@ def load_all() -> None:
         transforms,
     )
     from .llm import bpe, clustering  # noqa: F401
-    from .llm import dedup, multimodal, pq, similarity, text, urls  # noqa: F401
+    from .llm import dedup, langid, multimodal, pq, similarity  # noqa: F401
+    from .llm import text, urls  # noqa: F401
 
     _reorder()
     _LOADED = True
