@@ -281,6 +281,7 @@ def commitlog_merge_foreach_batch(
     key_cols: list[str],
     keyspace: str | None = None,
     table: str | None = None,
+    run_id: str | None = None,
 ):
     """foreachBatch handler for the real Cassandra-connector loop: each
     micro-batch of commitlog segment FILES is decoded through the seam,
@@ -293,13 +294,42 @@ def commitlog_merge_foreach_batch(
     with the engine's crash-atomic ``_LATEST`` pointer protocol: a
     replayed batch (crash before the checkpoint commit) rewrites the
     SAME epoch directory and re-points — idempotent because the merge
-    re-reads the PREVIOUS epoch's state, not its own output."""
+    re-reads the PREVIOUS epoch's state, not its own output.
+
+    ``run_id`` identifies the checkpoint lineage (ADVICE r8): epoch ids
+    are only unique WITHIN one checkpoint, so a fresh checkpoint run
+    against an existing state_dir can collide with a foreign v{epoch}
+    — the legacy arithmetic step-back (pointer == v{epoch} → merge
+    against v{epoch-1}) then refolds from only the current batch (state
+    loss), and writing v{epoch} overwrites the very state it should
+    have merged on top of (read-before-write on the same path). Two
+    mechanisms close both holes:
+
+    - epoch dirs are lineage-qualified (``v{epoch}_{run_id}``) so
+      distinct checkpoints can never collide on a path;
+    - each committed epoch records its actual predecessor
+      (``_PREV`` file, empty for "none"), so a replayed epoch merges
+      against the TRUE prior state instead of arithmetic guesswork —
+      correct even when the prior belongs to another lineage.
+
+    ``run_id=None`` keeps the legacy ``v{epoch}`` naming for direct
+    handler callers (their state_dir is paired with one checkpoint by
+    construction); the ``_PREV`` protocol applies either way, with the
+    v{epoch-1} arithmetic as a fallback for pre-stamp state dirs.
+    :func:`start_commitlog_stream` always derives a run_id."""
     import os
 
     from pyspark.sql import functions as F
 
     from ..streaming.upsert import _commit_pointer, _latest_path
     from .cassandra import merge_cassandra_cells
+
+    def _epoch_prev(path: str) -> str | None:
+        """The committed predecessor dir name, '' → None; missing file
+        → OSError (caller falls back to the legacy heuristic)."""
+        with open(os.path.join(path, "_PREV")) as f:
+            name = f.read().strip()
+        return name or None
 
     def handle(batch: DataFrame, epoch: int) -> None:
         spark = batch.sparkSession
@@ -308,16 +338,25 @@ def commitlog_merge_foreach_batch(
             decoded = decoded.filter(F.col("keyspace") == keyspace)
         if table is not None:
             decoded = decoded.filter(F.col("table_name") == table)
+        out_name = (
+            f"v{epoch}" if run_id is None else f"v{epoch}_{run_id}"
+        )
         prev = _latest_path(state_dir)
         # a replayed epoch must merge against the state BEFORE itself:
-        # _LATEST pointing at this epoch means the previous commit
-        # finished but the checkpoint didn't — step back one version
-        if prev is not None and os.path.basename(prev) == f"v{epoch}":
-            prior = f"v{epoch - 1}"
+        # _LATEST pointing at this epoch's own dir means the previous
+        # commit finished but the checkpoint didn't — follow the
+        # committed _PREV pointer back to the true prior state
+        if prev is not None and os.path.basename(prev) == out_name:
+            try:
+                prior = _epoch_prev(prev)
+            except OSError:
+                # pre-_PREV state dir: legacy arithmetic fallback
+                prior = f"v{epoch - 1}"
+                if not os.path.isdir(os.path.join(state_dir, prior)):
+                    prior = None
             prev = (
                 os.path.join(state_dir, prior)
-                if os.path.isdir(os.path.join(state_dir, prior))
-                else None
+                if prior is not None else None
             )
         cells = tombs = None
         if prev is not None:
@@ -326,16 +365,30 @@ def commitlog_merge_foreach_batch(
         new_cells, new_tombs = merge_cassandra_cells(
             cells, tombs, decoded, key_cols
         )
-        out = os.path.join(state_dir, f"v{epoch}")
+        out = os.path.join(state_dir, out_name)
         new_cells.write.mode("overwrite").parquet(
             os.path.join(out, "cells")
         )
         new_tombs.write.mode("overwrite").parquet(
             os.path.join(out, "tombs")
         )
-        _commit_pointer(state_dir, f"v{epoch}")
+        with open(os.path.join(out, "_PREV"), "w") as f:
+            f.write(os.path.basename(prev) if prev is not None else "")
+        _commit_pointer(state_dir, out_name)
 
     return handle
+
+
+def _checkpoint_run_id(checkpoint: str) -> str:
+    """Deterministic lineage id for a checkpoint directory: restarting
+    the same checkpoint resumes the same lineage; a fresh checkpoint
+    (different path) gets a different id."""
+    import hashlib
+    import os
+
+    return hashlib.md5(
+        os.path.abspath(checkpoint).encode()
+    ).hexdigest()[:16]
 
 
 def start_commitlog_stream(
@@ -370,7 +423,11 @@ def start_commitlog_stream(
         .writeStream
         .foreachBatch(
             commitlog_merge_foreach_batch(
-                state_dir, key_cols, keyspace, table
+                state_dir, key_cols, keyspace, table,
+                # lineage stamp: stable across restarts of the SAME
+                # checkpoint, different for a fresh one — the step-back
+                # guard's identity (see the handler docstring)
+                run_id=_checkpoint_run_id(checkpoint),
             )
         )
         .option("checkpointLocation", checkpoint)

@@ -9,14 +9,22 @@ deterministic tie-breaks on the sf0.001 documents corpus.
 
 Two genuinely different implementations of the SAME pinned spec:
 
-1. **Engine path (JVM, scale path)** — a generated straight-line SQL
-   expression: render the text as separator-wrapped char tokens
-   (``\\x1f c \\x1f`` per char), then apply each merge in RANK ORDER as
-   one literal ``replace('\\x1f a \\x1f\\x1f b \\x1f' → '\\x1f ab \\x1f')``
-   pass. ``replace`` scans left-to-right non-overlapping in both Spark
-   and DuckDB — exactly BPE's greedy within-pass convention. No Python
-   in the hot path, embarrassingly parallel, zero shuffle (the
-   sim_jl_projection lesson: generate scalar expressions, don't HOF).
+1. **Engine path (JVM, scale path)** — render the text as
+   separator-wrapped char tokens (``\\x1f c \\x1f`` per char), then
+   apply each merge in RANK ORDER as one literal
+   ``replace('\\x1f a \\x1f\\x1f b \\x1f' → '\\x1f ab \\x1f')`` pass.
+   ``replace`` scans left-to-right non-overlapping in both Spark and
+   DuckDB — exactly BPE's greedy within-pass convention. No Python in
+   the hot path, embarrassingly parallel, zero shuffle. Since round 9
+   the passes are an ``F.aggregate`` fold over a constant merge-pair
+   ARRAY (merges-as-data, depth-3 expression) rather than a generated
+   nested chain: at the production-shape 1024-merge table a nested
+   chain overflows three separate driver recursions under a plain
+   session (see :func:`_fold_col`). This is the documented exception
+   to the sim_jl_projection generate-don't-HOF rule: each fold step's
+   real work (whole-string scan + allocation) dwarfs interpreted
+   dispatch — measured 1.4× vs the chain at equal depth, against the
+   6.9× blowup HOFs cost the JL dense-arithmetic case.
 2. **Reference path (Python)** — :func:`bpe_encode`, the textbook
    priority algorithm (repeatedly merge the lowest-rank adjacent pair
    present). Used inside the Arrow-batched token-EXTRACTION UDF and as
@@ -116,6 +124,52 @@ def _chain_sql(base: str, merges: list[tuple[str, str]]) -> str:
     return expr
 
 
+#: memo for the merge-pair array literal: building it costs ~3k py4j
+#: round trips (2 lits + 1 struct per merge) — pay once per process,
+#: Column objects are immutable and reusable across queries
+_FOLD_COL_MEMO: dict = {}
+
+
+def _fold_col(col: str, merges: list[tuple[str, str]]) -> Column:
+    """The rank-order replace passes as ONE depth-3 expression: the
+    merges become a constant ARRAY of (pattern, replacement) structs
+    and ``F.aggregate`` folds it over the rendered text —
+    merges-as-DATA instead of merges-as-code.
+
+    Why not a generated replace() chain (the round-8 spelling)? A
+    1024-merge chain nests 1024 expressions, and under a
+    caller-provided plain session (default JVM thread stack) THREE
+    separate driver recursions overflow before any row is processed —
+    measured in round 9: the ANTLR parser (~30 frames/nesting level in
+    F.expr text), the Spark-4 ColumnNode→Expression converter (~10
+    frames/level on a programmatic Column tree), and the optimizer's
+    ``foldable`` walk over the CollapseProject-merged tree (staged
+    withColumn chunks re-collapse, so chunking cannot dodge it). The
+    fold costs ~1.4× the codegen chain at equal depth (measured at 128
+    merges, sf0.01: 0.9 s vs 1.25 s — per-pass allocation dominates
+    either way), which is the price of a vocabulary that scales.
+    Token literals go through F.lit — no SQL-escape processing, which
+    retires the backslash-divergence class on the engine side (the
+    oracle corpus assertions still guard DuckDB)."""
+    key = (col, len(merges), id(merges) if merges is not None else None)
+    hit = _FOLD_COL_MEMO.get(key)
+    if hit is not None:
+        return hit
+    pairs = F.array(*[
+        F.struct(
+            F.lit(f"{SEP}{a}{SEP}{SEP}{b}{SEP}").alias("p"),
+            F.lit(f"{SEP}{a}{b}{SEP}").alias("r"),
+        )
+        for a, b in merges
+    ])
+    rendered = F.regexp_replace(F.col(col), "(?s)(.)", f"{SEP}$1{SEP}")
+    expr = F.aggregate(
+        pairs, rendered, lambda acc, m: F.replace(acc, m["p"], m["r"])
+    )
+    _FOLD_COL_MEMO[key] = expr
+    return expr
+
+
 def count_sql(col: str, merges: list[tuple[str, str]] | None = None,
               dialect: str = "spark") -> str:
     """BPE token count of ``col`` as one generated SQL scalar, in the
@@ -127,6 +181,12 @@ def count_sql(col: str, merges: list[tuple[str, str]] | None = None,
             "DuckDB caps expression depth at 128 — use "
             "oracle_docs_with_counts() (staged CTEs) for the full "
             "merges table"
+        )
+    if dialect == "spark" and len(merges) > 300:
+        raise ValueError(
+            "Spark's ANTLR parser stack-overflows on deeply nested "
+            "replace() text — use bpe_token_count()/_fold_col() "
+            "(merges-as-data fold, no parser) for the full merges table"
         )
     if dialect == "spark":
         base = f"regexp_replace({col}, '(?s)(.)', '{SEP}$1{SEP}')"
@@ -149,12 +209,20 @@ def bpe_token_count(col: str = "text",
     """Engine column: BPE token count of a string column — generated
     straight-line JVM expression, raises loudly if the text contains
     the render separator (which would silently corrupt the count)."""
+    merges = merges if merges is not None else load_merges()
+    folded = _fold_col(col, merges)
+    toks = F.size(F.split(F.btrim(folded, F.lit(SEP)), SEP + SEP))
+    count = (
+        F.when(F.col(col).isNull(), F.lit(None).cast("int"))
+        .when(F.length(col) == 0, F.lit(0))
+        .otherwise(toks)
+    )
     guard = F.when(
         F.col(col).contains(SEP),
         F.raise_error(F.lit(
             "bpe_token_count: text contains the \\x1f render separator"
         )).cast("int"),
-    ).otherwise(F.expr(count_sql(col, merges, "spark")))
+    ).otherwise(count)
     return guard
 
 
@@ -387,6 +455,12 @@ def tokens_sql(col: str, merges: list[tuple[str, str]] | None = None,
             "oracle_docs_with_tokens() (staged CTEs) for the full "
             "merges table"
         )
+    if dialect == "spark" and len(merges) > 300:
+        raise ValueError(
+            "Spark's ANTLR parser stack-overflows on deeply nested "
+            "replace() text — use bpe_tokens_col() (Column-object "
+            "chain, no parser) for the full merges table"
+        )
     if dialect == "spark":
         base = f"regexp_replace({col}, '(?s)(.)', '{SEP}$1{SEP}')"
         chain = _chain_sql(base, merges)
@@ -405,7 +479,10 @@ def bpe_tokens_col(col: str = "text",
     pandas-UDF :func:`bpe_tokens` everywhere: same tokens (the chain ≡
     priority-algorithm equivalence), no Python worker, no Arrow hop.
     Empty/NULL text yields an empty array / NULL."""
-    toks = F.expr(tokens_sql(col, merges, "spark"))
+    merges = merges if merges is not None else load_merges()
+    toks = F.split(
+        F.btrim(_fold_col(col, merges), F.lit(SEP)), SEP + SEP
+    )
     return (
         F.when(F.col(col).isNull(), F.lit(None).cast("array<string>"))
         .when(F.length(col) == 0, F.array().cast("array<string>"))

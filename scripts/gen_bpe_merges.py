@@ -42,6 +42,12 @@ def merge_pass(seq: list[str], a: str, b: str) -> list[str]:
 def train(texts: list[str], n_merges: int) -> list[tuple[str, str]]:
     seqs = [list(t) for t in texts if t]
     merges: list[tuple[str, str]] = []
+    # the chain ≡ priority-algorithm lemma (tests/test_bpe.py) needs
+    # merged token STRINGS unique across merges: if ('a','bc') and
+    # ('ab','c') both produced 'abc', a later pass could recreate a
+    # lower-rank pair and the replace-chain would silently diverge
+    # from the priority algorithm. Skip colliding candidates.
+    out_strings: set[str] = set()
     for _ in range(n_merges):
         counts: Counter = Counter()
         for s in seqs:
@@ -49,9 +55,19 @@ def train(texts: list[str], n_merges: int) -> list[tuple[str, str]]:
                 counts[(s[i], s[i + 1])] += 1
         if not counts:
             break
-        # deterministic winner: max count, then lexicographic pair
-        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        # deterministic winner: max count, then lexicographic pair —
+        # skipping any pair whose merged string was already minted
+        best = None
+        for pair, _c in sorted(
+            counts.items(), key=lambda kv: (-kv[1], kv[0])
+        ):
+            if pair[0] + pair[1] not in out_strings:
+                best = pair
+                break
+        if best is None:
+            break
         merges.append(best)
+        out_strings.add(best[0] + best[1])
         seqs = [merge_pass(s, *best) for s in seqs]
     return merges
 
@@ -74,6 +90,12 @@ def main() -> None:
     assert "\t" not in joined and "\n" not in joined, (
         "tab/newline in corpus would break the TSV merges format"
     )
+    assert "\\" not in joined, (
+        "backslash in corpus: a merge token containing one would be "
+        "escape-processed inside Spark's F.expr replace() literal but "
+        "taken raw by DuckDB — silent cross-engine divergence"
+    )
+    assert "'" not in joined, "quote in corpus would break SQL literals"
     merges = train(texts, n_merges)
     out = os.path.join(
         os.path.dirname(__file__), "..",

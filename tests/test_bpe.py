@@ -41,10 +41,18 @@ def _chain_count_py(text: str) -> int:
 
 
 def test_merges_table_pinned_shape():
-    assert len(MERGES) == 128
-    assert len(set(MERGES)) == 128  # no duplicate merges
+    assert len(MERGES) == 1024
+    assert len(set(MERGES)) == 1024  # no duplicate merges
+    # merged token STRINGS unique too — the chain ≡ priority-algorithm
+    # lemma breaks if two merges mint the same output string (a later
+    # pass could recreate a lower-rank pair); the trainer skips
+    # colliding candidates, this pins the shipped table
+    assert len({a + b for a, b in MERGES}) == len(MERGES)
     for a, b in MERGES:
         assert a and b and SEP not in a + b and "\t" not in a + b
+        # tokens are inlined into Spark F.expr and DuckDB SQL literals:
+        # backslash/quote would be escape-processed by one dialect only
+        assert "\\" not in a + b and "'" not in a + b
 
 
 def test_training_is_deterministic():

@@ -298,13 +298,20 @@ def test_commitlog_directory_stream_with_restart(spark, tmp_path):
 
     # simulated crash-replay of the LAST epoch: re-invoking the handler
     # with the same epoch id must leave the final state identical
-    last_epoch = int(os.path.basename(final)[1:])
+    # epoch dirs are lineage-qualified (v{epoch}_{run_id}) — recover
+    # both parts and replay under the SAME lineage the stream used
+    from debezium_incubator_spark.cdc.commitlog import _checkpoint_run_id
+
+    base = os.path.basename(final)
+    last_epoch = int(base[1:].split("_")[0])
+    assert base.endswith(_checkpoint_run_id(ckpt))
     seg_df = spark.createDataFrame(
         [(encode_commitlog_segment(seg3, segment_id=2),)],
         "content BINARY",
     )
     handler = commitlog_merge_foreach_batch(
-        state, ["pk"], keyspace="ks", table="users")
+        state, ["pk"], keyspace="ks", table="users",
+        run_id=_checkpoint_run_id(ckpt))
     handler(seg_df, last_epoch)
     cells2 = spark.read.parquet(
         os.path.join(_latest_path(state), "cells"))
@@ -314,3 +321,64 @@ def test_commitlog_directory_stream_with_restart(spark, tmp_path):
                                       key_cols=["pk"]).collect()
     )
     assert replayed == one_shot
+
+
+def test_fresh_checkpoint_does_not_step_back_foreign_lineage(spark, tmp_path):
+    """ADVICE r8: a FRESH checkpoint run against an existing state_dir
+    must never collide with (or step back past) a foreign lineage's
+    v{epoch} — the old heuristic refolded from only the current batch
+    (state loss). Lineage-qualified epoch dirs + the committed _PREV
+    pointer make run B's epoch 0 merge ON TOP of run A's state, and a
+    same-lineage replay of run B's epoch 0 follow _PREV back to run A's
+    state (not arithmetic v{-1}) — idempotent with zero loss."""
+    import os
+
+    from debezium_incubator_spark.cdc.cassandra import read_cassandra_state
+    from debezium_incubator_spark.cdc.commitlog import (
+        commitlog_merge_foreach_batch,
+    )
+    from debezium_incubator_spark.streaming.upsert import _latest_path
+
+    def seg_df(muts, sid):
+        return spark.createDataFrame(
+            [(encode_commitlog_segment(muts, segment_id=sid),)],
+            "content BINARY",
+        )
+
+    def mut(pk, ts, cells):
+        return {"keyspace": "ks", "table": "users", "pk": pk, "op": "w",
+                "ts": ts, "cells": cells}
+
+    state = str(tmp_path / "state")
+    # run A (old lineage): epoch 0 writes pk=1, pointer lands on v0
+    ha = commitlog_merge_foreach_batch(
+        state, ["pk"], keyspace="ks", table="users", run_id="run-A")
+    ha(seg_df([mut(1, 10, {"a": (1.0, 10, None)})], 0), 0)
+    assert os.path.basename(_latest_path(state)) == "v0_run-A"
+
+    # run B (FRESH checkpoint, new lineage): its first epoch is ALSO 0.
+    # pk=1 from run A must survive the merge.
+    hb = commitlog_merge_foreach_batch(
+        state, ["pk"], keyspace="ks", table="users", run_id="run-B")
+    hb(seg_df([mut(2, 20, {"a": (2.0, 20, None)})], 1), 0)
+    cells = spark.read.parquet(
+        os.path.join(_latest_path(state), "cells"))
+    got = sorted(
+        (r.pk, r.column, r.v)
+        for r in read_cassandra_state(
+            cells, as_of=10**9, key_cols=["pk"]).collect()
+    )
+    assert got == [(1, "a", 1.0), (2, "a", 2.0)]  # nothing lost
+
+    # same-lineage replay of run B's epoch 0 (crash before checkpoint
+    # commit): steps back past its own v0 to run A's state — final
+    # state identical (idempotent replay)
+    hb(seg_df([mut(2, 20, {"a": (2.0, 20, None)})], 1), 0)
+    cells2 = spark.read.parquet(
+        os.path.join(_latest_path(state), "cells"))
+    got2 = sorted(
+        (r.pk, r.column, r.v)
+        for r in read_cassandra_state(
+            cells2, as_of=10**9, key_cols=["pk"]).collect()
+    )
+    assert got2 == got
