@@ -27,6 +27,30 @@ the cell model the fold consumes. All integers big-endian:
   preallocated and zero-filled, like the real files); any nonzero
   trailing byte is corruption and refused loudly.
 
+Version 2 (round 9 — one fidelity notch toward the real layout, per
+the public Cassandra mutation serialization + CDC design):
+
+- the mutation body becomes a MUTATION ENVELOPE that can carry updates
+  for SEVERAL tables of one keyspace under one (pk, ts) — Cassandra's
+  Mutation is a map of PartitionUpdates keyed by **tableId UUID**, not
+  a single-table record: keyspace (u8-len utf8) ‖ pk i64 ‖ ts u64 ‖
+  n_updates u16 ‖ per update: table_id (16 raw UUID bytes) ‖ op u8 ‖
+  n_cells u16 ‖ cells (cell encoding unchanged). The reader routes
+  table ids through a caller-provided ``table_map`` (the schema
+  metadata the real connector keeps) and REFUSES unknown ids — a
+  silently dropped update is lost committed data.
+- each segment gains a ``<name>_cdc.idx`` SIDECAR (the real
+  ``CommitLog-<v>-<id>_cdc.idx``): a text file holding the flushed
+  byte offset and, once the segment is closed, ``COMPLETED``. The
+  reader parses only sections FULLY CONTAINED in the flushed prefix —
+  bytes beyond the watermark may be torn mid-write and are ignored
+  (no zero-tail rule there); a COMPLETED index re-enables full
+  strictness (terminator + zero tail). The directory stream REFUSES a
+  segment without its index (consuming a file the writer has not
+  watermarked would read torn data; shipping the idx after the
+  segment is the deployment contract, matching Cassandra's
+  flush-then-index order).
+
 Every refusal branch is loud (ValueError naming offset + cause) and
 pinned by forward-encoded fixtures in ``tests/test_commitlog.py``.
 
@@ -48,6 +72,8 @@ from pyspark.sql import DataFrame
 
 MAGIC = b"CMLG"
 VERSION = 1
+VERSION2 = 2
+SUPPORTED_VERSIONS = (VERSION, VERSION2)
 
 OP_CODE = {0: "w", 1: "d"}
 OP_BYTE = {v: k for k, v in OP_CODE.items()}
@@ -80,20 +106,68 @@ def encode_mutation(m: dict[str, Any]) -> bytes:
     return struct.pack(">I", len(body)) + bytes(body)
 
 
+def _uuid_bytes(table_id: bytes | str) -> bytes:
+    """Accept 16 raw bytes or a 32-hex-char string."""
+    if isinstance(table_id, str):
+        table_id = bytes.fromhex(table_id.replace("-", ""))
+    if len(table_id) != 16:
+        raise ValueError(
+            f"table id must be 16 bytes, got {len(table_id)}"
+        )
+    return table_id
+
+
+def encode_mutation_v2(m: dict[str, Any]) -> bytes:
+    """Serialize one version-2 MUTATION ENVELOPE:
+    ``{keyspace, pk, ts, updates: [(table_id, op, cells), ...]}`` —
+    several tables' partition updates under one (pk, ts), each routed
+    by its 16-byte table-id UUID (the real Mutation's
+    map<tableId, PartitionUpdate> shape)."""
+    ks = m["keyspace"].encode()
+    body = bytearray()
+    body += struct.pack(">B", len(ks)) + ks
+    body += struct.pack(">qQ", m["pk"], m["ts"])
+    updates = m["updates"]
+    body += struct.pack(">H", len(updates))
+    for table_id, op, cells in updates:
+        body += _uuid_bytes(table_id)
+        body += struct.pack(">B", OP_BYTE[op])
+        cells = cells or {}
+        body += struct.pack(">H", len(cells))
+        for col, (v, cts, ttl) in cells.items():
+            cb = col.encode()
+            flags = (
+                (1 if v is not None else 0) | (2 if ttl is not None else 0)
+            )
+            body += struct.pack(">B", len(cb)) + cb
+            body += struct.pack(">B", flags)
+            if v is not None:
+                body += struct.pack(">d", float(v))
+            body += struct.pack(">Q", cts)
+            if ttl is not None:
+                body += struct.pack(">I", ttl)
+    return struct.pack(">I", len(body)) + bytes(body)
+
+
 def encode_commitlog_segment(
     mutations: list[dict[str, Any]],
     segment_id: int = 1,
     mutations_per_section: int = 4,
     tail_padding: int = 0,
+    version: int = VERSION,
 ) -> bytes:
-    """Assemble a version-1 segment: header, CRC-guarded sync sections
-    of ``mutations_per_section`` each, 0 terminator, optional zero
-    padding (the preallocated-file tail)."""
-    head = MAGIC + struct.pack(">HQ", VERSION, segment_id)
+    """Assemble a segment: header, CRC-guarded sync sections of
+    ``mutations_per_section`` each, 0 terminator, optional zero padding
+    (the preallocated-file tail). ``version=2`` serializes mutation
+    ENVELOPES (see :func:`encode_mutation_v2`)."""
+    if version not in SUPPORTED_VERSIONS:
+        raise ValueError(f"unsupported version {version}")
+    enc = encode_mutation if version == VERSION else encode_mutation_v2
+    head = MAGIC + struct.pack(">HQ", version, segment_id)
     out = bytearray(head + struct.pack(">I", zlib.crc32(head)))
     for i in range(0, len(mutations), mutations_per_section):
         payload = b"".join(
-            encode_mutation(m)
+            enc(m)
             for m in mutations[i:i + mutations_per_section]
         )
         out += struct.pack(">II", len(payload), zlib.crc32(payload))
@@ -101,6 +175,44 @@ def encode_commitlog_segment(
     out += struct.pack(">I", 0)
     out += b"\x00" * tail_padding
     return bytes(out)
+
+
+# --- CDC index sidecar (the real `CommitLog-<v>-<id>_cdc.idx`) --------------
+
+
+def encode_cdc_index(offset: int, completed: bool = False) -> bytes:
+    """The sidecar's text format: flushed byte offset on line 1,
+    ``COMPLETED`` on line 2 once the segment is closed."""
+    return (f"{offset}\n" + ("COMPLETED\n" if completed else "")).encode()
+
+
+def parse_cdc_index(data: bytes) -> tuple[int, bool]:
+    """(flushed_offset, completed) — malformed sidecars refuse loudly
+    (a guessed watermark would read torn bytes as committed writes)."""
+    lines = data.decode(errors="replace").splitlines()
+    if not lines:
+        raise ValueError("empty cdc index sidecar")
+    try:
+        offset = int(lines[0])
+    except ValueError:
+        raise ValueError(
+            f"cdc index first line is not an offset: {lines[0]!r}"
+        ) from None
+    if offset < 0:
+        raise ValueError(f"negative cdc index offset {offset}")
+    completed = len(lines) > 1 and lines[1] == "COMPLETED"
+    if len(lines) > 1 and not completed:
+        raise ValueError(
+            f"cdc index second line must be COMPLETED, got {lines[1]!r}"
+        )
+    return offset, completed
+
+
+def cdc_index_path(segment_path: str) -> str:
+    """Sidecar path for a segment file: ``X.log`` → ``X_cdc.idx``."""
+    base = segment_path[:-4] if segment_path.endswith(".log") \
+        else segment_path
+    return base + "_cdc.idx"
 
 
 # --- parsing ---------------------------------------------------------------
@@ -163,20 +275,123 @@ def _parse_mutation(body: bytes, base_off: int) -> dict[str, Any]:
             "op": OP_CODE[op_b], "ts": ts, "cells": cells}
 
 
-def parse_commitlog_segment(data: bytes) -> list[dict[str, Any]]:
+def _parse_mutation_v2(
+    body: bytes, base_off: int, table_map: dict[str, str]
+) -> list[dict[str, Any]]:
+    """Parse one v2 mutation ENVELOPE into one mutation dict PER table
+    update (the multi-table Mutation fans out to the per-table cell
+    stream the fold consumes). Table ids route through ``table_map``
+    (hex uuid → table name) — an unknown id refuses loudly: this is
+    committed data for a table the reader's schema does not know, and
+    dropping it silently is data loss."""
+    off = 0
+
+    def take(n: int, what: str) -> bytes:
+        nonlocal off
+        if off + n > len(body):
+            raise ValueError(
+                f"truncated mutation envelope: need {n} bytes for "
+                f"{what} at offset {base_off + off}"
+            )
+        b = body[off:off + n]
+        off += n
+        return b
+
+    ks_len = take(1, "keyspace length")[0]
+    ks = take(ks_len, "keyspace").decode()
+    pk, ts = struct.unpack(">qQ", take(16, "pk/ts"))
+    (n_updates,) = struct.unpack(">H", take(2, "update count"))
+    if n_updates == 0:
+        raise ValueError(
+            f"mutation envelope with zero table updates at offset "
+            f"{base_off}"
+        )
+    out: list[dict[str, Any]] = []
+    for _ in range(n_updates):
+        tid = take(16, "table id").hex()
+        if tid not in table_map:
+            raise ValueError(
+                f"unknown table id {tid} at offset {base_off + off - 16}"
+                " — reader schema does not know this table"
+            )
+        op_b = take(1, "update op")[0]
+        if op_b not in OP_CODE:
+            raise ValueError(
+                f"unknown mutation op byte {op_b} at offset "
+                f"{base_off + off - 1}"
+            )
+        (n_cells,) = struct.unpack(">H", take(2, "cell count"))
+        cells: dict[str, tuple] = {}
+        for _ in range(n_cells):
+            col_len = take(1, "column length")[0]
+            col = take(col_len, "column").decode()
+            flags = take(1, "cell flags")[0]
+            if flags & ~3:
+                raise ValueError(
+                    f"unknown cell flag bits 0x{flags:02x} at offset "
+                    f"{base_off + off - 1}"
+                )
+            v = struct.unpack(">d", take(8, "cell value"))[0] \
+                if flags & 1 else None
+            (cts,) = struct.unpack(">Q", take(8, "cell writetime"))
+            ttl = struct.unpack(">I", take(4, "cell ttl"))[0] \
+                if flags & 2 else None
+            cells[col] = (v, cts, ttl)
+        out.append({"keyspace": ks, "table": table_map[tid], "pk": pk,
+                    "op": OP_CODE[op_b], "ts": ts, "cells": cells})
+    if off != len(body):
+        raise ValueError(
+            f"mutation envelope not fully consumed: {len(body) - off} "
+            f"stray bytes at offset {base_off + off}"
+        )
+    return out
+
+
+def parse_commitlog_segment(
+    data: bytes,
+    table_map: dict[str, str] | None = None,
+    cdc_index: tuple[int, bool] | None = None,
+) -> list[dict[str, Any]]:
     """Parse one segment into its mutation dicts, in write order.
     Every corruption class refuses loudly — a CDC reader silently
-    skipping a bad section would silently lose committed writes."""
+    skipping a bad section would silently lose committed writes.
+
+    ``table_map`` (hex table-id uuid → name) is REQUIRED for version-2
+    segments (envelope routing) and ignored for version 1.
+
+    ``cdc_index`` = (flushed_offset, completed) from the segment's
+    ``_cdc.idx`` sidecar. While the segment is OPEN (not completed),
+    only sections fully contained in the flushed prefix are parsed;
+    bytes beyond the watermark may be torn mid-write and are ignored
+    entirely (no terminator, no zero-tail rule there). A COMPLETED
+    index restores full strictness and must cover the whole file.
+    A watermark beyond the file size is a lying index — refused."""
+    if cdc_index is not None:
+        limit, completed = cdc_index
+        if limit > len(data):
+            raise ValueError(
+                f"cdc index watermark {limit} beyond segment size "
+                f"{len(data)} — lying index"
+            )
+        if not completed and limit < 18:
+            return []  # not even the header flushed yet
+    else:
+        limit, completed = len(data), True
     _need(data, 0, 18, "segment header")
     if data[:4] != MAGIC:
         raise ValueError(
             f"not a commitlog segment: magic {data[:4]!r} != {MAGIC!r}"
         )
     version, segment_id = struct.unpack(">HQ", data[4:14])
-    if version != VERSION:
+    if version not in SUPPORTED_VERSIONS:
         raise ValueError(
             f"unsupported commitlog segment version {version} "
-            f"(this reader pins version {VERSION})"
+            f"(this reader pins versions {SUPPORTED_VERSIONS})"
+        )
+    if version == VERSION2 and table_map is None:
+        raise ValueError(
+            "version-2 segment (multi-table mutation envelopes) needs "
+            "a table_map to route table ids"
         )
     (head_crc,) = struct.unpack(">I", data[14:18])
     if head_crc != zlib.crc32(data[:14]):
@@ -187,11 +402,16 @@ def parse_commitlog_segment(data: bytes) -> list[dict[str, Any]]:
     out: list[dict[str, Any]] = []
     off = 18
     while True:
+        if not completed and off + 4 > limit:
+            return out  # section length not yet flushed — stop here
         _need(data, off, 4, "section length")
         (sec_len,) = struct.unpack(">I", data[off:off + 4])
-        off += 4
         if sec_len == 0:
+            off += 4
             break  # segment terminator
+        if not completed and off + 8 + sec_len > limit:
+            return out  # section straddles the watermark — not flushed
+        off += 4
         _need(data, off, 4, "section CRC")
         (sec_crc,) = struct.unpack(">I", data[off:off + 4])
         off += 4
@@ -215,7 +435,14 @@ def parse_commitlog_segment(data: bytes) -> list[dict[str, Any]]:
                     f"mutation of {m_size} bytes overruns its section "
                     f"at section offset {p - 4}"
                 )
-            out.append(_parse_mutation(payload[p:p + m_size], off + p))
+            if version == VERSION:
+                out.append(
+                    _parse_mutation(payload[p:p + m_size], off + p)
+                )
+            else:
+                out.extend(_parse_mutation_v2(
+                    payload[p:p + m_size], off + p, table_map
+                ))
             p += m_size
         off += sec_len
     # preallocated zero-filled tail is fine; nonzero garbage is not
@@ -239,20 +466,53 @@ CELL_CHANGE_SCHEMA = (
 
 
 def commitlog_to_cells(segments: DataFrame,
-                       blob_col: str = "segment") -> DataFrame:
+                       blob_col: str = "segment",
+                       table_map: dict[str, str] | None = None,
+                       path_col: str | None = None,
+                       require_cdc_index: bool = False) -> DataFrame:
     """Decode a DataFrame of raw segment blobs into the cell-change
     stream (one row per mutation) via ``mapInPandas`` — Arrow batches
     in, partition-local stdlib parsing, no shuffle. Feed the result to
     ``fold_cassandra_cells(key_cols=["pk"])`` (optionally filtered by
     keyspace/table first — the include-list lives ABOVE the seam, as
-    in the real connector)."""
+    in the real connector).
+
+    ``table_map`` routes version-2 envelopes. With ``require_cdc_index``
+    (and ``path_col`` naming the segment's file path), each segment's
+    ``_cdc.idx`` sidecar bounds the parse at the flushed watermark; a
+    segment WITHOUT its sidecar refuses loudly — the writer has not
+    watermarked it, so its bytes may be torn. The sidecar is read where
+    the blob was read (executor-local open on the same storage the
+    binaryFile source scanned)."""
     import pandas as pd
+
+    def _read_index(path: str) -> tuple[int, bool]:
+        # binaryFile reports file:/... URIs (1-3 slashes) for local
+        # storage; collapse to a plain absolute path
+        local = path
+        if local.startswith("file:"):
+            local = "/" + local[5:].lstrip("/")
+        idx_path = cdc_index_path(local)
+        try:
+            with open(idx_path, "rb") as f:
+                return parse_cdc_index(f.read())
+        except FileNotFoundError:
+            raise ValueError(
+                f"segment {local} has no _cdc.idx sidecar — the writer "
+                "has not watermarked it; refusing to read possibly-torn "
+                "bytes"
+            ) from None
 
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in batches:
             rows = []
-            for blob in pdf[blob_col]:
-                for m in parse_commitlog_segment(bytes(blob)):
+            for i, blob in enumerate(pdf[blob_col]):
+                idx = None
+                if require_cdc_index:
+                    idx = _read_index(str(pdf[path_col].iloc[i]))
+                for m in parse_commitlog_segment(
+                    bytes(blob), table_map=table_map, cdc_index=idx
+                ):
                     rows.append({
                         "keyspace": m["keyspace"],
                         "table_name": m["table"],
@@ -282,6 +542,8 @@ def commitlog_merge_foreach_batch(
     keyspace: str | None = None,
     table: str | None = None,
     run_id: str | None = None,
+    table_map: dict[str, str] | None = None,
+    require_cdc_index: bool = False,
 ):
     """foreachBatch handler for the real Cassandra-connector loop: each
     micro-batch of commitlog segment FILES is decoded through the seam,
@@ -333,7 +595,11 @@ def commitlog_merge_foreach_batch(
 
     def handle(batch: DataFrame, epoch: int) -> None:
         spark = batch.sparkSession
-        decoded = commitlog_to_cells(batch, blob_col="content")
+        decoded = commitlog_to_cells(
+            batch, blob_col="content", table_map=table_map,
+            path_col="path" if require_cdc_index else None,
+            require_cdc_index=require_cdc_index,
+        )
         if keyspace is not None:
             decoded = decoded.filter(F.col("keyspace") == keyspace)
         if table is not None:
@@ -399,6 +665,8 @@ def start_commitlog_stream(
     key_cols: list[str],
     keyspace: str | None = None,
     table: str | None = None,
+    table_map: dict[str, str] | None = None,
+    require_cdc_index: bool = False,
 ):
     """Tail a commitlog directory as a real Structured Streaming query:
     the ``binaryFile`` source picks up each new segment file exactly
@@ -418,12 +686,15 @@ def start_commitlog_stream(
         .option("maxFilesPerTrigger", 1)
         .load(segments_dir)
     )
+    cols = ["path", "content"] if require_cdc_index else ["content"]
     return (
-        stream.select("content")
+        stream.select(*cols)
         .writeStream
         .foreachBatch(
             commitlog_merge_foreach_batch(
                 state_dir, key_cols, keyspace, table,
+                table_map=table_map,
+                require_cdc_index=require_cdc_index,
                 # lineage stamp: stable across restarts of the SAME
                 # checkpoint, different for a fresh one — the step-back
                 # guard's identity (see the handler docstring)

@@ -382,3 +382,199 @@ def test_fresh_checkpoint_does_not_step_back_foreign_lineage(spark, tmp_path):
             cells2, as_of=10**9, key_cols=["pk"]).collect()
     )
     assert got2 == got
+
+
+# --- round-9 fidelity notch: v2 multi-table envelopes + _cdc.idx ----------
+
+T_USERS = "0123456789abcdef0123456789abcdef"
+T_ORDERS = "fedcba9876543210fedcba9876543210"
+TABLE_MAP = {T_USERS: "users", T_ORDERS: "orders"}
+
+
+def _v2_env(pk, ts, updates):
+    return {"keyspace": "ks", "pk": pk, "ts": ts, "updates": updates}
+
+
+def test_v2_multi_table_envelope_roundtrip():
+    """One mutation envelope carrying partition updates for TWO tables
+    fans out to one cell-stream row per table, names routed through
+    the table map."""
+    from debezium_incubator_spark.cdc.commitlog import (
+        encode_commitlog_segment,
+        parse_commitlog_segment,
+    )
+
+    seg = encode_commitlog_segment(
+        [_v2_env(1, 10, [
+            (T_USERS, "w", {"a": (1.0, 10, None)}),
+            (T_ORDERS, "w", {"amt": (9.5, 10, 60)}),
+        ]),
+         _v2_env(2, 11, [(T_USERS, "d", {})])],
+        version=2, tail_padding=32,
+    )
+    muts = parse_commitlog_segment(seg, table_map=TABLE_MAP)
+    assert [(m["table"], m["pk"], m["op"]) for m in muts] == [
+        ("users", 1, "w"), ("orders", 1, "w"), ("users", 2, "d"),
+    ]
+    assert muts[1]["cells"]["amt"] == (9.5, 10, 60)
+
+
+def test_v2_refusals_are_loud():
+    import pytest
+
+    from debezium_incubator_spark.cdc.commitlog import (
+        encode_commitlog_segment,
+        parse_commitlog_segment,
+    )
+
+    seg = encode_commitlog_segment(
+        [_v2_env(1, 10, [(T_USERS, "w", {"a": (1.0, 10, None)})])],
+        version=2,
+    )
+    # v2 without a table map
+    with pytest.raises(ValueError, match="needs a table_map"):
+        parse_commitlog_segment(seg)
+    # unknown table id — committed data for an unknown table is loss,
+    # never skipped
+    with pytest.raises(ValueError, match="unknown table id"):
+        parse_commitlog_segment(seg, table_map={T_ORDERS: "orders"})
+    # zero-update envelope
+    with pytest.raises(ValueError, match="zero table updates"):
+        parse_commitlog_segment(
+            encode_commitlog_segment([_v2_env(1, 10, [])], version=2),
+            table_map=TABLE_MAP,
+        )
+    # truncated table id (cut the segment mid-envelope, fix no CRC —
+    # the section CRC catches it first, which is also a loud refusal)
+    with pytest.raises(ValueError):
+        parse_commitlog_segment(seg[:-10], table_map=TABLE_MAP)
+
+
+def test_cdc_index_roundtrip_and_refusals():
+    import pytest
+
+    from debezium_incubator_spark.cdc.commitlog import (
+        cdc_index_path,
+        encode_cdc_index,
+        parse_cdc_index,
+    )
+
+    assert parse_cdc_index(encode_cdc_index(1234)) == (1234, False)
+    assert parse_cdc_index(encode_cdc_index(99, True)) == (99, True)
+    assert cdc_index_path("/x/seg7.log") == "/x/seg7_cdc.idx"
+    with pytest.raises(ValueError, match="not an offset"):
+        parse_cdc_index(b"xyz\n")
+    with pytest.raises(ValueError, match="COMPLETED"):
+        parse_cdc_index(b"12\ngarbage\n")
+    with pytest.raises(ValueError, match="empty"):
+        parse_cdc_index(b"")
+    with pytest.raises(ValueError, match="negative"):
+        parse_cdc_index(b"-5\n")
+
+
+def test_open_segment_watermark_bounds_the_parse():
+    """An OPEN segment (no COMPLETED) is parsed only up to the flushed
+    watermark: fully-contained sections are consumed, a straddling
+    section is withheld, and torn garbage beyond the watermark is
+    ignored — while a LYING watermark (past EOF) refuses."""
+    import pytest
+
+    from debezium_incubator_spark.cdc.commitlog import (
+        encode_commitlog_segment,
+        parse_commitlog_segment,
+    )
+
+    def mut(pk, ts):
+        return {"keyspace": "ks", "table": "users", "pk": pk, "op": "w",
+                "ts": ts, "cells": {"a": (float(pk), ts, None)}}
+
+    # 2 sections of 1 mutation each + terminator
+    full = encode_commitlog_segment(
+        [mut(1, 10), mut(2, 20)], mutations_per_section=1)
+    # find the boundary: header 18 + (8 + len(sec1)) — recompute by
+    # parsing the length prefix
+    import struct
+    (sec1_len,) = struct.unpack(">I", full[18:22])
+    sec1_end = 18 + 8 + sec1_len
+    # simulate an in-flight file: section 2 half-written torn garbage
+    torn = full[:sec1_end] + b"\x99" * 40
+    got = parse_commitlog_segment(torn, cdc_index=(sec1_end, False))
+    assert [m["pk"] for m in got] == [1]
+    # watermark straddling section 2 withholds it
+    got = parse_commitlog_segment(full, cdc_index=(sec1_end + 6, False))
+    assert [m["pk"] for m in got] == [1]
+    # watermark at EOF of the full file with COMPLETED → strict parse
+    got = parse_commitlog_segment(full, cdc_index=(len(full), True))
+    assert [m["pk"] for m in got] == [1, 2]
+    # lying index: watermark beyond the file
+    with pytest.raises(ValueError, match="lying index"):
+        parse_commitlog_segment(torn, cdc_index=(len(torn) + 9, False))
+    # nothing flushed yet
+    assert parse_commitlog_segment(torn, cdc_index=(4, False)) == []
+
+
+def test_directory_stream_consumes_index_watermark(spark, tmp_path):
+    """The directory tail stops where each segment's _cdc.idx says:
+    an open segment's unflushed (torn) tail is invisible, a completed
+    segment folds fully, and a segment WITHOUT its sidecar refuses."""
+    import os
+    import struct
+
+    from debezium_incubator_spark.cdc.cassandra import read_cassandra_state
+    from debezium_incubator_spark.cdc.commitlog import (
+        cdc_index_path,
+        encode_cdc_index,
+        start_commitlog_stream,
+    )
+    from debezium_incubator_spark.streaming.upsert import _latest_path
+
+    def mut(pk, ts, table="users"):
+        return {"keyspace": "ks", "table": table, "pk": pk, "op": "w",
+                "ts": ts, "cells": {"a": (float(pk), ts, None)}}
+
+    logs = tmp_path / "commitlog"
+    logs.mkdir()
+    # seg0: completed
+    seg0 = encode_commitlog_segment([mut(1, 10), mut(2, 11)],
+                                    segment_id=0)
+    p0 = logs / "seg0.log"
+    p0.write_bytes(seg0)
+    (logs / "seg0_cdc.idx").write_bytes(
+        encode_cdc_index(len(seg0), True))
+    # seg1: OPEN — flushed through section 1 (pk=3), torn bytes beyond
+    seg1 = encode_commitlog_segment([mut(3, 20), mut(4, 21)],
+                                    segment_id=1,
+                                    mutations_per_section=1)
+    (s1_len,) = struct.unpack(">I", seg1[18:22])
+    wm = 18 + 8 + s1_len
+    p1 = logs / "seg1.log"
+    p1.write_bytes(seg1[:wm] + b"\x7f" * 16)   # torn in-flight tail
+    (logs / "seg1_cdc.idx").write_bytes(encode_cdc_index(wm, False))
+
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    q = start_commitlog_stream(
+        spark, str(logs), state, ckpt, ["pk"],
+        keyspace="ks", table="users", require_cdc_index=True,
+    )
+    q.awaitTermination(120)
+    cells = spark.read.parquet(
+        os.path.join(_latest_path(state), "cells"))
+    got = sorted(
+        r.pk for r in read_cassandra_state(
+            cells, as_of=10**9, key_cols=["pk"]).collect()
+    )
+    assert got == [1, 2, 3]   # pk=4 is beyond the watermark — invisible
+
+    # a segment without its sidecar refuses loudly on the next run
+    seg2 = encode_commitlog_segment([mut(5, 30)], segment_id=2)
+    (logs / "seg2.log").write_bytes(seg2)
+    q2 = start_commitlog_stream(
+        spark, str(logs), state, ckpt, ["pk"],
+        keyspace="ks", table="users", require_cdc_index=True,
+    )
+    import pytest
+
+    with pytest.raises(Exception, match="no _cdc.idx sidecar"):
+        q2.awaitTermination(120)
+        raise RuntimeError("stream should have failed")
