@@ -267,7 +267,8 @@ def load_all() -> None:
         transforms,
     )
     from .llm import bpe, clustering  # noqa: F401
-    from .llm import dedup, langid, multimodal, pq, similarity  # noqa: F401
+    from .llm import dedup, langid, multimodal, pii, pq  # noqa: F401
+    from .llm import quality_model, semantic_decontam, similarity  # noqa: F401
     from .llm import text, urls  # noqa: F401
 
     _reorder()

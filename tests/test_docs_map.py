@@ -36,7 +36,7 @@ _KEY_PREFIXES = (
     "t14_", "t15_", "t16_", "t17_", "t18_", "t19_", "t20_", "t21_", "t22_",
     "t23_", "t24_", "t25_", "t26_", "t27_", "t28_", "t29_", "t30_",
     "t31_", "t32_", "t33_", "t34_", "t35_", "t36_", "t37_", "t38_",
-    "t39_", "t40_", "t41_", "t42_", "t43_", "t44_",
+    "t39_", "t40_", "t41_", "t42_", "t43_", "t44_", "t45_", "t46_", "t47_",
     "scan_", "connector_", "filter_", "mask_", "truncate_", "cast_",
     "cdc_", "route_", "join_", "agg_", "sort_", "set_", "fn_", "sql_",
     "k1_", "k2_", "k3_", "k4_", "k5_", "dedup_", "sim_", "mm_", "iter_",
