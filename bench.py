@@ -37,6 +37,17 @@ is the same single-statement UNION ALL in DuckDB, so
 the honest shape of the e2 asterisk: a production engine amortizes
 dispatch across a query stream; per-query ratios on 10 ms outputs
 grade the scheduler, not the plans.
+
+``plan_compile_sec`` caveat (r8 verdict #8, considered and SKIPPED):
+the field times plan build PLUS the warm-up execution, and for s1 the
+warm-up includes first-use Python-worker spin-up for applyInPandas —
+the dominant share of its ~4.8 s, not py4j plan construction. A
+spread()-style memo of the block-pair side plans would shave the py4j
+slice but hand every repeat caller the SAME child lineage, silently
+reintroducing the shuffle-stage reuse the fresh-lineage probe
+discipline exists to prevent (s1 is in the probe ONLY list). The
+verdict's own skip condition applies; documented here so the tradeoff
+is visible.
 """
 
 from __future__ import annotations
