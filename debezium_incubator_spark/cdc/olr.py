@@ -1,0 +1,194 @@
+"""Oracle OpenLogReplicator adapter — the THIRD public adapter of the
+Debezium Oracle connector (`database.connection.adapter=olr`, public
+Debezium 2.x docs; the others — LogMiner and XStream — live in
+`oracle_logminer.py`). Reconstructed per SURVEY.md §0 from the public
+Debezium documentation and the OpenLogReplicator project's published
+protocol.
+
+What distinguishes OLR from the other two adapters:
+
+- **Delivery**: OpenLogReplicator is an EXTERNAL process reading the
+  redo logs directly and streaming committed changes over a network
+  protocol — like XStream, in-flight transactions never reach the
+  client; unlike XStream, the position is not an opaque blob but an
+  explicit ``(scn, idx)`` pair, where ``idx`` is the sub-SCN index
+  distinguishing multiple changes that share one SCN (redo records are
+  not SCN-unique — two DML in the same redo block carry the same SCN).
+- **Resume is CLIENT-DRIVEN**: the client CONFIRMS positions back to
+  the replicator; after a restart OLR re-sends everything above the
+  last confirmed position. Re-delivery at-or-below a confirmation and
+  overlapping resends are therefore NORMAL protocol behavior, and the
+  client must be idempotent under them — position-filtering is the
+  dedup, not a transactional store. (`merge_olr_confirmed` is the
+  incremental form; equality with the one-shot fold under ANY
+  poll/confirm/re-send schedule is the adapter's correctness claim,
+  mirrored after `merge_logminer_buffer` / `merge_sqlserver_buffer`.)
+
+Spark mapping: visibility is the same declarative commit join the
+LogMiner twin uses (absence of the XID in the commit set IS the
+withholding); ``idx`` is one window over (scn) in redo order; the fold
+position is ``(commit_scn, scn, idx)`` — idx is LOAD-BEARING whenever
+two changes to the same key share an SCN (the crafted-fixture test
+pins the tie; the registered differential re-derives idx in SQL).
+The confirm filter is a byte-comparable string compare on fixed-width
+hex ``scn ‖ idx`` — the Db2/XStream position-vector trick, so a
+resume cursor is ONE string comparison pushed into the scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from ..catalog import table
+from ..registry import register
+from .materialize import materialize_latest
+from .oracle_logminer import logminer_commit_ordered
+
+
+def olr_position(scn: F.Column, idx: F.Column) -> F.Column:
+    """Byte-comparable OLR position: fixed-width hex ``scn ‖ idx``
+    (lexicographic == numeric (scn, idx) order)."""
+    return F.concat(
+        F.lpad(F.hex(scn), 16, "0"), F.lpad(F.hex(idx), 8, "0")
+    )
+
+
+def olr_stream(
+    redo: DataFrame,
+    commits: DataFrame,
+    xid_col: str = "xid",
+    order_col: str = "rec",
+    broadcast: bool = True,
+) -> DataFrame:
+    """The committed change stream as the OLR client sees it: commit
+    join for visibility (in-flight never delivered), ``idx`` =
+    1-based sub-SCN index in redo order (``order_col`` breaks ties
+    inside one SCN — the physical redo-record order), and the
+    byte-comparable ``position``. Same ``broadcast`` caveat as
+    `logminer_commit_ordered`: one-shot whole-log callers pass False."""
+    joined = logminer_commit_ordered(
+        redo, commits, xid_col, broadcast=broadcast
+    )
+    w = W.partitionBy("scn").orderBy(order_col)
+    return joined.withColumn("idx", F.row_number().over(w)).withColumn(
+        "position", olr_position(F.col("scn"), F.col("idx"))
+    )
+
+
+def olr_deliver(stream: DataFrame, confirmed: str | None) -> DataFrame:
+    """What OLR re-sends after a (re)connect: everything STRICTLY above
+    the last confirmed position (None = from the beginning). One string
+    comparison — pushable into the scan at any scale."""
+    if confirmed is None:
+        return stream
+    return stream.where(F.col("position") > F.lit(confirmed))
+
+
+def merge_olr_confirmed(
+    acc: DataFrame | None,
+    batch: DataFrame,
+    confirmed: str | None,
+    confirm: bool = True,
+) -> tuple[DataFrame, str | None]:
+    """One client poll under the OLR confirm protocol: drop the
+    duplicate prefix of a resent batch (position ≤ confirmed —
+    re-delivery is NORMAL after a reconnect, not corruption), append
+    the rest to the accumulated event set, and — when ``confirm`` is
+    True (the durable-persist-then-ack path) — advance the
+    confirmation watermark. ``confirm=False`` models a crash BEFORE
+    the ack: the replicator will resend those events next poll, and
+    the position dedup (exactly-once EFFECT on top of at-least-once
+    delivery) absorbs them. The accumulated set under ANY
+    poll/confirm/crash schedule equals the one-shot :func:`olr_stream`
+    output — `tests/test_olr.py` pins it."""
+    fresh = olr_deliver(batch, confirmed)
+    if confirm:
+        new_max = fresh.agg(F.max("position")).collect()[0][0]
+        confirmed = new_max if new_max is not None else confirmed
+    if acc is not None:
+        fresh = acc.unionByName(fresh, allowMissingColumns=True)
+    return fresh.dropDuplicates(["position"]), confirmed
+
+
+_OLR_ORACLE = """
+WITH redo AS (
+  -- scn COLLIDES every 3 redo records (event_id // 3): idx is the
+  -- only thing separating same-SCN changes — load-bearing by design
+  SELECT user_id, event_id AS rec, event_id // 3 AS scn, value,
+         CASE event_type WHEN 'signup' THEN 'c' WHEN 'error' THEN 'd'
+              WHEN 'view' THEN 'r' ELSE 'u' END AS op,
+         event_id // 5 AS xid
+  FROM events
+), gm AS (
+  SELECT max(event_id) // 3 AS gmax FROM events
+), commits AS (
+  -- odd transactions commit late with UNIQUE commit SCNs (gmax + xid);
+  -- every 97th transaction never commits (withheld by the join)
+  SELECT xid,
+         CASE WHEN xid % 2 = 1 THEN gm.gmax + xid
+              ELSE max(scn) END AS commit_scn
+  FROM redo, gm GROUP BY xid, gm.gmax
+  HAVING xid % 97 <> 0
+), idxed AS (
+  SELECT r.user_id, r.scn, r.value, r.op, c.commit_scn,
+         row_number() OVER (PARTITION BY r.scn ORDER BY r.rec) AS idx
+  FROM redo r JOIN commits c ON r.xid = c.xid
+)
+SELECT user_id, value FROM (
+  SELECT user_id, value, op,
+         row_number() OVER (
+           PARTITION BY user_id
+           ORDER BY commit_scn DESC, scn DESC, idx DESC
+         ) AS rn
+  FROM idxed
+) WHERE rn = 1 AND op <> 'd'
+ORDER BY user_id
+"""
+
+
+@register("cdc_olr_fold", oracle=_OLR_ORACLE)
+def cdc_olr_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OLR adapter differential: redo with COLLIDING SCNs (every 3
+    records share one — idx is the only separator), delayed unique
+    commit SCNs, every 97th transaction in-flight forever. Fold to
+    latest state in (commit_scn, scn, idx) order; the oracle re-derives
+    visibility, idx, and the fold in SQL."""
+    ev = table(spark, sf_dir, "events")
+    redo = ev.select(
+        "user_id",
+        F.col("event_id").alias("rec"),
+        (F.col("event_id") / 3).cast("long").alias("scn"),
+        "value",
+        F.when(F.col("event_type") == "signup", "c")
+        .when(F.col("event_type") == "error", "d")
+        .when(F.col("event_type") == "view", "r")
+        .otherwise("u")
+        .alias("__op"),
+        (F.col("event_id") / 5).cast("long").alias("xid"),
+    )
+    # one-row global max via crossJoin — genuinely one-row broadcast,
+    # no driver-side job at plan-build time
+    gm = ev.agg((F.max("event_id") / 3).cast("long").alias("gmax"))
+    commits = (
+        redo.groupBy("xid")
+        .agg(F.max("scn").alias("__mx"))
+        .crossJoin(F.broadcast(gm))
+        .select(
+            "xid",
+            F.when(
+                F.col("xid") % 2 == 1, F.col("gmax") + F.col("xid")
+            )
+            .otherwise(F.col("__mx"))
+            .alias("commit_scn"),
+        )
+        .filter(F.col("xid") % 97 != 0)
+    )
+    # whole-log one-shot form: the commit side scales with the log —
+    # no broadcast hint (the logminer_commit_ordered caveat)
+    stream = olr_stream(redo, commits, broadcast=False)
+    state = materialize_latest(
+        stream, ["user_id"], ["__commit_scn", "scn", "idx"]
+    )
+    return state.select("user_id", "value").orderBy("user_id")

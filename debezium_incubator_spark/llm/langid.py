@@ -244,8 +244,12 @@ def _profile_values_sql() -> str:
     return rows
 
 
-_T44_ORACLE = f"""
-WITH prof(lang, tg, pr) AS (VALUES {_profile_values_sql()}),
+def oracle_lid_cte(cte_name: str = "lid") -> str:
+    """DuckDB WITH-clause body re-deriving per-doc LID from scratch
+    (profiles inlined as VALUES). The final CTE ``cte_name`` holds
+    (doc_id, pred_lang, dist) — reusable by composed oracles (t48/t49)
+    exactly like ``bpe.oracle_docs_with_counts``."""
+    return f"""prof(lang, tg, pr) AS (VALUES {_profile_values_sql()}),
 langs AS (SELECT DISTINCT lang FROM prof),
 norm AS (
   SELECT doc_id, '_' || replace(lower(text), ' ', '_') || '_' AS s
@@ -276,8 +280,13 @@ best AS (
          row_number() OVER (PARTITION BY doc_id ORDER BY dist, cand)
            AS rn
   FROM dist
-)
-SELECT doc_id, pred_lang, dist FROM best WHERE rn = 1 ORDER BY doc_id
+),
+{cte_name} AS (SELECT doc_id, pred_lang, dist FROM best WHERE rn = 1)"""
+
+
+_T44_ORACLE = f"""
+WITH {oracle_lid_cte()}
+SELECT doc_id, pred_lang, dist FROM lid ORDER BY doc_id
 """
 
 

@@ -106,10 +106,9 @@ def _planted(doc_id: F.Column, source: F.Column) -> F.Column:
     )
 
 
-_T45_ORACLE = r"""
-WITH aug AS (
-  SELECT doc_id, lang,
-    text || ' contact user' || doc_id || '@' || source
+#: the planted-PII augmentation as a DuckDB expression over `documents`
+#: columns — reusable by composed oracles (t49).
+ORACLE_PLANT_SQL = """text || ' contact user' || doc_id || '@' || source
          || '.example.com or call (' || (doc_id % 900 + 100)
          || ') 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
          || ' from 10.' || (doc_id % 256) || '.' || ((doc_id * 7) % 256)
@@ -118,29 +117,39 @@ WITH aug AS (
                  THEN ' ssn ' || (doc_id % 900 + 100) || '-'
                       || (doc_id % 90 + 10) || '-'
                       || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
-                 ELSE '' END AS t
+                 ELSE '' END"""
+
+
+def oracle_redact_sql(expr: str) -> str:
+    """The redaction pass chain as a DuckDB expression over ``expr`` —
+    nested in PII_PATTERNS order with the 'g' flag (the replace-all
+    gotcha)."""
+    out = expr
+    for name, pat in PII_PATTERNS:
+        out = f"regexp_replace({out},\n    '{pat}', '<{name.upper()}>', 'g')"
+    return out
+
+
+def _oracle_count_sql(expr: str, pat: str) -> str:
+    return (
+        f"CAST(len(regexp_extract_all({expr}, '{pat}')) AS BIGINT)"
+    )
+
+
+_T45_ORACLE = f"""
+WITH aug AS (
+  SELECT doc_id, lang, {ORACLE_PLANT_SQL} AS t
   FROM documents
 ), red AS (
   SELECT doc_id, lang, t,
-    regexp_replace(
-      regexp_replace(
-        regexp_replace(
-          regexp_replace(t,
-            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-          '\([0-9]{3}\) [0-9]{3}-[0-9]{4}', '<PHONE>', 'g'),
-        '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g'),
-      '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b', '<SSN>', 'g') AS redacted
+    {oracle_redact_sql('t')} AS redacted
   FROM aug
 )
 SELECT doc_id, lang,
-  CAST(len(regexp_extract_all(t,
-    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
-  CAST(len(regexp_extract_all(t,
-    '\([0-9]{3}\) [0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_phone,
-  CAST(len(regexp_extract_all(t,
-    '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS BIGINT) AS n_ip,
-  CAST(len(regexp_extract_all(t,
-    '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b')) AS BIGINT) AS n_ssn,
+  {_oracle_count_sql('t', PII_PATTERNS[0][1])} AS n_email,
+  {_oracle_count_sql('t', PII_PATTERNS[1][1])} AS n_phone,
+  {_oracle_count_sql('t', PII_PATTERNS[2][1])} AS n_ip,
+  {_oracle_count_sql('t', PII_PATTERNS[3][1])} AS n_ssn,
   CAST(length(redacted) AS BIGINT) AS red_len,
   md5(redacted) AS red_md5
 FROM red

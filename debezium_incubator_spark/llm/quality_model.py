@@ -63,28 +63,36 @@ WEIGHTS: list[tuple[int, int]] = [(b, _weight(b)) for b in range(NBUCKETS)]
 
 _VALUES = ", ".join(f"({b}, {w})" for b, w in WEIGHTS)
 
-_T46_ORACLE = f"""
-WITH toks AS (
+def oracle_quality_cte(cte_name: str = "qs") -> str:
+    """DuckDB WITH-clause body re-deriving per-doc quality scores from
+    scratch; the final CTE ``cte_name`` holds (doc_id, n_feat, sum_w) —
+    reusable by composed oracles (t49), like bpe/langid's builders."""
+    return f"""__qtoks AS (
   SELECT doc_id, string_split(lower(text), ' ') AS ts FROM documents
-), feats AS (
-  SELECT doc_id, unnest(ts) AS f FROM toks
+), __qfeats AS (
+  SELECT doc_id, unnest(ts) AS f FROM __qtoks
   UNION ALL
   SELECT doc_id,
          unnest(list_transform(range(1, len(ts)),
                 i -> ts[i] || '_' || ts[i + 1])) AS f
-  FROM toks WHERE len(ts) >= 2
-), b AS (
-  SELECT doc_id, {_phash_duck('f', 0)} % {NBUCKETS} AS bucket FROM feats
-), w(bucket, wt) AS (VALUES {_VALUES}),
-s AS (
+  FROM __qtoks WHERE len(ts) >= 2
+), __qb AS (
+  SELECT doc_id, {_phash_duck('f', 0)} % {NBUCKETS} AS bucket
+  FROM __qfeats
+), __qw(bucket, wt) AS (VALUES {_VALUES}),
+{cte_name} AS (
   SELECT doc_id, CAST(count(*) AS BIGINT) AS n_feat,
          CAST(sum(wt) AS BIGINT) AS sum_w
-  FROM b JOIN w USING (bucket) GROUP BY doc_id
-)
+  FROM __qb JOIN __qw USING (bucket) GROUP BY doc_id
+)"""
+
+
+_T46_ORACLE = f"""
+WITH {oracle_quality_cte()}
 SELECT doc_id, n_feat, sum_w,
        {oracle_round4x('CAST(sum_w AS DOUBLE) / n_feat', 'mean_w')},
        (2 * sum_w > 3 * n_feat) AS keep
-FROM s ORDER BY doc_id
+FROM qs ORDER BY doc_id
 """
 
 

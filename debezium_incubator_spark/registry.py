@@ -151,12 +151,14 @@ PRIORITY: list[str] = [
     "cdc_sqlserver_update_pairs",  # L144 SQL Server CT pairing
     "agg_grouping_sets",     # D4
     "agg_collect_pct",       # D5 + D9 combo
-    # round-7 recomposition: agg_pivot (D8 — stays sweep-oracled with
-    # its unpivot twin; D keeps q1/distinct/grouping_sets/collect_pct/
-    # stats in the window) gives its slot to t28_hash_split, the
-    # round-7 training-pipeline flagship (content-keyed leakage-proof
-    # train/val/test assignment).
-    "t28_hash_split",        # L121 content-keyed split
+    # round-7 recomposition: agg_pivot (D8) gave this slot to
+    # t28_hash_split; round-9 rotation: t28 (stays sweep-oracled — the
+    # content-keyed split semantics are simple and stable) gives it to
+    # t49_curation_v2, the model-era curation capstone, which puts TWO
+    # brand-new families (the fastText-shape quality model and PII
+    # redaction) plus the LID gate under the driver's audit in one
+    # slot — the t40-precedent "stages compose" differential.
+    "t49_curation_v2",       # LID → quality model → PII redaction
     "agg_stats",             # D10
     # §2E windows (E1 via w1 above)
     "w_combined",            # E2+E3+E4+E5+E6+E7 combo
@@ -258,6 +260,7 @@ def load_all() -> None:
         cloudevents,
         db2,
         incremental_snapshot,
+        olr,
         oracle_logminer,
         materialize,
         routing,
@@ -268,7 +271,8 @@ def load_all() -> None:
     )
     from .llm import bpe, clustering  # noqa: F401
     from .llm import dedup, langid, multimodal, pii, pq  # noqa: F401
-    from .llm import quality_model, semantic_decontam, similarity  # noqa: F401
+    from .llm import pipeline_v2, quality_model  # noqa: F401
+    from .llm import semantic_decontam, similarity  # noqa: F401
     from .llm import text, urls  # noqa: F401
 
     _reorder()
