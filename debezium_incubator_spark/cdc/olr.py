@@ -148,6 +148,139 @@ ORDER BY user_id
 """
 
 
+_OLR_WIRE_ORACLE = """
+WITH base AS (
+  SELECT user_id, event_id, event_id // 3 AS scn, event_id // 5 AS xid,
+         CASE event_type WHEN 'signup' THEN 'c' WHEN 'error' THEN 'd'
+              WHEN 'view' THEN 'r' ELSE 'u' END AS op
+  FROM events
+), gm AS (
+  SELECT max(event_id) // 3 AS gmax FROM events
+), commits_t AS (
+  SELECT xid,
+         CASE WHEN xid % 2 = 1 THEN gm.gmax + xid
+              ELSE max(scn) END AS commit_scn
+  FROM base, gm GROUP BY xid, gm.gmax
+  HAVING xid % 97 <> 0
+), msgs AS (
+  -- the wire: every field integer or enum (no float-to-string render)
+  SELECT '{"scn":' || scn || ',"xid":"x' || xid
+         || '","payload":[{"op":"' || op || '","id":' || event_id
+         || ',"user":' || user_id || '}]}' AS msg
+  FROM base
+  UNION ALL
+  SELECT '{"scn":' || commit_scn || ',"xid":"x' || xid
+         || '","payload":[{"op":"commit"}]}' AS msg
+  FROM commits_t
+), parsed AS (
+  SELECT CAST(json_extract(msg, '$.scn') AS BIGINT) AS scn,
+         json_extract_string(msg, '$.xid') AS xid,
+         json_extract_string(msg, '$.payload[0].op') AS op,
+         CAST(json_extract(msg, '$.payload[0].id') AS BIGINT) AS id,
+         CAST(json_extract(msg, '$.payload[0].user') AS BIGINT) AS usr
+  FROM msgs
+), cm AS (SELECT xid, scn AS commit_scn FROM parsed WHERE op = 'commit'),
+dml AS (SELECT * FROM parsed WHERE op <> 'commit'),
+vis AS (
+  SELECT d.usr, d.id, d.op, d.scn, c.commit_scn
+  FROM dml d JOIN cm c USING (xid)
+)
+SELECT usr AS user_id, id AS last_event_id FROM (
+  SELECT usr, id, op,
+         row_number() OVER (
+           PARTITION BY usr ORDER BY commit_scn DESC, scn DESC, id DESC
+         ) AS rn
+  FROM vis
+) WHERE rn = 1 AND op <> 'd'
+ORDER BY user_id
+"""
+
+#: pinned wire schema for the OLR JSON payload (format.type=json —
+#: one change per message here; the real stream batches several into
+#: one payload array, which posexplode would index identically)
+OLR_JSON_SCHEMA = (
+    "scn BIGINT, xid STRING, "
+    "payload ARRAY<STRUCT<op: STRING, id: BIGINT, user: BIGINT>>"
+)
+
+
+@register("cdc_olr_wire", oracle=_OLR_WIRE_ORACLE)
+def cdc_olr_wire(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OLR JSON wire round trip (format.type=json): BUILD the network
+    messages (dml + transaction-commit markers as separate messages,
+    every field integer/enum so no float render crosses the wire),
+    PARSE them back with the pinned schema, derive commit visibility
+    from the commit MARKERS themselves (not a side channel), and fold.
+    The oracle constructs byte-identical JSON in SQL and re-extracts
+    with DuckDB's json functions — encode AND decode are both
+    differential (the cdc_binary_wire precedent, applied to OLR's
+    actual wire format)."""
+    ev = table(spark, sf_dir, "events")
+    base = ev.select(
+        "user_id",
+        "event_id",
+        (F.col("event_id") / 3).cast("long").alias("scn"),
+        (F.col("event_id") / 5).cast("long").alias("xid"),
+        F.when(F.col("event_type") == "signup", "c")
+        .when(F.col("event_type") == "error", "d")
+        .when(F.col("event_type") == "view", "r")
+        .otherwise("u")
+        .alias("op"),
+    )
+    gm = ev.agg((F.max("event_id") / 3).cast("long").alias("gmax"))
+    commits = (
+        base.groupBy("xid")
+        .agg(F.max("scn").alias("__mx"))
+        .crossJoin(F.broadcast(gm))
+        .select(
+            "xid",
+            F.when(F.col("xid") % 2 == 1, F.col("gmax") + F.col("xid"))
+            .otherwise(F.col("__mx"))
+            .alias("commit_scn"),
+        )
+        .filter(F.col("xid") % 97 != 0)
+    )
+    s = F.col
+    dml_msgs = base.select(
+        F.concat(
+            F.lit('{"scn":'), s("scn").cast("string"),
+            F.lit(',"xid":"x'), s("xid").cast("string"),
+            F.lit('","payload":[{"op":"'), s("op"),
+            F.lit('","id":'), s("event_id").cast("string"),
+            F.lit(',"user":'), s("user_id").cast("string"),
+            F.lit("}]}"),
+        ).alias("msg")
+    )
+    commit_msgs = commits.select(
+        F.concat(
+            F.lit('{"scn":'), s("commit_scn").cast("string"),
+            F.lit(',"xid":"x'), s("xid").cast("string"),
+            F.lit('","payload":[{"op":"commit"}]}'),
+        ).alias("msg")
+    )
+    parsed = (
+        dml_msgs.unionAll(commit_msgs)
+        .select(F.from_json("msg", OLR_JSON_SCHEMA).alias("j"))
+        .select(
+            F.col("j.scn").alias("scn"),
+            F.col("j.xid").alias("xid"),
+            F.col("j.payload")[0]["op"].alias("__op"),
+            F.col("j.payload")[0]["id"].alias("id"),
+            F.col("j.payload")[0]["user"].alias("usr"),
+        )
+    )
+    cm = parsed.where(F.col("__op") == "commit").select(
+        "xid", F.col("scn").alias("__commit_scn")
+    )
+    dml = parsed.where(F.col("__op") != "commit")
+    # whole-log one-shot: commit side scales with the log — no hint
+    vis = dml.join(cm, "xid")
+    state = materialize_latest(vis, ["usr"], ["__commit_scn", "scn", "id"])
+    return state.select(
+        F.col("usr").alias("user_id"), F.col("id").alias("last_event_id")
+    ).orderBy("user_id")
+
+
 @register("cdc_olr_fold", oracle=_OLR_ORACLE)
 def cdc_olr_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OLR adapter differential: redo with COLLIDING SCNs (every 3

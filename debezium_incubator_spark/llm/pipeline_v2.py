@@ -108,11 +108,13 @@ FROM survivors ORDER BY doc_id
 """
 
 
-@register("t49_curation_v2", oracle=_T49_ORACLE)
-def t49_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Model-era curation capstone (module docstring): LID gate →
-    model-quality gate → PII redaction of survivors, one differential."""
-    docs = table(spark, sf_dir, "documents")
+def curate_docs(docs: DataFrame) -> DataFrame:
+    """The v2 curation pipeline over any (doc_id, text, source, ...)
+    frame: LID gate → model-quality gate → PII redaction of survivors.
+    Every gate is PER-DOCUMENT (stateless), so running it per
+    micro-batch on ingest produces exactly the batch run's slice —
+    the property `start_curation_ingest_stream`'s restart test pins."""
+    spark = docs.sparkSession
     lid = language_id(docs).where(F.col("pred_lang") == "en").select("doc_id")
     qs = quality_scores(spark, docs).where(F.col("keep")).select(
         "doc_id", "n_feat", "sum_w"
@@ -134,4 +136,62 @@ def t49_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_feat",
         "sum_w",
         F.md5(pii_redact("aug")).alias("red_md5"),
-    ).orderBy("doc_id")
+    )
+
+
+@register("t49_curation_v2", oracle=_T49_ORACLE)
+def t49_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-era curation capstone (module docstring): LID gate →
+    model-quality gate → PII redaction of survivors, one differential."""
+    return curate_docs(table(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+# --- curation-on-ingest (streaming twin of t49) ---------------------------
+
+
+def curation_ingest_foreach_batch(out_dir: str):
+    """foreachBatch handler for CONTINUOUS curation-on-ingest: each
+    micro-batch of raw documents runs the FULL v2 pipeline (LID gate →
+    quality gate → PII redaction) and writes its survivors to
+    ``out_dir/batch=<epoch_id>``. All gates are per-document, so no
+    cross-batch state exists; replay idempotence is the deterministic
+    per-batch overwrite (a crash-before-commit replay rewrites the
+    same directory with the same rows). The streamed union across any
+    file slicing equals the one-shot batch run — the same
+    stream==batch discipline as dedup-on-ingest, without the monotone-
+    id contract (nothing here depends on arrival order)."""
+    import os
+
+    def handle(batch: DataFrame, batch_id: int) -> None:
+        (
+            curate_docs(batch)
+            .write.mode("overwrite")
+            .parquet(os.path.join(out_dir, f"batch={batch_id}"))
+        )
+
+    return handle
+
+
+def start_curation_ingest_stream(
+    spark: SparkSession,
+    stage_dir: str,
+    schema,
+    out_dir: str,
+    checkpoint: str,
+):
+    """Run curation-on-ingest as a real Structured Streaming query over
+    a parquet file source (one file per micro-batch, availableNow —
+    drains what exists then stops; re-invoke after a restart and the
+    checkpoint resumes from the first unprocessed file)."""
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage_dir)
+    )
+    return (
+        stream.writeStream
+        .foreachBatch(curation_ingest_foreach_batch(out_dir))
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
