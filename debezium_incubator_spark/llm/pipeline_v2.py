@@ -108,12 +108,14 @@ FROM survivors ORDER BY doc_id
 """
 
 
-def curate_docs(docs: DataFrame) -> DataFrame:
+def curate_docs(docs: DataFrame, sort_first: bool = False) -> DataFrame:
     """The v2 curation pipeline over any (doc_id, text, source, ...)
     frame: LID gate → model-quality gate → PII redaction of survivors.
     Every gate is PER-DOCUMENT (stateless), so running it per
     micro-batch on ingest produces exactly the batch run's slice —
-    the property `start_curation_ingest_stream`'s restart test pins."""
+    the property `start_curation_ingest_stream`'s restart test pins.
+    ``sort_first`` orders by doc_id BELOW the redaction projection
+    (see t49's docstring for why the sort must not sit above it)."""
     spark = docs.sparkSession
     lid = language_id(docs).where(F.col("pred_lang") == "en").select("doc_id")
     qs = quality_scores(spark, docs).where(F.col("keep")).select(
@@ -130,6 +132,8 @@ def curate_docs(docs: DataFrame) -> DataFrame:
         .join(lid, "doc_id")
         .join(qs, "doc_id")
     )
+    if sort_first:
+        survivors = survivors.orderBy("doc_id")
     return survivors.select(
         "doc_id",
         "source",
@@ -142,8 +146,14 @@ def curate_docs(docs: DataFrame) -> DataFrame:
 @register("t49_curation_v2", oracle=_T49_ORACLE)
 def t49_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Model-era curation capstone (module docstring): LID gate →
-    model-quality gate → PII redaction of survivors, one differential."""
-    return curate_docs(table(spark, sf_dir, "documents")).orderBy("doc_id")
+    model-quality gate → PII redaction of survivors, one differential.
+
+    The orderBy sits UNDER the redaction projection (sort_first in
+    curate_docs): a global sort above the regex chain would make the
+    range partitioner's sample job re-execute it (the t45 finding —
+    see llm/pii.py); below it, the sample re-runs only the join whose
+    shuffle stages are reused across jobs."""
+    return curate_docs(table(spark, sf_dir, "documents"), sort_first=True)
 
 
 # --- curation-on-ingest (streaming twin of t49) ---------------------------

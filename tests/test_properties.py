@@ -844,3 +844,66 @@ def test_cassandra_collection_fold_matches_python(spark, cells, tombs):
         kp: c[2] for kp, c in best.items() if not c[1]
     }
     assert got == want
+
+
+# --- OLR confirm protocol: any poll/confirm/crash schedule ≡ one-shot ------
+
+OLR_REDO = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=4),    # user
+        st.integers(min_value=0, max_value=40),   # rec (redo order)
+        st.integers(min_value=0, max_value=3),    # xid
+    ),
+    min_size=1,
+    max_size=20,
+).map(lambda rows: list({r[1]: r for r in rows}.values()))  # unique rec
+
+OLR_SCHEDULE = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=40),   # poll upper bound (rec)
+        st.booleans(),                             # confirm? (False=crash)
+    ),
+    min_size=1,
+    max_size=5,
+)
+
+
+@settings(max_examples=12, deadline=None)
+@given(OLR_REDO, OLR_SCHEDULE)
+def test_olr_confirm_protocol_any_schedule_accumulates_one_shot(
+    spark, rows, schedule
+):
+    """Arbitrary redo (colliding SCNs: rec // 2), arbitrary poll
+    boundaries, arbitrary confirm/crash flags, always a final full
+    resend (OLR re-sends from the last CONFIRMED position, so the tail
+    beyond an unconfirmed poll arrives again): the accumulated event
+    set equals the one-shot stream, every time."""
+    from debezium_incubator_spark.cdc.olr import (
+        merge_olr_confirmed,
+        olr_stream,
+    )
+
+    redo = spark.createDataFrame(
+        [(u, r, r // 2, float(u), "u", x) for u, r, x in rows],
+        "user_id LONG, rec LONG, scn LONG, value DOUBLE, __op STRING, "
+        "xid LONG",
+    )
+    commits = spark.createDataFrame(
+        [(x, 100 + x) for x in {r[2] for r in rows} if x != 3],
+        "xid LONG, commit_scn LONG",
+    )
+    if commits.limit(1).count() == 0:
+        return
+    stream = olr_stream(redo, commits)
+    one_shot = sorted(r["position"] for r in stream.collect())
+    if not one_shot:
+        return
+
+    acc, conf = None, None
+    for rec_hi, do_confirm in schedule:
+        batch = stream.where(F.col("rec") <= rec_hi)
+        acc, conf = merge_olr_confirmed(acc, batch, conf, confirm=do_confirm)
+    # final reconnect: the replicator resends everything above the last
+    # confirmed position
+    acc, conf = merge_olr_confirmed(acc, stream, conf)
+    assert sorted(r["position"] for r in acc.collect()) == one_shot
