@@ -113,7 +113,11 @@ def cdc_cloudevents_wire(spark: SparkSession, sf_dir: str) -> DataFrame:
     compared surface."""
     from .envelope import OP_CASE
 
-    ev = table(spark, sf_dir, "events")
+    # sort the NARROW input, project above it: a global orderBy above
+    # this shuffle-free to_json/from_json chain makes the range
+    # partitioner's sample job re-execute the whole chain (the t45
+    # finding, SCALE.md round-9) — measured 30 s -> ~3 s at g1
+    ev = table(spark, sf_dir, "events").orderBy("event_id")
     wrapped = to_cloudevents(
         ev,
         source="/debezium/spark/events",
@@ -139,4 +143,4 @@ def cdc_cloudevents_wire(spark: SparkSession, sf_dir: str) -> DataFrame:
         e["time"].alias("ce_time"),
         e["iodebeziumop"].alias("op"),
         e["data"]["user_id"].alias("user_id_rt"),
-    ).orderBy("event_id")
+    )
