@@ -572,3 +572,29 @@ def test_no_forced_broadcast_of_data_scaling_sides(spark):
     assert _hint_count(q["cdc_db2_uow_fold"](spark, SF_SMOKE)) == 0
     # xstream one-shot: only the one-row gmax broadcast survives
     assert _hint_count(q["cdc_xstream_fold"](spark, SF_SMOKE)) == 1
+
+
+def test_sort_sits_below_expensive_projections(spark):
+    """Round-9 probe finding (SCALE.md): a global Sort ABOVE a
+    shuffle-free expensive projection makes the range partitioner's
+    sample job re-execute the whole chain (t45 measured 47 s -> 1.9 s
+    at g3 after moving it). Pin the optimized-plan shape: the heavy
+    Project must sit ABOVE the Sort for the fixed queries."""
+    from debezium_incubator_spark.registry import all_queries
+
+    q = all_queries()
+    for name, marker in [
+        ("t45_pii_redact", "regexp_replace"),
+        ("t49_curation_v2", "regexp_replace"),
+        ("cdc_cloudevents_wire", "from_json"),
+    ]:
+        plan = (
+            q[name](spark, SF_SMOKE)
+            ._jdf.queryExecution().optimizedPlan().toString()
+        )
+        pi, si = plan.find(marker), plan.find("Sort ")
+        assert 0 <= pi, f"{name}: expected {marker} in the plan"
+        assert 0 <= si, f"{name}: expected a global Sort in the plan"
+        # toString prints top-down: the projection node must appear
+        # BEFORE (above) the Sort node
+        assert pi < si, f"{name}: {marker} project sits below the Sort"
