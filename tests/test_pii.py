@@ -84,3 +84,37 @@ def test_patterns_re2_safe():
         re.compile(pat)
         assert "\\1" not in pat and "(?=" not in pat and "(?<" not in pat
         assert "(?!" not in pat, name
+
+
+# --- hypothesis: Spark regex counts == Python re on arbitrary text --------
+
+from hypothesis import given, settings, strategies as st
+
+WORD = st.text(alphabet="abcdefgh ", min_size=0, max_size=30)
+PII_BITS = st.lists(
+    st.sampled_from([
+        "a@b.co", "x.y+z@mail-host.org", "(123) 456-7890",
+        "10.0.0.1", "255.255.255.255", "123-45-6789",
+        "1.2.3.4.5", "900-55-1234", "no pii here", "1234567",
+    ]),
+    min_size=0, max_size=4,
+)
+
+
+@settings(max_examples=25, deadline=None)
+@given(WORD, PII_BITS, WORD)
+def test_counts_match_python_re(spark, pre, bits, post):
+    """The four patterns are shared verbatim with Java (Spark) and RE2
+    (DuckDB); Python's re is the independent third implementation —
+    on the common dialect subset all three must agree on arbitrary
+    compositions of PII spans and word text."""
+    import re
+
+    text = pre + " " + " ".join(bits) + " " + post
+    df = spark.createDataFrame([(text,)], "t STRING")
+    counts = pii_counts("t")
+    row = df.select(
+        *[counts[n].alias(n) for n, _ in PII_PATTERNS]
+    ).collect()[0]
+    for name, pat in PII_PATTERNS:
+        assert row[name] == len(re.findall(pat, text)), (name, text)
