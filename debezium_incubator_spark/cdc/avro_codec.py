@@ -216,24 +216,157 @@ def unframe_confluent(data: bytes) -> tuple[int, bytes]:
     return int.from_bytes(data[1:5], "big"), data[5:]
 
 
+class IncompatibleSchemaError(ValueError):
+    """A register() rejected by the subject's compatibility mode —
+    the same 409 the Confluent Schema Registry returns."""
+
+
+#: Avro schema-resolution promotions (writer type → reader types that
+#: can read it), per the public Avro spec resolution rules.
+_PROMOTABLE = {
+    "int": {"int", "long", "float", "double"},
+    "long": {"long", "float", "double"},
+    "float": {"float", "double"},
+    "double": {"double"},
+    "string": {"string", "bytes"},
+    "bytes": {"bytes", "string"},
+    "boolean": {"boolean"},
+    "null": {"null"},
+}
+
+
+def can_read(reader, writer) -> str | None:
+    """Avro schema-resolution check over the codec's supported subset
+    (records / unions / arrays / primitives): can data WRITTEN with
+    ``writer`` be READ with ``reader``? Returns None when compatible,
+    else a human-readable reason (the first incompatibility found).
+    This is the primitive both Confluent directions are built from:
+    BACKWARD = can_read(new, old); FORWARD = can_read(old, new)."""
+    # union writer: every branch a reader must be able to read
+    if isinstance(writer, list) and not isinstance(reader, list):
+        for br in writer:
+            why = can_read(reader, br)
+            if why:
+                return f"union branch unreadable: {why}"
+        return None
+    # union reader: some branch must read the writer
+    if isinstance(reader, list):
+        ws = writer if isinstance(writer, list) else [writer]
+        for w in ws:
+            if not any(can_read(r, w) is None for r in reader):
+                return f"no reader union branch reads writer type {w!r}"
+        return None
+    if isinstance(reader, str) and isinstance(writer, str):
+        if reader in _PROMOTABLE.get(writer, ()):
+            return None
+        return f"type {writer!r} not promotable to {reader!r}"
+    rt = reader.get("type") if isinstance(reader, dict) else reader
+    wt = writer.get("type") if isinstance(writer, dict) else writer
+    if rt == "array" and wt == "array":
+        return can_read(reader["items"], writer["items"])
+    if rt == "record" and wt == "record":
+        wfields = {f["name"]: f for f in writer["fields"]}
+        for rf in reader["fields"]:
+            wf = wfields.get(rf["name"])
+            if wf is None:
+                if "default" not in rf:
+                    return (
+                        f"reader field {rf['name']!r} absent from writer "
+                        "and has no default"
+                    )
+                continue
+            why = can_read(rf["type"], wf["type"])
+            if why:
+                return f"field {rf['name']!r}: {why}"
+        return None
+    # dict-wrapped primitive (e.g. {"type": "long"})
+    if isinstance(rt, str) and isinstance(wt, str):
+        return can_read(rt, wt)
+    return f"unsupported schema pair reader={rt!r} writer={wt!r}"
+
+
+#: mode → (check new-vs-old?, check old-vs-new?, against all versions?)
+_COMPAT_MODES = {
+    "NONE": (False, False, False),
+    "BACKWARD": (True, False, False),
+    "FORWARD": (False, True, False),
+    "FULL": (True, True, False),
+    "BACKWARD_TRANSITIVE": (True, False, True),
+    "FORWARD_TRANSITIVE": (False, True, True),
+    "FULL_TRANSITIVE": (True, True, True),
+}
+
+
 class ConfluentAvroRegistry:
     """Minimal Confluent-style registry: monotonically assigned global
     schema ids, per-subject version lists, content dedup (re-registering
-    an identical schema returns the existing id). Control-plane only —
-    a deployment points this at a real registry URL; the wire format is
-    identical either way."""
+    an identical schema returns the existing id), and per-subject
+    COMPATIBILITY enforcement (the public Confluent modes: BACKWARD /
+    FORWARD / FULL, each with a _TRANSITIVE variant checking every
+    version instead of just the latest). Control-plane only — a
+    deployment points this at a real registry URL; the wire format is
+    identical either way.
 
-    def __init__(self) -> None:
+    ``default_compatibility``: this in-memory registry defaults to
+    NONE (check nothing) so callers opt in explicitly; note the real
+    Confluent SERVER default is BACKWARD — production deployments
+    should construct with that."""
+
+    def __init__(self, default_compatibility: str = "NONE") -> None:
+        if default_compatibility not in _COMPAT_MODES:
+            raise ValueError(
+                f"unknown compatibility mode {default_compatibility!r}"
+            )
         self._by_id: dict[int, dict] = {}
         self._codecs: dict[int, AvroCodec] = {}
         self._subjects: dict[str, list[int]] = {}
         self._ids_by_canon: dict[str, int] = {}
         self._next_id = 1
+        self._default_compat = default_compatibility
+        self._compat: dict[str, str] = {}
+
+    def set_compatibility(self, subject: str, mode: str) -> None:
+        if mode not in _COMPAT_MODES:
+            raise ValueError(f"unknown compatibility mode {mode!r}")
+        self._compat[subject] = mode
+
+    def compatibility(self, subject: str) -> str:
+        return self._compat.get(subject, self._default_compat)
+
+    def _check_compat(self, subject: str, new: dict) -> None:
+        mode = self.compatibility(subject)
+        new_reads_old, old_reads_new, transitive = _COMPAT_MODES[mode]
+        versions = self._subjects.get(subject, [])
+        if not versions:
+            return
+        against = versions if transitive else versions[-1:]
+        for sid in against:
+            old = self._by_id[sid]
+            if new_reads_old:
+                why = can_read(new, old)
+                if why:
+                    raise IncompatibleSchemaError(
+                        f"{mode} violated for {subject!r} vs schema id "
+                        f"{sid}: new cannot read old — {why}"
+                    )
+            if old_reads_new:
+                why = can_read(old, new)
+                if why:
+                    raise IncompatibleSchemaError(
+                        f"{mode} violated for {subject!r} vs schema id "
+                        f"{sid}: old cannot read new — {why}"
+                    )
 
     def register(self, subject: str, schema: str | dict) -> int:
         sch = json.loads(schema) if isinstance(schema, str) else schema
         canon = json.dumps(sch, sort_keys=True, separators=(",", ":"))
         sid = self._ids_by_canon.get(canon)
+        # an id already in the subject's version list re-registers as a
+        # no-op (content dedup) WITHOUT a compatibility check, like the
+        # real registry; a schema new TO THIS SUBJECT is checked even
+        # if another subject already minted its id
+        if sid is None or sid not in self._subjects.get(subject, []):
+            self._check_compat(subject, sch)
         if sid is None:
             sid = self._next_id
             self._next_id += 1

@@ -281,3 +281,96 @@ def test_confluent_registry_evolution_roundtrip():
     assert dec_b["before"]["score"] is None
     with pytest.raises(KeyError, match="unknown schema id"):
         reg.decode(b"\x00\x00\x00\x00\x63" + b"\x00")
+
+
+# --- Confluent compatibility modes (public registry semantics) ------------
+
+from debezium_incubator_spark.cdc.avro_codec import (
+    ConfluentAvroRegistry,
+    IncompatibleSchemaError,
+    can_read,
+)
+
+
+def _rec(*fields):
+    return {
+        "type": "record",
+        "name": "R",
+        "fields": [dict(f) for f in fields],
+    }
+
+
+A_INT = {"name": "a", "type": "int"}
+A_LONG = {"name": "a", "type": "long"}
+B_DEF = {"name": "b", "type": "long", "default": 0}
+B_NODEF = {"name": "b", "type": "long"}
+
+
+def test_can_read_resolution_rules():
+    assert can_read(_rec(A_LONG), _rec(A_INT)) is None        # int->long
+    assert can_read(_rec(A_INT), _rec(A_LONG))                # narrowing
+    assert can_read(_rec(A_INT, B_DEF), _rec(A_INT)) is None  # default
+    assert can_read(_rec(A_INT, B_NODEF), _rec(A_INT))        # no default
+    assert can_read(_rec(A_INT), _rec(A_INT, B_NODEF)) is None  # ignore extra
+    # union reader reads plain writer; plain reader refuses union writer
+    # unless every branch is readable
+    assert can_read(["null", "int"], "int") is None
+    assert can_read("long", ["int", "string"])
+    assert can_read("long", ["int", "long"]) is None
+
+
+def test_backward_mode_enforced():
+    r = ConfluentAvroRegistry(default_compatibility="BACKWARD")
+    r.register("s-value", _rec(A_INT))
+    r.register("s-value", _rec(A_INT, B_DEF))       # add WITH default: ok
+    try:
+        r.register("s-value", _rec(A_INT, B_DEF, {"name": "c", "type": "int"}))
+        assert False, "BACKWARD must refuse an added field without default"
+    except IncompatibleSchemaError as e:
+        assert "no default" in str(e)
+    # widening int->long is backward-compatible (new long reads old int)
+    r.register("s-value", _rec(A_LONG, B_DEF))
+
+
+def test_forward_and_full_modes():
+    r = ConfluentAvroRegistry()
+    r.set_compatibility("t-value", "FORWARD")
+    r.register("t-value", _rec(A_INT, B_NODEF))
+    # dropping b: old reader has no default for it -> FORWARD refused
+    try:
+        r.register("t-value", _rec(A_INT))
+        assert False
+    except IncompatibleSchemaError as e:
+        assert "old cannot read new" in str(e)
+    r2 = ConfluentAvroRegistry()
+    r2.set_compatibility("u-value", "FULL")
+    r2.register("u-value", _rec(A_INT))
+    try:
+        r2.register("u-value", _rec(A_LONG))  # widening: old can't read new
+        assert False
+    except IncompatibleSchemaError:
+        pass
+
+
+def test_backward_transitive_checks_all_versions():
+    r = ConfluentAvroRegistry(default_compatibility="BACKWARD")
+    v1, v2 = _rec(A_INT), _rec(A_INT, B_DEF)
+    v3 = _rec(A_INT, B_NODEF)  # reads v2 (b present) but NOT v1
+    r.register("w-value", v1)
+    r.register("w-value", v2)
+    r.register("w-value", v3)  # plain BACKWARD: vs latest only -> ok
+    rt = ConfluentAvroRegistry(default_compatibility="BACKWARD_TRANSITIVE")
+    rt.register("w-value", v1)
+    rt.register("w-value", v2)
+    try:
+        rt.register("w-value", v3)
+        assert False, "transitive must check v1 too"
+    except IncompatibleSchemaError as e:
+        assert "schema id" in str(e)
+
+
+def test_reregister_identical_skips_check_and_dedups():
+    r = ConfluentAvroRegistry(default_compatibility="FULL")
+    s = _rec(A_INT)
+    sid = r.register("x-value", s)
+    assert r.register("x-value", s) == sid  # no-op, no raise
