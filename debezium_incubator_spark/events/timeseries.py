@@ -463,3 +463,146 @@ def e15_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("n_signup").cast("double")
         ).alias("conv_rate"),
     )
+
+
+#: Trailing-window width (days) for the rolling-active denominator.
+#: 7 because the fixture spans 30 days — a 28-day MAU would be nearly
+#: cumulative; production would use 28 with identical plan shape.
+STICKY_W = 7
+
+
+@register(
+    "e16_stickiness",
+    oracle=f"""
+WITH pe AS (
+  SELECT DISTINCT user_id, epoch_ms(ts) // 86400000 AS di
+  FROM events WHERE event_type = 'purchase'
+), g AS (
+  SELECT user_id, di,
+         lag(di) OVER (PARTITION BY user_id ORDER BY di) AS pd
+  FROM pe
+), gi AS (
+  SELECT user_id, di,
+         sum(CASE WHEN pd IS NULL OR di - pd > {STICKY_W} THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY di ROWS UNBOUNDED PRECEDING)
+           AS grp
+  FROM g
+), iv AS (
+  SELECT user_id, grp, min(di) AS s, max(di) + {STICKY_W - 1} AS e
+  FROM gi GROUP BY user_id, grp
+), deltas AS (
+  SELECT s AS di, 1 AS delta FROM iv
+  UNION ALL
+  SELECT e + 1 AS di, -1 AS delta FROM iv
+), dd AS (
+  SELECT di, CAST(sum(delta) AS BIGINT) AS delta FROM deltas GROUP BY di
+), span AS (
+  SELECT min(di) AS lo, max(di) AS hi FROM pe
+), spine AS (
+  SELECT unnest(range(lo, hi + 1)) AS di FROM span
+), dau AS (
+  SELECT di, CAST(count(*) AS BIGINT) AS dau FROM pe GROUP BY di
+), m AS (
+  SELECT sp.di,
+         CAST(COALESCE(d.dau, 0) AS BIGINT) AS dau,
+         CAST(sum(COALESCE(dd.delta, 0))
+              OVER (ORDER BY sp.di ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS wau
+  FROM spine sp LEFT JOIN dau d ON sp.di = d.di
+  LEFT JOIN dd ON sp.di = dd.di
+)
+SELECT di AS day_no, epoch_ms(di * 86400000) AS day, dau, wau,
+       CASE WHEN wau = 0 THEN NULL
+            ELSE floor(CAST(dau AS DOUBLE) / CAST(wau AS DOUBLE)
+                       * 10000 + 0.5) / 10000 END AS stickiness
+FROM m ORDER BY day_no
+""",
+)
+def e16_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU / trailing-7-day-active "stickiness" per day — the
+    product-analytics engagement ratio (DAU/MAU in production; 7-day
+    window here, see STICKY_W) over purchase activity.
+
+    The interesting part is the denominator: "users active in the
+    trailing W days" is a ROLLING COUNT DISTINCT, which neither engine
+    has as a window function — and the naive day×user expansion is a
+    W-fold blowup of the activity table. Instead: each user's active
+    days are merged into coverage intervals ([a, a+W-1] per active
+    day, coalesced while gaps stay ≤ W — a lag + running-sum group-id
+    window per user), every interval contributes a +1/−1 diff-array
+    event, and one running sum over the day spine materializes the
+    rolling distinct count exactly. Work is O(active-pairs) + O(days),
+    never O(days × users).
+
+    Scale posture (100 TB): the per-user windows partition on user_id;
+    the diff-array aggregate and the final running-sum window are
+    day-spine-cardinality (time-bounded — 30 rows here, ~36k rows for
+    a century — NOT data-bounded), so the single-partition global
+    window at the end is a control-plane-sized sort, the same class as
+    e7's gap-fill spine. All counts integer; the one ratio goes
+    through round4x with a NULL guard on an empty window."""
+    from ..exprs import round4x_col
+
+    ev = table(spark, sf_dir, "events")
+    pe = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.expr("unix_millis(cast(ts as timestamp)) div 86400000")
+            .alias("di"),
+        )
+        .distinct()
+    )
+    wu = W.partitionBy("user_id").orderBy("di")
+    pd_ = F.lag("di").over(wu)
+    flagged = pe.select(
+        "user_id",
+        "di",
+        F.when(pd_.isNull() | (F.col("di") - pd_ > STICKY_W), 1)
+        .otherwise(0)
+        .alias("brk"),
+    )
+    gi = flagged.select(
+        "user_id",
+        "di",
+        F.sum("brk").over(
+            wu.rowsBetween(W.unboundedPreceding, 0)
+        ).alias("grp"),
+    )
+    iv = gi.groupBy("user_id", "grp").agg(
+        F.min("di").alias("s"),
+        (F.max("di") + (STICKY_W - 1)).alias("e"),
+    )
+    deltas = iv.select(F.col("s").alias("di"), F.lit(1).alias("delta")).unionAll(
+        iv.select((F.col("e") + 1).alias("di"), F.lit(-1).alias("delta"))
+    )
+    dd = deltas.groupBy("di").agg(F.sum("delta").alias("delta"))
+    spine = (
+        pe.agg(F.min("di").alias("lo"), F.max("di").alias("hi"))
+        .select(F.explode(F.sequence("lo", "hi")).alias("di"))
+    )
+    dau = pe.groupBy("di").agg(F.count("*").alias("dau_"))
+    wg = W.orderBy("di").rowsBetween(W.unboundedPreceding, 0)
+    m = (
+        spine.join(dau, "di", "left")
+        .join(dd, "di", "left")
+        .select(
+            F.col("di").alias("day_no"),
+            F.timestamp_millis(F.col("di") * 86400000).alias("day"),
+            F.coalesce("dau_", F.lit(0)).alias("dau"),
+            F.sum(F.coalesce("delta", F.lit(0))).over(wg).alias("wau"),
+        )
+    )
+    return m.select(
+        "day_no",
+        "day",
+        "dau",
+        "wau",
+        F.when(F.col("wau") == 0, F.lit(None).cast("double"))
+        .otherwise(
+            round4x_col(
+                F.col("dau").cast("double") / F.col("wau").cast("double")
+            )
+        )
+        .alias("stickiness"),
+    ).orderBy("day_no")

@@ -270,7 +270,7 @@ def load_all() -> None:
         transforms,
     )
     from .llm import bpe, clustering  # noqa: F401
-    from .llm import dedup, langid, multimodal, pii, pq  # noqa: F401
+    from .llm import dedup, langid, lm, multimodal, pii, pq  # noqa: F401
     from .llm import pipeline_v2, quality_model  # noqa: F401
     from .llm import semantic_decontam, similarity  # noqa: F401
     from .llm import text, urls  # noqa: F401

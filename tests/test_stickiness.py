@@ -1,0 +1,60 @@
+"""e16_stickiness: the interval-merge + diff-array rolling-distinct
+must equal the brute-force "count users active in the trailing W days"
+on the real fixture (where >W-day gaps make the merge logic
+load-bearing — 4 multi-interval users at sf0.001). Oracle parity of
+the registered query is covered by the sweep."""
+
+from __future__ import annotations
+
+import duckdb
+
+from debezium_incubator_spark.events.timeseries import STICKY_W
+from debezium_incubator_spark.registry import all_queries
+
+from .conftest import SF_SMOKE
+
+
+def _brute_force(sf_dir: str):
+    con = duckdb.connect()
+    rows = con.execute(
+        f"""SELECT DISTINCT user_id, epoch_ms(ts) // 86400000 AS di
+            FROM read_parquet('{sf_dir}/events.parquet')
+            WHERE event_type = 'purchase'"""
+    ).fetchall()
+    days = sorted({d for _, d in rows})
+    lo, hi = days[0], days[-1]
+    out = {}
+    for d in range(lo, hi + 1):
+        dau = len({u for u, dd in rows if dd == d})
+        wau = len({u for u, dd in rows if d - STICKY_W < dd <= d})
+        out[d] = (dau, wau)
+    return out
+
+
+def test_rolling_distinct_matches_brute_force(spark):
+    q = all_queries()["e16_stickiness"]
+    got = {
+        r["day_no"]: (r["dau"], r["wau"])
+        for r in q(spark, SF_SMOKE).collect()
+    }
+    ref = _brute_force(SF_SMOKE)
+    assert got == ref
+
+
+def test_fixture_exercises_interval_merge():
+    """At least one user must have a >W-day gap between active days —
+    otherwise every user collapses to a single interval and the merge
+    path is fixture-untested."""
+    con = duckdb.connect()
+    n = con.execute(
+        f"""WITH ad AS (
+              SELECT DISTINCT user_id, epoch_ms(ts) // 86400000 AS di
+              FROM read_parquet('{SF_SMOKE}/events.parquet')
+              WHERE event_type = 'purchase'
+            ), g AS (
+              SELECT di - lag(di) OVER (PARTITION BY user_id ORDER BY di)
+                     AS gap FROM ad
+            )
+            SELECT count(*) FROM g WHERE gap > {STICKY_W}"""
+    ).fetchone()[0]
+    assert n > 0
