@@ -2426,3 +2426,127 @@ def t38_keeper_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "weight", "n_sources")
         .orderBy("doc_id")
     )
+
+
+# --- t51: cross-split contamination audit ----------------------------------
+
+#: Shingle width for the leakage audit. 5-grams: long enough that the
+#: fixture's random word soup rarely collides, so a hit means genuinely
+#: shared span text (the planted near-duplicates), not chance.
+LEAK_K = 5
+
+
+def split_leakage(spark: SparkSession, docs: DataFrame) -> DataFrame:
+    """Leakage audit over a ``(doc_id, text)`` frame (t51 docstring):
+    t28's content-keyed split + LEAK_K-gram containment of each
+    val/test doc in the train gram set. The seam the registered query
+    and the semantic tests share."""
+    toks = F.split("text", " ")
+    n = F.size(toks)
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("sp|"), F.col("text"))), 1, 15),
+            16, 10,
+        ).cast("bigint") % 100
+    )
+    split_col = (
+        F.when(bucket < 98, "train")
+        .when(bucket == 98, "val")
+        .otherwise("test")
+    )
+    grams = F.when(
+        n >= LEAK_K,
+        F.transform(
+            F.sequence(F.lit(1), n - (LEAK_K - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, LEAK_K)),
+        ),
+    )
+    sh = docs.select(
+        "doc_id",
+        split_col.alias("split"),
+        F.explode(F.array_distinct(grams)).alias("sh"),
+    )
+    tr = (
+        sh.filter(F.col("split") == "train")
+        .select("sh")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    ev = (
+        sh.filter(F.col("split") != "train")
+        # train-gram set scales with the corpus — no broadcast hint
+        .join(tr, "sh", "left")
+        .groupBy("doc_id", "split")
+        .agg(
+            F.count("*").alias("n_sh"),
+            F.count("hit").alias("n_hit"),
+        )
+    )
+    from ..exprs import round4x
+
+    return ev.select(
+        "doc_id",
+        "split",
+        "n_sh",
+        "n_hit",
+        round4x("CAST(n_hit AS DOUBLE) / CAST(n_sh AS DOUBLE)")
+        .alias("containment"),
+        (F.col("n_hit") > 0).alias("leaked"),
+    )
+
+
+@register(
+    "t51_split_leakage",
+    oracle=f"""
+WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS toks,
+         CASE WHEN CAST('0x' || substring(md5('sp|' || text), 1, 15)
+                   AS BIGINT) % 100 < 98 THEN 'train'
+              WHEN CAST('0x' || substring(md5('sp|' || text), 1, 15)
+                   AS BIGINT) % 100 = 98 THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, split,
+         array_to_string(toks[i:i+{LEAK_K - 1}], ' ') AS sh
+  FROM d, LATERAL unnest(range(1, len(toks) - {LEAK_K - 2})) AS u(i)
+  WHERE len(toks) >= {LEAK_K}
+), tr AS (
+  SELECT DISTINCT sh FROM sh WHERE split = 'train'
+), ev AS (
+  SELECT s.doc_id, s.split,
+         CAST(count(*) AS BIGINT) AS n_sh,
+         CAST(count(tr.sh) AS BIGINT) AS n_hit
+  FROM sh s LEFT JOIN tr ON s.sh = tr.sh
+  WHERE s.split <> 'train'
+  GROUP BY s.doc_id, s.split
+)
+SELECT doc_id, split, n_sh, n_hit,
+       floor(CAST(n_hit AS DOUBLE) / CAST(n_sh AS DOUBLE)
+             * 10000 + 0.5) / 10000 AS containment,
+       n_hit > 0 AS leaked
+FROM ev ORDER BY doc_id
+""",
+)
+def t51_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-split contamination audit — the check a training pipeline
+    runs AFTER t28's content-keyed split: does any val/test document
+    share verbatim LEAK_K-gram spans with the train split? Exact
+    duplicates cannot leak by construction (content-keyed hashing puts
+    byte-identical docs in the same split — t28's whole point), so
+    every hit here is a NEAR-duplicate crossing the split boundary,
+    exactly the leakage class content hashing cannot prevent and the
+    reason eval decontamination (t14) exists as a separate stage.
+    Composes two audited stages under one differential: the t28 split
+    rule and the t14-style n-gram containment join.
+
+    Plan: the split is a map-side md5 projection (no shuffle); one
+    distinct over (doc, gram); the train-gram set is corpus-sized so it
+    is NOT broadcast-hinted (AQE decides — at 100 TB this is a plain
+    shuffle join on the gram string, Zipf heat absorbed by skew-split);
+    eval-side per-doc agg is a hash agg. Eval docs shorter than LEAK_K
+    tokens carry no gram and drop out (no span can leak from them).
+    Parity: counts are integers; the one ratio goes through the 4dp
+    floor policy; the leaked flag compares an integer to zero."""
+    docs = table(spark, sf_dir, "documents")
+    return split_leakage(spark, docs).orderBy("doc_id")
