@@ -691,3 +691,79 @@ def validate_mining_strategy(
         "ddl_tracking": strategy != "online_catalog",
         "ddl_in_range": in_range,
     }
+
+
+# ---------------------------------------------------------------------------
+# Supplemental logging prerequisite (public Debezium Oracle connector
+# requirement: the connector VALIDATES it at startup and refuses with
+# the remediation DDL — without supplemental log data the redo stream
+# simply does not carry the columns CDC needs)
+# ---------------------------------------------------------------------------
+
+#: per-table supplemental log-group levels (Oracle's own tiers)
+SUPPLOG_LEVELS = ("none", "pk", "all")
+
+
+def validate_supplemental_logging(
+    db_minimal: bool,
+    table_levels: dict[str, str],
+    captured_tables: list[str],
+) -> dict:
+    """Start-up prerequisite check, Debezium-Oracle-shaped.
+
+    - ``db_minimal`` models ``ALTER DATABASE ADD SUPPLEMENTAL LOG
+      DATA`` (minimal database-level logging): without it redo records
+      carry no usable row identification at all — refuse everything,
+      with the remediation DDL in the message (the connector's actual
+      behavior).
+    - per captured table, the log-group level:
+      ``all`` (``... ADD SUPPLEMENTAL LOG DATA (ALL) COLUMNS``) →
+      update redo carries the FULL row image — the level Debezium
+      documents as required for complete events;
+      ``pk`` (``... (PRIMARY KEY) COLUMNS``) → updates carry only the
+      key + changed columns: unchanged columns arrive as placeholders,
+      the SAME partial-image shape as unavailable LOBs, so these
+      tables MUST route through the `resolve_unavailable` inheritance
+      fold (materialize.py) or state silently nulls out — the
+      returned plan lists them under ``needs_inheritance``;
+      ``none`` / unconfigured → refuse with the per-table remediation
+      DDL.
+
+    Control-plane: dict-sized input, runs before any scan is planned.
+    """
+    if not db_minimal:
+        raise ValueError(
+            "supplemental logging not enabled at the database level; "
+            "CDC cannot run. Remediation: ALTER DATABASE ADD "
+            "SUPPLEMENTAL LOG DATA"
+        )
+    levels = {t.lower(): lv.lower() for t, lv in table_levels.items()}
+    for lv in levels.values():
+        if lv not in SUPPLOG_LEVELS:
+            raise ValueError(
+                f"unknown supplemental log level '{lv}' "
+                f"(one of {SUPPLOG_LEVELS})"
+            )
+    full, needs_inheritance, missing = [], [], []
+    for t in captured_tables:
+        lv = levels.get(t.lower(), "none")
+        if lv == "all":
+            full.append(t)
+        elif lv == "pk":
+            needs_inheritance.append(t)
+        else:
+            missing.append(t)
+    if missing:
+        ddl = "; ".join(
+            f"ALTER TABLE {t} ADD SUPPLEMENTAL LOG DATA (ALL) COLUMNS"
+            for t in missing
+        )
+        raise ValueError(
+            f"supplemental logging not configured for captured "
+            f"table(s) {missing}; update events would carry no "
+            f"before-image columns. Remediation: {ddl}"
+        )
+    return {
+        "full_image": full,
+        "needs_inheritance": needs_inheritance,
+    }

@@ -879,3 +879,80 @@ def cdc_connector_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "value", "props")
         .orderBy("user_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# topic.creation.* — Connect topic auto-creation groups (public Debezium
+# config: docs "Customization of Kafka Connect automatic topic creation")
+# ---------------------------------------------------------------------------
+
+
+def topic_creation_settings(
+    props: dict[str, str], topic: str
+) -> dict[str, object]:
+    """Resolve the auto-creation settings for ``topic``.
+
+    Public semantics: ``topic.creation.groups`` lists custom groups in
+    PRIORITY order; a topic gets the FIRST group whose ``include``
+    regex list matches it and whose ``exclude`` list does not; topics
+    matching no group fall through to the ``default`` group.
+    ``default`` needs no include (it is the catch-all and may not
+    declare one); every custom group MUST declare ``include`` —
+    silently matching nothing would hide a config typo, so that is a
+    loud error, as is listing ``default`` among the custom groups.
+    Per-group keys override the default's; ``partitions`` /
+    ``replication.factor`` surface as ints, anything else (e.g.
+    ``cleanup.policy``) passes through as topic-level config.
+
+    Offline-provable config semantics: the broker round-trip is the
+    jar-gated Kafka wire (A1/A7); the resolution rule is what this
+    models, the same way signal/notification channels are modeled."""
+    import re as _re
+
+    if props.get("topic.creation.enable", "true").lower() == "false":
+        return {"enabled": False, "group": None, "config": {}}
+
+    def _group_keys(group: str) -> dict[str, str]:
+        prefix = f"topic.creation.{group}."
+        return {
+            k[len(prefix):]: v
+            for k, v in props.items()
+            if k.startswith(prefix)
+        }
+
+    groups = _csv(props.get("topic.creation.groups", ""))
+    if "default" in groups:
+        raise ValueError(
+            "topic.creation.groups must not list 'default' — it is "
+            "the implicit catch-all group"
+        )
+    chosen = "default"
+    for g in groups:
+        keys = _group_keys(g)
+        if "include" not in keys:
+            raise ValueError(
+                f"topic.creation group '{g}' declares no include "
+                f"patterns — it would silently match nothing"
+            )
+        inc = [p.strip() for p in keys["include"].split(",") if p.strip()]
+        exc = [
+            p.strip()
+            for p in keys.get("exclude", "").split(",")
+            if p.strip()
+        ]
+        if any(_re.fullmatch(p, topic) for p in inc) and not any(
+            _re.fullmatch(p, topic) for p in exc
+        ):
+            chosen = g
+            break
+    merged = _group_keys("default")
+    if chosen != "default":
+        merged.update(_group_keys(chosen))
+    merged.pop("include", None)
+    merged.pop("exclude", None)
+    config: dict[str, object] = {}
+    for k, v in merged.items():
+        config[k] = (
+            int(v) if k in ("partitions", "replication.factor") else v
+        )
+    return {"enabled": True, "group": chosen, "config": config}

@@ -606,3 +606,134 @@ def e16_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("stickiness"),
     ).orderBy("day_no")
+
+
+#: trailing frame width (days, excluding the current day) and the
+#: minimum history required to score.
+ZS_W = 7
+ZS_MIN_N = 4
+#: anomaly threshold |z| > 2.5, enforced in INTEGER space:
+#: z^2 = d^2 / V with d = k*x - sum_x and V = k*sum_x2 - sum_x^2, so
+#: |z| > 2.5  <=>  d^2 * 100 > 625 * V  — no float boundary exists.
+ZS_T_NUM = 625
+ZS_T_DEN = 100
+
+
+@register(
+    "e17_rolling_zscore",
+    oracle=f"""
+WITH b AS (
+  SELECT event_type, epoch_ms(ts) // 86400000 AS di,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY event_type, epoch_ms(ts) // 86400000
+), span AS (
+  SELECT min(di) AS lo, max(di) AS hi FROM b
+), grid AS (
+  SELECT t.event_type, s.di
+  FROM (SELECT unnest(range(lo, hi + 1)) AS di FROM span) s
+  CROSS JOIN (SELECT DISTINCT event_type FROM events) t
+), g AS (
+  SELECT grid.event_type, grid.di,
+         CAST(COALESCE(b.n, 0) AS BIGINT) AS n
+  FROM grid LEFT JOIN b
+    ON grid.event_type = b.event_type AND grid.di = b.di
+), w AS (
+  SELECT event_type, di, n,
+         CAST(count(*) OVER fr AS BIGINT) AS k,
+         CAST(COALESCE(sum(n) OVER fr, 0) AS BIGINT) AS sx,
+         CAST(COALESCE(sum(n * n) OVER fr, 0) AS BIGINT) AS sx2
+  FROM g
+  WINDOW fr AS (PARTITION BY event_type ORDER BY di
+                ROWS BETWEEN {ZS_W} PRECEDING AND 1 PRECEDING)
+), s AS (
+  SELECT event_type, di, n, k,
+         k * n - sx AS d,
+         k * sx2 - sx * sx AS v
+  FROM w
+)
+SELECT event_type, di AS day_no, n, k,
+       CASE WHEN k >= {ZS_MIN_N} AND v > 0
+            THEN floor((CAST(d AS DOUBLE) / CAST(k AS DOUBLE))
+                       / sqrt(CAST(v AS DOUBLE)
+                              / CAST(k * k AS DOUBLE))
+                       * 10000 + 0.5) / 10000 END AS z,
+       (k >= {ZS_MIN_N} AND v > 0
+        AND d * d * {ZS_T_DEN} > {ZS_T_NUM} * v) AS is_anomaly
+FROM s ORDER BY event_type, day_no
+""",
+)
+def e17_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly detection on the daily event-count
+    series, per event type: each day's count scored against the
+    trailing-{ZS_W}-day window (current day EXCLUDED — the standard
+    leave-current-out control-chart rule), with a zero-filled day
+    spine so silent days are scoreable data points, not missing rows
+    (an outage IS the anomaly a monitor must catch).
+
+    Parity design: mean and variance come from INTEGER window sums
+    (k, Σx, Σx²) — d = k·x − Σx and V = k·Σx² − (Σx)² are exact
+    integers, z = (d/k)/sqrt(V/k²) is a fixed shape of exact doubles,
+    and the anomaly flag never touches a float: |z| > 2.5 ⟺
+    d²·100 > 625·V in pure integer arithmetic (the t46/t50 threshold
+    trick applied to second moments). Days with under {ZS_MIN_N}
+    history rows or zero variance surface NULL z and false.
+
+    Scale posture: one hash agg collapses the raw stream; everything
+    after runs on the (types × days) grid — time-bounded,
+    data-volume-independent (e7's spine argument); the window
+    partitions per series key."""
+    ev = table(spark, sf_dir, "events")
+    b = (
+        ev.groupBy(
+            "event_type",
+            F.expr("unix_millis(cast(ts as timestamp)) div 86400000")
+            .alias("di"),
+        )
+        .agg(F.count("*").alias("n"))
+    )
+    spine = (
+        b.agg(F.min("di").alias("lo"), F.max("di").alias("hi"))
+        .select(F.explode(F.sequence("lo", "hi")).alias("di"))
+    )
+    types = ev.select("event_type").distinct()
+    # both grid sides are control-plane-sized (types x days), but only
+    # the one-row span is a guaranteed single row — no forced broadcast
+    grid = spine.crossJoin(types)
+    g = grid.join(b, ["event_type", "di"], "left").select(
+        "event_type", "di", F.coalesce("n", F.lit(0)).alias("n")
+    )
+    fr = (
+        W.partitionBy("event_type")
+        .orderBy("di")
+        .rowsBetween(-ZS_W, -1)
+    )
+    w = g.select(
+        "event_type", "di", "n",
+        F.count("*").over(fr).alias("k"),
+        F.coalesce(F.sum("n").over(fr), F.lit(0)).alias("sx"),
+        F.coalesce(F.sum(F.col("n") * F.col("n")).over(fr), F.lit(0))
+        .alias("sx2"),
+    )
+    s = w.select(
+        "event_type", "di", "n", "k",
+        (F.col("k") * F.col("n") - F.col("sx")).alias("d"),
+        (F.col("k") * F.col("sx2") - F.col("sx") * F.col("sx")).alias("v"),
+    )
+    scoreable = (F.col("k") >= ZS_MIN_N) & (F.col("v") > 0)
+    z = (F.col("d").cast("double") / F.col("k").cast("double")) / F.sqrt(
+        F.col("v").cast("double")
+        / (F.col("k") * F.col("k")).cast("double")
+    )
+    from ..exprs import round4x_col
+
+    return s.select(
+        "event_type",
+        F.col("di").alias("day_no"),
+        "n",
+        "k",
+        F.when(scoreable, round4x_col(z)).alias("z"),
+        (
+            scoreable
+            & (F.col("d") * F.col("d") * ZS_T_DEN > ZS_T_NUM * F.col("v"))
+        ).alias("is_anomaly"),
+    ).orderBy("event_type", "day_no")

@@ -118,7 +118,14 @@ PRIORITY: list[str] = [
     # stronger C5 sweep check) gives its slot to cdc_partition_routing,
     # the round-7 SMT flagship (PartitionRouting sink-placement hash,
     # portable-hash-parity-audited).
-    "cdc_partition_routing",  # L113 PartitionRouting SMT
+    # round-9 continuation rotation: cdc_partition_routing (L113 —
+    # stays sweep-oracled; the Connect SMT tier keeps
+    # cdc_connect_predicates in-window, a strictly richer gate+SMT
+    # differential) gives its slot to t52_wordpiece — the SECOND
+    # tokenizer family (BERT greedy longest-match fold, structurally
+    # different from the BPE replay chain; md5-of-piece-stream
+    # differential).
+    "t52_wordpiece",         # WordPiece greedy longest-match
     # round-7 continuation: join_semi (C4 — stays sweep-oracled; the
     # family's stronger null-aware form sql_not_in_null_aware and
     # sql_in_subquery remain sweep checks) gives its slot to
@@ -213,7 +220,13 @@ PRIORITY: list[str] = [
     # time-series) get audited representatives; the demoted C9/B5 keys
     # remain oracle-checked by the repo sweep.
     "iter_pagerank",         # L29 iterative (exact unrolled-CTE oracle)
-    "e7_gapfill_locf",       # L22 time-series gap-fill
+    # round-9 continuation rotation: e7_gapfill_locf (L22 — stays
+    # sweep-oracled with its spine-join plan shape) gives its slot to
+    # t50_bigram_lm, the CCNet perplexity-bucketing stage (interpolated
+    # bigram LM, order-free integer NLL aggregation, pure-integer
+    # bucket thresholds — a new LM-scoring family member the window
+    # didn't cover).
+    "t50_bigram_lm",         # CCNet bigram-LM perplexity buckets
 ]
 
 
@@ -270,7 +283,7 @@ def load_all() -> None:
         transforms,
     )
     from .llm import bpe, clustering  # noqa: F401
-    from .llm import dedup, langid, lm, multimodal, pii, pq  # noqa: F401
+    from .llm import dedup, langid, lm, multimodal, negatives, pii, pq  # noqa: F401
     from .llm import pipeline_v2, quality_model  # noqa: F401
     from .llm import semantic_decontam, similarity  # noqa: F401
     from .llm import text, urls, wordpiece  # noqa: F401

@@ -374,3 +374,52 @@ def test_debezium_filter_without_condition_raises(spark):
         "transforms.f.type": "org.apache.kafka.connect.transforms.Filter",
     })
     assert out.count() == 0
+
+
+def test_topic_creation_group_resolution():
+    import pytest
+
+    from debezium_incubator_spark.connector import topic_creation_settings
+
+    props = {
+        "topic.creation.default.replication.factor": "3",
+        "topic.creation.default.partitions": "10",
+        "topic.creation.groups": "inventory, applicationlogs",
+        "topic.creation.inventory.include": r"dbserver1\.inventory\..*",
+        "topic.creation.inventory.partitions": "20",
+        "topic.creation.applicationlogs.include": r"dbserver1\.logs\..*",
+        "topic.creation.applicationlogs.exclude": r"dbserver1\.logs\.secret.*",
+        "topic.creation.applicationlogs.cleanup.policy": "delete",
+    }
+    # first matching group wins, its keys override default's
+    r = topic_creation_settings(props, "dbserver1.inventory.orders")
+    assert r["group"] == "inventory"
+    assert r["config"]["partitions"] == 20
+    assert r["config"]["replication.factor"] == 3  # inherited
+    # exclude beats include within a group → falls through to default
+    r = topic_creation_settings(props, "dbserver1.logs.secretstuff")
+    assert r["group"] == "default"
+    assert r["config"] == {"replication.factor": 3, "partitions": 10}
+    # non-matching topic → default
+    r = topic_creation_settings(props, "dbserver1.other.t")
+    assert r["group"] == "default"
+    # pass-through topic-level config keys survive as strings
+    r = topic_creation_settings(props, "dbserver1.logs.app")
+    assert r["group"] == "applicationlogs"
+    assert r["config"]["cleanup.policy"] == "delete"
+    # disabled → inert
+    off = dict(props)
+    off["topic.creation.enable"] = "false"
+    assert topic_creation_settings(off, "x")["enabled"] is False
+
+    # a group with no include is a loud error, not a silent no-match
+    bad = dict(props)
+    del bad["topic.creation.inventory.include"]
+    with pytest.raises(ValueError, match="declares no include"):
+        topic_creation_settings(bad, "dbserver1.inventory.orders")
+
+    # 'default' must not be listed as a custom group
+    bad2 = dict(props)
+    bad2["topic.creation.groups"] = "default,inventory"
+    with pytest.raises(ValueError, match="must not list 'default'"):
+        topic_creation_settings(bad2, "anything")

@@ -500,3 +500,52 @@ def test_log_mining_strategy_gate():
         assert plan["ddl_in_range"] == [(150, "orders")]
     with pytest.raises(ValueError, match="unsupported log.mining"):
         validate_mining_strategy("bogus", [], 0, 1)
+
+
+def test_supplemental_logging_gate():
+    import pytest
+
+    from debezium_incubator_spark.cdc.oracle_logminer import (
+        validate_supplemental_logging,
+    )
+
+    # database-level minimal logging off → refuse everything, with the
+    # remediation DDL in the message
+    with pytest.raises(ValueError, match="ALTER DATABASE ADD SUPPLEMENTAL"):
+        validate_supplemental_logging(False, {"orders": "all"}, ["orders"])
+
+    # captured table unconfigured → refuse, remediation names the table
+    with pytest.raises(
+        ValueError,
+        match=r"ALTER TABLE customer ADD SUPPLEMENTAL LOG DATA \(ALL\)",
+    ):
+        validate_supplemental_logging(
+            True, {"orders": "all"}, ["orders", "customer"]
+        )
+
+    # 'none' explicitly configured is the same refusal
+    with pytest.raises(ValueError, match="not configured"):
+        validate_supplemental_logging(
+            True, {"orders": "none"}, ["orders"]
+        )
+
+    # unknown level is loud
+    with pytest.raises(ValueError, match="unknown supplemental log level"):
+        validate_supplemental_logging(
+            True, {"orders": "bogus"}, ["orders"]
+        )
+
+    # pk-level tables are admitted but flagged for the LOB-style
+    # partial-image inheritance fold; case-insensitive table match
+    plan = validate_supplemental_logging(
+        True, {"Orders": "ALL", "lineitem": "pk"},
+        ["orders", "lineitem"],
+    )
+    assert plan["full_image"] == ["orders"]
+    assert plan["needs_inheritance"] == ["lineitem"]
+
+    # uncaptured tables' levels are irrelevant
+    plan = validate_supplemental_logging(
+        True, {"orders": "all", "ignored": "none"}, ["orders"]
+    )
+    assert plan == {"full_image": ["orders"], "needs_inheritance": []}

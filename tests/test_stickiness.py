@@ -58,3 +58,16 @@ def test_fixture_exercises_interval_merge():
             SELECT count(*) FROM g WHERE gap > {STICKY_W}"""
     ).fetchone()[0]
     assert n > 0
+
+
+def test_zscore_fixture_non_degenerate(spark):
+    """e17: the anomaly flag and the NULL-z warm-up rule must both be
+    live on the fixture, or the differential proves nothing."""
+    q = all_queries()["e17_rolling_zscore"]
+    rows = q(spark, SF_SMOKE).collect()
+    n_anom = sum(1 for r in rows if r["is_anomaly"])
+    n_null = sum(1 for r in rows if r["z"] is None)
+    assert n_anom > 0
+    assert n_null == 20  # ZS_MIN_N warm-up days x 5 event types
+    # leave-current-out: a NULL-z day is never flagged
+    assert all(not r["is_anomaly"] for r in rows if r["z"] is None)
