@@ -737,3 +737,58 @@ def e17_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("d") * F.col("d") * ZS_T_DEN > ZS_T_NUM * F.col("v"))
         ).alias("is_anomaly"),
     ).orderBy("event_type", "day_no")
+
+
+@register(
+    "e18_markov_transitions",
+    oracle="""
+WITH s AS (
+  SELECT user_id, event_type,
+         lead(event_type) OVER (
+           PARTITION BY user_id ORDER BY event_id) AS nxt
+  FROM events
+), t AS (
+  SELECT event_type AS src, nxt AS dst, CAST(count(*) AS BIGINT) AS n
+  FROM s WHERE nxt IS NOT NULL GROUP BY event_type, nxt
+), w AS (
+  SELECT src, dst, n,
+         CAST(sum(n) OVER (PARTITION BY src) AS BIGINT) AS row_total
+  FROM t
+)
+SELECT src, dst, n, row_total,
+       floor(CAST(n AS DOUBLE) / CAST(row_total AS DOUBLE)
+             * 10000 + 0.5) / 10000 AS p
+FROM w ORDER BY src, dst
+""",
+)
+def e18_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    journeys: for every consecutive event pair within a user's
+    event_id-ordered stream, the (src → dst) transition count and the
+    row-normalized transition probability — the user-journey model
+    behind next-action prediction and funnel-drop diagnosis.
+
+    Plan: ONE per-user window (lead) — the same shuffle class as
+    e13's attribution pass — then a hash agg onto the
+    type × type matrix (cardinality = event-type², a few dozen cells
+    at any data volume) and a window over that tiny matrix for row
+    totals. The matrix is control-plane-sized however large the
+    input; per-user partitions bound the lead window. Integer counts;
+    the probability is an integer-derived ratio through round4x."""
+    from ..exprs import round4x
+
+    ev = table(spark, sf_dir, "events")
+    wu = W.partitionBy("user_id").orderBy("event_id")
+    s = ev.select(
+        F.col("event_type").alias("src"),
+        F.lead("event_type").over(wu).alias("dst"),
+    ).filter(F.col("dst").isNotNull())
+    t = s.groupBy("src", "dst").agg(F.count("*").alias("n"))
+    w = t.select(
+        "src", "dst", "n",
+        F.sum("n").over(W.partitionBy("src")).alias("row_total"),
+    )
+    return w.select(
+        "src", "dst", "n", "row_total",
+        round4x("CAST(n AS DOUBLE) / CAST(row_total AS DOUBLE)").alias("p"),
+    ).orderBy("src", "dst")

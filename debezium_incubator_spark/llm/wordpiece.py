@@ -246,3 +246,54 @@ def t52_wordpiece(spark: SparkSession, sf_dir: str) -> DataFrame:
     every byte of every tokenization is differential."""
     docs = table(spark, sf_dir, "documents")
     return wordpiece_tokenize(spark, docs).orderBy("doc_id")
+
+
+# --- tokenize-on-ingest (streaming twin of t52) ----------------------------
+
+
+def tokenize_ingest_foreach_batch(out_dir: str):
+    """foreachBatch handler for CONTINUOUS tokenization-on-ingest:
+    each micro-batch of raw documents is WordPiece-tokenized and its
+    per-doc stats written to ``out_dir/batch=<epoch_id>``. The vocab
+    is a FIXED artifact (tokenizers ship with the model), so — unlike
+    the corpus-trained LM/BM25 stats — tokenization is strictly
+    per-document: no cross-batch state, replay idempotence is the
+    deterministic per-batch overwrite, and the streamed union across
+    ANY file slicing equals the one-shot batch run (the
+    stream==batch discipline of curation-on-ingest; the batch-local
+    distinct-word dictionary is an optimization, not semantics)."""
+    import os
+
+    def handle(batch: DataFrame, batch_id: int) -> None:
+        (
+            wordpiece_tokenize(batch.sparkSession, batch)
+            .write.mode("overwrite")
+            .parquet(os.path.join(out_dir, f"batch={batch_id}"))
+        )
+
+    return handle
+
+
+def start_tokenize_ingest_stream(
+    spark: SparkSession,
+    stage_dir: str,
+    schema,
+    out_dir: str,
+    checkpoint: str,
+):
+    """Tokenize-on-ingest as a real Structured Streaming query over a
+    parquet file source (one file per micro-batch, availableNow —
+    drains what exists then stops; re-invoke after a restart and the
+    checkpoint resumes from the first unprocessed file)."""
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage_dir)
+    )
+    return (
+        stream.writeStream
+        .foreachBatch(tokenize_ingest_foreach_batch(out_dir))
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

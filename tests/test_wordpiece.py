@@ -130,3 +130,50 @@ def test_fuzz_random_words_match_reference(spark):
         ref_pieces, ref_ok = _py_wordpiece(w)
         assert list(rows[i]["pieces"]) == ref_pieces, repr(w)
         assert rows[i]["ok"] == ref_ok, repr(w)
+
+
+def test_tokenize_ingest_stream_across_restart(spark, tmp_path):
+    """Streamed tokenization (one file per micro-batch, availableNow,
+    a RESTART between file 2 and file 3) unions to exactly the
+    one-shot batch run — the fixed vocab makes tokenization strictly
+    per-document."""
+    import glob
+    import os
+
+    from debezium_incubator_spark.catalog import table
+    from debezium_incubator_spark.llm.wordpiece import (
+        start_tokenize_ingest_stream,
+        wordpiece_tokenize,
+    )
+
+    from .conftest import SF_SMOKE
+
+    docs = table(spark, SF_SMOKE, "documents").cache()
+    expected = {
+        (r["doc_id"], r["tokens_md5"], r["n_unk"])
+        for r in wordpiece_tokenize(spark, docs).collect()
+    }
+    stage = str(tmp_path / "stage")
+    os.makedirs(stage)
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    schema = docs.schema
+
+    def stage_slice(j):
+        tmp = str(tmp_path / f"tmp{j}")
+        docs.where(F.col("doc_id") % 3 == j).coalesce(1).write.parquet(tmp)
+        src = glob.glob(os.path.join(tmp, "*.parquet"))[0]
+        os.rename(src, os.path.join(stage, f"b{j}.parquet"))
+
+    stage_slice(0)
+    stage_slice(1)
+    q = start_tokenize_ingest_stream(spark, stage, schema, out, ckpt)
+    q.awaitTermination(120)
+    stage_slice(2)
+    q2 = start_tokenize_ingest_stream(spark, stage, schema, out, ckpt)
+    q2.awaitTermination(120)
+    got = {
+        (r["doc_id"], r["tokens_md5"], r["n_unk"])
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got == expected and len(got) == 500
