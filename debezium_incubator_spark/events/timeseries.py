@@ -471,6 +471,57 @@ def e15_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 STICKY_W = 7
 
 
+def rolling_active_counts(pairs: DataFrame, w: int) -> DataFrame:
+    """Exact rolling COUNT DISTINCT via interval-merge + diff-array
+    (e16 docstring): from a distinct ``(user_id, di)`` activity-pair
+    frame, one row per spine day with ``day_no``, ``day``, ``dau``
+    (actives that day) and ``wau`` (distinct actives in the trailing
+    ``w`` days, current included). The seam the registered query and
+    the hypothesis property share."""
+    wu = W.partitionBy("user_id").orderBy("di")
+    pd_ = F.lag("di").over(wu)
+    flagged = pairs.select(
+        "user_id",
+        "di",
+        F.when(pd_.isNull() | (F.col("di") - pd_ > w), 1)
+        .otherwise(0)
+        .alias("brk"),
+    )
+    gi = flagged.select(
+        "user_id",
+        "di",
+        F.sum("brk").over(
+            wu.rowsBetween(W.unboundedPreceding, 0)
+        ).alias("grp"),
+    )
+    iv = gi.groupBy("user_id", "grp").agg(
+        F.min("di").alias("s"),
+        (F.max("di") + (w - 1)).alias("e"),
+    )
+    deltas = iv.select(
+        F.col("s").alias("di"), F.lit(1).alias("delta")
+    ).unionAll(
+        iv.select((F.col("e") + 1).alias("di"), F.lit(-1).alias("delta"))
+    )
+    dd = deltas.groupBy("di").agg(F.sum("delta").alias("delta"))
+    spine = (
+        pairs.agg(F.min("di").alias("lo"), F.max("di").alias("hi"))
+        .select(F.explode(F.sequence("lo", "hi")).alias("di"))
+    )
+    dau = pairs.groupBy("di").agg(F.count("*").alias("dau_"))
+    wg = W.orderBy("di").rowsBetween(W.unboundedPreceding, 0)
+    return (
+        spine.join(dau, "di", "left")
+        .join(dd, "di", "left")
+        .select(
+            F.col("di").alias("day_no"),
+            F.timestamp_millis(F.col("di") * 86400000).alias("day"),
+            F.coalesce("dau_", F.lit(0)).alias("dau"),
+            F.sum(F.coalesce("delta", F.lit(0))).over(wg).alias("wau"),
+        )
+    )
+
+
 @register(
     "e16_stickiness",
     oracle=f"""
@@ -553,46 +604,7 @@ def e16_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    wu = W.partitionBy("user_id").orderBy("di")
-    pd_ = F.lag("di").over(wu)
-    flagged = pe.select(
-        "user_id",
-        "di",
-        F.when(pd_.isNull() | (F.col("di") - pd_ > STICKY_W), 1)
-        .otherwise(0)
-        .alias("brk"),
-    )
-    gi = flagged.select(
-        "user_id",
-        "di",
-        F.sum("brk").over(
-            wu.rowsBetween(W.unboundedPreceding, 0)
-        ).alias("grp"),
-    )
-    iv = gi.groupBy("user_id", "grp").agg(
-        F.min("di").alias("s"),
-        (F.max("di") + (STICKY_W - 1)).alias("e"),
-    )
-    deltas = iv.select(F.col("s").alias("di"), F.lit(1).alias("delta")).unionAll(
-        iv.select((F.col("e") + 1).alias("di"), F.lit(-1).alias("delta"))
-    )
-    dd = deltas.groupBy("di").agg(F.sum("delta").alias("delta"))
-    spine = (
-        pe.agg(F.min("di").alias("lo"), F.max("di").alias("hi"))
-        .select(F.explode(F.sequence("lo", "hi")).alias("di"))
-    )
-    dau = pe.groupBy("di").agg(F.count("*").alias("dau_"))
-    wg = W.orderBy("di").rowsBetween(W.unboundedPreceding, 0)
-    m = (
-        spine.join(dau, "di", "left")
-        .join(dd, "di", "left")
-        .select(
-            F.col("di").alias("day_no"),
-            F.timestamp_millis(F.col("di") * 86400000).alias("day"),
-            F.coalesce("dau_", F.lit(0)).alias("dau"),
-            F.sum(F.coalesce("delta", F.lit(0))).over(wg).alias("wau"),
-        )
-    )
+    m = rolling_active_counts(pe, STICKY_W)
     return m.select(
         "day_no",
         "day",

@@ -71,3 +71,38 @@ def test_zscore_fixture_non_degenerate(spark):
     assert n_null == 20  # ZS_MIN_N warm-up days x 5 event types
     # leave-current-out: a NULL-z day is never flagged
     assert all(not r["is_anomaly"] for r in rows if r["z"] is None)
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+PAIRS = st.sets(
+    st.tuples(st.integers(0, 5), st.integers(0, 40)),
+    min_size=1, max_size=60,
+)
+WIN = st.integers(1, 9)
+
+
+@settings(max_examples=12, deadline=None)
+@given(PAIRS, WIN)
+def test_rolling_distinct_property(spark, pairs, w):
+    """ANY activity-pair set and ANY window width: the interval-merge
+    + diff-array pipeline equals the brute-force trailing-w distinct
+    count on every spine day."""
+    from debezium_incubator_spark.events.timeseries import (
+        rolling_active_counts,
+    )
+
+    rows = sorted(pairs)
+    df = spark.createDataFrame(rows, "user_id LONG, di LONG")
+    got = {
+        r["day_no"]: (r["dau"], r["wau"])
+        for r in rolling_active_counts(df, w).collect()
+    }
+    lo = min(d for _, d in rows)
+    hi = max(d for _, d in rows)
+    assert set(got) == set(range(lo, hi + 1))
+    for d in range(lo, hi + 1):
+        dau = len({u for u, dd in rows if dd == d})
+        wau = len({u for u, dd in rows if d - w < dd <= d})
+        assert got[d] == (dau, wau), (d, w)
