@@ -351,6 +351,7 @@ def parse_commitlog_segment(
     data: bytes,
     table_map: dict[str, str] | None = None,
     cdc_index: tuple[int, bool] | None = None,
+    cdc_enabled: set[str] | None = None,
 ) -> list[dict[str, Any]]:
     """Parse one segment into its mutation dicts, in write order.
     Every corruption class refuses loudly — a CDC reader silently
@@ -365,7 +366,18 @@ def parse_commitlog_segment(
     bytes beyond the watermark may be torn mid-write and are ignored
     entirely (no terminator, no zero-tail rule there). A COMPLETED
     index restores full strictness and must cover the whole file.
-    A watermark beyond the file size is a lying index — refused."""
+    A watermark beyond the file size is a lying index — refused.
+
+    ``cdc_enabled`` models the Cassandra ``cdc = true`` TABLE PROPERTY
+    (public semantics: a commitlog segment lands in cdc_raw when ANY
+    cdc-enabled table wrote into it, so segments carry other tables'
+    mutations too; the reader processes only cdc-enabled tables).
+    A mutation for a KNOWN but cdc-disabled table is deliberately
+    DROPPED — unlike an unknown table id, which stays a loud refusal
+    (schema ignorance is never a filter). Names not present in
+    ``table_map`` refuse at entry (a typo would silently capture
+    nothing), and the property gate needs table routing, so it
+    refuses version-1 segments."""
     if cdc_index is not None:
         limit, completed = cdc_index
         if limit > len(data):
@@ -393,6 +405,18 @@ def parse_commitlog_segment(
             "version-2 segment (multi-table mutation envelopes) needs "
             "a table_map to route table ids"
         )
+    if cdc_enabled is not None:
+        if version != VERSION2:
+            raise ValueError(
+                "cdc-enabled table filtering needs version-2 table-id "
+                "routing; version-1 segments carry no table ids"
+            )
+        unknown = set(cdc_enabled) - set(table_map.values())
+        if unknown:
+            raise ValueError(
+                f"cdc_enabled names {sorted(unknown)} not in table_map "
+                f"— a typo here would silently capture nothing"
+            )
     (head_crc,) = struct.unpack(">I", data[14:18])
     if head_crc != zlib.crc32(data[:14]):
         raise ValueError(
@@ -452,6 +476,8 @@ def parse_commitlog_segment(
             f"nonzero bytes after segment terminator at offset {off} "
             f"— corrupted tail"
         )
+    if cdc_enabled is not None:
+        out = [m for m in out if m["table"] in cdc_enabled]
     return out
 
 

@@ -578,3 +578,54 @@ def test_directory_stream_consumes_index_watermark(spark, tmp_path):
     with pytest.raises(Exception, match="no _cdc.idx sidecar"):
         q2.awaitTermination(120)
         raise RuntimeError("stream should have failed")
+
+
+def test_cdc_enabled_table_property_gate():
+    """The `cdc = true` table-property semantics: segments carry EVERY
+    table's mutations (a segment lands in cdc_raw when any enabled
+    table wrote into it); the reader keeps only cdc-enabled tables.
+    Known-but-disabled → deliberate drop; unknown id → still refusal;
+    enabled-name typo → refusal at entry; v1 → refusal (no table
+    ids)."""
+    import pytest
+
+    from debezium_incubator_spark.cdc.commitlog import (
+        encode_commitlog_segment,
+        parse_commitlog_segment,
+    )
+
+    seg = encode_commitlog_segment(
+        [_v2_env(1, 10, [
+            (T_USERS, "w", {"a": (1.0, 10, None)}),
+            (T_ORDERS, "w", {"amt": (9.5, 10, None)}),
+        ]),
+         _v2_env(2, 11, [(T_ORDERS, "w", {"amt": (3.0, 11, None)})])],
+        version=2,
+    )
+    # only 'users' is cdc-enabled: orders mutations drop, users stay
+    muts = parse_commitlog_segment(
+        seg, table_map=TABLE_MAP, cdc_enabled={"users"}
+    )
+    assert [(m["table"], m["pk"]) for m in muts] == [("users", 1)]
+    # both enabled == unfiltered
+    both = parse_commitlog_segment(
+        seg, table_map=TABLE_MAP, cdc_enabled={"users", "orders"}
+    )
+    assert len(both) == 3
+    # unknown table id refuses even when that table would be filtered
+    with pytest.raises(ValueError, match="unknown table id"):
+        parse_commitlog_segment(
+            seg, table_map={T_USERS: "users"}, cdc_enabled={"users"}
+        )
+    # a typo in the enabled set is loud, not a silent empty capture
+    with pytest.raises(ValueError, match="not in table_map"):
+        parse_commitlog_segment(
+            seg, table_map=TABLE_MAP, cdc_enabled={"userz"}
+        )
+    # the property gate needs table routing — version 1 refuses
+    v1 = encode_commitlog_segment(
+        [{"keyspace": "ks", "table": "users", "pk": 1, "op": "w",
+          "ts": 10, "cells": {"a": (1.0, 10, None)}}]
+    )
+    with pytest.raises(ValueError, match="version-1 segments carry no"):
+        parse_commitlog_segment(v1, cdc_enabled={"users"})

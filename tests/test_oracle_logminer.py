@@ -549,3 +549,70 @@ def test_supplemental_logging_gate():
         True, {"orders": "all", "ignored": "none"}, ["orders"]
     )
     assert plan == {"full_image": ["orders"], "needs_inheritance": []}
+
+
+def test_pk_only_supplemental_logging_routes_through_inheritance(spark):
+    """The L207 claim, run end-to-end: a PK-only-logged table's update
+    redo carries placeholders for unchanged non-key columns (the same
+    wire shape as unavailable LOBs). Routing the stream through
+    `resolve_unavailable` on the columns the gate flags, then folding,
+    must reproduce the state a FULL-image stream yields — including an
+    explicit NULL write, which inheritance must preserve (not skip in
+    favor of the older real value)."""
+    from debezium_incubator_spark.cdc.materialize import (
+        UNAVAILABLE_VALUE,
+        materialize_latest,
+        resolve_unavailable,
+    )
+    from debezium_incubator_spark.cdc.oracle_logminer import (
+        validate_supplemental_logging,
+    )
+
+    plan = validate_supplemental_logging(
+        True, {"orders": "pk"}, ["orders"]
+    )
+    assert plan["needs_inheritance"] == ["orders"]
+
+    PH = UNAVAILABLE_VALUE
+    # full-image truth: (key, pos, op, status, note)
+    full = [
+        (1, 1, "c", "new", "a"),
+        (1, 2, "u", "paid", "a"),       # update touches status only
+        (1, 3, "u", "paid", None),      # explicit NULL write of note
+        (1, 4, "u", "shipped", None),   # later update; note stays NULL
+        (2, 1, "c", "new", "x"),
+        (2, 2, "d", None, None),
+    ]
+    # pk-only wire: unchanged non-key columns arrive as the placeholder
+    pk_only = [
+        (1, 1, "c", "new", "a"),
+        (1, 2, "u", "paid", PH),
+        (1, 3, "u", PH, None),
+        (1, 4, "u", "shipped", PH),
+        (2, 1, "c", "new", "x"),
+        (2, 2, "d", None, None),
+    ]
+    schema = "k LONG, pos LONG, __op STRING, status STRING, note STRING"
+    want = {
+        (r["k"], r["status"], r["note"])
+        for r in materialize_latest(
+            spark.createDataFrame(full, schema), ["k"], ["pos"]
+        ).collect()
+    }
+    wire = spark.createDataFrame(pk_only, schema)
+    resolved = resolve_unavailable(
+        wire, ["k"], ["pos"], ["status", "note"]
+    )
+    got = {
+        (r["k"], r["status"], r["note"])
+        for r in materialize_latest(resolved, ["k"], ["pos"]).collect()
+    }
+    assert got == want == {(1, "shipped", None)}
+
+    # WITHOUT the inheritance fold the placeholder leaks into state —
+    # the defect the gate's flag exists to prevent
+    raw = {
+        (r["k"], r["status"], r["note"])
+        for r in materialize_latest(wire, ["k"], ["pos"]).collect()
+    }
+    assert raw == {(1, "shipped", PH)}
