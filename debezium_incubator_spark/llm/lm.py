@@ -130,11 +130,15 @@ def bigram_lm_scores(spark: SparkSession, docs: DataFrame) -> DataFrame:
     )
 
 
-@register(
-    "t50_bigram_lm",
-    oracle=f"""
-WITH t AS (
-  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+def oracle_bigram_cte(src: str = "documents") -> str:
+    """Reusable CTE fragment: defines ``docsc(doc_id, n_bigrams,
+    nll_sum_x1e4)`` — the interpolated-bigram-LM scores re-derived in
+    SQL over ``src`` (a table/CTE with doc_id + text), for composition
+    by other oracles (the t48-builder pattern). NOTE: the LM trains on
+    ``src`` itself, so composing stages must gate AFTER scoring, never
+    feed a pre-filtered src unless that is the intended corpus."""
+    return f"""t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM {src}
 ), big AS (
   SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2
   FROM t, LATERAL unnest(range(1, len(toks))) AS u(i)
@@ -160,7 +164,13 @@ WITH t AS (
   SELECT doc_id, count(*) AS n_bigrams,
          CAST(sum(q) AS BIGINT) AS nll_sum_x1e4
   FROM scored GROUP BY doc_id
-)
+)"""
+
+
+@register(
+    "t50_bigram_lm",
+    oracle=f"""
+WITH {oracle_bigram_cte()}
 SELECT doc_id, n_bigrams, nll_sum_x1e4,
        CAST(nll_sum_x1e4 AS DOUBLE)
          / (CAST(n_bigrams AS DOUBLE) * 10000.0) AS avg_nll,

@@ -205,3 +205,109 @@ def start_curation_ingest_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+# --- t54: curation v3 — LM perplexity gate → WordPiece budget --------------
+
+#: per-source WordPiece-token budget for the v3 selection.
+V3_BUDGET = 1500
+#: UNK-fraction gate: drop docs where n_unk/n_words > 5% (pure-integer
+#: compare n_unk * 20 > n_words — no float boundary).
+V3_UNK_NUM = 20
+
+
+def _v3_oracle() -> str:
+    from .lm import PPL_T2_X1E4, oracle_bigram_cte
+    from .wordpiece import oracle_wordpiece_cte
+
+    return f"""
+WITH RECURSIVE {oracle_bigram_cte()},
+s1 AS (
+  SELECT d.doc_id, d.text, d.source,
+         CASE WHEN nll_sum_x1e4 < {{T1}} * n_bigrams THEN 'head'
+              ELSE 'middle' END AS ppl_bucket
+  FROM documents d JOIN docsc USING (doc_id)
+  WHERE nll_sum_x1e4 < {PPL_T2_X1E4} * n_bigrams
+),
+{oracle_wordpiece_cte("s1")},
+d2 AS (
+  SELECT w0.doc_id,
+         CAST(count(*) AS BIGINT) AS n_words,
+         CAST(sum(len(pieces)) AS BIGINT) AS n_pieces,
+         CAST(sum(CAST(unk AS INT)) AS BIGINT) AS n_unk
+  FROM w0 JOIN fin USING (w) GROUP BY w0.doc_id
+),
+s2 AS (
+  SELECT s1.doc_id, s1.source, s1.ppl_bucket,
+         d2.n_words, d2.n_pieces, d2.n_unk
+  FROM d2 JOIN s1 USING (doc_id)
+  WHERE n_unk * {V3_UNK_NUM} <= n_words
+),
+r AS (
+  SELECT *, CAST(sum(n_pieces) OVER (
+    PARTITION BY source
+    ORDER BY md5('v3|' || CAST(doc_id AS VARCHAR)), doc_id
+    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_pieces
+  FROM s2
+)
+SELECT doc_id, source, ppl_bucket, n_words, n_pieces, n_unk, cum_pieces
+FROM r WHERE cum_pieces <= {V3_BUDGET} ORDER BY doc_id
+"""
+
+
+def _v3_oracle_filled() -> str:
+    from .lm import PPL_T1_X1E4
+
+    return _v3_oracle().replace("{T1}", str(PPL_T1_X1E4))
+
+
+@register("t54_curation_v3", oracle=_v3_oracle_filled())
+def t54_curation_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation v3 — the LM-era selection pipeline, composing the two
+    newest stages under ONE differential: CCNet perplexity gate (LM
+    trained on the FULL corpus, tail bucket dropped) → WordPiece
+    tokenization of the survivors → UNK-fraction quality gate
+    (pure-integer, >5% drops) → per-source greedy token budget
+    denominated in REAL WordPiece pieces (hash-ordered, cumulative cut
+    at V3_BUDGET). The oracle re-derives every stage from scratch via
+    the reusable CTE builders (`lm.oracle_bigram_cte`,
+    `wordpiece.oracle_wordpiece_cte` over the survivor CTE) — the
+    t48/t49 composition discipline extended to the new tier.
+
+    Scale posture: each stage is its own individually-probed linear
+    pipeline; the composition adds only doc_id hash joins, the gates
+    filter BEFORE the tokenizer so the fold runs on survivors, and the
+    budget window partitions per source."""
+    from pyspark.sql.window import Window as W
+
+    from .lm import bigram_lm_scores
+    from .wordpiece import wordpiece_tokenize
+
+    docs = table(spark, sf_dir, "documents")
+    lm = bigram_lm_scores(spark, docs)
+    s1 = docs.join(
+        lm.filter(F.col("ppl_bucket") != "tail")
+        .select("doc_id", "ppl_bucket"),
+        "doc_id",
+    )
+    wp = wordpiece_tokenize(spark, s1)
+    s2 = wp.join(
+        s1.select("doc_id", "source", "ppl_bucket"), "doc_id"
+    ).filter(F.col("n_unk") * V3_UNK_NUM <= F.col("n_words"))
+    w = (
+        W.partitionBy("source")
+        .orderBy(
+            F.md5(F.concat(F.lit("v3|"), F.col("doc_id").cast("string"))),
+            "doc_id",
+        )
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    r = s2.withColumn("cum_pieces", F.sum("n_pieces").over(w))
+    return (
+        r.filter(F.col("cum_pieces") <= V3_BUDGET)
+        .select(
+            "doc_id", "source", "ppl_bucket", "n_words", "n_pieces",
+            "n_unk", "cum_pieces",
+        )
+        .orderBy("doc_id")
+    )

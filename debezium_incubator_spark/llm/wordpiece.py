@@ -176,16 +176,17 @@ def _vocab_values_sql() -> str:
     return ", ".join(f"('{k}', {v})" for k, v in items)
 
 
-def oracle_wordpiece_cte() -> str:
+def oracle_wordpiece_cte(src: str = "documents") -> str:
     """Reusable CTE prelude: defines ``w0(doc_id, wno, w)``,
     ``fin(w, pieces, unk)`` — the per-word greedy scan re-derived as a
-    recursive CTE for composition by other oracles."""
+    recursive CTE over ``src`` (a table/CTE with doc_id + text), for
+    composition by other oracles (the t48-builder pattern)."""
     return f"""
 vocab(piece, adv) AS (
   VALUES {_vocab_values_sql()}
 ), w0 AS (
   SELECT doc_id, i - 1 AS wno, toks[i] AS w
-  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM {src}),
        LATERAL unnest(range(1, len(toks) + 1)) AS u(i)
 ), dw AS (
   SELECT DISTINCT w FROM w0
