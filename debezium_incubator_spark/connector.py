@@ -956,3 +956,100 @@ def topic_creation_settings(
             int(v) if k in ("partitions", "replication.factor") else v
         )
     return {"enabled": True, "group": chosen, "config": config}
+
+
+# ---------------------------------------------------------------------------
+# converters — Debezium's custom converter SPI (public: the
+# `CustomConverter` interface + `converters=<name>` / `<name>.type` /
+# `<name>.*` property contract)
+# ---------------------------------------------------------------------------
+
+#: registered converter factories: type-name → factory(params) →
+#: (matcher(table, column, dtype) -> bool,
+#:  convert(Column) -> Column, output_dtype: str | None).
+CONVERTER_TYPES: dict[str, object] = {}
+
+
+def register_converter_type(name: str):
+    """Register a converter factory under the name users reference via
+    ``<converter>.type`` — the engine analog of putting a
+    CustomConverter implementation on the connector classpath."""
+    def deco(factory):
+        CONVERTER_TYPES[name] = factory
+        return factory
+
+    return deco
+
+
+def apply_custom_converters(
+    df: DataFrame, table_name: str, props: dict[str, str]
+) -> DataFrame:
+    """Apply the ``converters=a,b`` chain, Debezium-shaped.
+
+    Public semantics honored: ``converters`` lists instance names in
+    APPLICATION ORDER; each instance resolves its implementation via
+    ``<name>.type`` (an unregistered type refuses loudly — the
+    classpath-missing error) and receives every other ``<name>.*``
+    property as its parameters; each converter's matcher is consulted
+    PER COLUMN with (table, column, Spark dtype simpleString) and, on
+    registration, rewrites that column's value (and schema — Debezium
+    converters override the SchemaBuilder too). A converter that
+    matches nothing is fine (Debezium logs, we no-op); a declared
+    instance with no ``.type`` refuses."""
+    names = _csv(props.get("converters", ""))
+    for name in names:
+        type_key = f"{name}.type"
+        if type_key not in props:
+            raise ValueError(
+                f"converter '{name}' declares no {type_key}"
+            )
+        tname = props[type_key]
+        if tname not in CONVERTER_TYPES:
+            raise ValueError(
+                f"converter type '{tname}' is not registered "
+                f"(known: {sorted(CONVERTER_TYPES)})"
+            )
+        params = {
+            k[len(name) + 1:]: v
+            for k, v in props.items()
+            if k.startswith(f"{name}.") and k != type_key
+        }
+        matcher, convert, out_dtype = CONVERTER_TYPES[tname](params)
+        for f_ in df.schema.fields:
+            if matcher(table_name, f_.name, f_.dataType.simpleString()):
+                col = convert(F.col(f_.name))
+                if out_dtype is not None:
+                    col = col.cast(out_dtype)
+                df = df.withColumn(f_.name, col)
+    return df
+
+
+@register_converter_type("epoch-days-to-iso")
+def _epoch_days_converter(params: dict[str, str]):
+    """Reference converter (the Debezium tutorial's date-to-string
+    shape): integer epoch-day columns whose names match
+    ``columns`` (csv) render as ISO yyyy-MM-dd strings."""
+    cols = set(_csv(params.get("columns", "")))
+
+    def matcher(table: str, column: str, dtype: str) -> bool:
+        return column in cols and dtype in ("int", "bigint")
+
+    def convert(c):
+        return F.date_format(F.date_add(F.lit("1970-01-01"), c), "yyyy-MM-dd")
+
+    return matcher, convert, "string"
+
+
+@register_converter_type("money-cents-to-decimal")
+def _money_cents_converter(params: dict[str, str]):
+    """Reference converter: integer cent columns (suffix-matched) to
+    DECIMAL(18,2) units — the classic money normalization."""
+    suffix = params.get("suffix", "_cents")
+
+    def matcher(table: str, column: str, dtype: str) -> bool:
+        return column.endswith(suffix) and dtype in ("int", "bigint")
+
+    def convert(c):
+        return c.cast("decimal(18,2)") / F.lit(100).cast("decimal(18,2)")
+
+    return matcher, convert, "decimal(18,2)"

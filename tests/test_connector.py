@@ -423,3 +423,51 @@ def test_topic_creation_group_resolution():
     bad2["topic.creation.groups"] = "default,inventory"
     with pytest.raises(ValueError, match="must not list 'default'"):
         topic_creation_settings(bad2, "anything")
+
+
+def test_custom_converter_spi(spark):
+    """Debezium CustomConverter SPI contract: instance chain in
+    declared order, <name>.type resolution with loud classpath-missing
+    refusal, <name>.* params delivered, per-column matcher on
+    (table, column, dtype), value AND schema override."""
+    import pytest
+    from decimal import Decimal
+
+    from debezium_incubator_spark.connector import apply_custom_converters
+
+    df = spark.createDataFrame(
+        [(1, 19000, 1999, "x")],
+        "id LONG, d INT, amount_cents LONG, name STRING",
+    )
+    props = {
+        "converters": "dates, money",
+        "dates.type": "epoch-days-to-iso",
+        "dates.columns": "d",
+        "money.type": "money-cents-to-decimal",
+        "money.suffix": "_cents",
+    }
+    out = apply_custom_converters(df, "orders", props)
+    row = out.collect()[0]
+    assert row["d"] == "2022-01-08"  # 19000 days from epoch
+    assert row["amount_cents"] == Decimal("19.99")
+    assert row["name"] == "x" and row["id"] == 1
+    # schema override happened, not just the value
+    types = dict((f.name, f.dataType.simpleString()) for f in out.schema)
+    assert types["d"] == "string"
+    assert types["amount_cents"] == "decimal(18,2)"
+
+    # matcher consults dtype: a STRING column named 'd' is untouched
+    df2 = spark.createDataFrame([("notadate",)], "d STRING")
+    out2 = apply_custom_converters(df2, "orders", props)
+    assert out2.collect()[0]["d"] == "notadate"
+
+    # unregistered type = the classpath-missing error, loud
+    with pytest.raises(ValueError, match="not registered"):
+        apply_custom_converters(
+            df, "orders", {"converters": "x", "x.type": "nope"}
+        )
+    # declared instance with no .type is loud
+    with pytest.raises(ValueError, match="declares no x.type"):
+        apply_custom_converters(df, "orders", {"converters": "x"})
+    # empty converters list is inert
+    assert apply_custom_converters(df, "orders", {}).collect() == df.collect()
