@@ -67,3 +67,46 @@ def test_short_doc_drops(spark):
     )
     got = {r["doc_id"] for r in split_leakage(spark, docs).collect()}
     assert 1 not in got
+
+
+def test_fuzz_random_corpora_match_reference(spark):
+    """Deterministic fuzz: 3 seeded random corpora — split assignment,
+    per-doc gram counts, hit counts, and the leaked flag all compared
+    to a pure-Python reference (hashlib md5 split + set algebra)."""
+    import random
+
+    vocab = ["alpha", "beta", "gamma", "delta", "epsi", "zeta"]
+    rng = random.Random(0x5EED)
+    for _ in range(3):
+        docs = [
+            (i, " ".join(rng.choice(vocab)
+                         for _ in range(rng.randint(1, 14))))
+            for i in range(40)
+        ]
+        # python reference
+        splits, grams = {}, {}
+        for i, t in docs:
+            b = _bucket(t)
+            splits[i] = "train" if b < 98 else ("val" if b == 98 else "test")
+            ts = t.split(" ")
+            grams[i] = {
+                " ".join(ts[j:j + LEAK_K])
+                for j in range(len(ts) - LEAK_K + 1)
+            }
+        train_pool = set().union(
+            *(grams[i] for i in splits if splits[i] == "train"),
+            set(),
+        )
+        expect = {}
+        for i in splits:
+            if splits[i] == "train" or not grams[i]:
+                continue
+            hits = grams[i] & train_pool
+            expect[i] = (splits[i], len(grams[i]), len(hits),
+                         bool(hits))
+        df = spark.createDataFrame(docs, "doc_id LONG, text STRING")
+        got = {
+            r["doc_id"]: (r["split"], r["n_sh"], r["n_hit"], r["leaked"])
+            for r in split_leakage(spark, df).collect()
+        }
+        assert got == expect
