@@ -804,3 +804,101 @@ def e18_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "src", "dst", "n", "row_total",
         round4x("CAST(n AS DOUBLE) / CAST(row_total AS DOUBLE)").alias("p"),
     ).orderBy("src", "dst")
+
+
+@register(
+    "e19_daily_trend",
+    oracle="""
+WITH b AS (
+  SELECT event_type, epoch_ms(ts) // 86400000 AS di,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY event_type, epoch_ms(ts) // 86400000
+), span AS (
+  SELECT min(di) AS lo, max(di) AS hi FROM b
+), grid AS (
+  SELECT t.event_type, s.di
+  FROM (SELECT unnest(range(lo, hi + 1)) AS di FROM span) s
+  CROSS JOIN (SELECT DISTINCT event_type FROM events) t
+), g AS (
+  SELECT grid.event_type, grid.di - span.lo AS x,
+         CAST(COALESCE(b.n, 0) AS BIGINT) AS y
+  FROM grid LEFT JOIN b
+    ON grid.event_type = b.event_type AND grid.di = b.di
+  CROSS JOIN span
+), s AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS k,
+         CAST(sum(x) AS BIGINT) AS sx,
+         CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * y) AS BIGINT) AS sxy,
+         CAST(sum(x * x) AS BIGINT) AS sx2
+  FROM g GROUP BY event_type
+)
+SELECT event_type, k, sy AS total,
+       floor(CAST(k * sxy - sx * sy AS DOUBLE)
+             / CAST(k * sx2 - sx * sx AS DOUBLE)
+             * 10000 + 0.5) / 10000 AS slope_per_day,
+       (k * sxy - sx * sy > 0) AS rising
+FROM s ORDER BY event_type
+""",
+)
+def e19_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series linear trend of the daily event-count series: the
+    least-squares slope (events/day drift) every monitoring dashboard
+    fits, over the zero-filled day grid so silent days pull the trend
+    down instead of vanishing.
+
+    Parity design: x is the day index, y the day's integer count —
+    ALL regression sums (k, Σx, Σy, Σxy, Σx²) are exact integers, the
+    slope numerator/denominator (k·Σxy − Σx·Σy, k·Σx² − (Σx)²) are
+    exact integers, and the slope is ONE double division through the
+    4dp floor policy. The `rising` flag compares the integer
+    numerator to zero (the denominator is positive whenever ≥2 days
+    exist) — no float boundary anywhere. The engine deliberately does
+    NOT use regr_slope(): both engines' built-ins accumulate double
+    sums in aggregation order, which is exactly the drift class the
+    parity policy exists to avoid.
+
+    Scale posture: e17's shape — one hash agg collapses the stream,
+    everything after runs on the (types × days) grid."""
+    from ..exprs import round4x
+
+    ev = table(spark, sf_dir, "events")
+    b = (
+        ev.groupBy(
+            "event_type",
+            F.expr("unix_millis(cast(ts as timestamp)) div 86400000")
+            .alias("di"),
+        )
+        .agg(F.count("*").alias("n"))
+    )
+    span = b.agg(F.min("di").alias("lo"), F.max("di").alias("hi"))
+    spine = span.select(
+        "lo", F.explode(F.sequence("lo", "hi")).alias("di")
+    )
+    types = ev.select("event_type").distinct()
+    grid = spine.crossJoin(types)
+    g = grid.join(b, ["event_type", "di"], "left").select(
+        "event_type",
+        (F.col("di") - F.col("lo")).alias("x"),
+        F.coalesce("n", F.lit(0)).alias("y"),
+    )
+    s = g.groupBy("event_type").agg(
+        F.count("*").alias("k"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sx2"),
+    )
+    num = F.col("k") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("k") * F.col("sx2") - F.col("sx") * F.col("sx")
+    return s.select(
+        "event_type",
+        "k",
+        F.col("sy").alias("total"),
+        round4x(
+            "CAST(k * sxy - sx * sy AS DOUBLE)"
+            " / CAST(k * sx2 - sx * sx AS DOUBLE)"
+        ).alias("slope_per_day"),
+        (num > 0).alias("rising"),
+    ).orderBy("event_type")
