@@ -311,3 +311,70 @@ def t54_curation_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --- t55: tokenizer A/B — BPE vs WordPiece cost per document ---------------
+
+
+def _t55_oracle() -> str:
+    from .wordpiece import oracle_wordpiece_cte
+
+    return f"""
+WITH RECURSIVE {oracle_docs_with_counts("bpe_d")},
+{oracle_wordpiece_cte()},
+wp AS (
+  SELECT w0.doc_id,
+         CAST(count(*) AS BIGINT) AS n_words,
+         CAST(sum(len(pieces)) AS BIGINT) AS wp_tokens
+  FROM w0 JOIN fin USING (w) GROUP BY w0.doc_id
+)
+SELECT b.doc_id,
+       CAST(b.n_tok AS BIGINT) AS bpe_tokens,
+       wp.wp_tokens, wp.n_words,
+       floor(CAST(wp.wp_tokens AS DOUBLE) / CAST(b.n_tok AS DOUBLE)
+             * 10000 + 0.5) / 10000 AS wp_over_bpe,
+       (wp.wp_tokens < b.n_tok) AS wordpiece_cheaper
+FROM bpe_d b JOIN wp USING (doc_id)
+WHERE b.n_tok > 0
+ORDER BY b.doc_id
+"""
+
+
+@register("t55_tokenizer_ab", oracle=_t55_oracle())
+def t55_tokenizer_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer A/B report: per-document cost of the engine's TWO
+    tokenizer families — byte-level BPE (t39's ranked-merge replay)
+    vs WordPiece (t52's greedy position scan) — the comparison a team
+    sizing a token budget actually runs before choosing a tokenizer.
+    Both counts are independently re-derived by the oracle (the BPE
+    staged-CTE chain AND the WordPiece recursive scan composed in ONE
+    query — the heaviest oracle composition in the registry); the
+    ratio goes through the 4dp floor and the `cheaper` flag is an
+    integer compare.
+
+    Scale posture: two independent linear per-doc pipelines joined on
+    doc_id — no new shuffle class; the BPE chain is zero-shuffle
+    expression work, WordPiece is dictionary-bounded."""
+    from .wordpiece import wordpiece_tokenize
+
+    docs = table(spark, sf_dir, "documents")
+    b = docs.select(
+        "doc_id",
+        bpe_token_count("text").cast("bigint").alias("bpe_tokens"),
+    )
+    wp = wordpiece_tokenize(spark, docs).select(
+        "doc_id", "n_words", F.col("n_pieces").alias("wp_tokens")
+    )
+    j = b.join(wp, "doc_id").filter(F.col("bpe_tokens") > 0)
+    return j.select(
+        "doc_id",
+        "bpe_tokens",
+        "wp_tokens",
+        "n_words",
+        round4x_col(
+            F.col("wp_tokens").cast("double")
+            / F.col("bpe_tokens").cast("double")
+        ).alias("wp_over_bpe"),
+        (F.col("wp_tokens") < F.col("bpe_tokens"))
+        .alias("wordpiece_cheaper"),
+    ).orderBy("doc_id")
