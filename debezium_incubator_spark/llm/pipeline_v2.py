@@ -354,14 +354,20 @@ def t55_tokenizer_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale posture: two independent linear per-doc pipelines joined on
     doc_id — no new shuffle class; the BPE chain is zero-shuffle
-    expression work, WordPiece is dictionary-bounded."""
+    expression work, WordPiece is dictionary-bounded. The BPE side is
+    explicitly repartitioned on the join key: without an exchange the
+    chain is a shuffle-free expensive projection under the global
+    sort, and the range-partitioner's SAMPLE job re-executes it (the
+    round-9 SCALE.md rule — the probe caught exactly this as a 17×
+    cliff at g1 before the fix; the exchange materializes the chain
+    once and every later job reuses the shuffle stage)."""
     from .wordpiece import wordpiece_tokenize
 
     docs = table(spark, sf_dir, "documents")
     b = docs.select(
         "doc_id",
         bpe_token_count("text").cast("bigint").alias("bpe_tokens"),
-    )
+    ).repartition("doc_id")
     wp = wordpiece_tokenize(spark, docs).select(
         "doc_id", "n_words", F.col("n_pieces").alias("wp_tokens")
     )
