@@ -1035,7 +1035,12 @@ def _epoch_days_converter(params: dict[str, str]):
         return column in cols and dtype in ("int", "bigint")
 
     def convert(c):
-        return F.date_format(F.date_add(F.lit("1970-01-01"), c), "yyyy-MM-dd")
+        # date_add accepts only INT-or-narrower for the day count; the
+        # matcher admits bigint epoch-day columns, so cast first (an
+        # epoch-day that overflows INT is year ±5.8M — not a date).
+        return F.date_format(
+            F.date_add(F.lit("1970-01-01"), c.cast("int")), "yyyy-MM-dd"
+        )
 
     return matcher, convert, "string"
 

@@ -75,3 +75,21 @@ def round4x_col(c: Column) -> Column:
     keeps the canonical rounding in ONE place so policy fixes reach
     every user."""
     return F.floor(c * FX + 0.5) / F.lit(float(FX))
+
+
+#: 6dp fixed-point scale for surfaced similarity scores (cosines).
+FX6 = 1000000
+
+
+def round6x_col(c: Column) -> Column:
+    """6dp analog of :func:`round4x_col` for surfaced cosines: ROUND(x,6)
+    diverges across engines at binary-exact halves (Spark BigDecimal
+    HALF_UP vs DuckDB double rounding) and a tiny negative cosine keeps
+    -0.0 under DuckDB ROUND where Spark gives +0.0 — the floor-half-up
+    spelling is pure IEEE arithmetic and normalizes -0.0 on both sides."""
+    return F.floor(c * FX6 + 0.5) / F.lit(float(FX6))
+
+
+def oracle_round6x(expr: str, alias: str) -> str:
+    """DuckDB twin of :func:`round6x_col`."""
+    return f"floor(({expr}) * {FX6} + 0.5) / CAST({FX6} AS DOUBLE) AS {alias}"

@@ -17,7 +17,10 @@ sort). At 100 TB this is exactly one corpus pass per mining batch.
 
 Parity: cosines are bit-identical left-folds, ranking uses
 (cos DESC, vec_id ASC) so equal-cosine ties (duplicate vectors) break
-deterministically; the surfaced score is ROUND(,6) after ranking.
+deterministically; the surfaced score is quantized AFTER ranking with
+the floor-half-up 6dp spelling (exprs.round6x_col — plain ROUND(,6)
+diverges across engines at binary-exact halves and preserves -0.0 in
+DuckDB, the documented round-7 gotcha).
 """
 
 from __future__ import annotations
@@ -26,6 +29,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
+from ..exprs import oracle_round6x, round6x_col
 from ..registry import register
 from .similarity import _vectors, dot, norm_sq
 
@@ -65,7 +69,7 @@ WITH e AS (
   FROM scored
 )
 SELECT anchor_id, rn, neg_id, anchor_label, neg_label,
-       ROUND(cos_raw, 6) AS cos
+       {oracle_round6x('cos_raw', 'cos')}
 FROM ranked WHERE rn <= {NEG_K}
 ORDER BY anchor_id, rn
 """
@@ -105,7 +109,7 @@ def hard_negatives(
         .filter(F.col("rn") <= k)
         .select(
             "anchor_id", "rn", "neg_id", "anchor_label", "neg_label",
-            F.round("cos_raw", 6).alias("cos"),
+            round6x_col(F.col("cos_raw")).alias("cos"),
         )
     )
 

@@ -436,24 +436,28 @@ def test_custom_converter_spi(spark):
     from debezium_incubator_spark.connector import apply_custom_converters
 
     df = spark.createDataFrame(
-        [(1, 19000, 1999, "x")],
-        "id LONG, d INT, amount_cents LONG, name STRING",
+        [(1, 19000, 19000, 1999, "x")],
+        "id LONG, d INT, d_big LONG, amount_cents LONG, name STRING",
     )
     props = {
         "converters": "dates, money",
         "dates.type": "epoch-days-to-iso",
-        "dates.columns": "d",
+        "dates.columns": "d,d_big",
         "money.type": "money-cents-to-decimal",
         "money.suffix": "_cents",
     }
     out = apply_custom_converters(df, "orders", props)
     row = out.collect()[0]
     assert row["d"] == "2022-01-08"  # 19000 days from epoch
+    # the advertised BIGINT path (r9 ADVICE): date_add needs an INT
+    # day count — the converter must cast, not AnalysisException
+    assert row["d_big"] == "2022-01-08"
     assert row["amount_cents"] == Decimal("19.99")
     assert row["name"] == "x" and row["id"] == 1
     # schema override happened, not just the value
     types = dict((f.name, f.dataType.simpleString()) for f in out.schema)
     assert types["d"] == "string"
+    assert types["d_big"] == "string"
     assert types["amount_cents"] == "decimal(18,2)"
 
     # matcher consults dtype: a STRING column named 'd' is untouched
