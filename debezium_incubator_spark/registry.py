@@ -166,11 +166,24 @@ PRIORITY: list[str] = [
     # redaction) plus the LID gate under the driver's audit in one
     # slot — the t40-precedent "stages compose" differential.
     "t49_curation_v2",       # LID → quality model → PII redaction
-    "agg_stats",             # D10
+    # round-10 rotation (r9 verdict #5): agg_stats (D10 — sweep-oracled
+    # since r2; D keeps q1/grouping_sets/collect_pct in-window) gives
+    # its slot to e16_stickiness, the exact rolling COUNT DISTINCT
+    # construction (per-user interval merge + diff-array + day-spine
+    # running sum — a window/agg composition no other audited query
+    # exercises, brute-force + hypothesis pinned).
+    "e16_stickiness",        # exact rolling DAU/MAU distinct
     # §2E windows (E1 via w1 above)
     "w_combined",            # E2+E3+E4+E5+E6+E7 combo
-    # §2F sorts / limits / sampling (F1 via q1 above)
-    "sort_topk_offset",      # F2 + F5 combo
+    # §2F sorts / limits / sampling (F1 global sort stays audited via
+    # q1/q3's ordered outputs). round-10 rotation: sort_topk_offset
+    # (F2+F5 — sweep-oracled since r2, TakeOrderedAndProject plan audit
+    # stays in tests) gives its slot to t54_curation_v3, the LM-era
+    # curation capstone (perplexity gate → WordPiece tokenization →
+    # integer UNK-fraction gate → per-source budget in real pieces; all
+    # four stages re-derived via composable CTE builders — the heaviest
+    # multi-family slot in the registry).
+    "t54_curation_v3",       # LM-era curation capstone (4 live stages)
     # round-7 third block: sort_sample (F4 — stays sweep-oracled; the F
     # family anchor sort_topk_offset stays in-window) gives its slot to
     # sim_binary_hamming, the binary-quantization ANN funnel (sign-bit
@@ -190,8 +203,14 @@ PRIORITY: list[str] = [
     # richer composed audit: IVF-PQ residual codes + routing + per-cell
     # ADC all re-derived in SQL from the persisted artifacts.
     "sim_ivfpq_adc",         # L148 IVF-PQ composed (persisted-artifact)
-    # §2G set ops
-    "set_ops_combined",      # G1+G2+G3+G4 combo
+    # §2G set ops: round-10 rotation — set_ops_combined (G1–G4, stable
+    # and sweep-oracled since r2) gives its slot to t55_tokenizer_ab,
+    # the tokenizer A/B report (per-doc BPE vs WordPiece cost — the
+    # heaviest oracle composition: the staged BPE CTE chain composed
+    # with the WordPiece recursive scan in ONE query; also the query
+    # whose r9 probe caught the 17× sort-sampler class, so its fixed
+    # plan deserves the driver's audit).
+    "t55_tokenizer_ab",      # BPE vs WordPiece A/B (composed oracle)
     # §2H scalar families (H10 via cast_coerce above)
     "fn_scalar_combo",       # H1+H2+H3+H4 combo
     "fn_nested_combo",       # H5+H6+H7+H9 combo
@@ -216,10 +235,13 @@ PRIORITY: list[str] = [
     # ONE hash-parity differential — proving the J2 stages COMPOSE).
     "t39_bpe_tokens",        # J5+ BPE token accounting (pinned merges)
     "t40_neardup_pipeline",  # J2 capstone: find→cluster→keep→weight
-    # round-3 additions: the two new §2L families (iterative graph /
-    # time-series) get audited representatives; the demoted C9/B5 keys
-    # remain oracle-checked by the repo sweep.
-    "iter_pagerank",         # L29 iterative (exact unrolled-CTE oracle)
+    # round-10 rotation: iter_pagerank (L29 — sweep-oracled since r3
+    # with its exact unrolled-CTE oracle; the iterative family keeps
+    # its convergence tests) gives its slot to cdc_olr_fold, the THIRD
+    # Oracle read path (OpenLogReplicator (scn, idx) sub-SCN positions
+    # — the colliding-SCN fixture makes idx load-bearing; a position
+    # semantics no other audited query exercises).
+    "cdc_olr_fold",          # OpenLogReplicator (scn, idx) fold
     # round-9 continuation rotation: e7_gapfill_locf (L22 — stays
     # sweep-oracled with its spine-join plan shape) gives its slot to
     # t50_bigram_lm, the CCNet perplexity-bucketing stage (interpolated

@@ -12,14 +12,20 @@ from debezium_incubator_spark.registry import (
 # One representative (or combo) per SURVEY.md §2 family that the window
 # must always contain — regressing any of these back out of the first 50
 # re-opens the round-1 "untested family" hole.
+#
+# Round-10 rotation (r9 verdict #5): the long-stable F2/F5 and G combos
+# (sort_topk_offset, set_ops_combined — sweep-oracled since r2, plan
+# audits retained in tests) rotated out in favor of t54/t55/e16/olr;
+# F1 (global sort) stays audited in-window via q1/q3's ordered outputs,
+# so the F anchor is now q3 (its ordered LIMIT output exercises
+# F1+F2's TakeOrderedAndProject shape) and G is sweep-only.
 FAMILY_ANCHORS = {
     "scan_project",        # A
     "filter_predicate",    # B
     "join_broadcast",      # C
     "q1_pricing_summary",  # D (+ bench)
     "w_combined",          # E
-    "sort_topk_offset",    # F
-    "set_ops_combined",    # G
+    "q3_shipping_priority",  # F (global sort + top-k LIMIT)
     "fn_scalar_combo",     # H
     "e1_tumbling_window",  # I twin
     "dedup_exact",         # J
