@@ -72,20 +72,53 @@ UNK = "[UNK]"
 def _vocab_map() -> Column:
     """The vocab as a MAP literal piece → chars-consumed (KB-bounded
     control plane; built per call — no module-level column, the
-    no-active-session import rule)."""
+    no-active-session import rule).
+
+    Each array goes through ONE ``F.lit(list)`` call: at the 1024-piece
+    production vocab, per-element ``F.lit`` construction is ~2k py4j
+    round-trips and measured ~12 s of client-side plan build PER QUERY
+    (t52 warm build+exec 16.7 s); the single array literal builds in
+    milliseconds and the JVM tree carries two shallow-copied Literal
+    nodes instead of 2k (t52 warm build+exec back to ~1 s)."""
     items = sorted(VOCAB.items())
     return F.map_from_arrays(
-        F.array(*[F.lit(k) for k, _ in items]),
-        F.array(*[F.lit(v) for _, v in items]),
+        F.lit([k for k, _ in items]),
+        F.lit([v for _, v in items]),
     )
 
 
-def wordpiece_result_col(w: Column) -> Column:
+def _vocab_row(spark: SparkSession) -> DataFrame:
+    """The vocab as DATA: a ONE-ROW frame ``(_vm map<string,int>)``
+    built from a 1024-row control-plane DataFrame. The production path
+    (``wordpiece_tokenize``) broadcast-cross-joins this row to the
+    distinct words so the fold references an ATTRIBUTE — at the
+    1024-piece vocab the literal-map spelling inlines ~17 copies of a
+    2048-literal array into the expression tree and the analyzer walk
+    alone costs ~10 s per query (measured; the BPE merges-as-DATA
+    lesson, r8 #5, applied to the map shape). Map lookups are linear
+    scans either way (Catalyst has no literal-map hash fast path), so
+    runtime is identical — only plan build/analysis changes."""
+    items = sorted(VOCAB.items())
+    return (
+        spark.createDataFrame(items, "piece STRING, adv INT")
+        .agg(
+            F.map_from_arrays(
+                F.collect_list("piece"), F.collect_list("adv")
+            ).alias("_vm")
+        )
+    )
+
+
+def wordpiece_result_col(w: Column, vmap: Column | None = None) -> Column:
     """Greedy longest-match fold over one word column: returns
     ``struct(pieces array<string>, ok boolean)`` — ok=false means the
     word took the whole-word-[UNK] path (no match at some position,
-    or longer than MAX_WORD_CHARS)."""
-    vmap = _vocab_map()
+    or longer than MAX_WORD_CHARS). Pass ``vmap`` (an attribute column
+    carrying the piece→adv map, see :func:`_vocab_row`) on hot paths;
+    the default literal-map spelling is semantics-identical but pays
+    an O(|vocab|) analyzer walk per reference."""
+    if vmap is None:
+        vmap = _vocab_map()
 
     def _piece(pos: Column, length: int) -> Column:
         raw = w.substr(pos, F.lit(length))
@@ -144,7 +177,11 @@ def wordpiece_tokenize(spark: SparkSession, docs: DataFrame) -> DataFrame:
     )
     wp = (
         words.select("w").distinct()
-        .select("w", wordpiece_result_col(F.col("w")).alias("r"))
+        .crossJoin(F.broadcast(_vocab_row(spark)))
+        .select(
+            "w",
+            wordpiece_result_col(F.col("w"), F.col("_vm")).alias("r"),
+        )
         .select("w", F.col("r.pieces").alias("pieces"), F.col("r.ok").alias("ok"))
     )
     # distinct-word table is vocab-class but corpus-derived: no hint

@@ -1,11 +1,12 @@
 """Generate the checked-in WordPiece vocabulary
 (debezium_incubator_spark/llm/wordpiece_vocab.tsv) from the sf0.01
-corpus — deterministic, re-runnable, no RNG.
+corpus — deterministic, re-runnable, no RNG. Target size: 1024 pieces
+(production shape — the BPE-merges precedent at r8 #5).
 
 The OPERATOR under test is WordPiece greedy longest-match-first
 INFERENCE (the algorithm BERT ships; HuggingFace tokenizers docs
 describe it exactly): the vocabulary is a given artifact, the same way
-bpe_merges.tsv is for the BPE family. This rule-built vocab is shaped
+bpe_merges.tsv is for the BPE family. The corpus-mined core is shaped
 to make the algorithm's branches all load-bearing on the fixture:
 
 - single chars (initial AND '##' continuation) for every corpus
@@ -18,7 +19,19 @@ to make the algorithm's branches all load-bearing on the fixture:
   piece — creating real prefix/whole-word competition;
 - '##'+w[3:] full-suffix continuations for the top-12 words of
   len >= 5 — two-piece tokenizations (prefix + suffix) where greedy
-  longest-match must prefer the long suffix over char-by-char.
+  longest-match must prefer the long suffix over char-by-char;
+- ALL corpus-attested mid-word bigrams as '##' continuations — greedy
+  must prefer suffix > bigram > char at every continuation position.
+
+The corpus has only ~31 distinct words, so corpus-attested pieces cap
+out far below production vocab size. The remainder is a DETERMINISTIC
+alphabet fill (sorted '##'-bigrams, then initial bigrams, then
+'##'-trigrams over the 'j'-free corpus alphabet) up to exactly 1024 —
+mirroring real WordPiece vocabs, where most pieces never fire on a
+given document but the engine must stay fast with the full table (the
+dictionary-bounded MAP literal is the size-insensitivity claim under
+test). Fill pieces are all 1–3 chars, so LMAX (longest piece = the
+fold's per-step branch count) is still set by the mined whole words.
 
 Output: one piece per line, sorted, TSV with a single column.
 """
@@ -26,6 +39,7 @@ Output: one piece per line, sorted, TSV with a single column.
 from __future__ import annotations
 
 import collections
+import itertools
 import pathlib
 
 SRC = "/root/testdata/sf0.01/documents.parquet"
@@ -34,6 +48,7 @@ OUT = (
     / "debezium_incubator_spark" / "llm" / "wordpiece_vocab.tsv"
 )
 EXCLUDED_CHAR = "j"
+TARGET = 1024
 
 
 def build_vocab() -> list[str]:
@@ -63,11 +78,39 @@ def build_vocab() -> list[str]:
             vocab.add(w[:3])
     for w in [w for w in clean if len(w) >= 5][:12]:
         vocab.add("##" + w[3:])
+    # corpus-attested mid-word bigram continuations
+    for w in clean:
+        for i in range(1, len(w) - 1):
+            vocab.add("##" + w[i:i + 2])
 
-    # invariants the engine fold and oracle CTE rely on
+    # deterministic alphabet fill to TARGET (production vocab shape)
+    fill_alpha = [c for c in alphabet if c != EXCLUDED_CHAR]
+    streams = itertools.chain(
+        ("##" + a + b for a, b in itertools.product(fill_alpha, repeat=2)),
+        (a + b for a, b in itertools.product(fill_alpha, repeat=2)),
+        ("##" + a + b + c
+         for a, b, c in itertools.product(fill_alpha, repeat=3)),
+    )
+    for piece in streams:
+        if len(vocab) >= TARGET:
+            break
+        vocab.add(piece)
+    assert len(vocab) == TARGET, len(vocab)
+
+    # invariants the engine fold and oracle CTE rely on (r9 ADVICE #8:
+    # the BPE uniqueness-assert pattern applied here)
+    assert all(p for p in vocab), "empty piece"
     assert all("\t" not in p and "\n" not in p for p in vocab)
     assert all("'" not in p and "\\" not in p for p in vocab)  # SQL-safe
-    assert len({p for p in vocab}) == len(vocab)
+    assert "#" not in alphabet, "corpus alphabet may not contain '#'"
+    for p in vocab:
+        # a piece is INIT (no '##') or CONT ('##'+body, body nonempty and
+        # '#'-free) — anything else makes the (pos>1 → '##'+substr)
+        # matcher ambiguous across the engine fold and the oracle CTE
+        body = p[2:] if p.startswith("##") else p
+        assert body and "#" not in body, f"ambiguous piece {p!r}"
+        assert EXCLUDED_CHAR not in body, f"excluded char in {p!r}"
+    assert len({p for p in vocab}) == len(vocab)  # map keys unique
     return sorted(vocab)
 
 
