@@ -114,6 +114,50 @@ SEED_TEXTS = {
         "stark aus dem norden weht und kalte luft über die stadt "
         "bringt wo die lichter warm in den häusern brennen"
     ),
+    # round-10 breadth (r9 verdict #7): three more public-seed
+    # languages, including the es/pt/it romance cluster — the pair
+    # most likely to confuse a trigram profiler — so the confusion-
+    # pinning test has real adversaries. Apostrophes are deliberately
+    # avoided (profile trigrams inline into the oracle VALUES list).
+    "it": (
+        "la volpe marrone salta sopra il cane pigro e poi corre "
+        "attraverso i campi verdi mentre il sole brilla sulle colline "
+        "e la gente cammina al mercato per comprare pane e latte per "
+        "i loro bambini che giocano nel giardino vicino alla vecchia "
+        "casa con il tetto rosso e così il mondo va avanti ogni "
+        "giorno con il lavoro e il riposo e le piccole cose che "
+        "rendono buona la vita al mattino la pioggia cade sul tetto e "
+        "la acqua scorre lungo la strada verso il fiume che scende "
+        "verso il mare dove le navi navigano sotto il cielo grigio e "
+        "il vento soffia forte dal nord portando aria fredda sulla "
+        "città dove le luci ardono calde nelle case"
+    ),
+    "nl": (
+        "de bruine vos springt over de luie hond en dan rent hij door "
+        "de groene velden terwijl de zon over de heuvels schijnt en "
+        "de mensen lopen naar de markt om brood en melk te kopen voor "
+        "hun kinderen die in de tuin spelen bij het oude huis met het "
+        "rode dak en zo gaat de wereld elke dag verder met werk en "
+        "rust en de kleine dingen die het leven goed maken in de "
+        "ochtend valt de regen op het dak en het water loopt de "
+        "straat af naar de rivier die naar de zee stroomt waar de "
+        "schepen onder de grijze lucht varen en de wind sterk uit het "
+        "noorden waait en koude lucht over de stad brengt waar de "
+        "lichten warm in de huizen branden"
+    ),
+    "pt": (
+        "a raposa marrom salta sobre o cão preguiçoso e depois corre "
+        "pelos campos verdes enquanto o sol brilha sobre as colinas e "
+        "as pessoas caminham ao mercado para comprar pão e leite para "
+        "os seus filhos que brincam no jardim perto da casa velha com "
+        "o telhado vermelho e assim o mundo segue cada dia com "
+        "trabalho e descanso e as pequenas coisas que tornam a vida "
+        "boa pela manhã a chuva cai sobre o telhado e a água corre "
+        "pela rua até o rio que desce até o mar onde os barcos "
+        "navegam sob o céu cinzento e o vento sopra forte do norte "
+        "trazendo frio sobre a cidade onde as luzes ardem quentes "
+        "nas casas"
+    ),
 }
 
 

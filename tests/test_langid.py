@@ -28,6 +28,14 @@ PLANTED = {
           "antes de caminar a casa por las calles tranquilas",
     "de": "sie gab den kindern etwas wasser und sie dankten ihr bevor "
           "sie durch die stillen strassen nach hause gingen",
+    "it": "lei diede un poco di acqua ai bambini e loro la "
+          "ringraziarono prima di tornare a casa per le strade "
+          "tranquille della sera",
+    "nl": "zij gaf de kinderen wat water en zij bedankten haar "
+          "voordat zij door de stille straten naar huis liepen",
+    "pt": "ela deu um pouco de água às crianças e elas agradeceram "
+          "antes de caminhar para casa pelas ruas tranquilas da "
+          "noite",
 }
 
 
@@ -57,7 +65,8 @@ def test_build_is_deterministic():
 
 def test_planted_multilingual_recall(spark):
     """Held-out sentences in each profiled language must all come back
-    with the right prediction — 4/4 recall, pinned exactly."""
+    with the right prediction — 7/7 recall, pinned exactly."""
+    assert set(PLANTED) == set(SEED_TEXTS)  # breadth stays in sync
     rows = [(i, PLANTED[lang], lang)
             for i, lang in enumerate(sorted(PLANTED))]
     df = spark.createDataFrame(rows, "doc_id LONG, text STRING, want STRING")
@@ -67,6 +76,32 @@ def test_planted_multilingual_recall(spark):
     }
     want = {i: lang for i, lang in enumerate(sorted(PLANTED))}
     assert got == want
+
+
+def test_romance_cluster_confusion_margin(spark):
+    """Confusion pinning for the adversarial es/pt/it cluster (and
+    fr): each planted romance-language doc must beat every OTHER
+    romance profile by a strictly positive margin — not just win the
+    argmin. A trigram profiler that merely ekes out ties here would
+    be fragile; this pins real separation on held-out text."""
+    romance = ["es", "fr", "it", "pt"]
+    rows = [(i, PLANTED[lang]) for i, lang in enumerate(romance)]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    # full per-candidate distances: rerun scoring with each single-
+    # language profile subset (the public API only surfaces argmin)
+    full = {}
+    for cand in romance:
+        prof = [(lg, tg, pr) for lg, tg, pr in PROFILES if lg == cand]
+        for r in language_id(df, profiles=prof).collect():
+            full[(r["doc_id"], cand)] = r["dist"]
+    for i, lang in enumerate(romance):
+        own = full[(i, lang)]
+        for other in romance:
+            if other != lang:
+                assert own < full[(i, other)], (
+                    f"{lang} planted doc does not separate from {other}: "
+                    f"{own} vs {full[(i, other)]}"
+                )
 
 
 def test_seed_texts_self_identify(spark):
