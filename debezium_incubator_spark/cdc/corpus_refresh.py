@@ -1,0 +1,277 @@
+"""CDC→corpus end-to-end (the capstone composing the repo's two proven
+halves into the product the driver brief describes): documents arrive
+as Debezium-shaped CDC envelopes over a ``documents``-shaped source
+table, fold to latest state, exact-dedup to keepers, and feed the
+curation-v3 selection pipeline — in ONE pipeline, batch and streaming.
+
+Why this needs its own differential: every stage is individually
+oracled (envelope wire L-rows, I6 folds, J1 dedup, t54 v3), but no
+standalone stage proves the CDC semantics *reach the corpus*: a
+DELETED source document must LEAVE the corpus, an UPDATED one must be
+re-curated on its new text, and a replayed/duplicated delivery must
+change nothing. The synthetic change history below makes each of those
+paths load-bearing:
+
+- every doc INSERTS first with draft text (``text || ' draft pending'``)
+  — docs that are never updated are curated on the DRAFT, so using the
+  fixture text by mistake is a hash mismatch;
+- ``doc_id % 5 == 0`` drafts share ONE placeholder text — the exact-
+  dedup stage collapses the surviving placeholders to their min-doc_id
+  keeper (dedup-on-refresh is live, not decorative);
+- ``doc_id % 3 == 0`` docs are UPDATED to the real fixture text — the
+  replace path;
+- ``doc_id % 7 == 0`` docs are DELETED last — the leave path (some are
+  update-then-delete: the fold must not resurrect the update).
+
+The engine round-trips the log through the JSON wire
+(:func:`documents_envelopes` → :func:`~..cdc.envelope.parse_envelope`
+→ :func:`~..cdc.envelope.unwrap`), so the differential also covers the
+documents-table wire encode/decode. The oracle re-derives EVERYTHING —
+log synthesis, fold, dedup, and all four v3 stages (LM, WordPiece,
+UNK gate, budget) — from the raw ``documents`` table in one SQL query
+(`pipeline_v2._v3_oracle` over the folded-corpus CTE).
+
+Streaming: :func:`start_corpus_refresh_stream` drives the same
+pipeline as a Structured Streaming query — per micro-batch the
+envelopes merge into the bucket-partitioned state tier (only touched
+buckets rewrite), then the corpus snapshot is RECOMPUTED from current
+state (v3's LM and budget are corpus-global, so refresh semantics —
+not per-batch append — are the correct incremental form; the
+dedup-on-ingest / curation-on-ingest streams cover the per-batch
+stateless forms). Restart-safe: the state apply is epoch-idempotent,
+the snapshot write is a deterministic per-epoch overwrite, and the
+``_LATEST`` pointer commits by atomic rename. The restart-spanning
+test pins streamed == one-shot batch.
+
+Scale posture (100 TB): the log parse/unwrap is expression-only; the
+fold is the partitioned-state apply (touched buckets only, probed flat
+in state size); dedup is one window by text hash; v3 re-runs over the
+folded corpus — a full refresh per trigger is the semantics of a
+corpus-global selection, and its cost is the already-probed t54
+pipeline over CURRENT state, not over the unbounded log.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.window import Window as W
+
+from ..catalog import table
+from ..registry import register
+from ..llm.pipeline_v2 import _v3_oracle_filled, curate_docs_v3
+from .envelope import parse_envelope, unwrap
+from .materialize import materialize_latest
+
+#: shared draft text for every 5th doc's insert — the planted exact
+#: dups that keep the dedup stage live (SQL-safe: letters and spaces).
+PLACEHOLDER = "pending review placeholder document"
+DRAFT_SUFFIX = " draft pending"
+
+DOC_ROW_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("text", T.StringType()),
+    T.StructField("source", T.StringType()),
+])
+DOC_KEY_SCHEMA = T.StructType([T.StructField("doc_id", T.LongType())])
+
+
+def documents_change_log(docs: DataFrame) -> DataFrame:
+    """Deterministic synthetic CDC history over a (doc_id, text,
+    source) frame (module docstring): flat change rows
+    ``(doc_id, text, source, __op, __pos)``, re-derivable in SQL."""
+    did = F.col("doc_id")
+    ins = docs.select(
+        "doc_id",
+        F.when(did % 5 == 0, F.lit(PLACEHOLDER))
+        .otherwise(F.concat(F.col("text"), F.lit(DRAFT_SUFFIX)))
+        .alias("text"),
+        "source",
+        F.lit("c").alias("__op"),
+        (did * 10 + 1).alias("__pos"),
+    )
+    upd = docs.filter(did % 3 == 0).select(
+        "doc_id", "text", "source",
+        F.lit("u").alias("__op"), (did * 10 + 2).alias("__pos"),
+    )
+    dels = docs.filter(did % 7 == 0).select(
+        "doc_id", F.lit(None).cast("string").alias("text"), "source",
+        F.lit("d").alias("__op"), (did * 10 + 3).alias("__pos"),
+    )
+    return ins.unionByName(upd).unionByName(dels)
+
+
+def documents_envelopes(log: DataFrame, as_json: bool = True) -> DataFrame:
+    """The Debezium wire shape for the documents log: (key, value)
+    envelope structs, or JSON strings when ``as_json`` (what a Kafka
+    topic would carry). Deletes put the (text-less) image in
+    ``before``; ``source.pos`` carries the log position."""
+    row = F.struct(F.col("doc_id"), F.col("text"), F.col("source"))
+    null_row = F.lit(None).cast(DOC_ROW_SCHEMA)
+    op = F.col("__op")
+    env = log.select(
+        F.struct(F.col("doc_id")).alias("key"),
+        F.struct(
+            F.when(op == "d", row).otherwise(null_row).alias("before"),
+            F.when(op != "d", row).otherwise(null_row).alias("after"),
+            F.struct(
+                F.lit("sim").alias("connector"),
+                F.lit("testdb").alias("db"),
+                F.lit("documents").alias("table"),
+                F.lit(False).alias("snapshot"),
+                F.col("__pos").alias("pos"),
+            ).alias("source"),
+            op.alias("op"),
+            F.col("__pos").alias("ts_ms"),
+        ).alias("value"),
+    )
+    if as_json:
+        env = env.select(
+            F.to_json("key").alias("key"), F.to_json("value").alias("value")
+        )
+    return env
+
+
+def unwrap_documents(wire: DataFrame) -> DataFrame:
+    """JSON wire → flat change rows (the consumer side of
+    :func:`documents_envelopes`)."""
+    parsed = parse_envelope(wire, DOC_ROW_SCHEMA, key_schema=DOC_KEY_SCHEMA)
+    return unwrap(parsed).select(
+        "doc_id", "text", "source", "__op", "__pos"
+    )
+
+
+def dedup_keepers(state: DataFrame) -> DataFrame:
+    """Exact dedup of the folded state: keeper = min doc_id per text
+    (the J1 convention) — full surviving rows."""
+    w = W.partitionBy("text").orderBy("doc_id")
+    return (
+        state.withColumn("__krn", F.row_number().over(w))
+        .filter(F.col("__krn") == 1)
+        .drop("__krn")
+    )
+
+
+_LOG_CTES = f"""log AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0 THEN '{PLACEHOLDER}'
+              ELSE text || '{DRAFT_SUFFIX}' END AS text,
+         source, 'c' AS op, doc_id * 10 + 1 AS pos
+  FROM documents
+  UNION ALL
+  SELECT doc_id, text, source, 'u', doc_id * 10 + 2
+  FROM documents WHERE doc_id % 3 = 0
+  UNION ALL
+  SELECT doc_id, NULL, source, 'd', doc_id * 10 + 3
+  FROM documents WHERE doc_id % 7 = 0
+), lranked AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY pos DESC)
+    AS lrn
+  FROM log
+), state AS (
+  SELECT doc_id, text, source FROM lranked WHERE lrn = 1 AND op <> 'd'
+), keep AS (
+  SELECT *, row_number() OVER (PARTITION BY text ORDER BY doc_id)
+    AS krn
+  FROM state
+), corpus AS (
+  SELECT doc_id, text, source FROM keep WHERE krn = 1
+)"""
+
+
+@register(
+    "cdc_corpus_refresh",
+    oracle="WITH RECURSIVE " + _LOG_CTES + ",\n"
+    + _v3_oracle_filled("corpus", with_kw=False),
+)
+def cdc_corpus_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CDC→corpus capstone, batch form (module docstring): synth
+    change log → JSON envelope wire round-trip → latest-state fold →
+    exact dedup → curation v3 over the refreshed corpus. The oracle
+    re-derives the entire chain from the raw documents table."""
+    docs = table(spark, sf_dir, "documents")
+    wire = documents_envelopes(documents_change_log(docs))
+    flat = unwrap_documents(wire)
+    state = materialize_latest(
+        flat, keys=["doc_id"], position=["__pos"]
+    ).select("doc_id", "text", "source")
+    corpus = dedup_keepers(state)
+    return curate_docs_v3(spark, corpus)
+
+
+# --- streaming form: continuous corpus refresh -----------------------------
+
+
+def corpus_refresh_foreach_batch(
+    state_dir: str, out_dir: str, n_buckets: int = 8
+):
+    """foreachBatch handler: merge the micro-batch of envelope wire
+    records into the bucket-partitioned state, then RECOMPUTE the
+    corpus snapshot from current state (corpus-global v3 semantics)
+    and commit it under ``out_dir/epoch=<id>`` with an atomic
+    ``_LATEST`` pointer. Epoch replays are idempotent end-to-end: the
+    state apply refuses divergent same-epoch commits, the snapshot
+    rewrite is deterministic, and the pointer re-commits the same
+    value."""
+    from ..streaming.partitioned_state import (
+        _atomic_write,
+        apply_changes_partitioned,
+        read_state_partitioned,
+    )
+
+    def handle(batch: DataFrame, epoch: int) -> None:
+        spark = batch.sparkSession
+        flat = unwrap_documents(batch)
+        apply_changes_partitioned(
+            spark, flat, epoch, state_dir,
+            keys=["doc_id"], position=["__pos"], n_buckets=n_buckets,
+        )
+        state = read_state_partitioned(spark, state_dir)
+        corpus = dedup_keepers(state.select("doc_id", "text", "source"))
+        snap_dir = os.path.join(out_dir, f"epoch={epoch}")
+        curate_docs_v3(spark, corpus).write.mode("overwrite").parquet(
+            snap_dir
+        )
+        _atomic_write(os.path.join(out_dir, "_LATEST"), f"epoch={epoch}")
+
+    return handle
+
+
+def read_latest_corpus(spark: SparkSession, out_dir: str) -> DataFrame:
+    """The committed corpus snapshot (follows the ``_LATEST`` pointer)."""
+    with open(os.path.join(out_dir, "_LATEST")) as f:
+        return spark.read.parquet(os.path.join(out_dir, f.read().strip()))
+
+
+def start_corpus_refresh_stream(
+    spark: SparkSession,
+    stage_dir: str,
+    state_dir: str,
+    out_dir: str,
+    checkpoint: str,
+    n_buckets: int = 8,
+):
+    """The capstone as a real Structured Streaming query: a file
+    source of JSON envelope records (one file per micro-batch,
+    availableNow — drains what exists then stops; re-invoke after a
+    restart and the checkpoint resumes from the first unprocessed
+    file)."""
+    os.makedirs(state_dir, exist_ok=True)
+    os.makedirs(out_dir, exist_ok=True)
+    stream = (
+        spark.readStream.schema("key STRING, value STRING")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage_dir)
+    )
+    return (
+        stream.writeStream
+        .foreachBatch(
+            corpus_refresh_foreach_batch(state_dir, out_dir, n_buckets)
+        )
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -216,17 +216,21 @@ V3_BUDGET = 1500
 V3_UNK_NUM = 20
 
 
-def _v3_oracle() -> str:
+def _v3_oracle(src: str = "documents", with_kw: bool = True) -> str:
+    """The v3 pipeline re-derived in SQL over ``src`` (any table/CTE
+    with doc_id/text/source). ``with_kw=False`` omits the leading
+    ``WITH RECURSIVE`` so callers can prepend their own CTEs (the
+    corpus-refresh capstone folds a CDC log first)."""
     from .lm import PPL_T2_X1E4, oracle_bigram_cte
     from .wordpiece import oracle_wordpiece_cte
 
-    return f"""
-WITH RECURSIVE {oracle_bigram_cte()},
+    head = "\nWITH RECURSIVE " if with_kw else ""
+    return f"""{head}{oracle_bigram_cte(src)},
 s1 AS (
   SELECT d.doc_id, d.text, d.source,
          CASE WHEN nll_sum_x1e4 < {{T1}} * n_bigrams THEN 'head'
               ELSE 'middle' END AS ppl_bucket
-  FROM documents d JOIN docsc USING (doc_id)
+  FROM {src} d JOIN docsc USING (doc_id)
   WHERE nll_sum_x1e4 < {PPL_T2_X1E4} * n_bigrams
 ),
 {oracle_wordpiece_cte("s1")},
@@ -255,35 +259,23 @@ FROM r WHERE cum_pieces <= {V3_BUDGET} ORDER BY doc_id
 """
 
 
-def _v3_oracle_filled() -> str:
+def _v3_oracle_filled(src: str = "documents", with_kw: bool = True) -> str:
     from .lm import PPL_T1_X1E4
 
-    return _v3_oracle().replace("{T1}", str(PPL_T1_X1E4))
+    return _v3_oracle(src, with_kw).replace("{T1}", str(PPL_T1_X1E4))
 
 
-@register("t54_curation_v3", oracle=_v3_oracle_filled())
-def t54_curation_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Curation v3 — the LM-era selection pipeline, composing the two
-    newest stages under ONE differential: CCNet perplexity gate (LM
-    trained on the FULL corpus, tail bucket dropped) → WordPiece
-    tokenization of the survivors → UNK-fraction quality gate
-    (pure-integer, >5% drops) → per-source greedy token budget
-    denominated in REAL WordPiece pieces (hash-ordered, cumulative cut
-    at V3_BUDGET). The oracle re-derives every stage from scratch via
-    the reusable CTE builders (`lm.oracle_bigram_cte`,
-    `wordpiece.oracle_wordpiece_cte` over the survivor CTE) — the
-    t48/t49 composition discipline extended to the new tier.
-
-    Scale posture: each stage is its own individually-probed linear
-    pipeline; the composition adds only doc_id hash joins, the gates
-    filter BEFORE the tokenizer so the fold runs on survivors, and the
-    budget window partitions per source."""
+def curate_docs_v3(spark: SparkSession, docs: DataFrame) -> DataFrame:
+    """The v3 selection pipeline over ANY (doc_id, text, source) frame:
+    perplexity gate (LM trained on ``docs`` itself) → WordPiece
+    tokenization of survivors → UNK-fraction gate → per-source greedy
+    piece budget. Reused by t54 (fixture corpus) and the CDC→corpus
+    refresh capstone (folded latest state)."""
     from pyspark.sql.window import Window as W
 
     from .lm import bigram_lm_scores
     from .wordpiece import wordpiece_tokenize
 
-    docs = table(spark, sf_dir, "documents")
     lm = bigram_lm_scores(spark, docs)
     s1 = docs.join(
         lm.filter(F.col("ppl_bucket") != "tail")
@@ -311,6 +303,26 @@ def t54_curation_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register("t54_curation_v3", oracle=_v3_oracle_filled())
+def t54_curation_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation v3 — the LM-era selection pipeline, composing the two
+    newest stages under ONE differential: CCNet perplexity gate (LM
+    trained on the FULL corpus, tail bucket dropped) → WordPiece
+    tokenization of the survivors → UNK-fraction quality gate
+    (pure-integer, >5% drops) → per-source greedy token budget
+    denominated in REAL WordPiece pieces (hash-ordered, cumulative cut
+    at V3_BUDGET). The oracle re-derives every stage from scratch via
+    the reusable CTE builders (`lm.oracle_bigram_cte`,
+    `wordpiece.oracle_wordpiece_cte` over the survivor CTE) — the
+    t48/t49 composition discipline extended to the new tier.
+
+    Scale posture: each stage is its own individually-probed linear
+    pipeline; the composition adds only doc_id hash joins, the gates
+    filter BEFORE the tokenizer so the fold runs on survivors, and the
+    budget window partitions per source."""
+    return curate_docs_v3(spark, table(spark, sf_dir, "documents"))
 
 
 # --- t55: tokenizer A/B — BPE vs WordPiece cost per document ---------------

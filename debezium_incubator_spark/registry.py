@@ -157,7 +157,14 @@ PRIORITY: list[str] = [
     # mechanic no other audited query exercises.
     "cdc_sqlserver_update_pairs",  # L144 SQL Server CT pairing
     "agg_grouping_sets",     # D4
-    "agg_collect_pct",       # D5 + D9 combo
+    # round-10: agg_collect_pct (D5+D9 — sweep-oracled since r1 via
+    # agg_collect/agg_percentile and stable throughout) gives its slot
+    # to cdc_corpus_refresh, THE capstone (r9 verdict #1): CDC
+    # envelopes → wire round-trip → latest-state fold → exact dedup →
+    # curation v3, every stage re-derived by one SQL oracle — the
+    # first audited differential where CDC semantics reach the corpus
+    # (deletes leave it, updates re-curate, planted dups collapse).
+    "cdc_corpus_refresh",    # CDC→corpus end-to-end capstone
     # round-7 recomposition: agg_pivot (D8) gave this slot to
     # t28_hash_split; round-9 rotation: t28 (stays sweep-oracled — the
     # content-keyed split semantics are simple and stable) gives it to
@@ -293,6 +300,7 @@ def load_all() -> None:
     from .cdc import (  # noqa: F401
         cassandra,
         cloudevents,
+        corpus_refresh,
         db2,
         incremental_snapshot,
         olr,
