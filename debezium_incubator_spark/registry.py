@@ -312,7 +312,7 @@ def load_all() -> None:
         sqlserver,
         transforms,
     )
-    from .llm import bpe, clustering  # noqa: F401
+    from .llm import bpe, bpe_train, clustering  # noqa: F401
     from .llm import dedup, langid, lm, multimodal, negatives, pii, pq  # noqa: F401
     from .llm import pipeline_v2, quality_model  # noqa: F401
     from .llm import semantic_decontam, similarity  # noqa: F401
