@@ -38,6 +38,16 @@ the honest shape of the e2 asterisk: a production engine amortizes
 dispatch across a query stream; per-query ratios on 10 ms outputs
 grade the scheduler, not the plans.
 
+ROUND-10 IDLE CONFIRMATION (r9 verdict #6 — the e1/t1 noise story):
+round-start idle median-of-9 re-run on an otherwise quiet box (load
+0.37): total 0.2516 s, total_ratio 0.517, fused_engine_ratio 0.214;
+e1_tumbling_window ratio 1.833 (engine 1.886), t1_token_stats 1.652
+(engine 1.222) — both BELOW the 1.9 chase threshold the verdict set,
+and the r9 artifact's elevated readings (1.893/1.962) sat inside the
+same band. Conclusion: the r4-precedent uniform box drift, not plan
+drift; no SMALL_SHUFFLE retune attempted (the fused fold, the most
+noise-robust indicator, is unchanged at ~0.21).
+
 ``plan_compile_sec`` caveat (r8 verdict #8, considered and SKIPPED):
 the field times plan build PLUS the warm-up execution, and for s1 the
 warm-up includes first-use Python-worker spin-up for applyInPandas —
