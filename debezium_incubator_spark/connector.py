@@ -1036,10 +1036,13 @@ def _epoch_days_converter(params: dict[str, str]):
 
     def convert(c):
         # date_add accepts only INT-or-narrower for the day count; the
-        # matcher admits bigint epoch-day columns, so cast first (an
-        # epoch-day that overflows INT is year ±5.8M — not a date).
+        # matcher admits bigint epoch-day columns, so cast first. The
+        # cast is non-ANSI: a bigint outside int32 would silently WRAP
+        # into a plausible-but-wrong date (r10 ADVICE), so out-of-range
+        # epoch-days surface as NULL instead.
+        days = F.when(c.between(-2147483648, 2147483647), c.cast("int"))
         return F.date_format(
-            F.date_add(F.lit("1970-01-01"), c.cast("int")), "yyyy-MM-dd"
+            F.date_add(F.lit("1970-01-01"), days), "yyyy-MM-dd"
         )
 
     return matcher, convert, "string"

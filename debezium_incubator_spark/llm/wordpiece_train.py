@@ -29,9 +29,12 @@ Spark mapping — the t56 skeleton with WordPiece's twists:
   (both weighted by ``freq``), a join attaching freq(A)/freq(B) to
   each pair, the scored LIMIT-1 argmax to the driver, one
   expression-level replace pass, localCheckpoint lineage cuts;
-- the score division is a single IEEE double op from exact integer
-  counts — bit-identical on both engines (same operands, same
-  rounding), so the oracle's ORDER BY reproduces the argmax exactly.
+- the score is two IEEE double ops from exact integer counts — each
+  count factor cast to DOUBLE before the multiply (a bigint product
+  would wrap at 64 bits for counts > ~3e9 while DuckDB widens to
+  HUGEINT), then one division — bit-identical on both engines at any
+  corpus scale, so the oracle's ORDER BY reproduces the argmax
+  exactly.
 
 Oracle: the training loop exactly unrolled as K staged CTE blocks,
 every multiply-referenced state ``AS MATERIALIZED`` (the t56 finding:
@@ -98,9 +101,14 @@ def _scored_pairs(state: DataFrame) -> DataFrame:
         .join(tokens.select(F.col("t").alias("b"),
                             F.col("c").alias("cb")), "b")
         .withColumn(
+            # each factor cast to DOUBLE BEFORE the multiply (r10
+            # ADVICE): a bigint*bigint product silently wraps at 64
+            # bits for counts > ~3e9, while DuckDB would compute it in
+            # HUGEINT — double*double is the same IEEE op sequence on
+            # both engines at every scale.
             "score",
             F.col("c12").cast("double")
-            / (F.col("ca") * F.col("cb")).cast("double"),
+            / (F.col("ca").cast("double") * F.col("cb").cast("double")),
         )
     )
 
@@ -188,7 +196,8 @@ def _oracle_t57(k: int = T57_K) -> str:
   JOIN tc{i} ta ON ta.t = p.a
   JOIN tc{i} tb ON tb.t = p.b
   WHERE p.a || substr(p.b, 3) NOT IN (SELECT ms FROM m{p})
-  ORDER BY CAST(p.c12 AS DOUBLE) / CAST(ta.c * tb.c AS DOUBLE) DESC,
+  ORDER BY CAST(p.c12 AS DOUBLE)
+             / (CAST(ta.c AS DOUBLE) * CAST(tb.c AS DOUBLE)) DESC,
            p.a, p.b
   LIMIT 1
 ), m{i}(ms) AS MATERIALIZED (

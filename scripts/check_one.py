@@ -6,6 +6,7 @@ Defaults to all three driver SFs. Exits nonzero on any mismatch.
 
 from __future__ import annotations
 
+import argparse
 import os
 import sys
 import traceback
@@ -31,16 +32,18 @@ DEFAULT_SFS = (
 
 
 def main() -> int:
-    keys, sfs = [], []
-    it = iter(sys.argv[1:])
-    for a in it:
-        if a == "--sf":
-            sfs.append(next(it))
-        else:
-            keys.append(a)
-    sfs = sfs or list(DEFAULT_SFS)
-    spark = get_spark("check-one")
+    # argparse (r10 ADVICE): a trailing --sf without a value and an
+    # unknown KEY both fail with a clear message, not a traceback.
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("keys", nargs="+", metavar="KEY")
+    ap.add_argument("--sf", action="append", dest="sfs", metavar="DIR")
+    ns = ap.parse_args()
+    keys, sfs = ns.keys, ns.sfs or list(DEFAULT_SFS)
     queries, oracles = all_queries(), all_oracles()
+    unknown = [k for k in keys if k not in queries]
+    if unknown:
+        ap.error(f"no such query: {', '.join(unknown)}")
+    spark = get_spark("check-one")
     failed = []
     for sf_dir in sfs:
         con = duckdb.connect()

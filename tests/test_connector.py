@@ -465,6 +465,14 @@ def test_custom_converter_spi(spark):
     out2 = apply_custom_converters(df2, "orders", props)
     assert out2.collect()[0]["d"] == "notadate"
 
+    # out-of-int32 epoch-days surface as NULL (r10 ADVICE) — the bare
+    # cast would wrap 2^31+5 to a plausible-but-wrong date string
+    df3 = spark.createDataFrame([(2**31 + 5,), (-(2**31) - 1,), (19000,)],
+                                "d LONG")
+    got = {r["d"] for r in
+           apply_custom_converters(df3, "orders", props).collect()}
+    assert got == {None, "2022-01-08"}
+
     # unregistered type = the classpath-missing error, loud
     with pytest.raises(ValueError, match="not registered"):
         apply_custom_converters(

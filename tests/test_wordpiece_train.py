@@ -40,7 +40,10 @@ def ref_train(texts: list[str], n: int) -> list[tuple[str, str]]:
         for (a, b), c12 in pc.items():
             if a + b[2:] in minted:
                 continue
-            key = (-(c12 / (tc[a] * tc[b])), a, b)
+            # float each factor BEFORE the product — the engine's IEEE
+            # op sequence (double*double then divide); a Python exact
+            # int product would diverge in the last ulp past 2^53
+            key = (-(c12 / (float(tc[a]) * float(tc[b]))), a, b)
             if best_key is None or key < best_key:
                 best_key, best = key, (a, b)
         if best is None:
