@@ -87,8 +87,16 @@ PRIORITY: list[str] = [
     "t44_language_id",       # Cavnar-Trenkle LID
     "cast_coerce",           # B10 + H10
     # CDC pipeline (A2 envelope + B2 unwrap exercised inside materialize)
+    # round-11 rotation (r10 verdict #1): cdc_scd2_history (in-window
+    # since r1, sweep-oracled throughout; I6 keeps cdc_materialize +
+    # cdc_dedup_stream audited in-window and the SCD2 semantics stay
+    # pinned by the apply-changes test suite) gives its slot to
+    # t56_bpe_train — the distributed BPE TRAINER (per-iteration hash
+    # agg + LIMIT-1 argmax + replace pass, bit-equal to the pinned
+    # merges generator; the staged MATERIALIZED-CTE oracle re-runs the
+    # whole loop), which the driver has never hash-checked.
     "cdc_materialize",       # A2 + B2 + H8 struct
-    "cdc_scd2_history",
+    "t56_bpe_train",         # distributed BPE vocabulary training
     "cdc_dedup_stream",      # I5 batch twin
     # round-7 third block: route_content_based (B4 — stays sweep-oracled;
     # the routing family keeps route_logical_table/route_outbox in the
@@ -225,10 +233,16 @@ PRIORITY: list[str] = [
     "e4_session_window",     # I4
     # §2K pandas-UDF / UDTF matrix (K1 row-at-a-time is the documented
     # anti-pattern — deliberately outside the audited window)
+    # round-11 rotation (r10 verdict #1): k5_udtf_shingles (K5 —
+    # in-window since r1, sweep-oracled; the K family keeps the
+    # pandas-UDF matrix k2/k3/k4 audited in-window) gives its slot to
+    # t57_wordpiece_train — the WordPiece TRAINER (likelihood-scored
+    # argmax over dictionary-sized state; second tokenizer family's
+    # learner), which the driver has never hash-checked.
     "k2_pandas_scalar",
     "k3_asof_grouped_map",
     "k4_grouped_agg",
-    "k5_udtf_shingles",
+    "t57_wordpiece_train",   # distributed WordPiece vocab training
     # §2J LLM-pipeline tier (J3/J5 via s1/t1 above)
     "dedup_exact",           # J1
     # round-8 rotation (r7 verdict #1/#2/#6): dedup_semantic and

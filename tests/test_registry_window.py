@@ -19,6 +19,13 @@ from debezium_incubator_spark.registry import (
 # F1 (global sort) stays audited in-window via q1/q3's ordered outputs,
 # so the F anchor is now q3 (its ordered LIMIT output exercises
 # F1+F2's TakeOrderedAndProject shape) and G is sweep-only.
+#
+# Round-11 rotation (r10 verdict #1): cdc_scd2_history and
+# k5_udtf_shingles (both in-window since r1, both sweep-oracled; I6
+# keeps cdc_materialize + cdc_dedup_stream audited, K keeps the
+# k2/k3/k4 pandas-UDF matrix) rotated out for the two round-10
+# flagship trainers t56_bpe_train + t57_wordpiece_train, which the
+# driver had never hash-checked.
 FAMILY_ANCHORS = {
     "scan_project",        # A
     "filter_predicate",    # B
