@@ -181,3 +181,109 @@ def t56_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(i + 1, a, b) for i, (a, b) in enumerate(merges)],
         "mrank INT, a STRING, b STRING",
     )
+
+
+# --- vocab-refresh-on-ingest (streaming twin of t56, r10 verdict #7) -------
+#
+# tokenize-on-ingest (wordpiece.start_tokenize_ingest_stream) covers the
+# FIXED-vocab regime: tokenizers ship with a model, so ingest is
+# strictly per-document. This stream covers the other regime — the
+# vocab itself is corpus-trained and must REFRESH as the corpus grows
+# (periodic retrain → atomic vocab swap → downstream re-tokenize), the
+# corpus_refresh discipline applied to the tokenizer artifact:
+#
+# - each micro-batch commits into an accumulated corpus tier under
+#   corpus_dir/batch=<epoch> (deterministic per-epoch overwrite —
+#   replays rewrite the same bytes);
+# - the trainer re-runs over CURRENT corpus and commits the merge
+#   table under vocab_dir/epoch=<epoch> with an atomic _LATEST swap
+#   (readers mid-swap keep a consistent older vocab — the IVF-audit
+#   symlink discipline, here via pointer file);
+# - the WHOLE corpus re-tokenizes under the refreshed vocab (token
+#   counts are vocab-global: a new merge changes old docs' counts, so
+#   refresh semantics — not per-batch append — are the correct
+#   incremental form) into tokens_dir/epoch=<epoch> + _LATEST.
+#
+# Restart-safe: every stage is a deterministic function of the corpus
+# tier, which is itself epoch-idempotent; the restart-spanning test
+# pins streamed == one-shot batch (train on full corpus, tokenize).
+
+
+def vocab_refresh_foreach_batch(
+    corpus_dir: str, vocab_dir: str, tokens_dir: str,
+    n_merges: int = T56_K,
+):
+    """foreachBatch handler for continuous BPE vocab refresh (block
+    comment above)."""
+    import os
+
+    from ..streaming.partitioned_state import _atomic_write
+    from .bpe import bpe_token_count
+
+    def handle(batch: DataFrame, epoch: int) -> None:
+        spark = batch.sparkSession
+        batch.write.mode("overwrite").parquet(
+            os.path.join(corpus_dir, f"batch={epoch}")
+        )
+        corpus = spark.read.parquet(corpus_dir)
+        merges = train_bpe_merges(corpus, n_merges)
+        vocab = spark.createDataFrame(
+            [(i + 1, a, b) for i, (a, b) in enumerate(merges)],
+            "mrank INT, a STRING, b STRING",
+        )
+        vdir = os.path.join(vocab_dir, f"epoch={epoch}")
+        vocab.coalesce(1).write.mode("overwrite").parquet(vdir)
+        _atomic_write(os.path.join(vocab_dir, "_LATEST"), f"epoch={epoch}")
+        toks = corpus.select(
+            "doc_id", bpe_token_count("text", merges).alias("n_bpe")
+        )
+        tdir = os.path.join(tokens_dir, f"epoch={epoch}")
+        toks.write.mode("overwrite").parquet(tdir)
+        _atomic_write(os.path.join(tokens_dir, "_LATEST"), f"epoch={epoch}")
+
+    return handle
+
+
+def read_latest(spark: SparkSession, out_dir: str) -> DataFrame:
+    """The committed artifact behind the ``_LATEST`` pointer (works for
+    both the vocab and the tokens tiers)."""
+    import os
+
+    with open(os.path.join(out_dir, "_LATEST")) as f:
+        return spark.read.parquet(os.path.join(out_dir, f.read().strip()))
+
+
+def start_vocab_refresh_stream(
+    spark: SparkSession,
+    stage_dir: str,
+    schema,
+    corpus_dir: str,
+    vocab_dir: str,
+    tokens_dir: str,
+    checkpoint: str,
+    n_merges: int = T56_K,
+):
+    """Vocab-refresh-on-ingest as a real Structured Streaming query
+    over a parquet file source (one file per micro-batch, availableNow
+    — drains what exists then stops; re-invoke after a restart and the
+    checkpoint resumes from the first unprocessed file)."""
+    import os
+
+    for d in (corpus_dir, vocab_dir, tokens_dir):
+        os.makedirs(d, exist_ok=True)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage_dir)
+    )
+    return (
+        stream.writeStream
+        .foreachBatch(
+            vocab_refresh_foreach_batch(
+                corpus_dir, vocab_dir, tokens_dir, n_merges
+            )
+        )
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -312,6 +312,7 @@ def load_all() -> None:
     from . import connector, sql  # noqa: F401
     from .events import analytics, timeseries  # noqa: F401
     from .cdc import (  # noqa: F401
+        ann_refresh,
         cassandra,
         cloudevents,
         corpus_refresh,

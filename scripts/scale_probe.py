@@ -125,6 +125,69 @@ def _semdedup_scaled(spark, sf_dir):
         atexit.register(shutil.rmtree, idx, True)
 
 
+def _ann_refresh_scaled(spark, sf_dir):
+    """cdc_ann_refresh at production sizing AND production kernels:
+    fold the change log, then refresh the index with the deployed
+    components — build_ivf_index at nlist ∝ n (capped-sample fit +
+    VECTORIZED MLlib assignment) and semdedup over the persisted
+    cell-partitioned store. The registered query pins the 16-cell
+    audit index + the interpreted fold-argmin for oracle parity; both
+    are fixture-regime choices the probes showed quadratic at scale
+    (fixed nlist → per-cell pairs ∝ n²; fold-argmin → O(n·nlist)
+    interpreted FLOPs with nlist ∝ n). THIS composition is what a
+    100 TB deployment runs; timing includes the full rebuild."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from debezium_incubator_spark.cdc.ann_refresh import (
+        ANN_TAU,
+        embeddings_change_log,
+        embeddings_envelopes,
+        unwrap_embeddings,
+    )
+    from debezium_incubator_spark.cdc.materialize import materialize_latest
+    from debezium_incubator_spark.llm.similarity import (
+        _vectors,
+        build_ivf_index,
+        semdedup,
+    )
+
+    from pyspark.sql.window import Window as W
+
+    emb = _vectors(spark, sf_dir).select("vec_id", "v")
+    wire = embeddings_envelopes(embeddings_change_log(emb))
+    state = materialize_latest(
+        unwrap_embeddings(wire), keys=["vec_id"], position=["__pos"]
+    ).select("vec_id", "v")
+    # EXACT tier first (the pipeline's own cheapest-first ordering,
+    # dedup.py module docstring): the change log plants ~5% of ALL
+    # vectors as one identical placeholder, and a bit-identical
+    # cluster of size m costs m² pairs inside the semantic tier at ANY
+    # nlist — the round-11 probe measured exponent ~1.9 until this
+    # one-shuffle hash collapse ran first. Semantics unchanged: the
+    # pair rule would remove exactly these rows (cosine 1 ≥ τ, min-id
+    # keeper), just quadratically.
+    wv = W.partitionBy(F.xxhash64("v"))
+    state = (
+        state.withColumn(
+            "__keep", F.min("vec_id").over(wv) == F.col("vec_id")
+        )
+        .filter("__keep")
+        .drop("__keep")
+    )
+    n = state.count()
+    nlist = max(16, n // 500)
+    idx = tempfile.mkdtemp(prefix="annrefresh_probe_")
+    build_ivf_index(state, idx, nlist=nlist)
+    atexit.register(shutil.rmtree, idx, True)
+    removals = semdedup(spark, idx, tau=ANN_TAU).select("vec_id")
+    vecs = spark.read.parquet(f"{idx}/vectors").select(
+        "vec_id", F.col("cluster").cast("bigint").alias("cell")
+    )
+    return vecs.join(removals, "vec_id", "left_anti").orderBy("vec_id")
+
+
 # Linear tier: every one of these must scale ~O(n). The threshold is
 # wall-ratio < 15 for 10x data — generous headroom for per-query fixed
 # overhead shifting between regimes (a ratio of 100x would mean a
@@ -158,6 +221,8 @@ LINEAR = [
     "cdc_partition_routing",
     "t28_hash_split",
     "t29_domain_cap",
+    # round-11: the CDC→ANN capstone at the production quantizer sizing
+    "ann_refresh_scaled",
 ]
 # Labeled quadratic verification baseline — reported, not gated.
 QUADRATIC = ["s1_cosine_topk"]

@@ -598,3 +598,66 @@ def test_sort_sits_below_expensive_projections(spark):
         # toString prints top-down: the projection node must appear
         # BEFORE (above) the Sort node
         assert pi < si, f"{name}: {marker} project sits below the Sort"
+
+
+def test_aqe_skew_split_engages_on_hot_token_scoring_join(spark):
+    """Pin the t27/t50 docstring claim (r10 verdict #6): the LM-scoring
+    equi-join of a token stream against the frequency table relies on
+    AQE's skew-join split to absorb Zipf-hot tokens once the frequency
+    side outgrows broadcast. Build a pathologically hot corpus (90% one
+    token), lower the AQE skew thresholds to test scale, force the
+    shuffle-join regime (broadcast off — the 100 TB vocab case), and
+    assert the executed plan actually SPLIT the hot partition
+    (skew=true on the join / skewed AQEShuffleRead) and the result is
+    unchanged vs the broadcast plan."""
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64k",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32k",
+        # AQE must not coalesce everything into one partition first
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+
+    def scoring_join():
+        # the t27 shape: token stream ⋈ token-frequency table
+        docs = spark.range(0, 20000).select(
+            F.col("id").alias("doc_id"),
+            F.concat(
+                F.lit("the the the the the the the the the u"),
+                F.col("id").cast("string"),
+            ).alias("text"),
+        )
+        toks = docs.select(
+            "doc_id", F.explode(F.split("text", " ")).alias("tok")
+        )
+        freq = toks.groupBy("tok").agg(F.count("*").alias("c"))
+        return (
+            toks.join(freq, "tok")
+            .groupBy("doc_id")
+            .agg(F.sum("c").alias("s"))
+        )
+
+    baseline = {
+        (r["doc_id"], r["s"]) for r in scoring_join().collect()
+    }
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        df = scoring_join()
+        got = {(r["doc_id"], r["s"]) for r in df.collect()}
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, (
+            "AQE skew-join split did not engage on the hot token:\n"
+            + plan[:4000]
+        )
+        assert got == baseline
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
