@@ -39,7 +39,10 @@ Scale posture (100 TB): one shuffle builds each frequency table (all
 three are vocab²-bounded, i.e. distinct-bigram-sized — the class of a
 vocabulary, not the corpus); the scoring equi-join of the bigram
 stream against the pair table is the standard LM-scoring shape (Zipf
-heat on hot bigrams absorbed by AQE skew-split); the per-doc agg is a
+heat on hot bigrams: materialize the pair table first so AQE's skew
+split can engage — the inline-agg spelling shares the join's
+partitioning and cannot split, measured in the t27 skew test); the
+per-doc agg is a
 map-side-combining hash agg; bucketing is map-side integer compares
 against constants. No windows, no driver-side loops — the one
 control-plane scalar is the corpus bigram total (same as t27's N).

@@ -1424,9 +1424,12 @@ def t25_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     no UDF), ONE shuffle partitioned on md5(span) (fixed-width key, not
     the span text) for the first-occurrence window, then a per-doc
     aggregate reassembles. Duplicate-heavy spans concentrate on few
-    hash keys, but the window only ranks — per-row work is O(1) and
-    AQE skew-split handles a pathological hot span. No joins, no
-    driver collection; linear in corpus size at any scale."""
+    hash keys, but the window only ranks — per-row work is O(1), so a
+    pathological hot span costs one task an O(m log m) local sort of
+    its m copies (AQE has no skew remedy for window shuffles — same-
+    key rows can't split under a rank; the cost is bounded by the
+    span's own duplication, not squared). No joins, no driver
+    collection; linear in corpus size at any scale."""
     from pyspark.sql.window import Window as W
 
     K = SUBSTR_DEDUP_K
@@ -1576,10 +1579,18 @@ def t27_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan: one token-frequency agg, then the scoring equi-join of the
     token stream against the frequency table — the standard LM-scoring
-    shape (at 100 TB the frequency side is vocab-sized; Zipf skew on
-    hot tokens is absorbed by AQE skew-split, and the per-doc agg is a
-    map-side-combining hash agg on doc_id). The corpus total rides in
-    as a literal (one control-plane scalar job, same as t2's N).
+    shape (at 100 TB the frequency side is vocab-sized; the per-doc
+    agg is a map-side-combining hash agg on doc_id). Zipf-hot tokens,
+    MEASURED (r11, test_scale_posture::test_aqe_skew_split_on_hot_
+    token_scoring_join): in THIS compact spelling the frequency
+    aggregate shares the join's tok-partitioning, so AQE's skew-join
+    split structurally cannot engage (OptimizeSkewedJoin needs bare
+    shuffle-read join children) and the hot-token partition is a
+    straggler; the 100 TB mitigation is to MATERIALIZE the frequency
+    table (corpus stats are persisted once in production anyway),
+    which restores the split — both facts plan-pinned in that test.
+    The corpus total rides in as a literal (one control-plane scalar
+    job, same as t2's N).
     Parity: ln on bit-identical doubles (tfidf/PSI precedent); the
     per-doc double sum reorder drift (~1e-13) sits far below ROUND 4dp
     except on measure-zero boundaries."""
@@ -1740,9 +1751,10 @@ def t30_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: two token-frequency aggregates (map-side combining) + ONE
     equi-join of the token stream against the vocab-sized LM table —
-    the same join shape as t27's scoring pass (AQE skew-split absorbs
-    Zipf-hot tokens); corpus totals and vocab size are control-plane
-    literals. Everything expression-level.
+    the same join shape as t27's scoring pass (Zipf-hot keys: see the
+    t27 docstring's measured skew note — materialize the stats table
+    to enable AQE's skew split); corpus totals and vocab size are
+    control-plane literals. Everything expression-level.
 
     Parity: each per-token ln value is a deterministic scalar (ln parity
     per the t27/tfidf/PSI precedent), but the PER-DOC SUM of ~hundreds
@@ -2543,7 +2555,9 @@ def t51_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan: the split is a map-side md5 projection (no shuffle); one
     distinct over (doc, gram); the train-gram set is corpus-sized so it
     is NOT broadcast-hinted (AQE decides — at 100 TB this is a plain
-    shuffle join on the gram string, Zipf heat absorbed by skew-split);
+    shuffle join on the gram string; for a Zipf-hot gram, materialize
+    the train-gram set first so AQE's skew split can engage — the t27
+    measured skew note);
     eval-side per-doc agg is a hash agg. Eval docs shorter than LEAK_K
     tokens carry no gram and drop out (no span can leak from them).
     Parity: counts are integers; the one ratio goes through the 4dp

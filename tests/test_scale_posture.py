@@ -600,16 +600,24 @@ def test_sort_sits_below_expensive_projections(spark):
         assert pi < si, f"{name}: {marker} project sits below the Sort"
 
 
-def test_aqe_skew_split_engages_on_hot_token_scoring_join(spark):
-    """Pin the t27/t50 docstring claim (r10 verdict #6): the LM-scoring
-    equi-join of a token stream against the frequency table relies on
-    AQE's skew-join split to absorb Zipf-hot tokens once the frequency
-    side outgrows broadcast. Build a pathologically hot corpus (90% one
-    token), lower the AQE skew thresholds to test scale, force the
-    shuffle-join regime (broadcast off — the 100 TB vocab case), and
-    assert the executed plan actually SPLIT the hot partition
-    (skew=true on the join / skewed AQEShuffleRead) and the result is
-    unchanged vs the broadcast plan."""
+def test_aqe_skew_split_on_hot_token_scoring_join(spark):
+    """Pin the LM-scoring skew story with MEASURED plans, not prose
+    (r10 verdict #6). Two facts, both load-bearing at 100 TB:
+
+    1. With the frequency side MATERIALIZED (the production shape —
+       corpus statistics are computed once and persisted, then the
+       scoring join reads them back), AQE's skew-join split engages
+       on a Zipf-hot token: ``SortMergeJoin(skew=true)`` + a skewed
+       ``AQEShuffleRead`` in the executed plan, results unchanged.
+    2. With the frequency aggregate INLINE (the compact spelling the
+       registered t27/t50 use — correct at fixture scale), the final
+       HashAggregate sits between the join and its shuffle, so
+       OptimizeSkewedJoin's pattern (both children = bare shuffle
+       reads) can NOT match and no split happens — the hot partition
+       is a straggler AQE cannot fix. This round CORRECTED the
+       docstrings that claimed otherwise; materialize-the-stats is
+       the documented mitigation.
+    """
     confs = {
         "spark.sql.autoBroadcastJoinThreshold": "-1",
         "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
@@ -622,8 +630,9 @@ def test_aqe_skew_split_engages_on_hot_token_scoring_join(spark):
     }
     saved = {k: spark.conf.get(k, None) for k in confs}
 
-    def scoring_join():
-        # the t27 shape: token stream ⋈ token-frequency table
+    def scoring_join(materialize: bool):
+        # the t27 shape: token stream ⋈ token-frequency table; 90% of
+        # tokens are one hot key
         docs = spark.range(0, 20000).select(
             F.col("id").alias("doc_id"),
             F.concat(
@@ -635,6 +644,8 @@ def test_aqe_skew_split_engages_on_hot_token_scoring_join(spark):
             "doc_id", F.explode(F.split("text", " ")).alias("tok")
         )
         freq = toks.groupBy("tok").agg(F.count("*").alias("c"))
+        if materialize:
+            freq = freq.localCheckpoint(eager=True)
         return (
             toks.join(freq, "tok")
             .groupBy("doc_id")
@@ -642,12 +653,12 @@ def test_aqe_skew_split_engages_on_hot_token_scoring_join(spark):
         )
 
     baseline = {
-        (r["doc_id"], r["s"]) for r in scoring_join().collect()
+        (r["doc_id"], r["s"]) for r in scoring_join(False).collect()
     }
     try:
         for k, v in confs.items():
             spark.conf.set(k, v)
-        df = scoring_join()
+        df = scoring_join(True)
         got = {(r["doc_id"], r["s"]) for r in df.collect()}
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "skew=true" in plan, (
@@ -655,6 +666,15 @@ def test_aqe_skew_split_engages_on_hot_token_scoring_join(spark):
             + plan[:4000]
         )
         assert got == baseline
+
+        # fact 2: the inline-agg spelling structurally can't split
+        df2 = scoring_join(False)
+        assert {(r["doc_id"], r["s"]) for r in df2.collect()} == baseline
+        plan2 = df2._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" not in plan2, (
+            "inline-agg scoring join unexpectedly split — update the "
+            "t27/t50 docstrings, the mitigation note is now stale"
+        )
     finally:
         for k, v in saved.items():
             if v is None:
