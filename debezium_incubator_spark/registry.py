@@ -331,7 +331,7 @@ def load_all() -> None:
     from .llm import dedup, langid, lm, multimodal, negatives, pii, pq  # noqa: F401
     from .llm import pipeline_v2, quality_model  # noqa: F401
     from .llm import semantic_decontam, similarity  # noqa: F401
-    from .llm import text, unigram_train, urls  # noqa: F401
+    from .llm import text, unigram, unigram_train, urls  # noqa: F401
     from .llm import wordpiece, wordpiece_train  # noqa: F401
 
     _reorder()
