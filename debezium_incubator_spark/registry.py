@@ -97,7 +97,13 @@ PRIORITY: list[str] = [
     # whole loop), which the driver has never hash-checked.
     "cdc_materialize",       # A2 + B2 + H8 struct
     "t56_bpe_train",         # distributed BPE vocabulary training
-    "cdc_dedup_stream",      # I5 batch twin
+    # round-11 second rotation: cdc_dedup_stream (in-window since r1;
+    # I5 keeps dedup_exact audited + the dropDuplicates stream tests,
+    # I6 keeps cdc_materialize) gives its slot to cdc_ann_refresh —
+    # the round-11 CDC→ANN capstone (change stream → fold →
+    # persisted-centroid routing → SemDeDup, the first audited
+    # differential where CDC semantics reach the VECTOR tier).
+    "cdc_ann_refresh",       # CDC→ANN-index capstone
     # round-7 third block: route_content_based (B4 — stays sweep-oracled;
     # the routing family keeps route_logical_table/route_outbox in the
     # sweep and cdc_partition_routing in-window) gives its slot to
@@ -117,10 +123,14 @@ PRIORITY: list[str] = [
     "join_broadcast",        # C1
     # round-9 rotation: cdc_blocking_snapshot (stays sweep-oracled;
     # the snapshot tier keeps cdc_txn_reassembly + the lifecycle tests)
-    # gives its slot to t43_bpe_vocab — the JVM token-ARRAY spelling of
-    # the BPE chain (bpe_tokens_col), a different engine path from
-    # t39's count chain (r8 verdict #6 named it).
-    "t43_bpe_vocab",         # BPE subword vocab (JVM token arrays)
+    # gave this slot to t43_bpe_vocab; round-11 second rotation: t43
+    # (the JVM token-ARRAY spelling — stays sweep-oracled; the BPE
+    # family keeps t39's count chain, t55's composed oracle and t56's
+    # trainer in-window) gives it to t58_unigram_train, the THIRD
+    # tokenizer family's learner (hard-EM, integer NLL quantization,
+    # recursive-CTE Viterbi oracle — a DP shape no other audited query
+    # exercises).
+    "t58_unigram_train",     # unigram-LM (SentencePiece) training
     # round-7 recomposition: join_anti (C5 — stays sweep-oracled, and
     # the family's null-aware form sql_not_in_null_aware remains the
     # stronger C5 sweep check) gives its slot to cdc_partition_routing,

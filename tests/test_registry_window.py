@@ -22,10 +22,15 @@ from debezium_incubator_spark.registry import (
 #
 # Round-11 rotation (r10 verdict #1): cdc_scd2_history and
 # k5_udtf_shingles (both in-window since r1, both sweep-oracled; I6
-# keeps cdc_materialize + cdc_dedup_stream audited, K keeps the
-# k2/k3/k4 pandas-UDF matrix) rotated out for the two round-10
-# flagship trainers t56_bpe_train + t57_wordpiece_train, which the
-# driver had never hash-checked.
+# keeps cdc_materialize audited, K keeps the k2/k3/k4 pandas-UDF
+# matrix) rotated out for the two round-10 flagship trainers
+# t56_bpe_train + t57_wordpiece_train, which the driver had never
+# hash-checked. Second round-11 rotation: cdc_dedup_stream (r1-stable;
+# I5 keeps dedup_exact + the dropDuplicates stream tests) and
+# t43_bpe_vocab (the BPE family keeps t39/t55/t56 in-window) rotated
+# out for this round's own flagships cdc_ann_refresh +
+# t58_unigram_train, so the driver hash-checks them THIS round instead
+# of next.
 FAMILY_ANCHORS = {
     "scan_project",        # A
     "filter_predicate",    # B
