@@ -396,3 +396,78 @@ def t55_tokenizer_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("wp_tokens") < F.col("bpe_tokens"))
         .alias("wordpiece_cheaper"),
     ).orderBy("doc_id")
+
+
+# --- t60: tokenizer A/B/C — all three families per document ----------------
+
+
+def _t60_oracle() -> str:
+    from .unigram import oracle_unigram_cte
+    from .wordpiece import oracle_wordpiece_cte
+
+    return f"""
+WITH RECURSIVE {oracle_docs_with_counts("bpe_d")},
+{oracle_wordpiece_cte()},
+{oracle_unigram_cte()},
+wpt AS (
+  SELECT w0.doc_id, CAST(sum(len(pieces)) AS BIGINT) AS wp_tokens
+  FROM w0 JOIN fin USING (w) GROUP BY w0.doc_id
+),
+ugt AS (
+  SELECT uw0.doc_id,
+         CAST(sum(len(pieces)) AS BIGINT) AS ug_tokens,
+         CAST(sum(cost) AS BIGINT) AS ug_nll
+  FROM uw0 JOIN ufin USING (w) GROUP BY uw0.doc_id
+)
+SELECT b.doc_id,
+       CAST(b.n_tok AS BIGINT) AS bpe_tokens,
+       wpt.wp_tokens, ugt.ug_tokens, ugt.ug_nll
+FROM bpe_d b JOIN wpt USING (doc_id) JOIN ugt USING (doc_id)
+WHERE b.n_tok > 0
+ORDER BY b.doc_id
+"""
+
+
+@register("t60_tokenizer_abc", oracle=_t60_oracle())
+def t60_tokenizer_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer A/B/C report: per-document cost of ALL THREE engine
+    tokenizer families — byte-level BPE (ranked-merge replay),
+    WordPiece (greedy position scan) and unigram-LM (Viterbi DP) —
+    plus the unigram's integer NLL. The oracle composes the registry's
+    three heaviest chain families in ONE query: the staged BPE CTE
+    chain, the WordPiece recursive scan, and the unigram recursive
+    Viterbi (t55's two-family record, extended). Pure integers — no
+    float anywhere. (A winner column would be DECORATIVE: on the
+    fixture the order is strictly bpe < unigram < wordpiece for every
+    document — measured; the cross-family ordering and its crafted
+    flips are pinned in tests/test_unigram.py instead.)
+
+    Scale posture: three independent linear per-doc pipelines joined
+    on doc_id. The BPE side keeps t55's repartition fix (a shuffle-
+    free expensive projection under a global sort re-executes in the
+    range-sampler otherwise — the round-9 rule); the WordPiece and
+    unigram sides are dictionary-bounded folds behind shuffle-backed
+    aggregates."""
+    from .unigram import unigram_tokenize
+    from .wordpiece import wordpiece_tokenize
+
+    docs = table(spark, sf_dir, "documents")
+    b = docs.select(
+        "doc_id",
+        bpe_token_count("text").cast("bigint").alias("bpe_tokens"),
+    ).repartition("doc_id")
+    wp = wordpiece_tokenize(spark, docs).select(
+        "doc_id", F.col("n_pieces").alias("wp_tokens")
+    )
+    ug = unigram_tokenize(spark, docs).select(
+        "doc_id",
+        F.col("n_pieces").alias("ug_tokens"),
+        F.col("total_nll").alias("ug_nll"),
+    )
+    j = (
+        b.join(wp, "doc_id").join(ug, "doc_id")
+        .filter(F.col("bpe_tokens") > 0)
+    )
+    return j.select(
+        "doc_id", "bpe_tokens", "wp_tokens", "ug_tokens", "ug_nll",
+    ).orderBy("doc_id")

@@ -191,9 +191,11 @@ def _vocab_values_sql() -> str:
 
 
 def oracle_unigram_cte(src: str = "documents") -> str:
-    """Reusable CTE prelude: ``w0(doc_id, wno, w)``, ``fin(w, pieces,
-    cost)`` — the Viterbi DP + backtrack re-derived over ``src`` (the
-    t48 composable-builder pattern)."""
+    """Reusable CTE prelude: ``uw0(doc_id, wno, w)``, ``ufin(w,
+    pieces, cost)`` — the Viterbi DP + backtrack re-derived over
+    ``src``; every CTE name is u-prefixed so the builder composes with
+    the WordPiece builder's w0/fin in ONE query (the t48/t55
+    composable-oracle pattern)."""
     return f"""
 uvocab(piece, nll) AS (
   VALUES {_vocab_values_sql()}
@@ -201,13 +203,13 @@ uvocab(piece, nll) AS (
   SELECT map_from_entries(list((piece, CAST(nll AS BIGINT))
                                ORDER BY piece)) AS m
   FROM uvocab
-), w0 AS MATERIALIZED (
+), uw0 AS MATERIALIZED (
   SELECT doc_id, i - 1 AS wno, toks[i] AS w
   FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM {src}),
        LATERAL unnest(range(1, len(toks) + 1)) AS u(i)
   WHERE len(toks[i]) > 0
 ), udw AS (
-  SELECT DISTINCT w FROM w0
+  SELECT DISTINCT w FROM uw0
 ), uvit AS (
   SELECT w, 0 AS i,
          [{{'s': CAST(0 AS BIGINT), 'np': 0, 'bp': -1}}] AS acc
@@ -239,7 +241,7 @@ uvocab(piece, nll) AS (
   SELECT w, len(w) AS i, acc FROM uvit WHERE i = len(w)
   UNION ALL
   SELECT w, acc[i + 1].bp, acc FROM uback WHERE i > 0
-), fin AS MATERIALIZED (
+), ufin AS MATERIALIZED (
   SELECT w,
          list(substr(w, acc[i + 1].bp + 1, i - acc[i + 1].bp)
               ORDER BY i) AS pieces,
@@ -253,8 +255,8 @@ uvocab(piece, nll) AS (
     oracle=f"""
 WITH RECURSIVE {oracle_unigram_cte()},
 j AS (
-  SELECT w0.doc_id, w0.wno, f.pieces, f.cost
-  FROM w0 JOIN fin f USING (w)
+  SELECT uw0.doc_id, uw0.wno, f.pieces, f.cost
+  FROM uw0 JOIN ufin f USING (w)
 )
 SELECT doc_id,
        CAST(count(*) AS BIGINT) AS n_words,

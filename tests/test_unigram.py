@@ -126,3 +126,37 @@ def test_fuzz_vs_reference(spark):
     got = _run(spark, texts)
     for i, t in enumerate(texts):
         assert got[i] == _ref_doc(t), f"fuzz doc {i}: {t!r}"
+
+
+def test_t60_cross_family_ordering_and_flips(spark):
+    """The three-family report's semantics: on the fixture the order
+    is strictly bpe < unigram < wordpiece per document (the reason t60
+    carries counts, not a decorative winner column); crafted corpora
+    FLIP both comparisons — an unknown word is 1 [UNK] piece for
+    WordPiece but ceil(len/3) fill pieces for unigram (wp < ug), and
+    alien text the BPE merges never fire on costs len chars for BPE
+    but ceil(len/3) for unigram (ug < bpe)."""
+    from debezium_incubator_spark.catalog import table
+    from debezium_incubator_spark.llm.bpe import bpe_token_count
+    from debezium_incubator_spark.llm.pipeline_v2 import t60_tokenizer_abc
+    from debezium_incubator_spark.llm.wordpiece import wordpiece_tokenize
+    from debezium_incubator_spark.llm.unigram import unigram_tokenize
+    from pyspark.sql import functions as F
+
+    from .conftest import SF_SMOKE
+
+    rows = t60_tokenizer_abc(spark, SF_SMOKE).collect()
+    assert rows
+    assert all(
+        r["bpe_tokens"] < r["ug_tokens"] < r["wp_tokens"] for r in rows
+    )
+
+    crafted = spark.createDataFrame(
+        [(0, "zzzzzz zzzzzz")], "doc_id LONG, text STRING"
+    )
+    wp = wordpiece_tokenize(spark, crafted).collect()[0]
+    ug = unigram_tokenize(spark, crafted).collect()[0]
+    bpe = crafted.select(
+        bpe_token_count("text").alias("n")
+    ).collect()[0]["n"]
+    assert wp["n_pieces"] < ug["n_pieces"] < bpe  # both comparisons flip
