@@ -317,8 +317,12 @@ def ann_refresh_foreach_batch(
         cents = spark.read.parquet(centroids_dir)
         snap = semdedup_survivors(route_to_cells(state, cents))
         snap_dir = os.path.join(out_dir, f"epoch={epoch}")
+        # hash-repartition on the partition column: each cell's rows
+        # land in one task → one file per cell directory, with write
+        # parallelism = number of cells (the build_ivf_index rule;
+        # repartition(1, ...) would serialize the whole snapshot)
         (
-            snap.repartition(1, "cell")
+            snap.repartition("cell")
             .write.mode("overwrite").partitionBy("cell").parquet(snap_dir)
         )
         _atomic_write(os.path.join(out_dir, "_LATEST"), f"epoch={epoch}")
