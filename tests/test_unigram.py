@@ -160,3 +160,40 @@ def test_t60_cross_family_ordering_and_flips(spark):
         bpe_token_count("text").alias("n")
     ).collect()[0]["n"]
     assert wp["n_pieces"] < ug["n_pieces"] < bpe  # both comparisons flip
+
+
+def test_viterbi_global_optimality_property(spark):
+    """Property: on random words, the engine's Viterbi cost is (a)
+    equal to the reference DP, (b) ≤ the greedy longest-match path's
+    cost under the SAME cost table, and (c) ≤ the all-single-chars
+    path — i.e. it is a true minimum over segmentations, not merely
+    agreeing with another heuristic."""
+    import random
+
+    rng = random.Random(60)
+    alpha = "abcdehjklmnorstuwyz"
+    words = [
+        "".join(rng.choice(alpha) for _ in range(rng.randint(1, 14)))
+        for _ in range(60)
+    ]
+
+    def greedy_cost(w):
+        cost, i = 0, 0
+        while i < len(w):
+            for ln in range(min(LMAX, len(w) - i), 0, -1):
+                p = w[i:i + ln]
+                if p in VOCAB:
+                    cost += VOCAB[p]
+                    i += ln
+                    break
+            else:
+                cost += UNK_NLL
+                i += 1
+        return cost
+
+    got = _run(spark, words)
+    for i, w in enumerate(words):
+        _, _, vit_cost, _ = _ref_doc(w)
+        assert got[i][2] == vit_cost
+        assert vit_cost <= greedy_cost(w)
+        assert vit_cost <= sum(VOCAB.get(c, UNK_NLL) for c in w)
