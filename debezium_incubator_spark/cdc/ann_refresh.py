@@ -79,7 +79,13 @@ from pyspark.sql.window import Window as W
 
 from ..catalog import table
 from ..registry import register
-from ..llm.similarity import IVF_AUDIT_DIR, _ensure_ivf_index, dot, norm_sq
+from ..llm.similarity import (
+    IVF_AUDIT_DIR,
+    _ensure_ivf_index,
+    dot,
+    norm_sq,
+    semdedup,
+)
 from .envelope import parse_envelope, unwrap
 from .materialize import materialize_latest
 
@@ -289,6 +295,197 @@ def cdc_ann_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return survivors.select("vec_id", "cell").orderBy("vec_id")
 
 
+# --- production spelling: scaled quantizer + vectorized assignment ---------
+#
+# The registered ``cdc_ann_refresh`` above pins the SHARED 16-cell audit
+# index and the interpreted crossJoin fold-argmin for oracle parity —
+# both fixture-regime choices whose g1→g3 probe read ratio 18.3 at 3×
+# data (module docstring). ``ann_refresh_scaled`` is the plan a 100 TB
+# deployment runs, now under the driver's hash gate (r11 verdict #1):
+#
+# - EXACT dedup tier FIRST (one window shuffle partitioned by the vector
+#   value itself): a bit-identical cluster of size m costs m² pairs in
+#   the semantic tier at ANY nlist — tier ordering is a COST invariant
+#   (SCALEPROBE.md, exponent 1.904 → 0.907);
+# - quantizer sized nlist ∝ n (cell ≈ CELL_TARGET): per-cell pair work
+#   AND the cell-join's task parallelism both scale with the corpus;
+# - routing via ``build_ivf_index``'s VECTORIZED MLlib assignment over
+#   a capped deterministic fit sample — not the interpreted fold.
+#
+# Oracle strategy (the sim_ivfpq_adc precedent): the k-means assignment
+# is persisted as DATA and TRUSTED; the oracle re-derives everything
+# else — the change-log fold, the exact-tier keepers (membership is
+# LEFT-joined so a row missing from the persisted index surfaces as a
+# NULL cell, never silently), and the per-cell SemDeDup pair rule —
+# from the raw embeddings plus the persisted artifacts.
+#
+# To keep the SEMANTIC tier live after the exact tier collapses the
+# planted placeholder dups, the scaled change log adds a NEAR-dup wave:
+# ``vec_id % 11`` rows are re-embedded to their left neighbor's final
+# state vector scaled by 1.0000001 — element-wise scaling preserves
+# direction (cosine ≈ 1 ≫ τ, computed by the identical left fold on
+# both engines, so no boundary exists) but breaks bit-identity, so the
+# clone survives the exact tier and the semantic tier removes it under
+# the min-id owner rule.
+
+#: target vectors per IVF cell under the production sizing rule.
+CELL_TARGET = 500
+ANN_SCALED_DIR = "/tmp/dis_ann_scaled_current"
+
+
+def scaled_change_log(emb: DataFrame) -> DataFrame:
+    """:func:`embeddings_change_log` plus the near-dup clone wave: for
+    ``vec_id % 11 == 0`` (self and left neighbor both alive), a final
+    update (pos ``vec_id*10+4``) sets ``v`` to the neighbor's
+    closed-form final state vector scaled by 1.0000001. Closed form
+    (real if ``%3``, placeholder if ``%5``, else negated) keeps the log
+    re-derivable by the SQL oracle without folding twice."""
+    vid = F.col("vec_id")
+    j = vid - 1
+    nb = emb.select((F.col("vec_id") + 1).alias("vec_id"),
+                    F.col("v").alias("nv"))
+    nbstate = (
+        F.when(j % 3 == 0, F.col("nv"))
+        .when(j % 5 == 0, _placeholder_v())
+        .otherwise(F.transform("nv", lambda x: -x))
+    )
+    clones = (
+        emb.join(nb, "vec_id")
+        .filter((vid % 11 == 0) & (vid % 7 != 0) & (vid > 0)
+                & (j % 7 != 0))
+        .select(
+            "vec_id",
+            F.transform(nbstate, lambda x: x * 1.0000001).alias("v"),
+            F.lit("u").alias("__op"),
+            (vid * 10 + 4).alias("__pos"),
+        )
+    )
+    return embeddings_change_log(emb).unionByName(clones)
+
+
+def scaled_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change log → wire round-trip → latest-state fold → EXACT dedup
+    tier (min-id keeper per identical vector — ONE window shuffle
+    partitioned by the vector value). Returns (vec_id, v), the input to
+    the index build."""
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    wire = embeddings_envelopes(scaled_change_log(emb))
+    state = materialize_latest(
+        unwrap_embeddings(wire), keys=["vec_id"], position=["__pos"]
+    ).select("vec_id", "v")
+    wv = W.partitionBy("v")
+    return (
+        state.withColumn("__own", F.min("vec_id").over(wv))
+        .filter(F.col("__own") == F.col("vec_id"))
+        .drop("__own")
+    )
+
+
+def build_scaled_index(spark: SparkSession, sf_dir: str,
+                       index_dir: str) -> None:
+    """Fold + exact tier, then ``build_ivf_index`` at nlist ∝ n
+    (``CELL_TARGET`` vectors per cell) — capped deterministic fit
+    sample + vectorized MLlib assignment, cell-partitioned store."""
+    from ..llm.similarity import build_ivf_index
+
+    state = scaled_state(spark, sf_dir)
+    n = state.count()
+    build_ivf_index(state, index_dir, nlist=max(16, n // CELL_TARGET))
+
+
+def _ensure_ann_scaled_index(spark: SparkSession, sf_dir: str) -> str:
+    """The fixed-path audit artifact for the scaled oracle (the
+    :mod:`.._audit` lifecycle: stamp on embeddings.parquet, atomic
+    symlink swap, locked builds, atexit cleanup)."""
+    from ..llm._audit import ensure_artifact
+
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    return ensure_artifact(
+        src, ANN_SCALED_DIR,
+        lambda d: build_scaled_index(spark, sf_dir, d),
+    )
+
+
+_SCALED_ORACLE = f"""
+WITH log AS (
+  SELECT vec_id,
+         CASE WHEN vec_id % 5 = 0
+              THEN list_transform(range(1, {DIM} + 1),
+                                  i -> CAST(1.0 AS DOUBLE))
+              ELSE list_transform(embedding::DOUBLE[], x -> -x) END AS v,
+         'c' AS op, vec_id * 10 + 1 AS pos
+  FROM embeddings
+  UNION ALL
+  SELECT vec_id, embedding::DOUBLE[], 'u', vec_id * 10 + 2
+  FROM embeddings WHERE vec_id % 3 = 0
+  UNION ALL
+  SELECT vec_id, NULL, 'd', vec_id * 10 + 3
+  FROM embeddings WHERE vec_id % 7 = 0
+  UNION ALL
+  SELECT e.vec_id,
+         list_transform(
+           CASE WHEN (e.vec_id - 1) % 3 = 0 THEN nb.embedding::DOUBLE[]
+                WHEN (e.vec_id - 1) % 5 = 0
+                THEN list_transform(range(1, {DIM} + 1),
+                                    i -> CAST(1.0 AS DOUBLE))
+                ELSE list_transform(nb.embedding::DOUBLE[], x -> -x) END,
+           x -> x * 1.0000001) AS v,
+         'u' AS op, e.vec_id * 10 + 4 AS pos
+  FROM embeddings e JOIN embeddings nb ON nb.vec_id = e.vec_id - 1
+  WHERE e.vec_id % 11 = 0 AND e.vec_id % 7 <> 0 AND e.vec_id > 0
+    AND (e.vec_id - 1) % 7 <> 0
+), lr AS (
+  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY pos DESC)
+    AS lrn
+  FROM log
+), state AS MATERIALIZED (
+  SELECT vec_id, v FROM lr WHERE lrn = 1 AND op <> 'd'
+), keep AS (
+  SELECT vec_id FROM (
+    SELECT vec_id, min(vec_id) OVER (PARTITION BY v) AS own FROM state
+  ) WHERE own = vec_id
+), member AS MATERIALIZED (
+  SELECT k.vec_id, x.v, x.nsq, x.cell
+  FROM keep k LEFT JOIN (
+    SELECT vec_id, v, nsq, CAST(cluster AS BIGINT) AS cell
+    FROM read_parquet('{ANN_SCALED_DIR}/vectors/*/*.parquet',
+                      hive_partitioning = true)
+  ) x ON x.vec_id = k.vec_id
+), rem AS (
+  SELECT DISTINCT b.vec_id
+  FROM member a JOIN member b ON a.cell = b.cell AND a.vec_id < b.vec_id
+  WHERE a.nsq > 0 AND b.nsq > 0
+    AND list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+            list_transform(range(1, {DIM} + 1),
+                           i -> a.v[i] * b.v[i])),
+            (s, x) -> s + x) / (sqrt(a.nsq) * sqrt(b.nsq)) >= {ANN_TAU}
+)
+SELECT m.vec_id, m.cell
+FROM member m LEFT JOIN rem r ON m.vec_id = r.vec_id
+WHERE r.vec_id IS NULL
+ORDER BY m.vec_id
+"""
+
+
+@register("ann_refresh_scaled", oracle=_SCALED_ORACLE)
+def ann_refresh_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CDC→ANN capstone at PRODUCTION sizing and kernels (section
+    comment above): scaled change log (near-dup wave included) → fold →
+    exact-dedup tier FIRST → ``build_ivf_index`` at nlist ∝ n with the
+    vectorized assignment → per-cell SemDeDup over the persisted store.
+    Output = refreshed index membership (vec_id, cell). The oracle
+    trusts the persisted assignment and re-derives fold, exact-tier
+    keepers, membership, and the pair rule in SQL."""
+    idx = _ensure_ann_scaled_index(spark, sf_dir)
+    removals = semdedup(spark, idx, tau=ANN_TAU).select("vec_id")
+    vecs = spark.read.parquet(f"{idx}/vectors").select(
+        "vec_id", F.col("cluster").cast("bigint").alias("cell")
+    )
+    return vecs.join(removals, "vec_id", "left_anti").orderBy("vec_id")
+
+
 # --- streaming form: continuous index refresh ------------------------------
 
 
@@ -336,6 +533,253 @@ def read_latest_index(spark: SparkSession, out_dir: str) -> DataFrame:
         return spark.read.parquet(os.path.join(out_dir, f.read().strip()))
 
 
+# --- incremental form: cell-scoped refresh (r11 verdict #3) -----------------
+#
+# ``ann_refresh_foreach_batch`` recomputes the FULL snapshot every
+# micro-batch — corpus-global refresh semantics, but at 100 TB a
+# per-trigger full rebuild is the remaining cost cliff. SemDeDup's
+# min-id owner rule is CELL-LOCAL, so a delta batch can only change the
+# survivor set of cells touched by its new/updated/deleted vectors:
+# the cell a changed vector routes INTO (a new member can remove
+# higher-id neighbors) and the cell it previously lived IN (losing a
+# member can UN-remove a vector it owned). Everything else is
+# untouched by construction.
+#
+# Three manifest-committed tiers under ``index_dir`` (the
+# partitioned-state commit protocol, cell-keyed):
+#
+# - ``members/``   — cell-partitioned FULL membership (vec_id, v, nsq):
+#                    per epoch, touched cells are rewritten as
+#                    (old members ∖ batch keys) ∪ (batch survivors
+#                    routed here); untouched cells are never read.
+# - ``survivors/`` — cell-partitioned post-dedup membership (vec_id):
+#                    recomputed per touched cell from its full member
+#                    set (NOT from previous survivors — a delete can
+#                    un-remove, so survivors are not monotone).
+# - ``lookup/``    — bucket-partitioned (vec_id → cell) via
+#                    ``apply_changes_partitioned``: the O(touched-
+#                    buckets) answer to "which cell did this key live
+#                    in before the batch". Committed LAST, so a crash
+#                    replay still sees the PRE-batch mapping.
+#
+# Replay idempotence: the touched-cell set is persisted per epoch
+# (``touched_v{epoch}.json``, atomic-rename, written before any tier
+# write) and reused on replay — the member/survivor set arithmetic is
+# idempotent given the same touched set, and the manifest split-brain
+# guard then re-commits byte-identical content.
+
+
+def _cell_manifest(tier_dir: str) -> dict[int, int]:
+    from ..streaming.partitioned_state import _read_manifest
+
+    return _read_manifest(tier_dir) or {}
+
+
+def _read_cells(spark: SparkSession, tier_dir: str,
+                cells: list[int] | None = None) -> DataFrame | None:
+    """Assemble tier rows from each cell's latest committed epoch;
+    ``cells`` restricts the read to those directories (None = all)."""
+    manifest = _cell_manifest(tier_dir)
+    want = manifest if cells is None else {
+        c: e for c, e in manifest.items() if c in set(cells)
+    }
+    if not want:
+        return None
+    # group by epoch: reading a partition DIRECTORY drops the partition
+    # column, so each epoch's cells are read under that epoch's
+    # basePath (restoring ``cell``), then unioned — epoch count in a
+    # manifest is bounded by distinct last-writer epochs, not cells
+    by_epoch: dict[int, list[int]] = {}
+    for c, e in want.items():
+        by_epoch.setdefault(e, []).append(c)
+    frames = []
+    for e, cs in by_epoch.items():
+        vdir = os.path.join(tier_dir, f"v{e}")
+        frames.append(
+            spark.read.option("basePath", vdir).parquet(
+                *[os.path.join(vdir, f"cell={c}") for c in cs]
+            )
+        )
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out
+
+
+def _commit_cells(df: DataFrame, tier_dir: str, epoch: int,
+                  touched: list[int]) -> None:
+    """Write ``df`` (must carry ``cell``) partitioned by cell under
+    ``v{epoch}`` and commit manifest + ``_LATEST`` (atomic renames,
+    split-brain-guarded — the partitioned-state protocol)."""
+    from ..streaming.partitioned_state import (
+        _atomic_write,
+        _commit_manifest,
+        _manifest_dumps,
+    )
+
+    vdir = os.path.join(tier_dir, f"v{epoch}")
+    (
+        df.repartition(max(len(touched), 1), "cell")
+        .write.mode("overwrite").partitionBy("cell").parquet(vdir)
+    )
+    manifest = _cell_manifest(tier_dir)
+    manifest.update({c: epoch for c in touched})
+    _commit_manifest(tier_dir, epoch, _manifest_dumps(manifest))
+    _atomic_write(
+        os.path.join(tier_dir, "_LATEST"), f"manifest_v{epoch}.json"
+    )
+
+
+def ann_refresh_incremental_foreach_batch(
+    centroids_dir: str, index_dir: str, n_buckets: int = 8
+):
+    """foreachBatch handler for CELL-SCOPED index refresh (section
+    comment above): per micro-batch of (key, value) JSON envelope
+    strings, only the cells touched by the batch are re-membered and
+    re-deduplicated — per-epoch cost ∝ touched cells, never index
+    size. The committed survivor set equals the full-recompute snapshot
+    at every epoch (equality-pinned in tests).
+
+    Batch routing uses the interpreted broadcast fold (O(batch·nlist))
+    — right for delta batches; a bulk backfill should go through
+    ``build_ivf_index``'s vectorized MLlib assignment instead."""
+    import json as _json
+
+    from ..streaming.partitioned_state import (
+        _atomic_write,
+        _bucket,
+        apply_changes_partitioned,
+        _read_manifest,
+        BUCKET_COL,
+    )
+
+    members_dir = os.path.join(index_dir, "members")
+    survivors_dir = os.path.join(index_dir, "survivors")
+    lookup_dir = os.path.join(index_dir, "lookup")
+    for d in (members_dir, survivors_dir, lookup_dir):
+        os.makedirs(d, exist_ok=True)
+
+    def handle(batch: DataFrame, epoch: int) -> None:
+        spark = batch.sparkSession
+        flat = unwrap_embeddings(batch)
+        # net effect per key within the batch (a key can insert, update
+        # and delete inside one micro-batch)
+        wn = W.partitionBy("vec_id").orderBy(F.desc("__pos"))
+        net = (
+            flat.withColumn("__rn", F.row_number().over(wn))
+            .filter(F.col("__rn") == 1).drop("__rn")
+        )
+        cents = spark.read.parquet(centroids_dir)
+        routed = route_to_cells(
+            net.filter(F.col("__op") != "d").select("vec_id", "v"), cents
+        )
+        # pre-batch cells of every net key: targeted touched-bucket read
+        # of the lookup tier (committed LAST, so still pre-batch here
+        # even on a crash replay)
+        old_cells: list[int] = []
+        lk_manifest = _read_manifest(lookup_dir) or {}
+        if lk_manifest:
+            key_buckets = {
+                r["b"] for r in net.select(
+                    _bucket(["vec_id"], n_buckets).alias("b")
+                ).distinct().collect()
+            }
+            paths = [
+                os.path.join(lookup_dir, f"v{e}", f"{BUCKET_COL}={b}")
+                for b, e in lk_manifest.items() if b in key_buckets
+            ]
+            if paths:
+                prior = spark.read.parquet(*paths).filter(
+                    F.col("__op") != "d"
+                )
+                old_cells = [
+                    r["cell"] for r in prior.join(
+                        net.select("vec_id"), "vec_id", "left_semi"
+                    ).select("cell").distinct().collect()
+                ]
+        new_cells = [
+            r["cell"] for r in routed.select("cell").distinct().collect()
+        ]
+        touched = sorted(set(old_cells) | set(new_cells))
+        # persist (or reuse) the epoch's touched set BEFORE any tier
+        # write — replays after any crash window commit identically
+        tpath = os.path.join(index_dir, f"touched_v{epoch}.json")
+        if os.path.exists(tpath):
+            with open(tpath) as fh:
+                touched = _json.load(fh)
+        else:
+            _atomic_write(tpath, _json.dumps(touched))
+        if touched:
+            # members: (old ∖ batch keys) ∪ routed, touched cells only
+            old_members = _read_cells(spark, members_dir, touched)
+            new_members = routed.select("vec_id", "v", "nsq", "cell")
+            if old_members is not None:
+                keep = old_members.join(
+                    net.select("vec_id"), "vec_id", "left_anti"
+                )
+                new_members = keep.select(
+                    "vec_id", "v", "nsq", "cell"
+                ).unionByName(new_members)
+            # one pass feeds both commits
+            new_members = new_members.localCheckpoint()
+            _commit_cells(new_members, members_dir, epoch, touched)
+            # survivors: full per-cell recompute over the touched cells
+            surv = semdedup_survivors(new_members, ANN_TAU)
+            _commit_cells(
+                surv.select("vec_id", "cell"), survivors_dir, epoch,
+                touched,
+            )
+        # lookup LAST (commit point for the old-cell source): net keys
+        # with their new cell (NULL for deletes — the op column carries
+        # the tombstone)
+        lk = net.select("vec_id", "__op", "__pos").join(
+            routed.select("vec_id", "cell"), "vec_id", "left"
+        )
+        apply_changes_partitioned(
+            spark, lk, epoch, lookup_dir,
+            keys=["vec_id"], position=["__pos"], n_buckets=n_buckets,
+        )
+
+    return handle
+
+
+def read_incremental_index(spark: SparkSession,
+                           index_dir: str) -> DataFrame | None:
+    """Current survivor set (vec_id, cell) assembled from the
+    survivors tier's manifest."""
+    return _read_cells(spark, os.path.join(index_dir, "survivors"))
+
+
+def start_ann_refresh_incremental_stream(
+    spark: SparkSession,
+    stage_dir: str,
+    centroids_dir: str,
+    index_dir: str,
+    checkpoint: str,
+    n_buckets: int = 8,
+):
+    """Cell-scoped refresh as a Structured Streaming query over a
+    PARQUET file source of (key, value) JSON envelope STRINGS (same
+    wire as :func:`start_ann_refresh_stream`), availableNow."""
+    os.makedirs(index_dir, exist_ok=True)
+    stream = (
+        spark.readStream.schema("key STRING, value STRING")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage_dir)
+    )
+    return (
+        stream.writeStream
+        .foreachBatch(
+            ann_refresh_incremental_foreach_batch(
+                centroids_dir, index_dir, n_buckets
+            )
+        )
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def start_ann_refresh_stream(
     spark: SparkSession,
     stage_dir: str,
@@ -345,8 +789,10 @@ def start_ann_refresh_stream(
     checkpoint: str,
     n_buckets: int = 8,
 ):
-    """The capstone as a real Structured Streaming query: a file
-    source of JSON envelope records, availableNow — drains what
+    """The capstone as a real Structured Streaming query over a
+    PARQUET file source of (key, value) JSON envelope STRINGS (the
+    shape ``embeddings_envelopes`` emits — raw ``.json`` files staged
+    here would yield zero batches), availableNow — drains what
     exists then stops; re-invoke after a restart and the checkpoint
     resumes from the first unprocessed file."""
     os.makedirs(state_dir, exist_ok=True)

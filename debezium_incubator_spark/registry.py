@@ -99,11 +99,15 @@ PRIORITY: list[str] = [
     "t56_bpe_train",         # distributed BPE vocabulary training
     # round-11 second rotation: cdc_dedup_stream (in-window since r1;
     # I5 keeps dedup_exact audited + the dropDuplicates stream tests,
-    # I6 keeps cdc_materialize) gives its slot to cdc_ann_refresh —
-    # the round-11 CDC→ANN capstone (change stream → fold →
-    # persisted-centroid routing → SemDeDup, the first audited
-    # differential where CDC semantics reach the VECTOR tier).
-    "cdc_ann_refresh",       # CDC→ANN-index capstone
+    # I6 keeps cdc_materialize) gave this slot to cdc_ann_refresh.
+    # Round-12 rotation (r11 verdict #1): cdc_ann_refresh (audited
+    # green r11; stays sweep-oracled) gives the slot to
+    # ann_refresh_scaled — the SAME capstone at PRODUCTION sizing
+    # (exact-dedup tier first, nlist ∝ n, vectorized MLlib assignment,
+    # near-dup clone wave keeping the semantic tier live) — so the
+    # plan the driver hash-checks IS the plan a 100 TB deployment
+    # runs (the fixed-nlist form's g1→g3 probe read 18.3× at 3×).
+    "ann_refresh_scaled",    # CDC→ANN capstone, production spelling
     # round-7 third block: route_content_based (B4 — stays sweep-oracled;
     # the routing family keeps route_logical_table/route_outbox in the
     # sweep and cdc_partition_routing in-window) gives its slot to
@@ -138,12 +142,15 @@ PRIORITY: list[str] = [
     # portable-hash-parity-audited).
     # round-9 continuation rotation: cdc_partition_routing (L113 —
     # stays sweep-oracled; the Connect SMT tier keeps
-    # cdc_connect_predicates in-window, a strictly richer gate+SMT
-    # differential) gives its slot to t52_wordpiece — the SECOND
-    # tokenizer family (BERT greedy longest-match fold, structurally
-    # different from the BPE replay chain; md5-of-piece-stream
-    # differential).
-    "t52_wordpiece",         # WordPiece greedy longest-match
+    # cdc_connect_predicates in-window) gave this slot to
+    # t52_wordpiece. Round-12 rotation (r11 verdict #2): t52 (audited
+    # green r9–r11; stays sweep-oracled, and WordPiece inference stays
+    # audited IN-WINDOW as a live stage of t54_curation_v3 and inside
+    # t60's three-chain oracle) gives the slot to t59_unigram_tokens —
+    # the THIRD tokenizer family's INFERENCE (Viterbi decode against
+    # the trained integer-NLL vocab; three live cost tiers), which the
+    # driver has never hash-checked.
+    "t59_unigram_tokens",    # unigram (SentencePiece) Viterbi decode
     # round-7 continuation: join_semi (C4 — stays sweep-oracled; the
     # family's stronger null-aware form sql_not_in_null_aware and
     # sql_in_subquery remain sweep checks) gives its slot to
@@ -229,13 +236,15 @@ PRIORITY: list[str] = [
     # ADC all re-derived in SQL from the persisted artifacts.
     "sim_ivfpq_adc",         # L148 IVF-PQ composed (persisted-artifact)
     # §2G set ops: round-10 rotation — set_ops_combined (G1–G4, stable
-    # and sweep-oracled since r2) gives its slot to t55_tokenizer_ab,
-    # the tokenizer A/B report (per-doc BPE vs WordPiece cost — the
-    # heaviest oracle composition: the staged BPE CTE chain composed
-    # with the WordPiece recursive scan in ONE query; also the query
-    # whose r9 probe caught the 17× sort-sampler class, so its fixed
-    # plan deserves the driver's audit).
-    "t55_tokenizer_ab",      # BPE vs WordPiece A/B (composed oracle)
+    # and sweep-oracled since r2) gave this slot to t55_tokenizer_ab.
+    # Round-12 rotation (r11 verdict #2): t55 (audited green r10–r11;
+    # stays sweep-oracled, and its fixed repartition-above-the-chain
+    # plan keeps its probe rows) gives the slot to t60_tokenizer_abc —
+    # the STRICT superset report (BPE vs WordPiece vs unigram: three
+    # oracle chains — staged CTEs + recursive scan + recursive Viterbi
+    # — composed in ONE query), which the driver has never
+    # hash-checked.
+    "t60_tokenizer_abc",     # BPE/WordPiece/unigram A/B/C (3 chains)
     # §2H scalar families (H10 via cast_coerce above)
     "fn_scalar_combo",       # H1+H2+H3+H4 combo
     "fn_nested_combo",       # H5+H6+H7+H9 combo

@@ -135,51 +135,26 @@ def _ann_refresh_scaled(spark, sf_dir):
     are fixture-regime choices the probes showed quadratic at scale
     (fixed nlist → per-cell pairs ∝ n²; fold-argmin → O(n·nlist)
     interpreted FLOPs with nlist ∝ n). THIS composition is what a
-    100 TB deployment runs; timing includes the full rebuild."""
+    100 TB deployment runs; timing includes the full rebuild.
+
+    Round 12: the composition moved into the engine as the REGISTERED
+    ``ann_refresh_scaled`` (cdc/ann_refresh.py — exact tier first,
+    nlist ∝ n, near-dup clone wave; oracled at all 3 SFs). This probe
+    form calls the same shared builders but rebuilds into a tempdir
+    per sample so the index build stays inside the measurement (the
+    registered form reuses a stamped audit artifact)."""
     import atexit
     import shutil
     import tempfile
 
     from debezium_incubator_spark.cdc.ann_refresh import (
         ANN_TAU,
-        embeddings_change_log,
-        embeddings_envelopes,
-        unwrap_embeddings,
+        build_scaled_index,
     )
-    from debezium_incubator_spark.cdc.materialize import materialize_latest
-    from debezium_incubator_spark.llm.similarity import (
-        _vectors,
-        build_ivf_index,
-        semdedup,
-    )
+    from debezium_incubator_spark.llm.similarity import semdedup
 
-    from pyspark.sql.window import Window as W
-
-    emb = _vectors(spark, sf_dir).select("vec_id", "v")
-    wire = embeddings_envelopes(embeddings_change_log(emb))
-    state = materialize_latest(
-        unwrap_embeddings(wire), keys=["vec_id"], position=["__pos"]
-    ).select("vec_id", "v")
-    # EXACT tier first (the pipeline's own cheapest-first ordering,
-    # dedup.py module docstring): the change log plants ~5% of ALL
-    # vectors as one identical placeholder, and a bit-identical
-    # cluster of size m costs m² pairs inside the semantic tier at ANY
-    # nlist — the round-11 probe measured exponent ~1.9 until this
-    # one-shuffle hash collapse ran first. Semantics unchanged: the
-    # pair rule would remove exactly these rows (cosine 1 ≥ τ, min-id
-    # keeper), just quadratically.
-    wv = W.partitionBy(F.xxhash64("v"))
-    state = (
-        state.withColumn(
-            "__keep", F.min("vec_id").over(wv) == F.col("vec_id")
-        )
-        .filter("__keep")
-        .drop("__keep")
-    )
-    n = state.count()
-    nlist = max(16, n // 500)
     idx = tempfile.mkdtemp(prefix="annrefresh_probe_")
-    build_ivf_index(state, idx, nlist=nlist)
+    build_scaled_index(spark, sf_dir, idx)
     atexit.register(shutil.rmtree, idx, True)
     removals = semdedup(spark, idx, tau=ANN_TAU).select("vec_id")
     vecs = spark.read.parquet(f"{idx}/vectors").select(
@@ -237,7 +212,12 @@ def run_suite(spark, sf_dir: str, queries,
         cached.append(df)
     out: dict[str, float] = {}
     for name in only if only is not None else LINEAR + QUADRATIC:
-        fn = queries.get(name) or globals()[f"_{name}"]
+        # local `_name` probe forms take precedence over same-named
+        # registered queries: the probe spellings rebuild their index
+        # artifacts inside the timed run (the registered
+        # ann_refresh_scaled reuses a stamped audit artifact for oracle
+        # parity, which would drop the build out of the measurement)
+        fn = globals().get(f"_{name}") or queries[name]
         # Every sample builds a FRESH plan: re-collecting one DataFrame
         # reuses completed shuffle stages (stage skipping), which times
         # only the final stage — the first probe run measured exactly

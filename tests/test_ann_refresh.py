@@ -13,12 +13,15 @@ from debezium_incubator_spark.catalog import table
 from debezium_incubator_spark.cdc.ann_refresh import (
     ANN_TAU,
     ann_refresh_foreach_batch,
+    ann_refresh_incremental_foreach_batch,
     cdc_ann_refresh,
     embeddings_change_log,
     embeddings_envelopes,
+    read_incremental_index,
     read_latest_index,
     route_to_cells,
     semdedup_survivors,
+    start_ann_refresh_incremental_stream,
     start_ann_refresh_stream,
     unwrap_embeddings,
 )
@@ -167,6 +170,144 @@ def test_stream_equals_batch_across_restart(spark, tmp_path):
     }
     assert streamed == batch
     assert mid != batch  # the prefix saw a pre-delete world
+
+
+def _staged_slices(spark, tmp_path, stage, n_slices=3):
+    """Envelope wire rows in position order, cut into n staged parquet
+    files under ``stage``; returns the list of row-slices."""
+    import glob
+
+    emb = _emb(spark)
+    wire = embeddings_envelopes(embeddings_change_log(emb)).withColumn(
+        "__pos_sort",
+        F.get_json_object("value", "$.source.pos").cast("long"),
+    )
+    os.makedirs(stage, exist_ok=True)
+    rows = wire.orderBy("__pos_sort").drop("__pos_sort").collect()
+    cuts = [len(rows) * i // n_slices for i in range(n_slices + 1)]
+    slices = [rows[cuts[i]:cuts[i + 1]] for i in range(n_slices)]
+    for i, sl in enumerate(slices):
+        tmp = str(tmp_path / f"tmp_inc{i}")
+        spark.createDataFrame(
+            sl, "key STRING, value STRING"
+        ).coalesce(1).write.mode("overwrite").parquet(tmp)
+        src = glob.glob(os.path.join(tmp, "*.parquet"))[0]
+        os.rename(src, os.path.join(stage, f"b{i}.parquet"))
+    return slices
+
+
+def _full_recompute(spark, slices, upto, cents):
+    """Ground truth after slices[0..upto]: fold everything delivered so
+    far, route, dedup — the corpus-global snapshot semantics."""
+    delivered = [r for sl in slices[: upto + 1] for r in sl]
+    wire = spark.createDataFrame(delivered, "key STRING, value STRING")
+    state = materialize_latest(
+        unwrap_embeddings(wire), keys=["vec_id"], position=["__pos"]
+    ).select("vec_id", "v")
+    surv = semdedup_survivors(route_to_cells(state, cents), ANN_TAU)
+    return {(r["vec_id"], r["cell"]) for r in surv.collect()}
+
+
+def test_incremental_equals_full_recompute_every_epoch(spark, tmp_path):
+    """Cell-scoped refresh == corpus-global full recompute after EVERY
+    epoch (not just the last): deletes un-remove, re-embeds re-route,
+    and untouched cells carried forward must still be correct."""
+    idx = _ensure_ivf_index(spark, SF_SMOKE)
+    cents_dir = os.path.join(idx, "centroids")
+    cents = spark.read.parquet(cents_dir)
+    stage = str(tmp_path / "stage")
+    slices = _staged_slices(spark, tmp_path, stage)
+    index_dir = str(tmp_path / "inc")
+    handle = ann_refresh_incremental_foreach_batch(cents_dir, index_dir)
+    for i, sl in enumerate(slices):
+        handle(spark.createDataFrame(sl, "key STRING, value STRING"), i)
+        got = {
+            (r["vec_id"], r["cell"])
+            for r in read_incremental_index(spark, index_dir).collect()
+        }
+        assert got == _full_recompute(spark, slices, i, cents), (
+            f"epoch {i}: incremental survivors diverge from full "
+            "recompute"
+        )
+
+
+def test_incremental_touches_only_affected_cells(spark, tmp_path):
+    """Per-epoch write cost ∝ touched cells: an epoch whose batch
+    routes into a strict subset of cells must rewrite ONLY those cell
+    directories in the members/survivors tiers."""
+    idx = _ensure_ivf_index(spark, SF_SMOKE)
+    cents_dir = os.path.join(idx, "centroids")
+    index_dir = str(tmp_path / "inc")
+    handle = ann_refresh_incremental_foreach_batch(cents_dir, index_dir)
+    emb = _emb(spark)
+    wire_all = embeddings_envelopes(embeddings_change_log(emb))
+    handle(wire_all, 0)  # epoch 0: bulk load, many cells
+    # epoch 1: a single-vector update — touches at most 2 cells (the
+    # old one and the new one)
+    one = embeddings_envelopes(
+        embeddings_change_log(emb.filter(F.col("vec_id") == 1))
+    )
+    handle(one, 1)
+    import json
+
+    with open(os.path.join(index_dir, "touched_v1.json")) as f:
+        touched1 = json.load(f)
+    with open(os.path.join(index_dir, "touched_v0.json")) as f:
+        touched0 = json.load(f)
+    assert len(touched1) <= 2 < len(touched0)
+    for tier in ("members", "survivors"):
+        vdir = os.path.join(index_dir, tier, "v1")
+        written = {
+            int(d.split("=", 1)[1])
+            for d in os.listdir(vdir) if d.startswith("cell=")
+        }
+        assert written == set(touched1), (
+            f"{tier} epoch 1 rewrote cells beyond the touched set"
+        )
+
+
+def test_incremental_replay_and_restart(spark, tmp_path):
+    """Replaying a committed epoch is a no-op (same touched file, same
+    manifests, same survivors), and a checkpointed stream restart over
+    the remaining staged files converges to the batch result."""
+    idx = _ensure_ivf_index(spark, SF_SMOKE)
+    cents_dir = os.path.join(idx, "centroids")
+    cents = spark.read.parquet(cents_dir)
+    stage = str(tmp_path / "stage")
+    slices = _staged_slices(spark, tmp_path, stage)
+    index_dir = str(tmp_path / "inc")
+    ckpt = str(tmp_path / "ckpt")
+    # drain with the real stream (file-per-trigger)
+    q = start_ann_refresh_incremental_stream(
+        spark, stage, cents_dir, index_dir, ckpt
+    )
+    q.awaitTermination(300)
+    final = {
+        (r["vec_id"], r["cell"])
+        for r in read_incremental_index(spark, index_dir).collect()
+    }
+    assert final == _full_recompute(spark, slices, len(slices) - 1, cents)
+    # replay the LAST epoch's batch by hand against the committed state
+    handle = ann_refresh_incremental_foreach_batch(cents_dir, index_dir)
+    handle(
+        spark.createDataFrame(slices[-1], "key STRING, value STRING"),
+        len(slices) - 1,
+    )
+    again = {
+        (r["vec_id"], r["cell"])
+        for r in read_incremental_index(spark, index_dir).collect()
+    }
+    assert again == final
+    # restart on the same checkpoint with no new files: stream is a
+    # no-op and the snapshot is unchanged
+    q2 = start_ann_refresh_incremental_stream(
+        spark, stage, cents_dir, index_dir, ckpt
+    )
+    q2.awaitTermination(300)
+    assert {
+        (r["vec_id"], r["cell"])
+        for r in read_incremental_index(spark, index_dir).collect()
+    } == final
 
 
 def test_epoch_replay_is_idempotent(spark, tmp_path):

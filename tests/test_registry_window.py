@@ -31,6 +31,14 @@ from debezium_incubator_spark.registry import (
 # out for this round's own flagships cdc_ann_refresh +
 # t58_unigram_train, so the driver hash-checks them THIS round instead
 # of next.
+#
+# Round-12 rotation (r11 verdict #1/#2): cdc_ann_refresh (audited green
+# r11; its production spelling ann_refresh_scaled supersedes it — the
+# plan the driver audits is now the plan a 100 TB deployment runs),
+# t52_wordpiece (audited r9–r11; WordPiece inference stays in-window as
+# a live t54_curation_v3 stage and inside t60's composed oracle) and
+# t55_tokenizer_ab (audited r10–r11; t60 is its strict superset) rotate
+# out for ann_refresh_scaled + t59_unigram_tokens + t60_tokenizer_abc.
 FAMILY_ANCHORS = {
     "scan_project",        # A
     "filter_predicate",    # B
