@@ -28,13 +28,20 @@ Two modes, two contracts:
   fetched typed from one action without lossy re-encoding, which is
   why the full-result mode uses overlap instead of fusion.
 
-Measured (sf0.1, local[32], idle, 8 headliners, median-of-7, plans
-rebuilt per call as a cold caller would): serial per-query loop
-4.05 s, ``run_batch`` 1.93 s, ``run_batch_digest`` 2.37 s. End-to-end
-the win is ~2× because Python-side plan CONSTRUCTION (py4j chatter)
-is serial in all modes and dominates cold calls; on pre-built plans
-the digest mode reaches the bench's 0.21×-of-DuckDB fused regime
-(BENCH fused_engine_sec vs 8× engine_sec).
+Measured (sf0.1, local[32], idle, 8 headliners, median-of-7). Cold
+(plans rebuilt per call as a first-time caller would): serial
+per-query loop 5.14 s, ``run_batch`` 2.37 s, because Python-side plan
+CONSTRUCTION (py4j chatter) is serial in all modes and dominates cold
+calls. WARM (round-12 plan memo, ``reuse_plans=True`` default —
+repeat calls in one session skip the build): ``run_batch`` 0.141 s
+full typed results, ``run_batch_digest`` 0.097 s — at/below the
+0.21×-of-DuckDB fused regime (same-box DuckDB runs the 8 at ~0.475 s
+every call). Honesty note: warm repeat-calls on one plan also reuse
+completed shuffle stages (Spark stage-skipping) — real product
+benefit for dashboards/sweeps re-polling the same queries, but NOT a
+number comparable to fresh-lineage benchmarks; bench.py and the
+probes stay memo-free (``reuse_plans=False`` + their own plan
+builds).
 
 Scale posture: both modes leave each query's plan exactly as the
 registry built it (broadcasts, pushed filters, partial aggs all
@@ -59,6 +66,19 @@ from .registry import all_queries
 #: without oversubscribing the local scheduler pool.
 MAX_CONCURRENCY = 8
 
+# Plan-construction memo (r11 verdict #7): the module's own measurement
+# says py4j plan BUILD is the serial cold-path cost (serial 4.05 s →
+# threads only 1.93 s — the pool can't overlap Python-side chatter).
+# Registered query builders are pure functions of (key, sf_dir) modulo
+# the session, so the built DataFrame is reusable for REPEAT calls in
+# the same session — the bounded `catalog.spread()` memo pattern, keyed
+# on applicationId so a new session (same id() reuse hazard) never sees
+# a stale plan. Product-surface only: bench/probe paths build fresh
+# lineage by contract and never call through this memo (the r8 concern
+# was about measurement paths, not callers).
+_PLAN_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+_PLAN_CACHE_MAX = 4096
+
 
 def _resolve(keys: list[str]):
     queries = all_queries()
@@ -70,22 +90,43 @@ def _resolve(keys: list[str]):
     return queries
 
 
+def _plan(spark: SparkSession, queries, key: str, sf_dir: str,
+          use_cache: bool) -> DataFrame:
+    if not use_cache:
+        return queries[key](spark, sf_dir)
+    ck = (spark.sparkContext.applicationId, key, sf_dir)
+    df = _PLAN_CACHE.get(ck)
+    if df is None:
+        df = queries[key](spark, sf_dir)
+        if len(_PLAN_CACHE) >= _PLAN_CACHE_MAX:
+            _PLAN_CACHE.clear()
+        _PLAN_CACHE[ck] = df
+    return df
+
+
 def run_batch(
     spark: SparkSession,
     keys: list[str],
     sf_dir: str,
     max_concurrency: int = MAX_CONCURRENCY,
+    reuse_plans: bool = True,
 ) -> dict[str, pd.DataFrame]:
     """Run registered queries as overlapping concurrent actions.
 
     Returns ``{key: pandas.DataFrame}`` — each frame bit-identical to
     ``all_queries()[key](spark, sf_dir).toPandas()`` run alone (same
-    plan, same Arrow fetch; only the wall-clock overlaps).
+    plan, same Arrow fetch; only the wall-clock overlaps). With
+    ``reuse_plans`` (default) repeat calls in one session skip the
+    serial py4j plan construction via the bounded per-application memo
+    — pass ``reuse_plans=False`` to force fresh lineage (measurement
+    harnesses must: a reused plan reuses completed shuffle stages).
     """
     queries = _resolve(keys)
     # build every logical plan up front on the caller's thread —
     # analysis errors surface here, not inside the pool
-    plans = {k: queries[k](spark, sf_dir) for k in keys}
+    plans = {
+        k: _plan(spark, queries, k, sf_dir, reuse_plans) for k in keys
+    }
 
     def fetch(k: str) -> pd.DataFrame:
         return plans[k].toPandas()
@@ -95,11 +136,37 @@ def run_batch(
         return {k: futs[k].result() for k in keys}
 
 
+def _unhashable(dtype) -> bool:
+    """xxhash64 can't hash MAP (unordered) or VARIANT columns — walk
+    nested types so a map buried in a struct/array is caught too."""
+    from pyspark.sql import types as T
+
+    if isinstance(dtype, T.MapType) or type(dtype).__name__ == "VariantType":
+        return True
+    if isinstance(dtype, T.ArrayType):
+        return _unhashable(dtype.elementType)
+    if isinstance(dtype, T.StructType):
+        return any(_unhashable(f.dataType) for f in dtype.fields)
+    return False
+
+
 def digest_plan(df: DataFrame, key: str) -> DataFrame:
     """One query's digest branch: (q, n, h) — row count + order-free
     bit_xor of per-row xxhash64 over every column (the
     cdc_table_checksum fold). Schema-uniform, so any mix of queries
-    unions cleanly."""
+    unions cleanly. Pre-checks the hashable-columns contract (r11
+    ADVICE): xxhash64 fails ANALYSIS on MAP/VARIANT columns, so refuse
+    up front with the key and column named instead of a mid-batch
+    analyzer error."""
+    bad = [
+        f.name for f in df.schema.fields if _unhashable(f.dataType)
+    ]
+    if bad:
+        raise TypeError(
+            f"run_batch_digest: query '{key}' surfaces unhashable "
+            f"column(s) {bad} (MAP/VARIANT cannot go through xxhash64) "
+            "— fetch it typed via run_batch instead"
+        )
     return df.select(F.xxhash64(*df.columns).alias("__h")).agg(
         F.lit(key).alias("q"),
         F.count("*").alias("n"),
@@ -108,21 +175,41 @@ def digest_plan(df: DataFrame, key: str) -> DataFrame:
 
 
 def run_batch_digest(
-    spark: SparkSession, keys: list[str], sf_dir: str
+    spark: SparkSession, keys: list[str], sf_dir: str,
+    reuse_plans: bool = True,
 ) -> dict[str, tuple[int, int]]:
     """Fold + union every query's digest under ONE Spark action.
 
     Returns ``{key: (row_count, bit_xor_hash)}``. The per-job dispatch
     floor is paid once for the whole batch (the bench fused regime,
-    ~0.21× same-box DuckDB for the 8 headliners).
+    ~0.21× same-box DuckDB for the 8 headliners). Every digested
+    column must be a hashable type — xxhash64 rejects MAP/VARIANT at
+    analysis; ``digest_plan`` pre-checks and names the offending key.
+    Repeat calls reuse built plans per the ``run_batch`` memo contract.
     """
     queries = _resolve(keys)
-    branches = [
-        digest_plan(queries[k](spark, sf_dir), k) for k in keys
-    ]
-    # unionAll keeps branches distinct even when two queries digest
-    # identically; the tag column makes rows attributable regardless
-    fused = reduce(lambda a, b: a.unionAll(b), branches)
+    fused = None
+    fk = (spark.sparkContext.applicationId, "\x1f".join(keys), sf_dir)
+    if reuse_plans:
+        fused = _FUSED_CACHE.get(fk)
+    if fused is None:
+        branches = [
+            digest_plan(_plan(spark, queries, k, sf_dir, reuse_plans), k)
+            for k in keys
+        ]
+        # unionAll keeps branches distinct even when two queries digest
+        # identically; the tag column makes rows attributable regardless
+        fused = reduce(lambda a, b: a.unionAll(b), branches)
+        if reuse_plans:
+            if len(_FUSED_CACHE) >= _PLAN_CACHE_MAX:
+                _FUSED_CACHE.clear()
+            _FUSED_CACHE[fk] = fused
     return {
         r["q"]: (r["n"], r["h"]) for r in fused.collect()
     }
+
+
+#: the fused digest plan per (application, key-list, sf_dir) — the
+#: union/digest construction is itself py4j-serial, so repeat digest
+#: calls memoize the WHOLE fused plan, not just the branches.
+_FUSED_CACHE: dict[tuple[str, str, str], DataFrame] = {}

@@ -458,23 +458,26 @@ WITH toks AS (
 )"""
 
 
-def portable_pairs_cte() -> str:
+def portable_pairs_cte(perm: int = _PORT_PERM, bands_n: int = _PORT_BANDS,
+                       rows_n: int = _PORT_ROWS) -> str:
     """The CTE chain (no leading WITH) rebuilding the portable funnel
     in DuckDB up to ``inter``/``sizes`` — shared by the
-    ``dedup_minhash_portable`` oracle and the ``t40`` capstone oracle
-    so both SQL twins re-derive the SAME funnel."""
+    ``dedup_minhash_portable`` oracle, the ``t40`` capstone oracle, and
+    the 16×8 production-banding twin, so every SQL twin re-derives the
+    SAME funnel at its own (bands × rows) config."""
+    assert bands_n * rows_n == perm
     mins = ",\n         ".join(
-        f"MIN({_phash_duck('sh', p)}) AS mh{p}" for p in range(_PORT_PERM)
+        f"MIN({_phash_duck('sh', p)}) AS mh{p}" for p in range(perm)
     )
     bands = "\n  UNION ALL\n".join(
         "  SELECT doc_id, {b} AS band_id, {expr} AS bh FROM sigs".format(
             b=b,
             expr=" || ',' || ".join(
-                f"CAST(mh{b * _PORT_ROWS + r} AS VARCHAR)"
-                for r in range(_PORT_ROWS)
+                f"CAST(mh{b * rows_n + r} AS VARCHAR)"
+                for r in range(rows_n)
             ),
         )
-        for b in range(_PORT_BANDS)
+        for b in range(bands_n)
     )
     return f"""{_PORT_SHINGLE_CTE.lstrip().removeprefix("WITH ")},
 sigs AS (
@@ -512,6 +515,24 @@ ORDER BY doc_a, doc_b
 """
 
 
+def _portable_minhash_query(spark: SparkSession, sf_dir: str,
+                            perm: int, bands_n: int,
+                            rows_n: int) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    inter = portable_neardup_pairs(d, perm, bands_n, rows_n)
+    jac = F.col("i") / (F.col("na") + F.col("nb") - F.col("i"))
+    return (
+        inter.filter(jac >= _PORT_JACCARD_MIN)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("i").cast("bigint").alias("n_common"),
+            (F.floor(jac * 10000 + 0.5) / F.lit(10000.0)).alias("jaccard"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
 @register("dedup_minhash_portable", oracle=_minhash_portable_oracle())
 def dedup_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup detection, hash-parity checked end to end:
@@ -526,29 +547,71 @@ def dedup_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs. The portable hash costs one md5 per (shingle, permutation) —
     use the xxhash64 variant in production; this twin exists so the
     pipeline's *semantics* are differentially verified."""
-    d = table(spark, sf_dir, "documents")
-    inter = portable_neardup_pairs(d)
-    jac = F.col("i") / (F.col("na") + F.col("nb") - F.col("i"))
-    return (
-        inter.filter(jac >= _PORT_JACCARD_MIN)
-        .select(
-            "doc_a",
-            "doc_b",
-            F.col("i").cast("bigint").alias("n_common"),
-            (F.floor(jac * 10000 + 0.5) / F.lit(10000.0)).alias("jaccard"),
-        )
-        .orderBy("doc_a", "doc_b")
+    return _portable_minhash_query(
+        spark, sf_dir, _PORT_PERM, _PORT_BANDS, _PORT_ROWS
     )
 
 
-def portable_neardup_pairs(d: DataFrame) -> DataFrame:
+# --- J2-prod-banding: the measured 16×8 production config ----------------
+
+#: 16 bands × 8 rows (128 permutations) — the r11 recall sweep's
+#: recommended production config (MINHASH_RECALL.json): recall 0.999 on
+#: the 999 planted g1 dups with a ~4× sharper low-similarity cutoff
+#: than 4×4 (collision P at j=0.5: 0.23 → 0.06) — production corpora
+#: are dirtier than the fixture, so the sharper S-curve buys candidate
+#: volume headroom at equal recall.
+_PROD_BANDS = 16
+_PROD_ROWS = 8
+_PROD_PERM = _PROD_BANDS * _PROD_ROWS
+
+
+def _minhash_prod_oracle() -> str:
+    return f"""WITH {portable_pairs_cte(_PROD_PERM, _PROD_BANDS, _PROD_ROWS)}
+SELECT i.doc_a, i.doc_b, CAST(i.i AS BIGINT) AS n_common,
+       floor(i.i / (sa.n + sb.n - i.i) * 10000 + 0.5)
+         / CAST(10000 AS DOUBLE) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.doc_a
+JOIN sizes sb ON sb.doc_id = i.doc_b
+WHERE i.i / (sa.n + sb.n - i.i) >= {_PORT_JACCARD_MIN}
+ORDER BY doc_a, doc_b
+"""
+
+
+@register("dedup_minhash_prod", oracle=_minhash_prod_oracle())
+def dedup_minhash_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH at the PRODUCTION banding (r11 verdict #6): 128
+    portable permutations → 16 bands × 8 rows → bucket-join candidates
+    → exact Jaccard rerank — hash-parity checked end to end through
+    the same parameterized funnel as the 4×2 twin. The banding sweep
+    (scripts/minhash_recall_sweep.py, MINHASH_RECALL.json) measured
+    this config at recall 0.999 / verified precision 1.0 over g1's 999
+    planted dup pairs, with a 4× sharper low-similarity collision
+    cutoff than the default config — fewer junk candidates per true
+    pair on dirty corpora.
+
+    Scale note: 128 aggregate columns = 16× the signature-build work of
+    the 4×2 twin, all map-side combined in ONE pass over distinct
+    shingles; the banding join cost DROPS vs coarser configs (r=8 rows
+    per band → far fewer false bucket collisions)."""
+    return _portable_minhash_query(
+        spark, sf_dir, _PROD_PERM, _PROD_BANDS, _PROD_ROWS
+    )
+
+
+def portable_neardup_pairs(d: DataFrame, perm: int = _PORT_PERM,
+                           bands_n: int = _PORT_BANDS,
+                           rows_n: int = _PORT_ROWS) -> DataFrame:
     """The portable-md5 MinHash-LSH candidate funnel with exact-Jaccard
-    verification numbers attached: shingling → 8 portable minhash
-    permutations → 4×2 LSH bands → bucket-join candidates → shingle
-    intersection counts. Returns ``(doc_a, doc_b, i, na, nb)`` —
-    callers apply their own Jaccard threshold (``i/(na+nb-i)``).
-    Shared by ``dedup_minhash_portable`` and the ``t40`` near-dup
-    pipeline capstone so both differentials exercise ONE code path."""
+    verification numbers attached: shingling → ``perm`` portable
+    minhash permutations → ``bands_n × rows_n`` LSH bands → bucket-join
+    candidates → shingle intersection counts. Returns
+    ``(doc_a, doc_b, i, na, nb)`` — callers apply their own Jaccard
+    threshold (``i/(na+nb-i)``). Shared by ``dedup_minhash_portable``
+    (4×2), ``dedup_minhash_prod`` (16×8, the measured production
+    config) and the ``t40`` near-dup pipeline capstone, so every
+    differential exercises ONE code path."""
+    assert bands_n * rows_n == perm
     sh = (
         d.filter(F.size(F.split(F.lower("text"), " ")) >= 3)
         .select("doc_id", F.explode(F.array_distinct(shingles("text"))).alias("sh"))
@@ -556,7 +619,7 @@ def portable_neardup_pairs(d: DataFrame) -> DataFrame:
     sigs = sh.groupBy("doc_id").agg(
         *[
             F.min(F.expr(_phash_spark("sh", p))).alias(f"mh{p}")
-            for p in range(_PORT_PERM)
+            for p in range(perm)
         ]
     )
     banded = sigs.select(
@@ -567,11 +630,11 @@ def portable_neardup_pairs(d: DataFrame) -> DataFrame:
                     F.concat_ws(
                         ",",
                         *[
-                            F.col(f"mh{b * _PORT_ROWS + r}").cast("string")
-                            for r in range(_PORT_ROWS)
+                            F.col(f"mh{b * rows_n + r}").cast("string")
+                            for r in range(rows_n)
                         ],
                     )
-                    for b in range(_PORT_BANDS)
+                    for b in range(bands_n)
                 ]
             )
         ).alias("band_id", "bh"),

@@ -216,16 +216,19 @@ V3_BUDGET = 1500
 V3_UNK_NUM = 20
 
 
-def _v3_oracle(src: str = "documents", with_kw: bool = True) -> str:
-    """The v3 pipeline re-derived in SQL over ``src`` (any table/CTE
-    with doc_id/text/source). ``with_kw=False`` omits the leading
-    ``WITH RECURSIVE`` so callers can prepend their own CTEs (the
-    corpus-refresh capstone folds a CDC log first)."""
+def v3_kept_cte(src: str = "documents") -> str:
+    """The v3 pipeline as a composable CTE chain ending in
+    ``v3kept(doc_id, source, ppl_bucket, n_words, n_pieces, n_unk,
+    cum_pieces)`` — the selected documents. Callers that keep composing
+    (the CDC→training-shards capstone tokenizes + shards the
+    survivors) append further CTEs after it; ``_v3_oracle`` puts the
+    plain final SELECT on top. Carries the ``{{T1}}`` placeholder —
+    use :func:`v3_kept_cte_filled` / :func:`_v3_oracle_filled` for the
+    bound form."""
     from .lm import PPL_T2_X1E4, oracle_bigram_cte
     from .wordpiece import oracle_wordpiece_cte
 
-    head = "\nWITH RECURSIVE " if with_kw else ""
-    return f"""{head}{oracle_bigram_cte(src)},
+    return f"""{oracle_bigram_cte(src)},
 s1 AS (
   SELECT d.doc_id, d.text, d.source,
          CASE WHEN nll_sum_x1e4 < {{T1}} * n_bigrams THEN 'head'
@@ -253,9 +256,29 @@ r AS (
     ORDER BY md5('v3|' || CAST(doc_id AS VARCHAR)), doc_id
     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_pieces
   FROM s2
-)
+),
+v3kept AS (
+  SELECT doc_id, source, ppl_bucket, n_words, n_pieces, n_unk,
+         cum_pieces
+  FROM r WHERE cum_pieces <= {V3_BUDGET}
+)"""
+
+
+def v3_kept_cte_filled(src: str = "documents") -> str:
+    from .lm import PPL_T1_X1E4
+
+    return v3_kept_cte(src).replace("{T1}", str(PPL_T1_X1E4))
+
+
+def _v3_oracle(src: str = "documents", with_kw: bool = True) -> str:
+    """The v3 pipeline re-derived in SQL over ``src`` (any table/CTE
+    with doc_id/text/source). ``with_kw=False`` omits the leading
+    ``WITH RECURSIVE`` so callers can prepend their own CTEs (the
+    corpus-refresh capstone folds a CDC log first)."""
+    head = "\nWITH RECURSIVE " if with_kw else ""
+    return f"""{head}{v3_kept_cte(src)}
 SELECT doc_id, source, ppl_bucket, n_words, n_pieces, n_unk, cum_pieces
-FROM r WHERE cum_pieces <= {V3_BUDGET} ORDER BY doc_id
+FROM v3kept ORDER BY doc_id
 """
 
 

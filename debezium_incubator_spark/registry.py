@@ -344,6 +344,7 @@ def load_all() -> None:
         scd2,
         snapshot_lifecycle,
         sqlserver,
+        training_shards,
         transforms,
     )
     from .llm import bpe, bpe_train, clustering  # noqa: F401

@@ -62,3 +62,61 @@ def test_run_batch_rejects_unknown_and_duplicate_keys(spark):
         run_batch_digest(
             spark, ["t1_token_stats", "t1_token_stats"], SF_SMOKE
         )
+
+
+def test_repeat_run_batch_reuses_plans_and_stays_identical(spark):
+    """The r11 #7 memo: a repeat call must hit the per-application plan
+    cache (no second build) AND return frames identical to a
+    fresh-lineage call."""
+    from debezium_incubator_spark import dispatch
+
+    dispatch._PLAN_CACHE.clear()
+    first = run_batch(spark, KEYS, SF_SMOKE)
+    cached = dict(dispatch._PLAN_CACHE)
+    assert len(cached) == len(KEYS)
+    again = run_batch(spark, KEYS, SF_SMOKE)
+    # same DataFrame objects reused — the py4j build was skipped
+    assert dict(dispatch._PLAN_CACHE) == cached
+    for k in KEYS:
+        pd.testing.assert_frame_equal(again[k], first[k])
+    fresh = run_batch(spark, KEYS, SF_SMOKE, reuse_plans=False)
+    for k in KEYS:
+        pd.testing.assert_frame_equal(fresh[k], first[k])
+
+
+def test_plan_cache_keys_on_application_id(spark):
+    """A NEW session (new applicationId) must never see another
+    session's cached plans — the id()-reuse hazard the spread() memo
+    documented."""
+    from debezium_incubator_spark import dispatch
+
+    dispatch._PLAN_CACHE.clear()
+    run_batch(spark, ["t1_token_stats"], SF_SMOKE)
+    (app_id, key, sf), = dispatch._PLAN_CACHE.keys()
+    assert app_id == spark.sparkContext.applicationId
+    assert key == "t1_token_stats" and sf == SF_SMOKE
+    # a foreign application id resolves to a MISS, not a stale plan
+    assert dispatch._PLAN_CACHE.get(("other-app", key, sf)) is None
+
+
+def test_digest_refuses_unhashable_columns(spark):
+    """MAP/VARIANT outputs are refused with the key and columns named
+    (r11 ADVICE) — including a map nested inside a struct."""
+    from pyspark.sql import functions as F
+
+    from debezium_incubator_spark.dispatch import digest_plan
+
+    df = spark.range(3).select(
+        "id", F.create_map(F.lit("k"), F.col("id")).alias("m")
+    )
+    with pytest.raises(TypeError, match=r"'mapq'.*\['m'\]"):
+        digest_plan(df, "mapq")
+    nested = spark.range(3).select(
+        F.struct(F.create_map(F.lit("k"), F.col("id")).alias("m"))
+        .alias("s")
+    )
+    with pytest.raises(TypeError, match="unhashable"):
+        digest_plan(nested, "nestedq")
+    # plain arrays/structs stay hashable and digest fine
+    ok = spark.range(3).select(F.array("id").alias("a"))
+    assert digest_plan(ok, "okq").collect()[0]["n"] == 3
