@@ -529,8 +529,9 @@ def ann_refresh_foreach_batch(
 
 def read_latest_index(spark: SparkSession, out_dir: str) -> DataFrame:
     """The committed index snapshot (follows the ``_LATEST`` pointer)."""
-    with open(os.path.join(out_dir, "_LATEST")) as f:
-        return spark.read.parquet(os.path.join(out_dir, f.read().strip()))
+    from ..streaming.partitioned_state import read_latest_pointer
+
+    return read_latest_pointer(spark, out_dir)
 
 
 # --- incremental form: cell-scoped refresh (r11 verdict #3) -----------------

@@ -242,8 +242,9 @@ def corpus_refresh_foreach_batch(
 
 def read_latest_corpus(spark: SparkSession, out_dir: str) -> DataFrame:
     """The committed corpus snapshot (follows the ``_LATEST`` pointer)."""
-    with open(os.path.join(out_dir, "_LATEST")) as f:
-        return spark.read.parquet(os.path.join(out_dir, f.read().strip()))
+    from ..streaming.partitioned_state import read_latest_pointer
+
+    return read_latest_pointer(spark, out_dir)
 
 
 def start_corpus_refresh_stream(

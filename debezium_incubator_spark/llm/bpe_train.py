@@ -247,10 +247,9 @@ def vocab_refresh_foreach_batch(
 def read_latest(spark: SparkSession, out_dir: str) -> DataFrame:
     """The committed artifact behind the ``_LATEST`` pointer (works for
     both the vocab and the tokens tiers)."""
-    import os
+    from ..streaming.partitioned_state import read_latest_pointer
 
-    with open(os.path.join(out_dir, "_LATEST")) as f:
-        return spark.read.parquet(os.path.join(out_dir, f.read().strip()))
+    return read_latest_pointer(spark, out_dir)
 
 
 def start_vocab_refresh_stream(

@@ -12,14 +12,22 @@ own engine spelling and differential.
 
 The vocabulary is the checked-in artifact ``unigram_vocab.tsv``
 (regenerate: ``scripts/gen_unigram_vocab.py``): piece → INTEGER
-fixed-point NLL (the t58 quantization), mined from the corpus by the
-pure-Python hard-EM reference and padded to 1024 pieces with a
-deterministic alphabet fill at a uniform higher cost. Three cost tiers
-are live in every segmentation: EM core < alphabet fill < unknown-char
-fallback (a character absent from the vocab costs ``UNK_NLL`` and
-emits itself — unigram segmentation never UNKs a whole word, unlike
-WordPiece; the per-char fallback is exactly SentencePiece's
-byte/character fallback behavior).
+fixed-point NLL (the t58 quantization). Round-12 artifact (r11 #5):
+the trainer runs in KEEP-ALL retention (``prune_unused=False``) over
+the ENTIRE expressible piece space — the fixture corpus has exactly
+31 distinct words, a 24-char alphabet, and 235 multi-char substrings
+total (measured; "1024 competitive pieces" has no referent on it) —
+so all 259 real pieces carry TRAINED costs: hard-EM winners at their
+count-derived NLLs, never-used substrings at the EM's own uniform
+zero-count tier ln(t+V). Only the pad to the production-shape 1024 is
+synthetic: alphabet combinations that are NOT substrings of any
+corpus word (provably dead DP candidates, there to exercise
+vocab-size-insensitivity of the map plumbing). Three cost tiers stay
+live in segmentation of arbitrary input: trained winners <
+zero-count/pad tier < unknown-char fallback (a character absent from
+the vocab costs ``UNK_NLL`` and emits itself — unigram segmentation
+never UNKs a whole word, unlike WordPiece; the per-char fallback is
+exactly SentencePiece's byte/character fallback behavior).
 
 ZERO floats: the artifact carries integers, the DP sums integers, the
 outputs are counts + an integer total cost + the md5 of the piece

@@ -197,10 +197,17 @@ aggregate(
 
 
 def em_round(words: DataFrame, vocab: DataFrame,
-             plen: int = PLEN) -> DataFrame:
+             plen: int = PLEN, prune_unused: bool = True) -> DataFrame:
     """One hard-EM round: E-step counts, then the next vocab —
     alphabet retained at coalesce(cnt, 0), multi-char pieces pruned
-    when unused (inner join against the new counts)."""
+    when unused (inner join against the new counts).
+
+    ``prune_unused=False`` is the KEEP-ALL retention mode (the vocab
+    artifact generator): unused multi-char pieces are retained at
+    count 0 instead of pruned, so every seeded piece ends the run with
+    a TRAINED cost — winners at their count-derived NLLs, never-used
+    pieces at the EM's own uniform zero-count tier ln(t+V). Same
+    E-step, same quantization; only the retention join changes."""
     nc = _viterbi_counts(words, vocab, plen)
     # both sides are vocab-sized (≤ SEED_N + |alphabet|) — AQE
     # broadcasts on its own, no hint (r8 broadcast-inventory rule)
@@ -213,12 +220,14 @@ def em_round(words: DataFrame, vocab: DataFrame,
             F.coalesce("cnt", F.lit(0).cast("long")).alias("cnt"),
         )
     )
-    multi = (
-        vocab.filter(F.length("piece") >= 2)
-        .select("piece")
-        .join(nc, "piece", "inner")
-        .select("piece", "cnt")
-    )
+    multi = vocab.filter(F.length("piece") >= 2).select("piece")
+    if prune_unused:
+        multi = multi.join(nc, "piece", "inner").select("piece", "cnt")
+    else:
+        multi = multi.join(nc, "piece", "left").select(
+            "piece",
+            F.coalesce("cnt", F.lit(0).cast("long")).alias("cnt"),
+        )
     return alpha.unionAll(multi)
 
 
@@ -229,9 +238,11 @@ def train_unigram(
     seed_n: int = SEED_N,
     text_col: str = "text",
     checkpoint_every: int = 4,
+    prune_unused: bool = True,
 ) -> DataFrame:
     """Full trainer: seed → ``rounds`` hard-EM rounds → final
     (piece, cnt) vocabulary counts (unranked; callers cut/rank).
+    ``prune_unused=False`` = keep-all retention (see ``em_round``).
 
     Lazy end-to-end for small ``rounds``; vocab state is
     localCheckpoint'd every ``checkpoint_every`` rounds to bound plan
@@ -240,7 +251,7 @@ def train_unigram(
     words = _words(docs, text_col)
     vocab = seed_vocab(words, plen, seed_n)
     for r in range(rounds):
-        vocab = em_round(words, vocab, plen)
+        vocab = em_round(words, vocab, plen, prune_unused)
         if (r + 1) % checkpoint_every == 0 and r + 1 < rounds:
             vocab = vocab.localCheckpoint(eager=True)
     return vocab

@@ -50,6 +50,16 @@ def _atomic_write(path: str, content: str) -> None:
     os.replace(tmp, path)
 
 
+def read_latest_pointer(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Read the parquet artifact the ``_LATEST`` pointer names — the
+    shared reader for every atomic-pointer snapshot tier (corpus/ANN/
+    shards refresh, vocab refresh; r11 ADVICE: one copy, not four).
+    The pointer content is a path RELATIVE to ``out_dir`` (epoch dir or
+    manifest name), committed by ``_atomic_write``."""
+    with open(os.path.join(out_dir, "_LATEST")) as f:
+        return spark.read.parquet(os.path.join(out_dir, f.read().strip()))
+
+
 class ConcurrentCommitError(RuntimeError):
     """Two writers produced DIFFERENT manifests for the same epoch —
     split-brain (e.g. two drivers resumed from the same checkpoint).

@@ -43,14 +43,35 @@ OUT = (
 
 PLEN = 6       # max piece length the trainer seeds (=> inference LMAX)
 SEED_N = 2048  # multi-char seed cap (far above this corpus's pool)
-ROUNDS = 3
+ROUNDS = 4
 TARGET = 1024  # padded vocab size
 FILL_EXTRA = 1_000_000  # fill tier sits this far above the core max
 
+# CORPUS CAPACITY (measured, round 12 — the r11 #5 "mine the full 1024
+# competitively" ask): the synthetic documents fixture has exactly
+# 31 DISTINCT WORDS at every SF (the generator's vocabulary), a
+# 24-char alphabet, and a TOTAL multi-char substring pool of 238 —
+# 262 expressible pieces in the whole piece space. 1024 competitive
+# pieces therefore have no referent on this corpus; hard-EM converges
+# to 31 winner pieces (every word its own best piece where len ≤ PLEN)
+# + alphabet. The round-12 artifact instead trains the ENTIRE
+# expressible pool: keep-all retention (prune_unused=False — the same
+# trainer, unused pieces retained at count 0) gives every one of the
+# 262 real pieces a TRAINED cost — winners at their count-derived
+# NLLs, never-used substrings at the EM's own uniform zero-count tier
+# ln(t+V) — and only the pad beyond 262 is synthetic: alphabet
+# combinations that are NOT substrings of any corpus word, i.e.
+# provably DEAD DP candidates, present purely to exercise
+# vocab-size-insensitivity of the vocab-as-DATA map at the
+# production-shape 1024.
 
-def ref_unigram(texts, rounds=ROUNDS, plen=PLEN, seed_n=SEED_N):
+
+def ref_unigram(texts, rounds=ROUNDS, plen=PLEN, seed_n=SEED_N,
+                prune_unused=True):
     """The t58 reference trainer (tests/test_unigram_train.py), with
-    the final-round NLLs returned alongside the final counts."""
+    the final-round NLLs returned alongside the final counts.
+    ``prune_unused=False`` = keep-all retention (unigram_train.em_round
+    docstring): unused multi-char pieces stay at count 0."""
     wf = collections.Counter(
         w for t in texts for w in t.split(" ") if w
     )
@@ -87,9 +108,15 @@ def ref_unigram(texts, rounds=ROUNDS, plen=PLEN, seed_n=SEED_N):
                 nc[w[bp:i]] += f
                 i = bp
         nxt = {p: nc.get(p, 0) for p in vocab if len(p) == 1}
-        nxt.update(
-            {p: nc[p] for p in vocab if len(p) >= 2 and nc.get(p, 0) >= 1}
-        )
+        if prune_unused:
+            nxt.update(
+                {p: nc[p] for p in vocab
+                 if len(p) >= 2 and nc.get(p, 0) >= 1}
+            )
+        else:
+            nxt.update(
+                {p: nc.get(p, 0) for p in vocab if len(p) >= 2}
+            )
         vocab = nxt
     # final NLLs from the final counts — what inference will pay
     t, v = sum(vocab.values()), len(vocab)
@@ -106,13 +133,21 @@ def main() -> None:
         .execute(f"SELECT text FROM read_parquet('{SRC}')")
         .fetchall()
     ]
-    core = ref_unigram(texts)
+    # keep-all retention: EVERY expressible piece ends with a trained
+    # cost (corpus-capacity comment above) — the seed cap is far above
+    # the measured 238-piece pool, so nothing real is cut
+    core = ref_unigram(texts, prune_unused=False)
     alphabet = sorted({c for t in texts for c in t if c != " "})
     assert all(c in core for c in alphabet), "trainer must keep chars"
+    n_winners = sum(1 for p, n in core.items()
+                    if n < max(core.values()))
     fill_nll = max(core.values()) + FILL_EXTRA
     vocab = dict(core)
-    # deterministic fill: sorted alphabet bigrams, then trigrams,
-    # skipping anything already mined, until exactly TARGET pieces
+    # deterministic pad to the production-shape TARGET: sorted alphabet
+    # bigrams, then trigrams, skipping everything already trained — by
+    # construction every pad piece is NOT a substring of any corpus
+    # word (the trained core contains ALL substrings), so pads are
+    # dead DP candidates at a cost above every trained tier
     for size in (2, 3):
         for tup in itertools.product(alphabet, repeat=size):
             if len(vocab) >= TARGET:
@@ -131,8 +166,10 @@ def main() -> None:
     with open(OUT, "w") as f:
         for p in sorted(vocab):
             f.write(f"{p}\t{vocab[p]}\n")
-    print(f"wrote {len(vocab)} pieces to {OUT}; "
-          f"core {len(core)}, fill_nll {fill_nll}")
+    print(f"wrote {len(vocab)} pieces to {OUT}; trained core "
+          f"{len(core)} (winners {n_winners}, zero-count tier "
+          f"{len(core) - n_winners}), dead pad {TARGET - len(core)}, "
+          f"fill_nll {fill_nll}")
 
 
 if __name__ == "__main__":

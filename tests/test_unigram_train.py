@@ -138,6 +138,66 @@ def test_viterbi_is_global_not_greedy(spark):
     assert got == {"a": 1, "bc": 1}
 
 
+def test_keep_all_retention_matches_reference(spark):
+    """prune_unused=False (the round-12 vocab-artifact mode): unused
+    multi-char pieces are RETAINED at count 0 instead of pruned —
+    engine == reference exactly, superset of the pruned run's pieces,
+    and winners' counts unchanged by the retention rule."""
+    texts = ["xyz xyz xyz xyz", "qx zy qx"]
+    docs = spark.createDataFrame([(t,) for t in texts], "text STRING")
+    got = {
+        r["piece"]: r["cnt"]
+        for r in train_unigram(docs, 2, prune_unused=False).collect()
+    }
+    want = _ref_unigram_keep_all(texts, rounds=2)
+    assert got == want
+    pruned = _engine_vocab(spark, texts, rounds=2)
+    assert set(pruned) < set(got)
+    assert all(got[p] == c for p, c in pruned.items())
+    assert got["xy"] == 0 and got["yz"] == 0  # retained, zero-count
+
+
+def _ref_unigram_keep_all(texts, rounds=2, plen=PLEN, seed_n=SEED_N):
+    """The keep-all reference: identical to _ref_unigram except the
+    multi-char retention keeps zero-count pieces (mirrors
+    scripts/gen_unigram_vocab.ref_unigram(prune_unused=False))."""
+    wf = Counter(w for t in texts for w in t.split(" ") if w)
+    seed: Counter = Counter()
+    for w, f in wf.items():
+        for s in range(len(w)):
+            for ln in range(1, min(plen, len(w) - s) + 1):
+                seed[w[s:s + ln]] += f
+    vocab = {p: c for p, c in seed.items() if len(p) == 1}
+    multi = sorted(
+        ((p, c) for p, c in seed.items() if len(p) >= 2),
+        key=lambda pc: (-pc[1], pc[0]),
+    )[:seed_n]
+    vocab.update(dict(multi))
+    for _ in range(rounds):
+        t, v = sum(vocab.values()), len(vocab)
+        nll = {
+            p: math.floor(math.log((t + v) / (c + 1)) * 1000000.0 + 0.5)
+            for p, c in vocab.items()
+        }
+        nc: Counter = Counter()
+        for w, f in wf.items():
+            acc = [(0, 0, -1)]
+            for i in range(1, len(w) + 1):
+                cands = [
+                    (acc[j][0] + nll[w[j:i]], acc[j][1] + 1, j)
+                    for j in range(max(0, i - plen), i)
+                    if w[j:i] in nll
+                ]
+                acc.append(min(cands))
+            i = len(w)
+            while i > 0:
+                bp = acc[i][2]
+                nc[w[bp:i]] += f
+                i = bp
+        vocab = {p: nc.get(p, 0) for p in vocab}
+    return vocab
+
+
 def test_em_prunes_unused_multichar(spark):
     # 'xy' is seeded (occurs in words) but Viterbi never uses it when
     # 'xyz' fully covers its occurrences — round 1 must prune it
