@@ -198,6 +198,9 @@ LINEAR = [
     "t29_domain_cap",
     # round-11: the CDC→ANN capstone at the production quantizer sizing
     "ann_refresh_scaled",
+    # round-12: the grand capstone + the 16×8 production MinHash banding
+    "cdc_training_shards",
+    "dedup_minhash_prod",
 ]
 # Labeled quadratic verification baseline — reported, not gated.
 QUADRATIC = ["s1_cosine_topk"]
