@@ -15,14 +15,15 @@ makes a fixed /tmp path safe to share across processes and rebuilds:
   two processes racing a missing marker would otherwise interleave
   overwrite writes into ONE build dir and leave a corrupt index under
   a valid marker;
-- ``atexit`` cleanup removes the symlink and every stamped build dir
-  THIS lifecycle owns. The cleanup is per-tenant, not reference-counted:
-  a process exiting while another still reads the shared /tmp artifact
-  deletes it out from under the reader (the reader's next ensure call
-  rebuilds). That is acceptable for the audit-artifact use — the driver
-  and the test suite are single-tenant — and is the same contract the
-  IVF audit index has carried since round 5; do NOT reuse this helper
-  for artifacts with long-lived cross-process readers.
+- ``atexit`` cleanup removes only the build dirs THIS PROCESS created
+  (plus the symlink when it points at one of them). Not
+  reference-counted: a BUILDER exiting while another process still
+  reads its artifact deletes it out from under the reader (the
+  reader's next ensure call rebuilds) — but since round 12 an exiting
+  process that merely REUSED a valid artifact no longer deletes it
+  (an exiting probe JVM's blanket cleanup destroyed a build the test
+  suite was mid-write on). Still do NOT reuse this helper for
+  artifacts with long-lived cross-process readers.
 
 The IVF index in ``similarity.py`` predates this module and carries its
 own (behavior-identical, test-pinned) copy; new audit artifacts should
@@ -39,14 +40,27 @@ import shutil
 from typing import Callable
 
 _REGISTERED: set[str] = set()
+#: build dirs THIS process created — cleanup reaps only these, so a
+#: process that merely REUSED a valid artifact can't delete it out
+#: from under the builder (round 12: a probe JVM's exit nuked a build
+#: the test suite was mid-write on; the per-tenant contract stands,
+#: but exiting readers no longer take builders down with them).
+_BUILT: set[str] = set()
 
 
 def _cleanup(fixed_path: str) -> None:
+    mine = [d for d in glob.glob(fixed_path + "-*") if d in _BUILT]
     try:
-        os.remove(fixed_path)  # the symlink
+        if os.path.islink(fixed_path):
+            if os.path.realpath(fixed_path) in (
+                os.path.realpath(d) for d in mine
+            ):
+                os.remove(fixed_path)
+        else:
+            shutil.rmtree(fixed_path, ignore_errors=True)  # legacy dir
     except OSError:
-        shutil.rmtree(fixed_path, ignore_errors=True)
-    for d in glob.glob(fixed_path + "-*"):
+        pass
+    for d in mine:
         shutil.rmtree(d, ignore_errors=True)
 
 
@@ -87,6 +101,7 @@ def ensure_artifact(
                     build(build_dir)
                     with open(marker, "w") as fh:
                         fh.write(stamp)
+                    _BUILT.add(build_dir)
             finally:
                 fcntl.flock(lk, fcntl.LOCK_UN)
     if os.path.realpath(fixed_path) != os.path.realpath(build_dir):

@@ -151,7 +151,15 @@ def _fold_col(col: str, merges: list[tuple[str, str]]) -> Column:
     Token literals go through F.lit — no SQL-escape processing, which
     retires the backslash-divergence class on the engine side (the
     oracle corpus assertions still guard DuckDB)."""
-    key = (col, len(merges), id(merges) if merges is not None else None)
+    # memo key on merges CONTENT, never id(): a freed list's address
+    # is reused by CPython, so (len, id) can alias a DIFFERENT merge
+    # table built later — caught live in round 12 as an off-by-one
+    # token count when the vocab-refresh replay test trained fresh
+    # same-length merges after an earlier test's list died (the
+    # spread()-memo id()-reuse hazard, only this one corrupted DATA).
+    # tuple() hashing of ≤1024 pairs is trivial vs the ~3k py4j round
+    # trips the memo saves.
+    key = (col, tuple(merges))
     hit = _FOLD_COL_MEMO.get(key)
     if hit is not None:
         return hit

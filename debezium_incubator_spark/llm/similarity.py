@@ -717,20 +717,34 @@ def ivf_probe(spark: SparkSession, index_dir: str, query_v: list[float],
     )
 
 
+#: build dirs THIS process created (see llm/_audit.py: since round 12
+#: an exiting process that merely reused the artifact must not delete
+#: a dir another process may be mid-build/mid-read on)
+_IVF_BUILT: set = set()
+
+
 def _cleanup_ivf_audit_dir() -> None:
     """atexit hook: the audit index lives at a fixed /tmp path (the
     static oracle SQL must be able to read_parquet it) and the
     driver/sweep harness never cleans it explicitly. Removes the
-    symlink AND every stamped build dir this layout produces."""
+    stamped build dirs THIS PROCESS created, plus the symlink when it
+    points at one of them."""
     import glob
     import os
     import shutil
 
+    mine = [d for d in glob.glob(IVF_AUDIT_DIR + "-*") if d in _IVF_BUILT]
     try:
-        os.remove(IVF_AUDIT_DIR)  # the symlink
+        if os.path.islink(IVF_AUDIT_DIR):
+            if os.path.realpath(IVF_AUDIT_DIR) in (
+                os.path.realpath(d) for d in mine
+            ):
+                os.remove(IVF_AUDIT_DIR)
+        else:
+            shutil.rmtree(IVF_AUDIT_DIR, ignore_errors=True)  # legacy
     except OSError:
-        shutil.rmtree(IVF_AUDIT_DIR, ignore_errors=True)  # legacy dir
-    for d in glob.glob(IVF_AUDIT_DIR + "-*"):
+        pass
+    for d in mine:
         shutil.rmtree(d, ignore_errors=True)
 
 
@@ -773,6 +787,7 @@ def _ensure_ivf_index(spark: SparkSession, sf_dir: str) -> str:
         build_ivf_index(_vectors(spark, sf_dir), build_dir)
         with open(marker, "w") as fh:
             fh.write(stamp)
+        _IVF_BUILT.add(build_dir)
     # point the fixed path at the build atomically
     if os.path.realpath(IVF_AUDIT_DIR) != os.path.realpath(build_dir):
         if os.path.isdir(IVF_AUDIT_DIR) and not os.path.islink(IVF_AUDIT_DIR):

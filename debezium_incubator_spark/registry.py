@@ -84,7 +84,13 @@ PRIORITY: list[str] = [
     # last missing standard curation stage: Cavnar-Trenkle LID, pure
     # integer rank arithmetic differential).
     "e15_funnel",            # ordered funnel (fixed broadcast plan)
-    "t44_language_id",       # Cavnar-Trenkle LID
+    # round-12 rotation: t44_language_id (audited green r9–r11; LID
+    # stays audited IN-WINDOW as the first live gate of
+    # t49_curation_v2, and t44 stays sweep-oracled) gives its slot to
+    # dedup_minhash_prod — the measured 16×8 production MinHash
+    # banding (r11 verdict #6), hash-parity through the parameterized
+    # portable funnel, which the driver has never checked.
+    "dedup_minhash_prod",    # MinHash-LSH 16×8 production banding
     "cast_coerce",           # B10 + H10
     # CDC pipeline (A2 envelope + B2 unwrap exercised inside materialize)
     # round-11 rotation (r10 verdict #1): cdc_scd2_history (in-window
@@ -182,14 +188,16 @@ PRIORITY: list[str] = [
     # mechanic no other audited query exercises.
     "cdc_sqlserver_update_pairs",  # L144 SQL Server CT pairing
     "agg_grouping_sets",     # D4
-    # round-10: agg_collect_pct (D5+D9 — sweep-oracled since r1 via
-    # agg_collect/agg_percentile and stable throughout) gives its slot
-    # to cdc_corpus_refresh, THE capstone (r9 verdict #1): CDC
-    # envelopes → wire round-trip → latest-state fold → exact dedup →
-    # curation v3, every stage re-derived by one SQL oracle — the
-    # first audited differential where CDC semantics reach the corpus
-    # (deletes leave it, updates re-curate, planted dups collapse).
-    "cdc_corpus_refresh",    # CDC→corpus end-to-end capstone
+    # round-10: agg_collect_pct (D5+D9 — sweep-oracled since r1) gave
+    # this slot to cdc_corpus_refresh (the r10 capstone). Round-12
+    # rotation: cdc_corpus_refresh (audited green r10–r11; stays
+    # sweep-oracled) gives the slot to cdc_training_shards — its
+    # STRICT SUPERSET (the same change-log → wire → fold → dedup →
+    # curation-v3 chain, then unigram tokenization with the trained
+    # vocab → deterministic epoch shuffle/shard → token-budget
+    # packing; ONE oracle re-derives all eight stages — the project's
+    # thesis statement: Debezium-shaped CDC in, training shards out).
+    "cdc_training_shards",   # CDC→training-shards grand capstone
     # round-7 recomposition: agg_pivot (D8) gave this slot to
     # t28_hash_split; round-9 rotation: t28 (stays sweep-oracled — the
     # content-keyed split semantics are simple and stable) gives it to

@@ -154,3 +154,35 @@ def test_jvm_tokens_col_matches_udf_and_reference(spark):
     got = {r.text: r.toks for r in
            edge.select("text", bpe_tokens_col("text").alias("toks")).collect()}
     assert got[None] is None and got[""] == []
+
+
+def test_fold_memo_keys_on_merge_content_not_identity(spark):
+    """Round-12 regression: the fold memo was keyed on id(merges), and
+    CPython reuses a freed list's address — a LATER same-length merge
+    table could alias the stale fold (caught live as an off-by-one
+    token count in the vocab-refresh replay test). Content-keyed memo:
+    two different same-length tables MUST produce their own folds,
+    with the first list explicitly freed so address reuse is possible,
+    and equal-content lists (distinct objects) must HIT one entry."""
+    import gc
+
+    from debezium_incubator_spark.llm import bpe
+    from debezium_incubator_spark.llm.bpe import bpe_token_count
+
+    df = spark.createDataFrame([("abab",)], "text STRING")
+
+    def count(merges):
+        return df.select(
+            bpe_token_count("text", merges).alias("n")
+        ).collect()[0]["n"]
+
+    a = [("a", "b")]
+    assert count(a) == 2  # ab ab
+    del a
+    gc.collect()
+    b = [("b", "a")]  # same length, different content, fresh object
+    assert count(b) == 3  # a (ba) b
+    # equal content from a distinct object is a HIT, not a rebuild
+    before = len(bpe._FOLD_COL_MEMO)
+    assert count(list([("b", "a")])) == 3
+    assert len(bpe._FOLD_COL_MEMO) == before

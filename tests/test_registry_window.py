@@ -39,6 +39,12 @@ from debezium_incubator_spark.registry import (
 # a live t54_curation_v3 stage and inside t60's composed oracle) and
 # t55_tokenizer_ab (audited r10–r11; t60 is its strict superset) rotate
 # out for ann_refresh_scaled + t59_unigram_tokens + t60_tokenizer_abc.
+# Second round-12 rotation (same-round flagships, the r11 "don't wait
+# for the next verdict" discipline): cdc_corpus_refresh (audited
+# r10–r11; cdc_training_shards is its strict superset — the same
+# fold→dedup→v3 chain plus tokenize/shard/pack) and t44_language_id
+# (audited r9–r11; LID stays in-window as t49_curation_v2's first live
+# gate) rotate out for cdc_training_shards + dedup_minhash_prod.
 FAMILY_ANCHORS = {
     "scan_project",        # A
     "filter_predicate",    # B
