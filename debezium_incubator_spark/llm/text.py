@@ -1381,6 +1381,85 @@ def t24_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- t61: weighted sampling without replacement (Efraimidis–Spirakis) ----
+
+#: docs kept per source by the weighted reservoir rule.
+WSAMPLE_K = 25
+
+
+@register(
+    "t61_weighted_sample",
+    oracle=f"""
+WITH d AS (
+  SELECT doc_id, source,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS w,
+         CAST('0x' || substring(md5('ws|' || CAST(doc_id AS VARCHAR)),
+                                1, 15) AS BIGINT) AS h
+  FROM documents
+), keyed AS (
+  SELECT doc_id, source, w,
+         -ln((CAST(h AS DOUBLE) + 1.0) / 1152921504606846976.0)
+           / CAST(w AS DOUBLE) AS k
+  FROM d
+), ranked AS (
+  SELECT doc_id, source, w, k,
+         row_number() OVER (PARTITION BY source ORDER BY k, doc_id)
+           AS rn
+  FROM keyed
+)
+SELECT doc_id, source, w AS weight,
+       floor(k * 1000000 + 0.5) / CAST(1000000 AS DOUBLE) AS es_key,
+       CAST(rn AS BIGINT) AS rank
+FROM ranked WHERE rn <= {WSAMPLE_K}
+ORDER BY source, rank
+""",
+)
+def t61_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement per source — the
+    Efraimidis–Spirakis (2006) reservoir rule, the standard primitive
+    for weight-proportional data mixing (longer/higher-quality docs
+    drawn more often, no RNG state, no driver pass): every doc gets
+    key ``-ln(u)/w`` from a PORTABLE deterministic uniform
+    u = (md5-60bit + 1)/2^60 and weight w = token count; the k
+    smallest keys per source are exactly a weight-proportional sample
+    without replacement. The whole derivation is the identical IEEE op
+    sequence on both engines (one ln, one divide — the t27/t30
+    ln-parity precedent), so even rank BOUNDARIES agree bit-exactly;
+    ties (impossible with distinct hashes, pinned anyway) break by
+    doc_id.
+
+    Scale: one expression pass + one per-source window with
+    WindowGroupLimit pruning at k — the t29 domain-cap shape; changing
+    the seed string re-draws the sample with zero state. This is the
+    doc-level complement of t23's source-level temperature mixing."""
+    from pyspark.sql.window import Window as W
+
+    d = table(spark, sf_dir, "documents")
+    w = F.size(F.split(F.col("text"), " ")).cast("bigint")
+    # the portable 60-bit hash (dedup._phash_spark shape, 'ws|' seed)
+    h = F.expr(
+        "CAST(conv(substring(md5(concat('ws|', CAST(doc_id AS STRING)))"
+        ", 1, 15), 16, 10) AS BIGINT)"
+    )
+    k = -F.log(
+        (h.cast("double") + F.lit(1.0)) / F.lit(float(1 << 60))
+    ) / F.col("w").cast("double")
+    win = W.partitionBy("source").orderBy("k", "doc_id")
+    return (
+        d.select("doc_id", "source", w.alias("w"))
+        .withColumn("k", k)
+        .withColumn("rn", F.row_number().over(win))
+        .filter(F.col("rn") <= WSAMPLE_K)
+        .select(
+            "doc_id", "source", F.col("w").alias("weight"),
+            (F.floor(F.col("k") * 1000000 + F.lit(0.5))
+             / F.lit(1000000.0)).alias("es_key"),
+            F.col("rn").cast("bigint").alias("rank"),
+        )
+        .orderBy("source", "rank")
+    )
+
+
 # --- t25: exact-substring (segment) dedup across the corpus --------------
 
 SUBSTR_DEDUP_K = 5  # words per segment; production ~50-token spans

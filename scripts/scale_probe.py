@@ -199,8 +199,10 @@ LINEAR = [
     # round-11: the CDC→ANN capstone at the production quantizer sizing
     "ann_refresh_scaled",
     # round-12: the grand capstone + the 16×8 production MinHash banding
+    # + weighted sampling
     "cdc_training_shards",
     "dedup_minhash_prod",
+    "t61_weighted_sample",
 ]
 # Labeled quadratic verification baseline — reported, not gated.
 QUADRATIC = ["s1_cosine_topk"]
