@@ -623,8 +623,21 @@ def _commit_cells(df: DataFrame, tier_dir: str, epoch: int,
         df.repartition(max(len(touched), 1), "cell")
         .write.mode("overwrite").partitionBy("cell").parquet(vdir)
     )
+    # a touched cell can come out EMPTY (every member deleted or
+    # re-routed away) — the dynamic-partition write creates no
+    # directory for it, so it must LEAVE the manifest rather than
+    # point at a missing path (the compact_state emptied-bucket rule;
+    # found by the randomized-history differential in round 12)
+    written = {
+        int(d.split("=", 1)[1])
+        for d in os.listdir(vdir) if d.startswith("cell=")
+    } if os.path.isdir(vdir) else set()
     manifest = _cell_manifest(tier_dir)
-    manifest.update({c: epoch for c in touched})
+    for c in touched:
+        if c in written:
+            manifest[c] = epoch
+        else:
+            manifest.pop(c, None)
     _commit_manifest(tier_dir, epoch, _manifest_dumps(manifest))
     _atomic_write(
         os.path.join(tier_dir, "_LATEST"), f"manifest_v{epoch}.json"

@@ -266,6 +266,85 @@ def test_incremental_touches_only_affected_cells(spark, tmp_path):
         )
 
 
+def test_incremental_converges_under_random_histories(spark, tmp_path):
+    """Seeded randomized differential: arbitrary insert/re-embed/delete
+    histories (including delete-then-reinsert and repeated re-routes of
+    one key) cut into arbitrary micro-batches — after every epoch the
+    cell-scoped incremental survivors equal the corpus-global full
+    recompute over everything delivered so far."""
+    import random
+
+    idx = _ensure_ivf_index(spark, SF_SMOKE)
+    cents_dir = os.path.join(idx, "centroids")
+    cents = spark.read.parquet(cents_dir)
+    base = {
+        r["vec_id"]: list(r["v"])
+        for r in _emb(spark).filter(F.col("vec_id") < 40).collect()
+    }
+    ids = sorted(base)
+    for seed in range(3):
+        rng = random.Random(900 + seed)
+        rows, pos = [], 0
+        live: set[int] = set()
+        for _ in range(60):
+            vid = rng.choice(ids)
+            pos += 1
+            if vid in live and rng.random() < 0.3:
+                rows.append((vid, None, "d", pos))
+                live.discard(vid)
+            else:
+                # fresh direction each write: scale + optional negate
+                # of the fixture vector re-routes the key
+                s = rng.choice([1.0, -1.0]) * (1.0 + rng.random())
+                rows.append(
+                    (vid, [x * s for x in base[vid]], "u" if vid in live
+                     else "c", pos)
+                )
+                live.add(vid)
+        log = spark.createDataFrame(
+            rows,
+            "vec_id LONG, v ARRAY<DOUBLE>, __op STRING, __pos LONG",
+        )
+        wire_rows = embeddings_envelopes(log).collect()
+        cuts = sorted(rng.sample(range(1, len(wire_rows)), 2))
+        slices = [
+            wire_rows[a:b]
+            for a, b in zip([0] + cuts, cuts + [len(wire_rows)])
+        ]
+        index_dir = str(tmp_path / f"rand{seed}")
+        handle = ann_refresh_incremental_foreach_batch(
+            cents_dir, index_dir, n_buckets=4
+        )
+        delivered: list = []
+        for ep, sl in enumerate(slices):
+            delivered += sl
+            handle(
+                spark.createDataFrame(sl, "key STRING, value STRING"),
+                ep,
+            )
+            got = {
+                (r["vec_id"], r["cell"])
+                for r in read_incremental_index(
+                    spark, index_dir
+                ).collect()
+            }
+            state = materialize_latest(
+                unwrap_embeddings(
+                    spark.createDataFrame(
+                        delivered, "key STRING, value STRING"
+                    )
+                ),
+                keys=["vec_id"], position=["__pos"],
+            ).select("vec_id", "v")
+            want = {
+                (r["vec_id"], r["cell"])
+                for r in semdedup_survivors(
+                    route_to_cells(state, cents), ANN_TAU
+                ).collect()
+            }
+            assert got == want, f"seed {seed} epoch {ep}"
+
+
 def test_incremental_replay_and_restart(spark, tmp_path):
     """Replaying a committed epoch is a no-op (same touched file, same
     manifests, same survivors), and a checkpointed stream restart over
