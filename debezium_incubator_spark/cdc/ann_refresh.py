@@ -59,13 +59,20 @@ unbounded log.
 
 MEASURED caveat (round-11 probe): the quantizer sizing is
 load-bearing TWICE over — a FIXED nlist makes per-cell pair work grow
-quadratically with the corpus (the registered query pins the shared
+quadratically with the corpus (the legacy batch form pins the shared
 16-cell audit index for oracle parity; its g1→g3 probe read ratio
 18.3 at 3× data), AND the cell equi-join's parallelism is capped at
 nlist distinct keys (16 cells = at most 16 tasks — the probe JVM sat
-near 2 of 32 cores). ``ann_refresh_scaled`` in scripts/scale_probe.py
-is the production spelling (nlist ∝ n, cell ≈ 500): both problems
-dissolve together and the probe reads sub-linear at both pairs.
+near 2 of 32 cores). The REGISTERED production spelling is
+:func:`ann_refresh_scaled` below (nlist ∝ n, cell ≈ 500, exact tier
+first, vectorized assignment): both problems dissolve together and
+the probe reads sub-linear at both pairs WITH the full rebuild in the
+timing. The legacy form was RETIRED from the registry in round 13
+(r12 verdict #3) — :func:`cdc_ann_refresh` survives only as the
+one-shot ground-truth fold for the stream/incremental equality tests;
+its full-corpus differential lives on under the hash gate as
+``ann_refresh_incremental`` (the cell-scoped EXECUTION path, same
+oracle).
 """
 
 from __future__ import annotations
@@ -273,14 +280,20 @@ ORDER BY s.vec_id
 """
 
 
-@register("cdc_ann_refresh", oracle=_ORACLE)
 def cdc_ann_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The CDC→ANN capstone, batch form (module docstring): synth
-    change log → JSON envelope wire round-trip → latest-state fold →
-    persisted-centroid routing → per-cell SemDeDup; output = the
-    refreshed index membership (vec_id, cell). The oracle re-derives
-    the entire chain from the raw embeddings table + the persisted
-    centroid artifacts."""
+    """The CDC→ANN capstone, one-shot batch fold (module docstring):
+    synth change log → JSON envelope wire round-trip → latest-state
+    fold → persisted-centroid routing → per-cell SemDeDup; output =
+    the refreshed index membership (vec_id, cell).
+
+    RETIRED from the registry (round 13, r12 verdict #3): the fixed
+    16-cell quantizer + interpreted crossJoin routing measured 18.3×
+    at 3× data — a user-callable key must not carry a super-linear
+    plan. Kept as the ground-truth fold the stream/incremental
+    equality tests compare against; the same full-corpus differential
+    (``_ORACLE``) is hash-checked via ``ann_refresh_incremental``,
+    whose per-epoch plan is delta-scoped, and the production-sizing
+    plan is the registered ``ann_refresh_scaled``."""
     _ensure_ivf_index(spark, sf_dir)  # centroid artifacts for both sides
     emb = table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
@@ -297,7 +310,7 @@ def cdc_ann_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- production spelling: scaled quantizer + vectorized assignment ---------
 #
-# The registered ``cdc_ann_refresh`` above pins the SHARED 16-cell audit
+# The retired ``cdc_ann_refresh`` above pins the SHARED 16-cell audit
 # index and the interpreted crossJoin fold-argmin for oracle parity —
 # both fixture-regime choices whose g1→g3 probe read ratio 18.3 at 3×
 # data (module docstring). ``ann_refresh_scaled`` is the plan a 100 TB
@@ -632,6 +645,19 @@ def _commit_cells(df: DataFrame, tier_dir: str, epoch: int,
         int(d.split("=", 1)[1])
         for d in os.listdir(vdir) if d.startswith("cell=")
     } if os.path.isdir(vdir) else set()
+    # the converse is a PROTOCOL violation, never a legal state: a cell
+    # present in df but absent from ``touched`` was physically written
+    # yet would be silently dropped from the manifest (its vectors
+    # vanish on the next read) — a stale touched set or a future caller
+    # breaking the df-cells ⊆ touched invariant must fail loudly here
+    extra = written - set(touched)
+    if extra:
+        raise ValueError(
+            f"cells {sorted(extra)} written under {vdir} are not in the "
+            f"epoch's touched set {sorted(touched)} — touched-set / "
+            "batch mismatch; refusing to commit a manifest that would "
+            "drop them"
+        )
     manifest = _cell_manifest(tier_dir)
     for c in touched:
         if c in written:
@@ -644,8 +670,14 @@ def _commit_cells(df: DataFrame, tier_dir: str, epoch: int,
     )
 
 
+#: target lookup-tier keys per bucket under the derived sizing rule
+#: (n_buckets ∝ n — the round-12 probe measured FIXED 8 buckets degrade
+#: the pre-batch lookup read to O(state), ratio 2.43 at 10× index).
+LOOKUP_BUCKET_TARGET = 1000
+
+
 def ann_refresh_incremental_foreach_batch(
-    centroids_dir: str, index_dir: str, n_buckets: int = 8
+    centroids_dir: str, index_dir: str, n_buckets: int | None = None
 ):
     """foreachBatch handler for CELL-SCOPED index refresh (section
     comment above): per micro-batch of (key, value) JSON envelope
@@ -653,6 +685,17 @@ def ann_refresh_incremental_foreach_batch(
     re-deduplicated — per-epoch cost ∝ touched cells, never index
     size. The committed survivor set equals the full-recompute snapshot
     at every epoch (equality-pinned in tests).
+
+    ``n_buckets`` sizes the lookup tier's bucketing. Default (None):
+    derived at the FIRST batch from that batch's net key count
+    (``max(8, ceil(n / LOOKUP_BUCKET_TARGET))`` — the bulk load sizes
+    the tier) and persisted in ``lookup_meta.json``; every later batch
+    reuses the persisted value, and an explicit ``n_buckets`` that
+    disagrees with it RAISES — re-bucketing an existing lookup tier is
+    only legal through ``compact_state``'s guarded path (a silently
+    different bucketing would compute wrong bucket ids for the
+    pre-batch read, miss keys' old cells, and leave stale members with
+    no error).
 
     Batch routing uses the interpreted broadcast fold (O(batch·nlist))
     — right for delta batches; a bulk backfill should go through
@@ -667,11 +710,14 @@ def ann_refresh_incremental_foreach_batch(
         BUCKET_COL,
     )
 
+    from ..streaming.partitioned_state import pinned_bucket_count
+
     members_dir = os.path.join(index_dir, "members")
     survivors_dir = os.path.join(index_dir, "survivors")
     lookup_dir = os.path.join(index_dir, "lookup")
     for d in (members_dir, survivors_dir, lookup_dir):
         os.makedirs(d, exist_ok=True)
+    meta_path = os.path.join(index_dir, "lookup_meta.json")
 
     def handle(batch: DataFrame, epoch: int) -> None:
         spark = batch.sparkSession
@@ -683,44 +729,70 @@ def ann_refresh_incremental_foreach_batch(
             flat.withColumn("__rn", F.row_number().over(wn))
             .filter(F.col("__rn") == 1).drop("__rn")
         )
+        nb = pinned_bucket_count(
+            meta_path, n_buckets, net.count,
+            target=LOOKUP_BUCKET_TARGET,
+        )
         cents = spark.read.parquet(centroids_dir)
         routed = route_to_cells(
             net.filter(F.col("__op") != "d").select("vec_id", "v"), cents
         )
+        # the batch's lookup buckets — ONE collect, reused twice: the
+        # pre-batch lookup read below and the lookup-tier apply at the
+        # end (passing it there skips apply's own distinct job)
+        key_buckets = sorted({
+            r["b"] for r in net.select(
+                _bucket(["vec_id"], nb).alias("b")
+            ).distinct().collect()
+        })
         # pre-batch cells of every net key: targeted touched-bucket read
         # of the lookup tier (committed LAST, so still pre-batch here
-        # even on a crash replay)
-        old_cells: list[int] = []
+        # even on a crash replay). Old cells and new cells are fused
+        # into ONE driver job (union before collect — the round-12
+        # probe showed the per-epoch floor is job count, not data).
+        cells_src = routed.select("cell")
         lk_manifest = _read_manifest(lookup_dir) or {}
         if lk_manifest:
-            key_buckets = {
-                r["b"] for r in net.select(
-                    _bucket(["vec_id"], n_buckets).alias("b")
-                ).distinct().collect()
-            }
             paths = [
                 os.path.join(lookup_dir, f"v{e}", f"{BUCKET_COL}={b}")
-                for b, e in lk_manifest.items() if b in key_buckets
+                for b, e in lk_manifest.items() if b in set(key_buckets)
             ]
             if paths:
                 prior = spark.read.parquet(*paths).filter(
                     F.col("__op") != "d"
                 )
-                old_cells = [
-                    r["cell"] for r in prior.join(
+                cells_src = cells_src.unionByName(
+                    prior.join(
                         net.select("vec_id"), "vec_id", "left_semi"
-                    ).select("cell").distinct().collect()
-                ]
-        new_cells = [
-            r["cell"] for r in routed.select("cell").distinct().collect()
-        ]
-        touched = sorted(set(old_cells) | set(new_cells))
+                    ).select("cell")
+                )
+        touched = sorted(
+            r["cell"] for r in cells_src.distinct().collect()
+        )
         # persist (or reuse) the epoch's touched set BEFORE any tier
-        # write — replays after any crash window commit identically
+        # write — replays after any crash window commit identically.
+        # Lineage guard on reuse: a legitimate replay's recomputed set
+        # is always ⊆ the persisted one (pre-lookup-commit crash →
+        # identical; post-commit replay → old cells collapse into new
+        # ones), so a persisted set that is NOT a superset means the
+        # file belongs to a DIFFERENT history — the fresh-checkpoint-
+        # over-existing-index misuse (epochs restart at 0) that would
+        # otherwise commit cells absent from the stale set into the
+        # store without manifest entries (silent vector loss).
         tpath = os.path.join(index_dir, f"touched_v{epoch}.json")
         if os.path.exists(tpath):
             with open(tpath) as fh:
-                touched = _json.load(fh)
+                persisted = _json.load(fh)
+            if not set(persisted) >= set(touched):
+                raise ValueError(
+                    f"persisted touched set for epoch {epoch} "
+                    f"({sorted(persisted)}) is not a superset of the "
+                    f"batch's recomputed cells ({touched}) — this is "
+                    "not a replay of the epoch that wrote "
+                    f"{tpath}; a fresh checkpoint must not reuse an "
+                    "existing index_dir"
+                )
+            touched = persisted
         else:
             _atomic_write(tpath, _json.dumps(touched))
         if touched:
@@ -751,7 +823,8 @@ def ann_refresh_incremental_foreach_batch(
         )
         apply_changes_partitioned(
             spark, lk, epoch, lookup_dir,
-            keys=["vec_id"], position=["__pos"], n_buckets=n_buckets,
+            keys=["vec_id"], position=["__pos"], n_buckets=nb,
+            touched=key_buckets,
         )
 
     return handle
@@ -770,7 +843,7 @@ def start_ann_refresh_incremental_stream(
     centroids_dir: str,
     index_dir: str,
     checkpoint: str,
-    n_buckets: int = 8,
+    n_buckets: int | None = None,
 ):
     """Cell-scoped refresh as a Structured Streaming query over a
     PARQUET file source of (key, value) JSON envelope STRINGS (same
@@ -827,3 +900,67 @@ def start_ann_refresh_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+# --- oracle-checked differential for the incremental EXECUTION path --------
+#
+# The equality tests pin incremental == full-recompute at every epoch,
+# but (r12 verdict #1) no registered query ran the incremental
+# machinery — tier commits, manifest protocol, touched-set persistence,
+# lookup-tier bucketing — under the driver's hash gate. This query does,
+# the `cdc_lifecycle_snapshot` precedent: the REAL foreachBatch handler
+# processes the synthetic change log in three op-phased epochs and the
+# final committed survivors tier must hash-equal the corpus-global
+# full-recompute oracle (`_ORACLE` — the differential the retired batch
+# form carried). Per-key delivery order is position-monotone by
+# construction: every key's create (pos·10+1) precedes its update
+# (·10+2) precedes its delete (·10+3). Scratch tiers live at a fixed
+# /tmp path, wiped per invocation, atexit-cleaned.
+
+ANN_INCR_DIR = "/tmp/dis_ann_incr_current"
+
+
+def _cleanup_ann_incr_dir() -> None:
+    import shutil
+
+    shutil.rmtree(ANN_INCR_DIR, ignore_errors=True)
+
+
+import atexit  # noqa: E402
+
+atexit.register(_cleanup_ann_incr_dir)
+
+
+@register("ann_refresh_incremental", oracle=_ORACLE)
+def ann_refresh_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cell-scoped incremental refresh, EXECUTION-path differential:
+    the synthetic embeddings change log is delivered through the real
+    :func:`ann_refresh_incremental_foreach_batch` handler in THREE
+    epochs split by op (all creates, then all updates, then all
+    deletes) — epoch 0 is the bulk load that sizes the lookup tier's
+    derived bucketing, epoch 1 exercises the re-route path (old cell ∪
+    new cell both touched), epoch 2 the delete/un-remove path — and
+    the answer is the SURVIVORS TIER as committed on disk (manifest-
+    resolved cell reads), not an in-memory plan. Hash equality against
+    the full-recompute oracle proves the tier protocol — touched-set
+    scoping + persistence, members/survivors rewrites, emptied-cell
+    manifest rule, lookup commit ordering — changes cost, never
+    answers."""
+    import shutil
+
+    idx = _ensure_ivf_index(spark, sf_dir)
+    cents_dir = os.path.join(idx, "centroids")
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    log = embeddings_change_log(emb)
+    shutil.rmtree(ANN_INCR_DIR, ignore_errors=True)
+    handle = ann_refresh_incremental_foreach_batch(cents_dir, ANN_INCR_DIR)
+    for epoch, op in enumerate(("c", "u", "d")):
+        handle(
+            embeddings_envelopes(log.filter(F.col("__op") == op)), epoch
+        )
+    surv = read_incremental_index(spark, ANN_INCR_DIR)
+    return surv.select(
+        "vec_id", F.col("cell").cast("bigint").alias("cell")
+    ).orderBy("vec_id")

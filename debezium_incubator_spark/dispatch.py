@@ -53,6 +53,8 @@ operator checksums 10k tables in one job wave.
 
 from __future__ import annotations
 
+import hashlib
+import os
 from concurrent.futures import ThreadPoolExecutor
 from functools import reduce
 
@@ -76,8 +78,29 @@ MAX_CONCURRENCY = 8
 # a stale plan. Product-surface only: bench/probe paths build fresh
 # lineage by contract and never call through this memo (the r8 concern
 # was about measurement paths, not callers).
-_PLAN_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+_PLAN_CACHE: dict[tuple[str, str, str, str], DataFrame] = {}
 _PLAN_CACHE_MAX = 4096
+
+
+def _sf_stamp(sf_dir: str) -> str:
+    """Source stamp of the data directory (r12 ADVICE): a memoized
+    DataFrame captures its parquet FILE LISTING at build time, so
+    regenerated or appended source files would silently serve stale
+    results through the memo. Keying the cache on the directory's
+    (name, mtime, size) entry listing invalidates it the moment the
+    data changes. Depth-1 by design — the testdata layout is one
+    parquet file per table; for nested layouts a rewritten leaf inside
+    an unchanged subdirectory is NOT detected (pass
+    ``reuse_plans=False`` there), and queries reading fixed-path /tmp
+    audit artifacts keep the artifact lifecycle's own swap semantics."""
+    try:
+        entries = sorted(
+            (e.name, e.stat().st_mtime_ns, e.stat().st_size)
+            for e in os.scandir(sf_dir)
+        )
+    except OSError:
+        return "unstattable"
+    return hashlib.md5(repr(entries).encode()).hexdigest()
 
 
 def _resolve(keys: list[str]):
@@ -94,7 +117,9 @@ def _plan(spark: SparkSession, queries, key: str, sf_dir: str,
           use_cache: bool) -> DataFrame:
     if not use_cache:
         return queries[key](spark, sf_dir)
-    ck = (spark.sparkContext.applicationId, key, sf_dir)
+    ck = (
+        spark.sparkContext.applicationId, key, sf_dir, _sf_stamp(sf_dir)
+    )
     df = _PLAN_CACHE.get(ck)
     if df is None:
         df = queries[key](spark, sf_dir)
@@ -117,8 +142,10 @@ def run_batch(
     ``all_queries()[key](spark, sf_dir).toPandas()`` run alone (same
     plan, same Arrow fetch; only the wall-clock overlaps). With
     ``reuse_plans`` (default) repeat calls in one session skip the
-    serial py4j plan construction via the bounded per-application memo
-    — pass ``reuse_plans=False`` to force fresh lineage (measurement
+    serial py4j plan construction via the bounded per-application memo,
+    keyed on the data directory's source stamp so regenerated/appended
+    files invalidate it (see ``_sf_stamp`` for the depth-1 caveat) —
+    pass ``reuse_plans=False`` to force fresh lineage (measurement
     harnesses must: a reused plan reuses completed shuffle stages).
     """
     queries = _resolve(keys)
@@ -189,7 +216,10 @@ def run_batch_digest(
     """
     queries = _resolve(keys)
     fused = None
-    fk = (spark.sparkContext.applicationId, "\x1f".join(keys), sf_dir)
+    fk = (
+        spark.sparkContext.applicationId, "\x1f".join(keys), sf_dir,
+        _sf_stamp(sf_dir),
+    )
     if reuse_plans:
         fused = _FUSED_CACHE.get(fk)
     if fused is None:
@@ -209,7 +239,8 @@ def run_batch_digest(
     }
 
 
-#: the fused digest plan per (application, key-list, sf_dir) — the
-#: union/digest construction is itself py4j-serial, so repeat digest
-#: calls memoize the WHOLE fused plan, not just the branches.
-_FUSED_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+#: the fused digest plan per (application, key-list, sf_dir, source
+#: stamp) — the union/digest construction is itself py4j-serial, so
+#: repeat digest calls memoize the WHOLE fused plan, not just the
+#: branches.
+_FUSED_CACHE: dict[tuple[str, str, str, str], DataFrame] = {}

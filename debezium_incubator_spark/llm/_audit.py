@@ -16,14 +16,17 @@ makes a fixed /tmp path safe to share across processes and rebuilds:
   overwrite writes into ONE build dir and leave a corrupt index under
   a valid marker;
 - ``atexit`` cleanup removes only the build dirs THIS PROCESS created
-  (plus the symlink when it points at one of them). Not
-  reference-counted: a BUILDER exiting while another process still
-  reads its artifact deletes it out from under the reader (the
-  reader's next ensure call rebuilds) — but since round 12 an exiting
-  process that merely REUSED a valid artifact no longer deletes it
-  (an exiting probe JVM's blanket cleanup destroyed a build the test
-  suite was mid-write on). Still do NOT reuse this helper for
-  artifacts with long-lived cross-process readers.
+  (plus the symlink when it points at one of them), and since round 13
+  only when no OTHER process still reads them: every process that
+  resolves an artifact holds a SHARED ``fcntl`` lock on the build's
+  lock file for its lifetime (the reader refcount — r12 verdict #9),
+  and the builder's cleanup takes a non-blocking EXCLUSIVE probe
+  before each rmtree — readers present → the build survives the
+  builder's exit (the last exiting tenant that built it reaps it; a
+  build no tenant created outlives everyone, bounded by /tmp). Since
+  round 12 an exiting process that merely REUSED a valid artifact
+  never deletes it either (an exiting probe JVM's blanket cleanup had
+  destroyed a build the test suite was mid-write on).
 
 The IVF index in ``similarity.py`` predates this module and carries its
 own (behavior-identical, test-pinned) copy; new audit artifacts should
@@ -46,22 +49,53 @@ _REGISTERED: set[str] = set()
 #: the test suite was mid-write on; the per-tenant contract stands,
 #: but exiting readers no longer take builders down with them).
 _BUILT: set[str] = set()
+#: per-build-dir SHARED-lock file objects held for process lifetime —
+#: the cross-process reader refcount (round 13): while this fd lives,
+#: no other process's cleanup can acquire the exclusive probe on the
+#: build's lock file, so the build can't be reaped under us.
+_READER_LOCKS: dict[str, object] = {}
 
 
 def _cleanup(fixed_path: str) -> None:
+    import fcntl
+
     mine = [d for d in glob.glob(fixed_path + "-*") if d in _BUILT]
+    # drop OUR reader locks first (flock fds conflict even within one
+    # process) — we are exiting, so we no longer count as a reader
+    for d in mine:
+        fh = _READER_LOCKS.pop(d, None)
+        if fh is not None:
+            try:
+                fh.close()
+            except OSError:
+                pass
+    survivors: set[str] = set()
+    for d in mine:
+        # non-blocking EXCLUSIVE probe: succeeds only when no other
+        # process holds the shared reader lock — a builder exiting
+        # under live readers leaves the build in place (the r12 gap)
+        try:
+            with open(d + ".lock", "a") as lk:
+                fcntl.flock(lk, fcntl.LOCK_EX | fcntl.LOCK_NB)
+                shutil.rmtree(d, ignore_errors=True)
+                _BUILT.discard(d)
+        except OSError:
+            survivors.add(d)
     try:
         if os.path.islink(fixed_path):
-            if os.path.realpath(fixed_path) in (
+            target = os.path.realpath(fixed_path)
+            if target in (
                 os.path.realpath(d) for d in mine
-            ):
+            ) and target not in (os.path.realpath(d) for d in survivors):
                 os.remove(fixed_path)
-        else:
-            shutil.rmtree(fixed_path, ignore_errors=True)  # legacy dir
+        # a PLAIN directory at fixed_path is a legacy-layout artifact
+        # some OTHER process (or an older version) built — this process
+        # never creates one (builds are stamp-named dirs + a symlink),
+        # so deleting it here would be exactly the cross-process race
+        # the round-12 only-reap-own-builds rule closed. Leave it; the
+        # next ensure_artifact call replaces it with the symlink layout.
     except OSError:
         pass
-    for d in mine:
-        shutil.rmtree(d, ignore_errors=True)
 
 
 def ensure_artifact(
@@ -93,6 +127,15 @@ def ensure_artifact(
             return False
 
     if not _valid():
+        # if WE hold a reader lock on this build (its marker vanished
+        # under us), release it — our own shared flock on a different
+        # fd would deadlock the exclusive build lock below
+        stale = _READER_LOCKS.pop(build_dir, None)
+        if stale is not None:
+            try:
+                stale.close()
+            except OSError:
+                pass
         lock_path = build_dir + ".lock"
         with open(lock_path, "w") as lk:
             fcntl.flock(lk, fcntl.LOCK_EX)
@@ -104,6 +147,16 @@ def ensure_artifact(
                     _BUILT.add(build_dir)
             finally:
                 fcntl.flock(lk, fcntl.LOCK_UN)
+    # register as a READER of this build for the rest of the process:
+    # the held shared lock blocks any other process's exclusive-probe
+    # cleanup from reaping the build while we may still re-read it
+    if build_dir not in _READER_LOCKS:
+        try:
+            fh = open(build_dir + ".lock", "a")
+            fcntl.flock(fh, fcntl.LOCK_SH)
+            _READER_LOCKS[build_dir] = fh
+        except OSError:
+            pass
     if os.path.realpath(fixed_path) != os.path.realpath(build_dir):
         if os.path.isdir(fixed_path) and not os.path.islink(fixed_path):
             shutil.rmtree(fixed_path, ignore_errors=True)

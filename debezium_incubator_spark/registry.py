@@ -170,10 +170,17 @@ PRIORITY: list[str] = [
     # test-only; now the driver audits its differential directly).
     "cdc_txn_reassembly",    # C10 batch twin / §1.1 txn metadata
     # round-7 recomposition: join_range (C7 — stays sweep-oracled with
-    # its plan audit) gives its slot to cdc_cassandra_cell_lww, the
-    # connector-#1 flagship (cell-level LWW fold — the data model
-    # row-fold semantics get WRONG; sparse 3-column differential).
-    "cdc_cassandra_cell_lww",  # L125 Cassandra cell LWW
+    # its plan audit) gave this slot to cdc_cassandra_cell_lww.
+    # Round-13 rotation (r12 verdict #1): cdc_cassandra_cell_lww
+    # (audited green r7–r12; stays sweep-oracled, and the cell-LWW fold
+    # + equal-writetime tie rule stay audited IN-WINDOW inside
+    # cdc_cassandra_cell_tombstones, which composes the same fold) gives
+    # the slot to ann_refresh_incremental — the cell-scoped incremental
+    # ANN refresh EXECUTION path (real foreachBatch handler, three
+    # op-phased epochs, manifest-committed tiers read back from disk;
+    # measured flat in index size), which the driver has never
+    # hash-checked.
+    "ann_refresh_incremental",  # cell-scoped incremental ANN refresh
     # round-7 continuation: join_asof (C8 — the as-of semantics stay
     # audited IN-WINDOW via k3_asof_grouped_map, the grouped-map form
     # of the same query; the C8 composition form stays sweep-oracled)
@@ -207,12 +214,15 @@ PRIORITY: list[str] = [
     # slot — the t40-precedent "stages compose" differential.
     "t49_curation_v2",       # LID → quality model → PII redaction
     # round-10 rotation (r9 verdict #5): agg_stats (D10 — sweep-oracled
-    # since r2; D keeps q1/grouping_sets/collect_pct in-window) gives
-    # its slot to e16_stickiness, the exact rolling COUNT DISTINCT
-    # construction (per-user interval merge + diff-array + day-spine
-    # running sum — a window/agg composition no other audited query
-    # exercises, brute-force + hypothesis pinned).
-    "e16_stickiness",        # exact rolling DAU/MAU distinct
+    # since r2) gave this slot to e16_stickiness. Round-13 rotation
+    # (r12 verdict #2): e16_stickiness (audited green r10–r12; stays
+    # sweep-oracled with its brute-force + hypothesis pins, and the
+    # events family keeps e1/e4/e15 in-window) gives the slot to
+    # t61_weighted_sample — the F4 sampling-family representative
+    # (Efraimidis–Spirakis weighted sampling without replacement,
+    # portable md5 uniforms, WindowGroupLimit top-k), a round-12 late
+    # add the driver has never audited.
+    "t61_weighted_sample",   # weighted sampling w/o replacement (F4)
     # §2E windows (E1 via w1 above)
     "w_combined",            # E2+E3+E4+E5+E6+E7 combo
     # §2F sorts / limits / sampling (F1 global sort stays audited via

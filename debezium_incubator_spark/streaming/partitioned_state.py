@@ -149,6 +149,42 @@ def _write_stats(spark: SparkSession, state_dir: str, epoch: int,
     return counts
 
 
+def pinned_bucket_count(
+    meta_path: str,
+    requested: int | None,
+    n_keys,
+    target: int = 1000,
+    floor: int = 8,
+) -> int:
+    """Resolve a tier's bucket count against its persisted sidecar
+    (round 13, r12 verdict #4 + ADVICE): the FIRST resolution derives
+    ``max(floor, ceil(n_keys() / target))`` (``n_keys`` is a lazy
+    callable — the bulk load sizes the tier; fixed bucket counts
+    measured the lookup fold O(state) in the round-12 ANN probe) or
+    takes an explicit ``requested``, and persists it at ``meta_path``;
+    every later resolution returns the persisted value and RAISES on a
+    disagreeing explicit ``requested`` — re-bucketing an existing tier
+    is only legal through ``compact_state``'s guarded path (a silently
+    different bucketing computes wrong bucket ids for targeted reads
+    and corrupts state with no error)."""
+    if os.path.exists(meta_path):
+        with open(meta_path) as fh:
+            persisted = int(json.load(fh)["n_buckets"])
+        if requested is not None and requested != persisted:
+            raise ValueError(
+                f"n_buckets={requested} disagrees with the tier's "
+                f"persisted bucketing {persisted} in {meta_path} — "
+                "re-bucketing an existing tier is only legal via "
+                "compact_state"
+            )
+        return persisted
+    nb = requested if requested is not None else max(
+        floor, -(-int(n_keys()) // target)
+    )
+    _atomic_write(meta_path, json.dumps({"n_buckets": nb}))
+    return nb
+
+
 def bucket_row_counts(spark: SparkSession, state_dir: str) -> dict[int, int]:
     """Current per-bucket physical row counts, resolved manifest-style:
     bucket b's count comes from the stats file of the epoch that last
@@ -211,15 +247,30 @@ def apply_changes_partitioned(
     position: list[str],
     n_buckets: int = 16,
     op_col: str = "__op",
+    touched: list[int] | None = None,
 ) -> None:
     """Merge one micro-batch, rewriting only touched buckets. Replaying
     a committed epoch is idempotent: the rewrite is deterministic and
-    the manifest commit happens last."""
+    the manifest commit happens last.
+
+    ``touched`` (optional): the batch's bucket ids, precomputed by a
+    caller that already collected the batch's key set (the incremental
+    ANN handler does, for its lookup-tier read) — skips the
+    distinct-collect driver job. Contract: it must be EXACTLY the ids
+    ``_bucket(keys, n_buckets)`` assigns to the batch; verified against
+    the written partition directories after the write (a wrong list
+    would otherwise commit manifest rows pointing at directories that
+    were never written — silent data loss on the next read)."""
     manifest = _read_manifest(state_dir) or {}
     batch = batch.withColumn(BUCKET_COL, _bucket(keys, n_buckets))
-    touched = sorted(
-        r[BUCKET_COL] for r in batch.select(BUCKET_COL).distinct().collect()
-    )
+    caller_touched = touched is not None
+    if touched is None:
+        touched = sorted(
+            r[BUCKET_COL]
+            for r in batch.select(BUCKET_COL).distinct().collect()
+        )
+    else:
+        touched = sorted(touched)
     # Split-brain check BEFORE any data write: the manifest this apply
     # WILL commit is already determined by (current manifest, touched,
     # epoch). If this epoch's manifest exists with different content, a
@@ -281,6 +332,22 @@ def apply_changes_partitioned(
         .partitionBy(BUCKET_COL)
         .parquet(vdir)
     )
+    if caller_touched:
+        # the precomputed list is only trusted after verification: every
+        # touched bucket must have been physically written (the fold
+        # keeps ≥1 row per key — tombstones are retained rows — so an
+        # exact list always matches) and nothing outside it may exist
+        written = {
+            int(d.split("=", 1)[1])
+            for d in os.listdir(vdir)
+            if d.startswith(f"{BUCKET_COL}=")
+        } if os.path.isdir(vdir) else set()
+        if written != set(touched):
+            raise ValueError(
+                f"caller-provided touched buckets {sorted(touched)} do "
+                f"not match written partition dirs {sorted(written)} in "
+                f"{vdir} — refusing to commit a lying manifest"
+            )
     _write_stats(spark, state_dir, epoch, vdir)
     manifest.update({b: epoch for b in touched})
     # Both commit files land by ATOMIC RENAME (write sibling .tmp, then

@@ -411,3 +411,87 @@ def test_epoch_replay_is_idempotent(spark, tmp_path):
         for r in read_latest_index(spark, out_dir).collect()
     )
     assert first == again and first
+
+def test_lookup_bucketing_derived_persisted_and_pinned(
+    spark, tmp_path, monkeypatch
+):
+    """Round-13 hardening (r12 verdict #4 + ADVICE): with no caller
+    n_buckets, the lookup tier's bucketing derives from the FIRST
+    batch's net key count (n_buckets ∝ n — fixed 8 buckets measured
+    the lookup fold O(state) in the round-12 probe), persists in
+    lookup_meta.json, later handler instances reuse it, and an
+    explicit n_buckets that disagrees with the persisted value RAISES
+    (silent re-bucketing would read the wrong buckets and leave stale
+    members with no error)."""
+    import json
+
+    import pytest
+
+    import debezium_incubator_spark.cdc.ann_refresh as ar
+
+    monkeypatch.setattr(ar, "LOOKUP_BUCKET_TARGET", 10)
+    idx = _ensure_ivf_index(spark, SF_SMOKE)
+    cents_dir = os.path.join(idx, "centroids")
+    cents = spark.read.parquet(cents_dir)
+    index_dir = str(tmp_path / "inc")
+    emb = _emb(spark)
+    log = embeddings_change_log(emb)
+    handle = ann_refresh_incremental_foreach_batch(cents_dir, index_dir)
+    handle(embeddings_envelopes(log.filter(F.col("__op") == "c")), 0)
+    n = emb.count()
+    with open(os.path.join(index_dir, "lookup_meta.json")) as fh:
+        nb = json.load(fh)["n_buckets"]
+    assert nb == max(8, -(-n // 10)) > 8, (
+        "derived bucketing must scale with the bulk-load key count"
+    )
+    # a disagreeing explicit n_buckets must refuse before touching state
+    bad = ann_refresh_incremental_foreach_batch(
+        cents_dir, index_dir, n_buckets=nb + 1
+    )
+    upd = embeddings_envelopes(log.filter(F.col("__op") == "u"))
+    with pytest.raises(ValueError, match="re-bucketing"):
+        bad(upd, 1)
+    # a fresh default handler reuses the persisted bucketing and the
+    # final state still equals the full recompute
+    handle2 = ann_refresh_incremental_foreach_batch(cents_dir, index_dir)
+    handle2(upd, 1)
+    handle2(embeddings_envelopes(log.filter(F.col("__op") == "d")), 2)
+    got = {
+        (r["vec_id"], r["cell"])
+        for r in read_incremental_index(spark, index_dir).collect()
+    }
+    want = {
+        (r["vec_id"], r["cell"])
+        for r in cdc_ann_refresh(spark, SF_SMOKE).collect()
+    }
+    assert got == want
+
+
+def test_stale_touched_set_refused(spark, tmp_path):
+    """Round-13 lineage guard (r12 ADVICE, medium): a persisted
+    touched_v{epoch}.json that is NOT a superset of the batch's
+    recomputed cells belongs to a DIFFERENT history (the fresh-
+    checkpoint-over-existing-index misuse: epochs restart at 0 under a
+    stale file) — the handler must refuse, not silently write cells
+    the manifest loop would then drop."""
+    import json
+
+    import pytest
+
+    from debezium_incubator_spark.streaming.partitioned_state import (
+        _atomic_write,
+    )
+
+    idx = _ensure_ivf_index(spark, SF_SMOKE)
+    cents_dir = os.path.join(idx, "centroids")
+    index_dir = str(tmp_path / "inc")
+    emb = _emb(spark)
+    log = embeddings_change_log(emb)
+    handle = ann_refresh_incremental_foreach_batch(cents_dir, index_dir)
+    handle(embeddings_envelopes(log.filter(F.col("__op") == "c")), 0)
+    # forge a stale epoch-1 touched set that misses every real cell
+    _atomic_write(
+        os.path.join(index_dir, "touched_v1.json"), json.dumps([99999])
+    )
+    with pytest.raises(ValueError, match="not a replay"):
+        handle(embeddings_envelopes(log.filter(F.col("__op") == "u")), 1)

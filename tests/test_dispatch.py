@@ -92,11 +92,38 @@ def test_plan_cache_keys_on_application_id(spark):
 
     dispatch._PLAN_CACHE.clear()
     run_batch(spark, ["t1_token_stats"], SF_SMOKE)
-    (app_id, key, sf), = dispatch._PLAN_CACHE.keys()
+    (app_id, key, sf, stamp), = dispatch._PLAN_CACHE.keys()
     assert app_id == spark.sparkContext.applicationId
     assert key == "t1_token_stats" and sf == SF_SMOKE
+    assert stamp == dispatch._sf_stamp(SF_SMOKE)
     # a foreign application id resolves to a MISS, not a stale plan
-    assert dispatch._PLAN_CACHE.get(("other-app", key, sf)) is None
+    assert dispatch._PLAN_CACHE.get(("other-app", key, sf, stamp)) is None
+
+
+def test_plan_cache_invalidates_on_source_change(spark, tmp_path):
+    """r12 ADVICE: a memoized plan captured its parquet file listing at
+    build time — if the files under sf_dir change, the memo must MISS
+    (new source stamp → new cache key), never serve the stale frame."""
+    import os
+    import shutil
+
+    from debezium_incubator_spark import dispatch
+
+    sf2 = str(tmp_path / "sfcopy")
+    shutil.copytree(SF_SMOKE, sf2)
+    dispatch._PLAN_CACHE.clear()
+    first = run_batch(spark, ["t1_token_stats"], sf2)
+    assert len(dispatch._PLAN_CACHE) == 1
+    # regenerate a source file (mtime bump is what a rewrite leaves)
+    doc = os.path.join(sf2, "documents.parquet")
+    st = os.stat(doc)
+    os.utime(doc, ns=(st.st_atime_ns, st.st_mtime_ns + 1_000_000))
+    again = run_batch(spark, ["t1_token_stats"], sf2)
+    assert len(dispatch._PLAN_CACHE) == 2, (
+        "changed source files must mint a new cache key"
+    )
+    pd.testing.assert_frame_equal(again["t1_token_stats"],
+                                  first["t1_token_stats"])
 
 
 def test_digest_refuses_unhashable_columns(spark):

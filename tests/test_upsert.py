@@ -1136,3 +1136,44 @@ def test_compaction_crash_replay_tolerates_manifest_key_order(
     diverged[first] = 99
     with pytest.raises(ConcurrentCommitError):
         _commit_manifest(state, 5, json.dumps(diverged, sort_keys=True))
+
+def test_apply_changes_caller_touched_verified(spark, tmp_path):
+    """Round-13: the optional precomputed ``touched`` list (job-count
+    saver for callers that already collected the batch's key set) is
+    verified against the physically written bucket dirs — an exact list
+    commits identically to the computed path; a wrong list (bucket ids
+    the batch never writes) must refuse BEFORE committing a manifest
+    that points at missing directories."""
+    import pytest
+
+    from debezium_incubator_spark.streaming.partitioned_state import (
+        _bucket,
+        apply_changes_partitioned,
+        read_state_partitioned,
+    )
+
+    batch = spark.createDataFrame(
+        [(1, "a", "c", 1), (2, "b", "c", 2), (17, "q", "c", 3)],
+        "id LONG, v STRING, __op STRING, __pos LONG",
+    )
+    good = sorted(
+        r["b"]
+        for r in batch.select(_bucket(["id"], 4).alias("b"))
+        .distinct().collect()
+    )
+    st = str(tmp_path / "st")
+    apply_changes_partitioned(
+        spark, batch, 0, st, keys=["id"], position=["__pos"],
+        n_buckets=4, touched=good,
+    )
+    got = {
+        (r["id"], r["v"])
+        for r in read_state_partitioned(spark, st).collect()
+    }
+    assert got == {(1, "a"), (2, "b"), (17, "q")}
+    st2 = str(tmp_path / "st2")
+    with pytest.raises(ValueError, match="lying manifest"):
+        apply_changes_partitioned(
+            spark, batch, 0, st2, keys=["id"], position=["__pos"],
+            n_buckets=4, touched=[0, 1, 2, 3],
+        )
