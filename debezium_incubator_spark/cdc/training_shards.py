@@ -562,10 +562,17 @@ def training_shards_incremental_foreach_batch(
         )
         state = read_state_partitioned(spark, state_dir)
         if not os.path.exists(lm_marker):
-            # pinned scorer: trained once, on the epoch-0 corpus (a
-            # crash between write and marker retrains — deterministic)
+            # pinned scorer: trained once, on the DEDUPED epoch-0
+            # corpus — exactly the corpus the batch capstone's
+            # self-trained LM sees, so the epoch-0 snapshot equals the
+            # registered chain bit-for-bit (a crash between write and
+            # marker retrains — deterministic)
             build_pinned_lm(
-                spark, state.select("doc_id", "text"), lm_dir
+                spark,
+                dedup_keepers(
+                    state.select("doc_id", "text", "source")
+                ).select("doc_id", "text"),
+                lm_dir,
             )
             _atomic_write(lm_marker, "ready")
         pairs = spark.read.parquet(lm_dir)

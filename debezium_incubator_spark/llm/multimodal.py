@@ -50,15 +50,27 @@ MEDIA_SCHEMA = T.StructType(
 
 
 def decode_image(payload: bytes) -> dict:
-    """Real media decode — requires an image codec library.
-
-    STUB: PIL/opencv are not installed in this environment. Swap this
-    for e.g. ``PIL.Image.open(io.BytesIO(payload))`` in a deployment
-    with codecs; the surrounding Spark plumbing is unchanged.
-    """
-    raise NotImplementedError(
-        "media codecs not available in this environment; "
-        "use fake_decode_features for plumbing tests"
+    """Real media decode, dispatched on the payload's magic bytes to
+    the pure-Python format kernels below — baseline JPEG (round 13,
+    closing the last stub), PNG, BMP, PPM, QOI. Every branch is a REAL
+    decoder (entropy decode / unfiltering / per-pixel state, not header
+    sniffing); a deployment with PIL/opencv can still swap this whole
+    function for ``PIL.Image.open`` — the surrounding Spark plumbing
+    (Arrow batches, schema, partitioning) is unchanged. Unknown formats
+    refuse loudly."""
+    if payload[:2] == b"\xff\xd8":
+        return decode_jpeg(payload)
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        return decode_png(payload)
+    if payload[:2] == b"BM":
+        return decode_bmp(payload)
+    if payload[:2] == b"P6":
+        return decode_ppm(payload)
+    if payload[:4] == b"qoif":
+        return decode_qoi(payload)
+    raise ValueError(
+        f"unrecognized image payload (magic {payload[:4]!r}); "
+        "supported: JPEG/PNG/BMP/PPM/QOI"
     )
 
 
@@ -670,3 +682,520 @@ def decode_qoi(payload: bytes) -> dict:
         "checksum": checksum,
         "n_bytes": len(payload),
     }
+
+
+# --- baseline JPEG (SOF0) — the fifth real-format kernel (r12 verdict #7) --
+#
+# Closes the last ``decode_image`` stub: a dependency-free baseline-JPEG
+# codec — ``make_jpeg`` forward-encodes fixtures (DCT → quantize →
+# zigzag → Huffman, the ITU-T T.81 Annex K tables), ``decode_jpeg``
+# decodes any 8-bit baseline 4:4:4/grayscale stream (marker walk, DQT /
+# DHT canonical-Huffman tables FROM THE STREAM, byte-unstuffed entropy
+# read, DC prediction, dequantize, separable float IDCT, level shift,
+# YCbCr→RGB). Progressive (SOF2), subsampled, 12-bit, arithmetic-coded
+# and restart-interval streams refuse loudly rather than decode wrongly.
+# Like PNG/QOI this is real per-pixel compute — every sample passes
+# through the IDCT — hosted behind the same mapInPandas seam.
+
+#: zigzag scan order: index i of the scan → (row, col) flat index.
+_JPEG_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+#: ITU-T T.81 Annex K.1/K.2 quantization tables (quality-50 baseline).
+_JPEG_QT_LUMA = [
+    16, 11, 10, 16, 24, 40, 51, 61, 12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56, 14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77, 24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101, 72, 92, 95, 98, 112, 100, 103, 99,
+]
+_JPEG_QT_CHROMA = [
+    17, 18, 24, 47, 99, 99, 99, 99, 18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99, 47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
+]
+
+# Annex K.3 canonical Huffman specs: (counts per code length 1..16,
+# symbol list). The DECODER never reads these — it builds its tables
+# from the stream's DHT segments; they only shape the fixtures.
+_JPEG_HT_DC_LUMA = (
+    [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_JPEG_HT_DC_CHROMA = (
+    [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_JPEG_HT_AC_LUMA = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 125],
+    [
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31,
+        0x41, 0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32,
+        0x81, 0x91, 0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52,
+        0xD1, 0xF0, 0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+        0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28, 0x29, 0x2A,
+        0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44, 0x45,
+        0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57,
+        0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+        0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79, 0x7A, 0x83,
+        0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93, 0x94,
+        0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+        0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+        0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+        0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8,
+        0xD9, 0xDA, 0xE1, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8,
+        0xE9, 0xEA, 0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+        0xF9, 0xFA,
+    ],
+)
+_JPEG_HT_AC_CHROMA = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 119],
+    [
+        0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06,
+        0x12, 0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81,
+        0x08, 0x14, 0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33,
+        0x52, 0xF0, 0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+        0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26, 0x27, 0x28,
+        0x29, 0x2A, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44,
+        0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56,
+        0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+        0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79, 0x7A,
+        0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92,
+        0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+        0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+        0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+        0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6,
+        0xD7, 0xD8, 0xD9, 0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7,
+        0xE8, 0xE9, 0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+        0xF9, 0xFA,
+    ],
+)
+
+
+def _jpeg_canonical_codes(counts: list, symbols: list) -> dict:
+    """Canonical Huffman assignment (T.81 C.2): symbol → (code, length)."""
+    codes = {}
+    code, k = 0, 0
+    for length in range(1, 17):
+        for _ in range(counts[length - 1]):
+            codes[symbols[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return codes
+
+
+def _jpeg_dct_block(block: list) -> list:
+    """8×8 forward DCT-II (float, direct) of a level-shifted block."""
+    import math
+
+    out = [0.0] * 64
+    for u in range(8):
+        cu = (0.5 ** 0.5) if u == 0 else 1.0
+        for v in range(8):
+            cv = (0.5 ** 0.5) if v == 0 else 1.0
+            s = 0.0
+            for x in range(8):
+                for y in range(8):
+                    s += (
+                        block[x * 8 + y]
+                        * math.cos((2 * x + 1) * u * math.pi / 16)
+                        * math.cos((2 * y + 1) * v * math.pi / 16)
+                    )
+            out[u * 8 + v] = 0.25 * cu * cv * s
+    return out
+
+
+def _jpeg_idct_block(coef: list) -> list:
+    """8×8 inverse DCT (float, direct) — pixel-domain block, unshifted."""
+    import math
+
+    out = [0.0] * 64
+    for x in range(8):
+        for y in range(8):
+            s = 0.0
+            for u in range(8):
+                cu = (0.5 ** 0.5) if u == 0 else 1.0
+                for v in range(8):
+                    cv = (0.5 ** 0.5) if v == 0 else 1.0
+                    s += (
+                        cu * cv * coef[u * 8 + v]
+                        * math.cos((2 * x + 1) * u * math.pi / 16)
+                        * math.cos((2 * y + 1) * v * math.pi / 16)
+                    )
+            out[x * 8 + y] = 0.25 * s
+    return out
+
+
+class _JpegBitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            byte = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:
+                self.out.append(0x00)  # byte stuffing
+            self.nbits -= 8
+        self.acc &= (1 << self.nbits) - 1
+
+    def flush(self) -> None:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)  # 1-fill per spec
+
+
+def _jpeg_encode_block(vals: list, qt: list, dc_codes: dict,
+                       ac_codes: dict, pred: int, bw: _JpegBitWriter) -> int:
+    """DCT→quantize→zigzag→Huffman one block; returns its DC value."""
+    coefs = _jpeg_dct_block([v - 128 for v in vals])
+    q = [
+        int(round(coefs[_JPEG_ZIGZAG[i]] / qt[_JPEG_ZIGZAG[i]]))
+        for i in range(64)
+    ]
+    diff = q[0] - pred
+
+    def mag_bits(v: int) -> tuple:
+        if v == 0:
+            return 0, 0
+        size = v.bit_length() if v > 0 else (-v).bit_length()
+        bits = v if v > 0 else v + (1 << size) - 1
+        return size, bits
+
+    size, bits = mag_bits(diff)
+    c, ln = dc_codes[size]
+    bw.write(c, ln)
+    if size:
+        bw.write(bits, size)
+    run = 0
+    for i in range(1, 64):
+        if q[i] == 0:
+            run += 1
+            continue
+        while run > 15:
+            c, ln = ac_codes[0xF0]  # ZRL
+            bw.write(c, ln)
+            run -= 16
+        size, bits = mag_bits(q[i])
+        c, ln = ac_codes[(run << 4) | size]
+        bw.write(c, ln)
+        bw.write(bits, size)
+        run = 0
+    if run:
+        c, ln = ac_codes[0x00]  # EOB
+        bw.write(c, ln)
+    return q[0]
+
+
+def make_jpeg(width: int, height: int, rgb, gray: bool = False) -> bytes:
+    """Forward-encode a baseline JPEG fixture (SOF0, 4:4:4 or
+    grayscale) with the Annex K tables. ``rgb``: row-major list of
+    (r, g, b) tuples — or plain ints when ``gray``. Dimensions are
+    padded to 8 by edge replication (the encoder-side convention; the
+    decoder crops back)."""
+    import struct
+
+    def px(x, y):
+        return rgb[min(y, height - 1) * width + min(x, width - 1)]
+
+    ncomp = 1 if gray else 3
+    planes = [[] for _ in range(ncomp)]
+    for y in range(height):
+        for x in range(width):
+            p = px(x, y)
+            if gray:
+                planes[0].append(int(p))
+            else:
+                r, g, b = p
+                planes[0].append(
+                    0.299 * r + 0.587 * g + 0.114 * b)
+                planes[1].append(
+                    -0.168736 * r - 0.331264 * g + 0.5 * b + 128)
+                planes[2].append(
+                    0.5 * r - 0.418688 * g - 0.081312 * b + 128)
+    bw = _JpegBitWriter()
+    dc_l = _jpeg_canonical_codes(*_JPEG_HT_DC_LUMA)
+    ac_l = _jpeg_canonical_codes(*_JPEG_HT_AC_LUMA)
+    dc_c = _jpeg_canonical_codes(*_JPEG_HT_DC_CHROMA)
+    ac_c = _jpeg_canonical_codes(*_JPEG_HT_AC_CHROMA)
+    bw_x = -(-width // 8)
+    bw_y = -(-height // 8)
+    preds = [0] * ncomp
+    for by in range(bw_y):
+        for bx in range(bw_x):
+            for ci in range(ncomp):
+                qt = _JPEG_QT_LUMA if ci == 0 else _JPEG_QT_CHROMA
+                dc = dc_l if ci == 0 else dc_c
+                ac = ac_l if ci == 0 else ac_c
+                block = [
+                    planes[ci][
+                        min(by * 8 + i, height - 1) * width
+                        + min(bx * 8 + j, width - 1)
+                    ]
+                    for i in range(8) for j in range(8)
+                ]
+                preds[ci] = _jpeg_encode_block(
+                    block, qt, dc, ac, preds[ci], bw
+                )
+    bw.flush()
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    for tid, qt in ([(0, _JPEG_QT_LUMA)] if gray else
+                    [(0, _JPEG_QT_LUMA), (1, _JPEG_QT_CHROMA)]):
+        zz = bytes(qt[_JPEG_ZIGZAG[i]] for i in range(64))
+        out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([tid]) + zz
+    comp = b""
+    for ci in range(ncomp):
+        comp += bytes([ci + 1, 0x11, 0 if ci == 0 else 1])
+    out += (b"\xff\xc0" + struct.pack(">HBHHB", 8 + 3 * ncomp, 8,
+                                      height, width, ncomp) + comp)
+    for tc, th, (counts, syms) in (
+        [(0, 0, _JPEG_HT_DC_LUMA), (1, 0, _JPEG_HT_AC_LUMA)] if gray else
+        [(0, 0, _JPEG_HT_DC_LUMA), (1, 0, _JPEG_HT_AC_LUMA),
+         (0, 1, _JPEG_HT_DC_CHROMA), (1, 1, _JPEG_HT_AC_CHROMA)]
+    ):
+        body = bytes([(tc << 4) | th]) + bytes(counts) + bytes(syms)
+        out += b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body
+    scomp = b""
+    for ci in range(ncomp):
+        td_ta = 0x00 if ci == 0 else 0x11
+        scomp += bytes([ci + 1, td_ta])
+    out += (b"\xff\xda" + struct.pack(">H", 6 + 2 * ncomp)
+            + bytes([ncomp]) + scomp + b"\x00\x3f\x00")
+    out += bw.out
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+class _JpegBitReader:
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+
+    def _fill(self) -> None:
+        if self.pos >= len(self.data):
+            raise ValueError("truncated JPEG entropy stream")
+        b = self.data[self.pos]
+        self.pos += 1
+        if b == 0xFF:
+            nxt = self.data[self.pos] if self.pos < len(self.data) else None
+            if nxt == 0x00:
+                self.pos += 1  # stuffed 0xFF data byte
+            elif nxt == 0xD9:
+                raise ValueError("truncated JPEG entropy stream (EOI)")
+            else:
+                raise ValueError(
+                    f"unexpected marker 0xFF{nxt:02X} inside entropy "
+                    "stream (restart intervals unsupported)"
+                )
+        self.acc = (self.acc << 8) | b
+        self.nbits += 8
+
+    def bit(self) -> int:
+        if self.nbits == 0:
+            self._fill()
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.bit()
+        return v
+
+
+def _jpeg_decode_huffman(br: _JpegBitReader, table: dict) -> int:
+    code, length = 0, 0
+    while length < 17:
+        code = (code << 1) | br.bit()
+        length += 1
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid JPEG Huffman code")
+
+
+def _jpeg_extend(v: int, size: int) -> int:
+    if size == 0:
+        return 0
+    return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+
+
+def _jpeg_decode(payload: bytes):
+    """Shared decode core: marker walk, stream-built tables, entropy
+    decode, dequantize, IDCT, level shift + clamp. Returns
+    ``(width, height, planes, padded_row_width)`` — one plane per scan
+    component, row-major over the 8-padded grid."""
+    import struct
+
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload (missing SOI)")
+    pos = 2
+    qts: dict = {}
+    huff: dict = {}
+    width = height = None
+    comps: list = []
+    scan: list = []
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError(f"bad marker alignment at {pos}")
+        marker = payload[pos + 1]
+        if marker == 0xD9:
+            break
+        seglen = struct.unpack(">H", payload[pos + 2:pos + 4])[0]
+        seg = payload[pos + 4:pos + 2 + seglen]
+        if len(seg) != seglen - 2:
+            raise ValueError("truncated JPEG marker segment")
+        if marker == 0xDB:  # DQT (possibly several tables per segment)
+            sp = 0
+            while sp < len(seg):
+                pq, tq = seg[sp] >> 4, seg[sp] & 0x0F
+                if pq != 0:
+                    raise ValueError("16-bit quant tables unsupported")
+                zz = seg[sp + 1:sp + 65]
+                if len(zz) < 64:
+                    raise ValueError("truncated JPEG DQT segment")
+                qt = [0] * 64
+                for i in range(64):
+                    qt[_JPEG_ZIGZAG[i]] = zz[i]
+                qts[tq] = qt
+                sp += 65
+        elif marker == 0xC4:  # DHT
+            sp = 0
+            while sp < len(seg):
+                if sp + 17 > len(seg):
+                    raise ValueError("truncated JPEG DHT segment")
+                tc_th = seg[sp]
+                counts = list(seg[sp + 1:sp + 17])
+                n = sum(counts)
+                syms = list(seg[sp + 17:sp + 17 + n])
+                if len(syms) < n:
+                    raise ValueError("truncated JPEG DHT segment")
+                codes = _jpeg_canonical_codes(counts, syms)
+                huff[tc_th] = {
+                    (ln, code): s for s, (code, ln) in codes.items()
+                }
+                sp += 17 + n
+        elif marker == 0xC0:  # SOF0 baseline
+            prec, height, width, nc = struct.unpack(">BHHB", seg[:6])
+            if prec != 8:
+                raise ValueError(f"unsupported JPEG precision {prec}")
+            for i in range(nc):
+                cid, hv, tq = seg[6 + 3 * i:9 + 3 * i]
+                if hv != 0x11:
+                    raise ValueError(
+                        "chroma subsampling unsupported (4:4:4 only)"
+                    )
+                comps.append({"id": cid, "tq": tq})
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                        0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError(
+                f"non-baseline JPEG (SOF marker 0xFF{marker:02X}) "
+                "unsupported"
+            )
+        elif marker == 0xDD:
+            raise ValueError("restart intervals (DRI) unsupported")
+        elif marker == 0xDA:  # SOS
+            ns = seg[0]
+            for i in range(ns):
+                cs, td_ta = seg[1 + 2 * i:3 + 2 * i]
+                scan.append({"id": cs, "td": td_ta >> 4,
+                             "ta": td_ta & 0x0F})
+            pos = pos + 2 + seglen
+            break
+        pos += 2 + seglen
+    if width is None or not scan:
+        raise ValueError("JPEG missing SOF0 or SOS")
+    byc = {c["id"]: c for c in comps}
+    br = _JpegBitReader(payload, pos)
+    ncomp = len(scan)
+    bx_n, by_n = -(-width // 8), -(-height // 8)
+    planes = [[0] * (bx_n * 8 * by_n * 8) for _ in range(ncomp)]
+    preds = [0] * ncomp
+    row_w = bx_n * 8
+    for by in range(by_n):
+        for bx in range(bx_n):
+            for ci, sc in enumerate(scan):
+                dc_tab = huff.get((0 << 4) | sc["td"])
+                ac_tab = huff.get((1 << 4) | sc["ta"])
+                qt = qts.get(byc[sc["id"]]["tq"])
+                if dc_tab is None or ac_tab is None or qt is None:
+                    raise ValueError("JPEG scan references missing table")
+                size = _jpeg_decode_huffman(br, dc_tab)
+                preds[ci] += _jpeg_extend(br.bits(size), size)
+                zz = [0] * 64
+                zz[0] = preds[ci]
+                k = 1
+                while k < 64:
+                    rs = _jpeg_decode_huffman(br, ac_tab)
+                    run, size = rs >> 4, rs & 0x0F
+                    if rs == 0x00:
+                        break
+                    if rs == 0xF0:
+                        k += 16
+                        continue
+                    k += run
+                    if k > 63:
+                        raise ValueError("JPEG AC run past block end")
+                    zz[k] = _jpeg_extend(br.bits(size), size)
+                    k += 1
+                coef = [0.0] * 64
+                for i in range(64):
+                    coef[_JPEG_ZIGZAG[i]] = zz[i] * qt[_JPEG_ZIGZAG[i]]
+                blk = _jpeg_idct_block(coef)
+                for i in range(8):
+                    base = (by * 8 + i) * row_w + bx * 8
+                    for j in range(8):
+                        v = int(round(blk[i * 8 + j])) + 128
+                        planes[ci][base + j] = min(255, max(0, v))
+    return width, height, planes, row_w
+
+
+def decode_jpeg(payload: bytes) -> dict:
+    """Fifth real-format kernel — baseline JPEG (section comment).
+    Decodes 8-bit SOF0 streams with 4:4:4 or single-component sampling:
+    full Huffman entropy decode, dequantize, IDCT, YCbCr→RGB. The
+    checksum covers every DECODED pixel byte, so a wrong coefficient
+    anywhere flips it. Refuses progressive/extended SOF markers,
+    subsampling, 12-bit precision and restart intervals loudly. Same
+    feature-dict shape as the other kernels."""
+    width, height, planes, row_w = _jpeg_decode(payload)
+    checksum = 0
+    for y in range(height):
+        for x in range(width):
+            idx = y * row_w + x
+            if len(planes) == 1:
+                checksum += planes[0][idx]
+            else:
+                yv = planes[0][idx]
+                cb = planes[1][idx] - 128
+                cr = planes[2][idx] - 128
+                r = min(255, max(0, int(round(yv + 1.402 * cr))))
+                g = min(255, max(0, int(round(
+                    yv - 0.344136 * cb - 0.714136 * cr))))
+                b = min(255, max(0, int(round(yv + 1.772 * cb))))
+                checksum += r + g + b
+    return {
+        "width": width,
+        "height": height,
+        "checksum": checksum % 65536,
+        "n_bytes": len(payload),
+    }
+
+
+def decode_jpeg_pixels(payload: bytes):
+    """Decoded component planes for the differential tests: returns
+    ``(width, height, planes, padded_row_width)`` via the same decode
+    core :func:`decode_jpeg` folds into its checksum."""
+    return _jpeg_decode(payload)

@@ -14,8 +14,10 @@ from pyspark.sql import functions as F
 from debezium_incubator_spark.catalog import table
 from debezium_incubator_spark.cdc.corpus_refresh import (
     cdc_corpus_refresh,
+    dedup_keepers,
     documents_change_log,
     documents_envelopes,
+    unwrap_documents,
 )
 from debezium_incubator_spark.cdc.training_shards import (
     N_SHARDS,
@@ -150,3 +152,220 @@ def test_epoch_replay_is_idempotent(spark, tmp_path):
         tuple(r) for r in read_latest_shards(spark, out_dir).collect()
     )
     assert first == again and first
+
+# --- round 13: metrics-cached incremental refresh (r12 verdict #6) ---------
+
+
+def _op_slices(spark, docs):
+    """The synthetic change log as three op-phased wire batches
+    (creates, updates, deletes) — per-key position-monotone by
+    construction (c:pos+1 < u:pos+2 < d:pos+3)."""
+    log = documents_change_log(docs)
+    return [
+        documents_envelopes(log.filter(F.col("__op") == op))
+        for op in ("c", "u", "d")
+    ]
+
+
+def _pinned_truth(spark, delivered_wires, lm_dir):
+    """Ground truth after the delivered batches: fold everything, then
+    the pinned-LM batch chain."""
+    from debezium_incubator_spark.cdc.corpus_refresh import (
+        unwrap_documents,
+    )
+    from debezium_incubator_spark.cdc.materialize import (
+        materialize_latest,
+    )
+    from debezium_incubator_spark.cdc.training_shards import (
+        training_shards_pinned,
+    )
+
+    wire = delivered_wires[0]
+    for w in delivered_wires[1:]:
+        wire = wire.unionByName(w)
+    state = materialize_latest(
+        unwrap_documents(wire), keys=["doc_id"], position=["__pos"]
+    ).select("doc_id", "text", "source")
+    pairs = spark.read.parquet(lm_dir)
+    return sorted(
+        tuple(r)
+        for r in training_shards_pinned(spark, state, pairs).collect()
+    )
+
+
+def test_incremental_equals_pinned_recompute_every_epoch(spark, tmp_path):
+    """Metrics-cached refresh == pinned-LM full recompute after EVERY
+    epoch, and the epoch-0 snapshot equals the registered capstone
+    chain (the pinned LM trains on exactly the corpus the capstone's
+    self-trained LM sees at that point)."""
+    from debezium_incubator_spark.cdc.training_shards import (
+        read_latest_shards,
+        training_shards,
+        training_shards_incremental_foreach_batch,
+    )
+
+    docs = table(spark, SF_SMOKE, "documents").limit(120)
+    slices = _op_slices(spark, docs)
+    root = tmp_path / "inc"
+    state_dir = str(root / "state")
+    out_dir = str(root / "out")
+    os.makedirs(state_dir)
+    os.makedirs(out_dir)
+    handle = training_shards_incremental_foreach_batch(state_dir, out_dir)
+    lm_dir = str(root / "lm" / "pairs")
+    for i, wire in enumerate(slices):
+        handle(wire, i)
+        got = sorted(
+            tuple(r)
+            for r in read_latest_shards(spark, out_dir).collect()
+        )
+        assert got == _pinned_truth(spark, slices[: i + 1], lm_dir), (
+            f"epoch {i}: incremental shards diverge from pinned "
+            "full recompute"
+        )
+        if i == 0:
+            # the pinned scorer == the capstone's self-trained scorer
+            # at its training epoch, so the full original chain agrees
+            from debezium_incubator_spark.cdc.materialize import (
+                materialize_latest,
+            )
+
+            state0 = materialize_latest(
+                unwrap_documents(slices[0]),
+                keys=["doc_id"], position=["__pos"],
+            ).select("doc_id", "text", "source")
+            orig = sorted(
+                tuple(r)
+                for r in training_shards(
+                    spark, dedup_keepers(state0)
+                ).collect()
+            )
+            assert got == orig, "epoch 0 diverges from the capstone"
+    assert got, "final snapshot is empty"
+
+
+def test_incremental_tokenizes_only_new_texts(spark, tmp_path):
+    """Per-epoch heavy work ∝ delta: an epoch whose batch changes ONE
+    document computes metrics for at most its one new text — everything
+    else is served from the cache."""
+    from debezium_incubator_spark.cdc.training_shards import (
+        training_shards_incremental_foreach_batch,
+    )
+
+    docs = table(spark, SF_SMOKE, "documents").limit(120)
+    root = tmp_path / "inc"
+    state_dir = str(root / "state")
+    out_dir = str(root / "out")
+    os.makedirs(state_dir)
+    os.makedirs(out_dir)
+    handle = training_shards_incremental_foreach_batch(state_dir, out_dir)
+    log = documents_change_log(docs)
+    handle(documents_envelopes(log.filter(F.col("__op") == "c")), 0)
+    m0 = spark.read.parquet(str(root / "metrics" / "epoch=0")).count()
+    assert m0 > 10
+    one = documents_envelopes(
+        log.filter((F.col("__op") == "u") & (F.col("doc_id") == 3))
+    )
+    handle(one, 1)
+    m1 = spark.read.parquet(str(root / "metrics" / "epoch=1")).count()
+    assert m1 <= 1, (
+        f"single-doc epoch computed metrics for {m1} texts — the cache "
+        "is not scoping the heavy work to the delta"
+    )
+
+
+def test_incremental_replay_keeps_metrics_and_snapshot(spark, tmp_path):
+    """Replaying a committed epoch is a no-op: the epoch's metrics dir
+    is re-derived against epochs < e (NOT the whole tier — deriving
+    against its own committed rows would overwrite the dir empty and
+    lose the metrics) and the snapshot is unchanged."""
+    from debezium_incubator_spark.cdc.training_shards import (
+        read_latest_shards,
+        training_shards_incremental_foreach_batch,
+    )
+
+    docs = table(spark, SF_SMOKE, "documents").limit(80)
+    root = tmp_path / "inc"
+    state_dir = str(root / "state")
+    out_dir = str(root / "out")
+    os.makedirs(state_dir)
+    os.makedirs(out_dir)
+    handle = training_shards_incremental_foreach_batch(state_dir, out_dir)
+    slices = _op_slices(spark, docs)
+    handle(slices[0], 0)
+    handle(slices[1], 1)
+    first = sorted(
+        tuple(r) for r in read_latest_shards(spark, out_dir).collect()
+    )
+    m1_first = sorted(
+        tuple(r)
+        for r in spark.read.parquet(
+            str(root / "metrics" / "epoch=1")
+        ).collect()
+    )
+    handle(slices[1], 1)  # replay
+    again = sorted(
+        tuple(r) for r in read_latest_shards(spark, out_dir).collect()
+    )
+    m1_again = sorted(
+        tuple(r)
+        for r in spark.read.parquet(
+            str(root / "metrics" / "epoch=1")
+        ).collect()
+    )
+    assert again == first and first
+    assert m1_again == m1_first
+
+
+def test_incremental_stream_restart_converges(spark, tmp_path):
+    """The streaming form across a kill/restart converges to the pinned
+    batch result."""
+    import glob
+
+    from debezium_incubator_spark.cdc.training_shards import (
+        read_latest_shards,
+        start_training_shards_incremental_stream,
+    )
+
+    docs = table(spark, SF_SMOKE, "documents").limit(100)
+    slices = _op_slices(spark, docs)
+    rows = [
+        [tuple(r) for r in s.collect()] for s in slices
+    ]
+    root = tmp_path / "inc"
+    stage = str(root / "stage")
+    state_dir = str(root / "state")
+    out_dir = str(root / "out")
+    ckpt = str(root / "ckpt")
+    os.makedirs(stage)
+
+    def stage_file(i):
+        tmp = str(root / f"tmp{i}")
+        spark.createDataFrame(
+            rows[i], "key STRING, value STRING"
+        ).coalesce(1).write.mode("overwrite").parquet(tmp)
+        src = glob.glob(os.path.join(tmp, "*.parquet"))[0]
+        os.rename(src, os.path.join(stage, f"b{i}.parquet"))
+
+    stage_file(0)
+    q = start_training_shards_incremental_stream(
+        spark, stage, state_dir, out_dir, ckpt
+    )
+    q.awaitTermination(300)
+    mid = sorted(
+        tuple(r) for r in read_latest_shards(spark, out_dir).collect()
+    )
+    assert mid
+    stage_file(1)
+    stage_file(2)
+    q2 = start_training_shards_incremental_stream(
+        spark, stage, state_dir, out_dir, ckpt
+    )
+    q2.awaitTermination(300)
+    final = sorted(
+        tuple(r) for r in read_latest_shards(spark, out_dir).collect()
+    )
+    assert final == _pinned_truth(
+        spark, slices, str(root / "lm" / "pairs")
+    )
+    assert mid != final
