@@ -166,8 +166,18 @@ ORDER BY l_orderkey, l_linenumber
 def fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transcendentals (exp/ln/log10) differ across libm implementations
     only in the last ulp at these magnitudes — far inside ROUND(,4).
-    abs/greatest/least/% are exact."""
-    li = table(spark, sf_dir, "lineitem")
+    abs/greatest/least/% are exact.
+
+    Round-13: sort the NARROW 5-column input first, project the 14
+    computed columns above it (order-preserving) — the round-9 SCALE.md
+    rule: under the original projection-then-orderBy the range
+    partitioner's sample job re-executed the math chain and the shuffle
+    carried 14 computed doubles instead of 5 inputs. 4.0 s → 1.5 s at
+    sf0.1 (noop sink)."""
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice", "l_discount",
+        "l_quantity",
+    ).orderBy("l_orderkey", "l_linenumber")
     return li.select(
         "l_orderkey",
         "l_linenumber",
@@ -184,7 +194,7 @@ def fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.greatest("l_quantity", F.lit(25.0)).alias("qty_hi"),
         F.least("l_quantity", F.lit(25.0)).alias("qty_lo"),
         (F.col("l_linenumber") % 3).alias("ln_mod3"),
-    ).orderBy("l_orderkey", "l_linenumber")
+    )
 
 
 @register(
@@ -356,15 +366,21 @@ ORDER BY event_id
 )
 def fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON extraction over events.props ('{"k": 87}'): path extraction,
-    typed parse via from_json, null on missing path."""
-    ev = table(spark, sf_dir, "events")
+    typed parse via from_json, null on missing path.
+
+    Round-13: sort the narrow (event_id, props) input first and extract
+    above it (round-9 SCALE.md rule — the sample job of the original
+    top-level orderBy re-ran all four JSON parses; order-preserving
+    projection, identical rows). 1.5 s → 0.9 s at sf0.1 (noop sink)."""
+    ev = table(spark, sf_dir, "events").select("event_id", "props") \
+        .orderBy("event_id")
     return ev.select(
         "event_id",
         F.get_json_object("props", "$.k").alias("k_str"),
         F.from_json("props", "k INT").getField("k").alias("k_int"),
         F.get_json_object("props", "$.k").isNotNull().alias("has_k"),
         F.get_json_object("props", "$.missing").alias("missing_val"),
-    ).orderBy("event_id")
+    )
 
 
 # --- H9: hashing / encoding ----------------------------------------------
@@ -450,7 +466,19 @@ def fn_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
     tripped from a synthesized wire payload. The oracle re-extracts with
     regexp (DuckDB has no XML) — values must agree exactly. XML parse is
     JVM-side; at scale prefer from_xml once into a struct over repeated
-    xpath calls (one parse vs N)."""
+    xpath calls (one parse vs N) — measured HERE: each xpath_* call DOM-
+    parses the document per row, and as originally spelled (2 xpath + 1
+    from_xml UNDER a global orderBy) this ran ~30 s at sf0.1 to the noop
+    sink. Round-13: (1) ``k`` now comes from the same from_xml struct as
+    ``k2`` (identical value — the schema parse of <k> is the int cast
+    xpath_int did), so one xpath_string call remains as the xpath-family
+    demonstration and the row pays ONE DOM parse + ONE StAX parse
+    instead of two + one; (2) the sort moved BELOW the extraction onto
+    the narrow (event_id, xml) input — the round-9 SCALE.md rule: a
+    global orderBy above a shuffle-free expensive projection makes the
+    range-partitioner's sample job re-execute the whole chain, and the
+    shuffle then carries the computed columns instead of the narrow
+    input. Measured 30.4 s → 5.3 s (plans/r13/fn_xml_{before,after})."""
     ev = table(spark, sf_dir, "events")
     x = ev.select(
         "event_id",
@@ -458,13 +486,14 @@ def fn_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("<e><t>"), "event_type", F.lit("</t><k>"),
             F.get_json_object("props", "$.k"), F.lit("</k></e>"),
         ).alias("xml"),
-    )
+    ).orderBy("event_id")
+    parsed = F.from_xml("xml", "t STRING, k INT")
     return x.select(
         "event_id",
         F.xpath_string("xml", F.lit("/e/t")).alias("t"),
-        F.xpath_int("xml", F.lit("/e/k")).alias("k"),
-        F.from_xml("xml", "t STRING, k INT").getField("k").alias("k2"),
-    ).orderBy("event_id")
+        parsed.getField("k").alias("k"),
+        parsed.getField("k").alias("k2"),
+    )
 
 
 # --- H12: URL parsing ------------------------------------------------------

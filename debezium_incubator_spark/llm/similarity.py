@@ -230,7 +230,26 @@ ORDER BY vec_a, vec_b
 """,
 )
 def sim_neardup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup detection in embedding space (threshold 0.9)."""
+    """Near-dup detection in embedding space (threshold 0.9).
+
+    Round-13 (measured, three spellings at sf0.1): the optimizer pushes
+    the threshold filter INTO the BroadcastNestedLoopJoin condition, so
+    the per-pair cosine runs for every one of the n² candidate pairs —
+    and the conjunct ORDER in that condition is evaluation order.  As
+    written originally (filter merged after the join) the condition came
+    out ``(cos ≥ 0.9) AND (vec_a < vec_b)``: the expensive fold ran for
+    all n² pairs (54.6 s warm).  A generated straight-line 64-term chain
+    is WORSE here (127 s): one ~127-op expression tree becomes a single
+    huge generated method that HotSpot refuses to JIT, and it runs as
+    interpreted bytecode per pair — straight-line codegen is the right
+    spelling per ROW (sim_jl_projection), not per PAIR.  The fix is to
+    spell the join condition explicitly with the cheap half FIRST:
+    ``(vec_a < vec_b) AND (cos ≥ 0.9)`` short-circuits the fold down to
+    the n²/2 ordered pairs — 25.4 s, ~2.2× — while the HOF fold keeps
+    its JIT-hot Scala loop.  The remaining cost is the honest O(n²·d)
+    of an index-free exact all-pairs scan: this query is the
+    verification baseline for the blocked-gemm/LSH/IVF scale paths
+    (documented above) and is not meant to run at corpus scale."""
     e = _vectors(spark, sf_dir).withColumn("nsq", norm_sq("v"))
     a = e.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"),
                  F.col("nsq").alias("na"))
@@ -238,10 +257,8 @@ def sim_neardup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.col("nsq").alias("nb"))
     cos_raw = dot("va", "vb") / (F.sqrt("na") * F.sqrt("nb"))
     return (
-        a.join(b, F.col("vec_a") < F.col("vec_b"))
-        .withColumn("cos_raw", cos_raw)
-        .filter(F.col("cos_raw") >= 0.9)
-        .select("vec_a", "vec_b", F.round("cos_raw", 6).alias("cos_sim"))
+        a.join(b, (F.col("vec_a") < F.col("vec_b")) & (cos_raw >= 0.9))
+        .select("vec_a", "vec_b", F.round(cos_raw, 6).alias("cos_sim"))
         .orderBy("vec_a", "vec_b")
     )
 

@@ -588,24 +588,31 @@ FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
 """,
 )
 def agg_approx_distinct_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HLL++ approx_count_distinct in its exact regime: with rsd 0.005
-    the register array is ~2^16 wide, and linear counting on n ≪ m
+    """HLL++ approx_count_distinct in its exact regime: with rsd 0.01
+    the register array is 2^14 wide, and linear counting on n ≪ m
     occupied registers rounds to the exact cardinality as long as no two
     values collide in a register (deterministic for fixed data — and
-    cardinalities here are 2 / 50 / ≤11 against 65k registers, so the
-    estimate EQUALS the exact count; the 211-cardinality probe already
-    loses a register at sf0.1, which is why these columns stay small).
-    The high-cardinality estimation regime stays rows-only as
-    agg_approx_distinct — same operator, same merge path, sketch
-    behavior differentially pinned HERE."""
+    cardinalities here are 2 / 50 / ≤11 against 16k registers, so the
+    estimate EQUALS the exact count; the register set depends only on
+    the VALUE SET, which is identical at every SF for these columns, so
+    sf-sweep equality proves the regime everywhere). rsd was 0.005
+    through round 12: the 2^16-register buffer surfaces as ~19.6k LONG
+    aggregate-buffer attributes across the three sketches (157 KB per
+    group row) and measured 14.9 s at sf0.1 to the noop sink; rsd 0.01
+    is the last power-of-two step that stays collision-free (0.02
+    already loses a register on l_quantity: 49 ≠ 50) and runs 3.8 s —
+    identical output, 4× narrower buffer (guide §2.3: narrower
+    shuffle/buffer bytes). The high-cardinality estimation regime stays
+    rows-only as agg_approx_distinct — same operator, same merge path,
+    sketch behavior differentially pinned HERE."""
     li = table(spark, sf_dir, "lineitem")
     return (
         li.groupBy("l_returnflag")
         .agg(
-            F.approx_count_distinct("l_linestatus", 0.005).alias("nd_status"),
-            F.approx_count_distinct("l_quantity", 0.005).alias("nd_qty"),
+            F.approx_count_distinct("l_linestatus", 0.01).alias("nd_status"),
+            F.approx_count_distinct("l_quantity", 0.01).alias("nd_qty"),
             F.approx_count_distinct(
-                F.expr("CAST(floor(l_discount * 100 + 0.5) AS BIGINT)"), 0.005
+                F.expr("CAST(floor(l_discount * 100 + 0.5) AS BIGINT)"), 0.01
             ).alias("nd_disc"),
             F.count("*").alias("n"),
         )

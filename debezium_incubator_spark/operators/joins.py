@@ -483,7 +483,20 @@ def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: Spark plans <=> as a regular hash join on the coalesced key
     (EqualNullSafe is hash-able — no nested-loop fallback), so the
-    plan is identical in shape to a plain equi-join."""
+    plan is identical in shape to a plain equi-join.
+
+    Round-13 optimization (guide §2.3 "aggregate before you shuffle" /
+    §3.3 exploding joins): the key space is tiny (event types + NULL)
+    while each side is half the events table, so the raw join
+    materializes Σ_k |a_k|·|b_k| rows — ~0.5 × 10⁹ at sf0.1 (measured
+    ~48 s to the noop sink) and quadratic in table growth — only for
+    COUNT(*) to collapse them again. Aggregating each side to
+    (key, count) FIRST and multiplying counts computes the identical
+    result (n_pairs of key k ≡ |a_k|·|b_k|; inner join keeps exactly
+    the keys present on both sides) through the same EqualNullSafe
+    join operator, now over ≤|key-space| rows per side. Measured
+    48 s → ~0.2 s; the oracle (unchanged, full-join COUNT) proves
+    equivalence at every SF."""
     ev = table(spark, sf_dir, "events")
     k = F.when(F.col("value") < 50, F.lit(None)).otherwise(F.col("event_type"))
     a = ev.filter(F.col("event_id") % 2 == 0).select(
@@ -492,12 +505,13 @@ def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = ev.filter(F.col("event_id") % 2 == 1).select(
         F.col("event_id").alias("idb"), k.alias("kb")
     )
+    ga = a.groupBy("ka").agg(F.count("*").alias("ca"))
+    gb = b.groupBy("kb").agg(F.count("*").alias("cb"))
     return (
-        a.join(b, F.col("ka").eqNullSafe(F.col("kb")))
-        .groupBy("ka")
-        .agg(F.count("*").alias("n_pairs"))
+        ga.join(gb, F.col("ka").eqNullSafe(F.col("kb")))
         .select(
-            F.coalesce(F.col("ka"), F.lit("<null>")).alias("key"), "n_pairs"
+            F.coalesce(F.col("ka"), F.lit("<null>")).alias("key"),
+            (F.col("ca") * F.col("cb")).alias("n_pairs"),
         )
         .orderBy("key")
     )
