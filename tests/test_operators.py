@@ -953,3 +953,46 @@ def test_keeper_weights_semantics(spark):
     finally:
         X.table = orig
     assert out == {1: (3, 2), 2: (1, 1)}
+
+
+def test_k3_bucketed_grouped_map_matches_per_user_grouping(spark):
+    """Round-13: k3_asof_grouped_map groups by a coarse deterministic
+    bucket (pmod(xxhash64(user_id), 4*parallelism)) and relies on
+    pd.merge_asof(by="user_id") for per-user semantics.  Pin that the
+    bucketed spelling is row-identical to a per-user pandas reference
+    (groupby user, backward as-of, ties broken by max event_id)."""
+    import pandas as pd
+
+    from debezium_incubator_spark.functions.pandas_udfs import (
+        k3_asof_grouped_map,
+    )
+
+    got = (
+        k3_asof_grouped_map(spark, SF_SMOKE)
+        .toPandas()
+        .sort_values("purchase_id")
+        .reset_index(drop=True)
+    )
+
+    ev = table(spark, SF_SMOKE, "events")
+    pdf = (
+        ev.filter(F.col("event_type").isin("purchase", "click"))
+        .select("user_id", "event_id", "ts", "event_type")
+        .toPandas()
+    )
+    rows = []
+    for uid, g in pdf.groupby("user_id"):
+        clicks = g[g.event_type == "click"].sort_values(
+            ["ts", "event_id"], kind="mergesort"
+        )
+        for _, p in g[g.event_type == "purchase"].iterrows():
+            prior = clicks[clicks.ts <= p.ts]
+            if len(prior):
+                rows.append((p.event_id, uid, prior.iloc[-1].event_id))
+    want = (
+        pd.DataFrame(rows, columns=["purchase_id", "user_id", "click_id"])
+        .sort_values("purchase_id")
+        .reset_index(drop=True)
+        .astype("int64")
+    )
+    pd.testing.assert_frame_equal(got.astype("int64"), want)
