@@ -989,7 +989,9 @@ def cdc_dlq_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(key_id % 20 == 0, F.substring("value", 1, 10))
         .otherwise(F.col("value")),
     )
-    good, dlq = parse_envelope_dlq(corrupted, EVENT_ROW_SCHEMA)
+    good, dlq = parse_envelope_dlq(
+        corrupted, EVENT_ROW_SCHEMA, shared_scan=True
+    )
     ok_rows = good.select(
         F.col("key.id").alias("event_id"), F.lit("ok").alias("route")
     )

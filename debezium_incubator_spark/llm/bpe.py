@@ -49,7 +49,7 @@ import os
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import table
+from ..catalog import spread, table
 from ..registry import register
 
 #: render-time separator; must not occur in the text (the engine column
@@ -316,7 +316,7 @@ def t39_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle before the 5-group agg)."""
     from ..exprs import round4x_col
 
-    d = table(spark, sf_dir, "documents").select(
+    d = spread(table(spark, sf_dir, "documents")).select(
         "source", "n_chars", bpe_token_count("text").alias("n_tok")
     )
     return (
@@ -372,7 +372,7 @@ def t41_bpe_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     one agg; the tokenizer adds per-row JVM expression work only."""
     from pyspark.sql.window import Window as W
 
-    d = table(spark, sf_dir, "documents").select(
+    d = spread(table(spark, sf_dir, "documents")).select(
         "doc_id",
         "source",
         bpe_token_count("text").alias("n_tok"),
@@ -427,7 +427,7 @@ def t42_bpe_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-row JVM expression work on top."""
     from pyspark.sql.window import Window as W
 
-    d = table(spark, sf_dir, "documents").select(
+    d = spread(table(spark, sf_dir, "documents")).select(
         "lang", "doc_id", bpe_token_count("text").alias("n_tok")
     )
     w = (
@@ -558,7 +558,9 @@ def t43_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     combine collapses them to |vocab| — the t2 term-frequency shuffle
     shape. Top-k is orderBy+limit → TakeOrderedAndProject, never a
     global sort."""
-    d = table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    d = spread(
+        table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    )
     tok = d.select(
         F.explode(bpe_tokens_col("text")).alias("token")
     )

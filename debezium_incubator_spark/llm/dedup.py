@@ -610,10 +610,22 @@ def portable_neardup_pairs(d: DataFrame, perm: int = _PORT_PERM,
     threshold (``i/(na+nb-i)``). Shared by ``dedup_minhash_portable``
     (4×2), ``dedup_minhash_prod`` (16×8, the measured production
     config) and the ``t40`` near-dup pipeline capstone, so every
-    differential exercises ONE code path."""
+    differential exercises ONE code path.
+
+    Round-13 (guide §2.5 input skew / the repo's round-4 spread rule):
+    the documents scan is ONE split at bench SFs, so the ``perm`` md5
+    permutation hashes per shingle occurrence — the funnel's dominant
+    CPU (measured 31 s of dedup_minhash_prod's 37 s at sf0.1) — ran on
+    one core with 31 idle. ``spread()`` round-robins the narrow doc
+    rows to full parallelism before shingling/hashing (31 s → 3.3 s);
+    it is a no-op at production split counts. A
+    hash-per-DISTINCT-shingle + join-back spelling was also measured
+    (10× fewer md5 calls on this Zipf corpus) and does NOT win once
+    parallelism is fixed (3.8 s vs 3.3 s — the extra shuffle offsets
+    the saved CPU); kept the join-free shape."""
     assert bands_n * rows_n == perm
     sh = (
-        d.filter(F.size(F.split(F.lower("text"), " ")) >= 3)
+        spread(d.filter(F.size(F.split(F.lower("text"), " ")) >= 3))
         .select("doc_id", F.explode(F.array_distinct(shingles("text"))).alias("sh"))
     )
     sigs = sh.groupBy("doc_id").agg(

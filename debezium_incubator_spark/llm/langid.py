@@ -46,7 +46,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
-from ..catalog import table
+from ..catalog import spread, table
 from ..registry import register
 
 #: profile depth (top-K trigrams per language) and doc profile depth.
@@ -225,7 +225,10 @@ def language_id(
     )
     langs = prof.select("lang").distinct()
 
-    s = docs.select(F.col(id_col), _norm_col(F.col(text_col)).alias("s"))
+    # round-13: the trigram transform+explode is compute-bound and the
+    # docs scan is one split at bench SFs — widen first (no-op at
+    # production split counts; guide §2.5 / the repo's spread rule)
+    s = spread(docs).select(F.col(id_col), _norm_col(F.col(text_col)).alias("s"))
     # guard: Spark's sequence(1, n) DESCENDS when n < 1 (sequence(1,0)
     # = [1, 0]), so a <3-char doc would mint phantom trigrams the
     # oracle's range(1, len-1) (empty when len < 3) never sees —

@@ -33,7 +33,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import table
+from ..catalog import spread, table
 from ..exprs import oracle_round4x, round4x_col
 from ..registry import register
 from .bpe import bpe_token_count, oracle_docs_with_counts
@@ -65,7 +65,7 @@ def t48_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     tokenizer-equity numbers a multilingual training pipeline reports.
     Both ratios are integer-derived → round4x policy."""
     docs = table(spark, sf_dir, "documents")
-    d = docs.select(
+    d = spread(docs).select(
         "doc_id",
         "n_chars",
         F.size(F.split("text", " ")).cast("long").alias("n_words"),
@@ -399,14 +399,21 @@ def t55_tokenizer_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .wordpiece import wordpiece_tokenize
 
     docs = table(spark, sf_dir, "documents")
-    b = docs.select(
+    # round-13 (guide §4.4 duplicated-evaluation class, for expressions):
+    # a post-join ``bpe_tokens > 0`` filter was pushed below the spread
+    # exchange, re-evaluating the whole 1024-pass fold a SECOND time on
+    # the un-spread single partition (measured as a 1-task 10 s stage).
+    # ``n_tok > 0`` ⟺ non-NULL, non-empty text (NULL→NULL, ''→0, else ≥1),
+    # so the equivalent CHEAP input predicate runs before the fold and no
+    # filter references the expensive column at all.
+    b = spread(docs.filter(F.length("text") > 0)).select(
         "doc_id",
         bpe_token_count("text").cast("bigint").alias("bpe_tokens"),
     ).repartition("doc_id")
     wp = wordpiece_tokenize(spark, docs).select(
         "doc_id", "n_words", F.col("n_pieces").alias("wp_tokens")
     )
-    j = b.join(wp, "doc_id").filter(F.col("bpe_tokens") > 0)
+    j = b.join(wp, "doc_id")
     return j.select(
         "doc_id",
         "bpe_tokens",
@@ -475,7 +482,14 @@ def t60_tokenizer_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .wordpiece import wordpiece_tokenize
 
     docs = table(spark, sf_dir, "documents")
-    b = docs.select(
+    # round-13 (guide §4.4 duplicated-evaluation class, for expressions):
+    # a post-join ``bpe_tokens > 0`` filter was pushed below the spread
+    # exchange, re-evaluating the whole 1024-pass fold a SECOND time on
+    # the un-spread single partition (measured as a 1-task 10 s stage).
+    # ``n_tok > 0`` ⟺ non-NULL, non-empty text (NULL→NULL, ''→0, else ≥1),
+    # so the equivalent CHEAP input predicate runs before the fold and no
+    # filter references the expensive column at all.
+    b = spread(docs.filter(F.length("text") > 0)).select(
         "doc_id",
         bpe_token_count("text").cast("bigint").alias("bpe_tokens"),
     ).repartition("doc_id")
@@ -487,10 +501,7 @@ def t60_tokenizer_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_pieces").alias("ug_tokens"),
         F.col("total_nll").alias("ug_nll"),
     )
-    j = (
-        b.join(wp, "doc_id").join(ug, "doc_id")
-        .filter(F.col("bpe_tokens") > 0)
-    )
+    j = b.join(wp, "doc_id").join(ug, "doc_id")
     return j.select(
         "doc_id", "bpe_tokens", "wp_tokens", "ug_tokens", "ug_nll",
     ).orderBy("doc_id")

@@ -1223,3 +1223,41 @@ def test_predicate_gated_chain_stream_equals_batch(spark, tmp_path):
     assert {r for r in want if r[1] == "traced"} == {
         r for r in want if r[0] % 3 == 0
     }
+
+
+def test_dlq_shared_scan_routes_identical(spark):
+    """Round-13: ``shared_scan=True`` (one materialized parse shared by
+    both routes via a lazy localCheckpoint) must route EXACTLY the same
+    records as the default two-plan split."""
+    from debezium_incubator_spark.cdc.envelope import (
+        EVENT_ROW_SCHEMA,
+        parse_envelope_dlq,
+        to_envelope,
+    )
+
+    good = to_envelope(
+        table(spark, SF_SMOKE, "events").limit(20), as_json=True
+    )
+    bad = spark.createDataFrame(
+        [
+            ('{"id": 999}', "this is not json {"),
+            ('{"id": 1000}', None),  # tombstone: VALID
+        ],
+        "key STRING, value STRING",
+    )
+    raw = good.unionByName(bad)
+    g0, d0 = parse_envelope_dlq(raw, EVENT_ROW_SCHEMA)
+    g1, d1 = parse_envelope_dlq(raw, EVENT_ROW_SCHEMA, shared_scan=True)
+    ids = lambda df: sorted(
+        r["key"]["id"] if not isinstance(r["key"], str) else r["key"]
+        for r in df.select("key").collect()
+    )
+    assert ids(g1) == ids(g0)
+    assert sorted(r["key"] for r in d1.select("key").collect()) == sorted(
+        r["key"] for r in d0.select("key").collect()
+    )
+    # both routes read the materialized parse (lineage cut at the
+    # checkpoint RDD), so neither plan re-synthesizes or re-parses JSON
+    for df in (g1, d1):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Scan ExistingRDD" in plan
