@@ -25,7 +25,7 @@ import hashlib
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import table
+from ..catalog import spread, table
 from ..registry import register
 
 
@@ -251,7 +251,11 @@ def sim_neardup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     verification baseline for the blocked-gemm/LSH/IVF scale paths
     (documented above) and is not meant to run at corpus scale."""
     e = _vectors(spark, sf_dir).withColumn("nsq", norm_sq("v"))
-    a = e.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"),
+    # round-13: the BNLJ's parallelism is its STREAM side's partition
+    # count — one split at bench SFs put the whole n²·d loop on one
+    # core.  spread() the stream side (broadcast side unaffected);
+    # no-op at production split counts.
+    a = spread(e).select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"),
                  F.col("nsq").alias("na"))
     b = e.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"),
                  F.col("nsq").alias("nb"))
