@@ -198,7 +198,11 @@ def cdc_corpus_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     state = materialize_latest(
         flat, keys=["doc_id"], position=["__pos"]
     ).select("doc_id", "text", "source")
-    corpus = dedup_keepers(state)
+    # round-13: same lineage cut as cdc_training_shards — curate_docs_v3
+    # consumes the corpus several times; the lazy localCheckpoint folds
+    # the change-log→wire→fold→dedup chain once per run (guide §4.4 /
+    # DLQ shared_scan precedent). Rows identical.
+    corpus = dedup_keepers(state).localCheckpoint(eager=False)
     return curate_docs_v3(spark, corpus)
 
 

@@ -171,7 +171,16 @@ def cdc_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     state = materialize_latest(
         unwrap_documents(wire), keys=["doc_id"], position=["__pos"]
     ).select("doc_id", "text", "source")
-    return training_shards(spark, dedup_keepers(state))
+    # round-13 (guide §4.4 duplicated evaluation / the DLQ shared_scan
+    # precedent): training_shards + curate_docs_v3 consume the corpus
+    # ~6× and Catalyst inlines the whole change-log→wire→fold→dedup
+    # chain into every consumer (measured: 148 parquet scans / 288
+    # JSON codec nodes in the before plan).  The lazy localCheckpoint
+    # folds the CDC state ONCE per run; rows identical.  Measured
+    # ~20 s → ~12 s warm at sf0.1 (with the LM rollup fix compounding).
+    return training_shards(
+        spark, dedup_keepers(state).localCheckpoint(eager=False)
+    )
 
 
 # --- streaming form: continuous shard refresh -------------------------------

@@ -44,8 +44,10 @@ split can engage — the inline-agg spelling shares the join's
 partitioning and cannot split, measured in the t27 skew test); the
 per-doc agg is a
 map-side-combining hash agg; bucketing is map-side integer compares
-against constants. No windows, no driver-side loops — the one
-control-plane scalar is the corpus bigram total (same as t27's N).
+against constants. No windows, no driver-side loops or collects — the
+corpus bigram total rides a one-row broadcast (t32's corpus-stats
+shape), and c1/c2/N are rollups of the c12 pair table so the corpus
+stream is exploded exactly twice (c12 build + scoring join).
 Docs with fewer than two tokens carry no bigram and drop out (they
 have no LM score; CCNet drops them at its length gate anyway).
 """
@@ -90,10 +92,20 @@ def bigram_lm_scores(spark: SparkSession, docs: DataFrame) -> DataFrame:
     ).select("doc_id", "bg.w1", "bg.w2")
 
     c12 = big.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
-    c1 = big.groupBy("w1").agg(F.count("*").alias("c1"))
-    c2 = big.groupBy("w2").agg(F.count("*").alias("c2"))
-    # control-plane scalar: the corpus bigram total (t27's N precedent)
-    n_total = float(big.count())
+    # round-13 (guide §2.3 aggregate-before-you-shuffle, applied to the
+    # frequency tables themselves): c1, c2 and the corpus total are
+    # ROLLUPS of c12 — c1(w) = Σ_w2 c12, c2(w) = Σ_w1 c12,
+    # N = Σ c12 — so they aggregate the vocab²-bounded pair table, not
+    # the corpus bigram stream.  The old spelling re-ran the bigram
+    # explode + a corpus-wide shuffle for EACH of c1/c2 plus a blocking
+    # driver-side big.count() job at plan-build time; now the corpus is
+    # exploded exactly twice (the c12 exchange — reused by all three
+    # rollups — and the scoring join), and the total rides a one-row
+    # broadcast (the t32 corpus-stats precedent) instead of a collect.
+    # Integer sums of counts are exact, so p is bit-identical.
+    c1 = c12.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    c2 = c12.groupBy("w2").agg(F.sum("c12").alias("c2"))
+    tot = c12.agg(F.sum("c12").cast("double").alias("n_total"))
 
     # pair table is distinct-bigram-sized (vocab class) but SCALES with
     # the corpus — no forced broadcast; AQE broadcasts when small
@@ -101,10 +113,11 @@ def bigram_lm_scores(spark: SparkSession, docs: DataFrame) -> DataFrame:
         F.lit(LAMBDA)
         * (F.col("c12").cast("double") / F.col("c1").cast("double"))
         + F.lit(1.0 - LAMBDA)
-        * (F.col("c2").cast("double") / F.lit(n_total))
+        * (F.col("c2").cast("double") / F.col("n_total"))
     )
     pairs = (
-        c12.join(c1, "w1").join(c2, "w2").select("w1", "w2", p.alias("p"))
+        c12.join(c1, "w1").join(c2, "w2").crossJoin(F.broadcast(tot))
+        .select("w1", "w2", p.alias("p"))
     )
     q = F.floor(-F.log(F.col("p")) * 10000 + 0.5).cast("bigint")
     scored = big.join(pairs, ["w1", "w2"]).select("doc_id", q.alias("q"))

@@ -305,6 +305,15 @@ def curate_docs_v3(spark: SparkSession, docs: DataFrame) -> DataFrame:
         .select("doc_id", "ppl_bucket"),
         "doc_id",
     )
+    # round-13 (guide §4.4 duplicated evaluation / the DLQ shared_scan
+    # precedent): s1 is consumed three times (the tokenizer's word
+    # explode + its distinct-words tier + the s2 join-back), and each
+    # consumer would re-execute the LM-train-and-gate join above it.
+    # The lazy localCheckpoint materializes the survivor frame ONCE per
+    # run (batch contexts only — every caller is a registered batch
+    # query or a foreachBatch body).  Rows identical; measured ~1 s off
+    # t54 and compounding in the two CDC capstones that call this.
+    s1 = s1.localCheckpoint(eager=False)
     wp = wordpiece_tokenize(spark, s1)
     s2 = wp.join(
         s1.select("doc_id", "source", "ppl_bucket"), "doc_id"
