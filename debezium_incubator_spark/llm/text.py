@@ -688,7 +688,9 @@ def t14_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingles; the only shuffle is the per-doc aggregate."""
     from .dedup import shingles
 
-    d = table(spark, sf_dir, "documents")
+    # round-13: spread the single-split scan under the shingle explode
+    # (guide §2.5; same diagnosis as t22 — no-op at production splits).
+    d = spread(table(spark, sf_dir, "documents"))
     sh = (
         d.filter(F.size(tokens()) >= 3)
         .select(
@@ -794,7 +796,10 @@ def t22_decontam_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     one scan wide."""
     from .dedup import shingles
 
-    d = table(spark, sf_dir, "documents")
+    # round-13: the shingle explode + Bloom probe ran on the scan's ONE
+    # split (measured as a 1-task 4.6 s stage); spread() widens it —
+    # no-op at production split counts (guide §2.5).
+    d = spread(table(spark, sf_dir, "documents"))
     sh = (
         d.filter(F.size(tokens()) >= 3)
         .select(
@@ -2448,7 +2453,10 @@ def t37_entropy_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: bigram fan-out is len(text) per doc (one explode), the
     count agg is (doc, bigram)-keyed — hash-partitioned, no skew worse
     than the text itself; nothing global."""
-    docs = table(spark, sf_dir, "documents").filter(
+    # round-13: the char-bigram explode (len(text) rows per doc) ran on
+    # the scan's ONE split (1-task 2.6 s stage); spread() widens it —
+    # no-op at production split counts (guide §2.5).
+    docs = spread(table(spark, sf_dir, "documents")).filter(
         F.length("text") >= 2
     )
     bg = docs.select(
@@ -2552,7 +2560,10 @@ def split_leakage(spark: SparkSession, docs: DataFrame) -> DataFrame:
             lambda i: F.concat_ws(" ", F.slice(toks, i, LEAK_K)),
         ),
     )
-    sh = docs.select(
+    # round-13: the LEAK_K-gram explode ran on the scan's ONE split
+    # (1-task 1.8 s stage); spread() widens it — no-op at production
+    # split counts (guide §2.5).
+    sh = spread(docs).select(
         "doc_id",
         split_col.alias("split"),
         F.explode(F.array_distinct(grams)).alias("sh"),
