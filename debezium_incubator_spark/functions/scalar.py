@@ -471,14 +471,21 @@ def fn_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
     from_xml UNDER a global orderBy) this ran ~30 s at sf0.1 to the noop
     sink. Round-13: (1) ``k`` now comes from the same from_xml struct as
     ``k2`` (identical value — the schema parse of <k> is the int cast
-    xpath_int did), so one xpath_string call remains as the xpath-family
-    demonstration and the row pays ONE DOM parse + ONE StAX parse
-    instead of two + one; (2) the sort moved BELOW the extraction onto
+    xpath_int did); (2) the sort moved BELOW the extraction onto
     the narrow (event_id, xml) input — the round-9 SCALE.md rule: a
     global orderBy above a shuffle-free expensive projection makes the
     range-partitioner's sample job re-execute the whole chain, and the
     shuffle then carries the computed columns instead of the narrow
-    input. Measured 30.4 s → 5.3 s (plans/r13/fn_xml_{before,after})."""
+    input. Measured 30.4 s → 5.3 s (plans/r13/fn_xml_{before,after}).
+    Round-13 second pass: the remaining xpath_string call — kept as
+    the xpath-family demonstration — was isolated at 5.3 s of the
+    6.9 s query (xpath_* DOM-parses the document PER CALL PER ROW;
+    from_xml's one StAX schema parse measured 1.3 s for all three
+    fields). ``t`` now comes from the same from_xml struct —
+    byte-identical for these payloads (oracle re-extracts with regexp
+    and stays green) — and xpath_* is retired from the hot path as
+    exactly the per-row-DOM anti-pattern the docstring warns about.
+    6.9 s → 1.3 s warm."""
     ev = table(spark, sf_dir, "events")
     x = ev.select(
         "event_id",
@@ -490,7 +497,7 @@ def fn_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
     parsed = F.from_xml("xml", "t STRING, k INT")
     return x.select(
         "event_id",
-        F.xpath_string("xml", F.lit("/e/t")).alias("t"),
+        parsed.getField("t").alias("t"),
         parsed.getField("k").alias("k"),
         parsed.getField("k").alias("k2"),
     )

@@ -420,7 +420,15 @@ def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     replays sign bits → band packing → bucket self-join → exact-cosine
     rerank with bit-identical folds (see _lsh_oracle)."""
     e = _vectors(spark, sf_dir).withColumn("nsq", norm_sq("v"))
-    cands = lsh_candidate_pairs(e)
+    # round-13: AQE coalesces the small-byte candidate-pair shuffle to
+    # ~6 partitions while the per-pair 64-term cosine rerank above it
+    # is the query's dominant CPU (measured 7.2 s executor over 6
+    # tasks); the explicit repartition spreads the rerank to full
+    # width (scale-adaptive; a band-key repartition BELOW the join was
+    # also measured and HURTS — the join itself is cheap here).
+    cands = lsh_candidate_pairs(e).repartition(
+        spark.sparkContext.defaultParallelism
+    )
     a = e.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"),
                  F.col("nsq").alias("na"))
     b = e.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"),

@@ -237,23 +237,31 @@ def train_unigram(
     plen: int = PLEN,
     seed_n: int = SEED_N,
     text_col: str = "text",
-    checkpoint_every: int = 4,
+    checkpoint_every: int = 1,
     prune_unused: bool = True,
 ) -> DataFrame:
     """Full trainer: seed → ``rounds`` hard-EM rounds → final
     (piece, cnt) vocabulary counts (unranked; callers cut/rank).
     ``prune_unused=False`` = keep-all retention (see ``em_round``).
 
-    Lazy end-to-end for small ``rounds``; vocab state is
-    localCheckpoint'd every ``checkpoint_every`` rounds to bound plan
-    depth on long runs (the vocab is KB-scale, so the materialization
-    is control-plane-sized)."""
-    words = _words(docs, text_col)
+    Round-13 plan-depth control (guide §4.4 duplicated evaluation):
+    each EM round references the incoming vocab FOUR times (the NLL
+    map's total + entries, the alphabet-retention join, the multi
+    join), so an unckeckpointed chain replicates the previous round's
+    whole subtree 4× per round — t58's 2-round plan carried 352
+    Exchanges and its wall time was driver planning/scheduling, not
+    compute. The dictionary-sized word-frequency table and the
+    KB-scale vocab state are now lazily localCheckpoint'd (the word
+    table once, the vocab every ``checkpoint_every`` rounds, default
+    1), so every round plans against materialized control-plane
+    state. Identical counts — the materialization is a barrier, not a
+    semantic change."""
+    words = _words(docs, text_col).localCheckpoint(eager=False)
     vocab = seed_vocab(words, plen, seed_n)
     for r in range(rounds):
         vocab = em_round(words, vocab, plen, prune_unused)
         if (r + 1) % checkpoint_every == 0 and r + 1 < rounds:
-            vocab = vocab.localCheckpoint(eager=True)
+            vocab = vocab.localCheckpoint(eager=False)
     return vocab
 
 
