@@ -36,7 +36,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
-from ..catalog import table
+from ..catalog import spread, table
 from ..registry import register
 
 OP_WRITE = "w"
@@ -402,7 +402,11 @@ def cdc_cassandra_range_tombstone(
     proves interval-scoped, timestamp-ordered shadowing with
     resurrection — on real data where tombstone ranges overlap."""
     ev = table(spark, sf_dir, "events")
-    cells = ev.filter(F.col("event_type") != "error").select(
+    # round-13: the broadcast range join + per-cell max-tombstone agg
+    # ran on the scan's ONE split (1-task 2.0 s stage); spread() the
+    # cells side (stream side of the broadcast join) — no-op at
+    # production split counts (guide §2.5).
+    cells = spread(ev.filter(F.col("event_type") != "error")).select(
         (F.col("user_id") % 10).alias("pk"),
         F.col("user_id").alias("ck"),
         F.col("value").alias("v"),

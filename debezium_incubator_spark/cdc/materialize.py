@@ -55,6 +55,13 @@ def cdc_envelope_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     serialize/parse chain is lossless (doubles survive JSON via
     shortest-roundtrip rendering)."""
     ev = table(spark, sf_dir, "events")
+    # round-13 sort-narrow-first: the global sort runs on the RAW
+    # events (by the same event_id the output carries), and the
+    # envelope synth + from_json chain projects ABOVE it — projections
+    # preserve order, so the output order is identical while the range
+    # sampler no longer re-executes the parse and the exchange carries
+    # raw columns, not JSON strings (round-9 SCALE.md rule).
+    ev = ev.orderBy("event_id")
     wire = to_envelope(ev, as_json=True)  # key/value JSON strings
     parsed = parse_envelope(wire, EVENT_ROW_SCHEMA)
     return parsed.select(
@@ -70,7 +77,7 @@ def cdc_envelope_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
         "op",
         "ts_ms",
-    ).orderBy("event_id")
+    )
 
 
 # --- B2: ExtractNewRecordState (unwrap) ----------------------------------

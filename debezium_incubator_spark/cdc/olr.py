@@ -269,6 +269,12 @@ def cdc_olr_wire(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("j.payload")[0]["user"].alias("usr"),
         )
     )
+    # round-13 (the DLQ shared_scan precedent, guide §4.4): the commit
+    # and DML routes are both filters over `parsed`, and Catalyst
+    # inlines the whole JSON synth + from_json chain into each — the
+    # wire was built and parsed twice per run. The lazy localCheckpoint
+    # materializes ONE parse; rows identical.
+    parsed = parsed.localCheckpoint(eager=False)
     cm = parsed.where(F.col("__op") == "commit").select(
         "xid", F.col("scn").alias("__commit_scn")
     )

@@ -79,8 +79,14 @@ def k2_pandas_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     the expression (size(split(...))) stays in codegen — the UDF exists
     to prove the Arrow path, not to replace built-ins (SURVEY.md §2K)."""
     d = table(spark, sf_dir, "documents")
-    return d.select("doc_id", token_count_udf()("text").alias("n_tokens")).orderBy(
-        "doc_id"
+    # round-13 sort-narrow-first: sort the raw input, evaluate the UDF
+    # ABOVE the sort — otherwise the range sampler re-executes the
+    # Arrow round-trip a second time (guide §4.4's duplicated-eval
+    # class, sampler flavor).
+    return (
+        d.select("doc_id", "text")
+        .orderBy("doc_id")
+        .select("doc_id", token_count_udf()("text").alias("n_tokens"))
     )
 
 
@@ -220,11 +226,13 @@ def k4_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~1e-13. Note: grouped-agg pandas UDFs cannot mix with JVM aggregates
     in one agg(), so count is a pandas UDF here too."""
     ev = table(spark, sf_dir, "events")
-    return (
-        ev.groupBy("user_id")
-        .agg(
-            mean_udf()("value").alias("avg_value"),
-            count_udf()("value").alias("n"),
-        )
-        .orderBy("user_id")
+    agg = ev.groupBy("user_id").agg(
+        mean_udf()("value").alias("avg_value"),
+        count_udf()("value").alias("n"),
     )
+    # round-13: the global sort's range sampler re-executed the whole
+    # Python grouped-agg a second time (measured as two ~0.9 s
+    # AggregateInPandas stages per run); the sort can't move below a
+    # per-group aggregate, so the lazy localCheckpoint materializes
+    # the 1.5k-row result once and the sampler reads memory.
+    return agg.localCheckpoint(eager=False).orderBy("user_id")

@@ -529,9 +529,19 @@ def fn_url(spark: SparkSession, sf_dir: str) -> DataFrame:
     extracts protocol/host/path/query and a single query parameter —
     JVM-side java.net.URI, no regex authored per field. The oracle
     re-derives each part with regexp (DuckDB has no URL functions) over
-    the same synthesized URLs."""
+    the same synthesized URLs.
+
+    Round-13: sort-narrow-first (the round-9 SCALE.md rule, items 3-4
+    of OPTIMIZATION_r13.md) — the global sort now runs on the RAW
+    input columns and the JSON extraction + URL synthesis + five
+    parse_url calls project ABOVE it (projects preserve order), so the
+    range sampler no longer re-executes the parse chain and the
+    exchange carries narrow input instead of six computed strings."""
     ev = table(spark, sf_dir, "events")
-    u = ev.select(
+    src = ev.select("event_id", "event_type", "props", "user_id").orderBy(
+        "event_id"
+    )
+    u = src.select(
         "event_id",
         F.concat(
             F.lit("https://app.example.com/t/"), "event_type",
@@ -546,7 +556,7 @@ def fn_url(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.parse_url("url", F.lit("PATH")).alias("path"),
         F.parse_url("url", F.lit("QUERY")).alias("query"),
         F.parse_url("url", F.lit("QUERY"), F.lit("k")).alias("k_param"),
-    ).orderBy("event_id")
+    )
 
 
 @register(

@@ -367,15 +367,16 @@ def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     on the sorted column). At 100 TB prefer approx_percentile — exact
     percentile materializes per-group sorted buffers."""
     li = table(spark, sf_dir, "lineitem")
-    return (
-        li.groupBy("l_returnflag")
-        .agg(
-            round4("percentile(l_extendedprice, 0.5)", "p50"),
-            round4("percentile(l_extendedprice, 0.95)", "p95"),
-            round4("percentile(l_quantity, 0.5)", "qty_median"),
-        )
-        .orderBy("l_returnflag")
+    agg = li.groupBy("l_returnflag").agg(
+        round4("percentile(l_extendedprice, 0.5)", "p50"),
+        round4("percentile(l_extendedprice, 0.95)", "p95"),
+        round4("percentile(l_quantity, 0.5)", "qty_median"),
     )
+    # round-13: the global sort's range sampler re-executed the exact-
+    # percentile merge (per-group sorted buffers over 600k rows — two
+    # ~2 s merge stages per run at sf0.1); the lazy localCheckpoint
+    # materializes the 3-row aggregate once, the sampler reads memory.
+    return agg.localCheckpoint(eager=False).orderBy("l_returnflag")
 
 
 # --- D10: second-moment statistics ---------------------------------------

@@ -253,18 +253,18 @@ def agg_collect_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-group buffers; at 100 TB swap percentile → approx_percentile
     and cap collect with slice()."""
     li = table(spark, sf_dir, "lineitem")
-    return (
-        li.groupBy("l_returnflag")
-        .agg(
-            F.array_join(F.array_sort(F.collect_set("l_linestatus")), ",").alias(
-                "statuses"
-            ),
-            round4("percentile(l_extendedprice, 0.5)", "p50"),
-            round4("percentile(l_extendedprice, 0.95)", "p95"),
-            F.count("*").alias("n"),
-        )
-        .orderBy("l_returnflag")
+    agg = li.groupBy("l_returnflag").agg(
+        F.array_join(F.array_sort(F.collect_set("l_linestatus")), ",").alias(
+            "statuses"
+        ),
+        round4("percentile(l_extendedprice, 0.5)", "p50"),
+        round4("percentile(l_extendedprice, 0.95)", "p95"),
+        F.count("*").alias("n"),
     )
+    # round-13: same sampler-duplication fix as agg_percentile — the
+    # orderBy re-ran the whole-buffer percentile merge; lazy
+    # localCheckpoint materializes the 3-row result once.
+    return agg.localCheckpoint(eager=False).orderBy("l_returnflag")
 
 
 # --- F2+F5: top-k with pagination -----------------------------------------

@@ -432,6 +432,13 @@ def join_fuzzy_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = table(spark, sf_dir, "customer").select(
         "c_custkey", "c_name", F.substring("c_name", 1, 16).alias("blk")
     )
+    # round-13 (the dedup_simhash lesson): the block self-join's input
+    # is small in BYTES, so AQE coalesced it to one task while the
+    # within-block pair expansion + levenshtein is the dominant CPU
+    # (measured a 1-task 2.0 s stage). The explicit block-key
+    # repartition (never AQE-coalesced) pins full-width execution and
+    # is exactly the partitioning the join needs — no extra exchange.
+    c = c.repartition(spark.sparkContext.defaultParallelism, "blk")
     a = c.select(F.col("blk"), F.col("c_custkey").alias("ka"),
                  F.col("c_name").alias("na"))
     b = c.select(F.col("blk"), F.col("c_custkey").alias("kb"),
