@@ -169,9 +169,14 @@ def k3_asof_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
             }
         )
 
+    # round-13: lazy localCheckpoint before the global sort — the range
+    # sampler otherwise re-executes the whole Python grouped-map a
+    # second time (measured as two ~1 s FlatMapGroupsInPandas stages
+    # per run; the k4 fix applied to the grouped-map shape).
     return (
         both.groupBy("b")
         .applyInPandas(asof, "purchase_id LONG, user_id LONG, click_id LONG")
+        .localCheckpoint(eager=False)
         .orderBy("purchase_id")
     )
 

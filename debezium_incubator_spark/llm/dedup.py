@@ -237,6 +237,12 @@ def ngram_jaccard_pairs(
             .select("sh")
         )
         sh = sh.join(keep, "sh")
+    # round-13 (guide §4.4): the shingle tier is consumed four times
+    # (sizes + both join sides + the df-cap join-back), each re-running
+    # the explode + distinct; the lazy localCheckpoint folds it once
+    # per run (measured 4.1 → 3.3 s steady on the capped form, and a
+    # much cheaper first run). Batch-only callers.
+    sh = sh.localCheckpoint(eager=False)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = sh.alias("a")
     b = sh.alias("b")

@@ -607,18 +607,19 @@ def agg_approx_distinct_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows-only as agg_approx_distinct — same operator, same merge path,
     sketch behavior differentially pinned HERE."""
     li = table(spark, sf_dir, "lineitem")
-    return (
-        li.groupBy("l_returnflag")
-        .agg(
-            F.approx_count_distinct("l_linestatus", 0.01).alias("nd_status"),
-            F.approx_count_distinct("l_quantity", 0.01).alias("nd_qty"),
-            F.approx_count_distinct(
-                F.expr("CAST(floor(l_discount * 100 + 0.5) AS BIGINT)"), 0.01
-            ).alias("nd_disc"),
-            F.count("*").alias("n"),
-        )
-        .orderBy("l_returnflag")
+    agg = li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_linestatus", 0.01).alias("nd_status"),
+        F.approx_count_distinct("l_quantity", 0.01).alias("nd_qty"),
+        F.approx_count_distinct(
+            F.expr("CAST(floor(l_discount * 100 + 0.5) AS BIGINT)"), 0.01
+        ).alias("nd_disc"),
+        F.count("*").alias("n"),
     )
+    # round-13: the sort's range sampler re-ran the HLL-buffer merge
+    # (two ~0.7 s single-task merge stages per run); lazy
+    # localCheckpoint materializes the 3-row result once (the
+    # agg_percentile fix, applied to the sketch-buffer shape).
+    return agg.localCheckpoint(eager=False).orderBy("l_returnflag")
 
 
 @register(
