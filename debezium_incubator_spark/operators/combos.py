@@ -168,7 +168,12 @@ def fn_nested_combo(spark: SparkSession, sf_dir: str) -> DataFrame:
     surfaced as scalars (sorted elements, folded sum) because DuckDB's
     MAP/LIST renderings are engine-internal — the portable contract is
     the extracted values."""
-    ev = table(spark, sf_dir, "events")
+    # round-13 sort-narrow-first: sort the raw events by the same
+    # event_id the output carries and project the nested-type chain
+    # (JSON parse ×2, md5/sha2, HOF fold) ABOVE it — the range sampler
+    # otherwise re-executes the whole projection and the exchange
+    # carries computed strings (round-9 SCALE.md rule).
+    ev = table(spark, sf_dir, "events").orderBy("event_id")
     arr = F.array_sort(F.array(F.col("user_id") % 10, F.col("event_id") % 10))
     m = F.create_map(
         F.lit("type"), F.col("event_type"),
@@ -186,7 +191,7 @@ def fn_nested_combo(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.from_json("props", "k INT").getField("k").alias("k_int"),
         F.md5("event_type").alias("h_md5"),
         F.sha2("event_type", 256).alias("h_sha256"),
-    ).orderBy("event_id")
+    )
 
 
 # --- G1+G2+G3+G4 over the same inputs ------------------------------------

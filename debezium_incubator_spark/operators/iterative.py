@@ -219,6 +219,12 @@ def iter_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     und = e0.select(
         F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v")
     ).distinct()
+    # round-13 (guide §4.4): the tiny (≤ nations² / 2 rows) edge list
+    # is consumed five times (degree union ×2, orientation, and the
+    # oriented copies feeding the wedge join), each re-running the
+    # 5-way lineitem join above it; the lazy localCheckpoint folds the
+    # edge derivation once per run.
+    und = und.localCheckpoint(eager=False)
     deg = (
         und.select(F.col("u").alias("n"))
         .unionAll(und.select(F.col("v").alias("n")))
