@@ -260,11 +260,16 @@ def sim_neardup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = e.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"),
                  F.col("nsq").alias("nb"))
     cos_raw = dot("va", "vb") / (F.sqrt("na") * F.sqrt("nb"))
-    return (
-        a.join(b, (F.col("vec_a") < F.col("vec_b")) & (cos_raw >= 0.9))
-        .select("vec_a", "vec_b", F.round(cos_raw, 6).alias("cos_sim"))
-        .orderBy("vec_a", "vec_b")
+    pairs = a.join(b, (F.col("vec_a") < F.col("vec_b")) & (cos_raw >= 0.9)).select(
+        "vec_a", "vec_b", F.round(cos_raw, 6).alias("cos_sim")
     )
+    # round-13: the global sort's range sampler re-executes everything
+    # above the last shuffle — here the entire n²·d BNLJ cosine loop
+    # (the spread exchange sits BELOW the join, so stage reuse doesn't
+    # cover it).  The surviving pair set is tiny; a lazy localCheckpoint
+    # materializes it once and the sampler reads memory (the un-movable-
+    # sort rule: the sort can't move below a join that PRODUCES its key).
+    return pairs.localCheckpoint(eager=False).orderBy("vec_a", "vec_b")
 
 
 # --- J3 scale path: random-hyperplane LSH bucketing — rows-only ----------

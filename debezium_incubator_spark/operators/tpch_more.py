@@ -625,32 +625,35 @@ def q21_sole_returner(spark: SparkSession, sf_dir: str) -> DataFrame:
     returned) against the same fact, as semi + anti joins with a
     non-equi residual (<> on suppkey). One distinct-projected scan feeds
     both sides; at scale both joins co-partition on l_orderkey so the
-    three shuffles share one exchange."""
+    three shuffles share one exchange.
+
+    Round-13 rewrite (guide §2.3 aggregate-before-you-shuffle): the
+    EXISTS/NOT EXISTS pair over the same fact is a per-order predicate —
+    EXISTS(other supplier) ⟺ COUNT(DISTINCT l_suppkey) ≥ 2 and
+    NOT EXISTS(other returned supplier) ⟺ COUNT(DISTINCT returned
+    suppkey) = 1; when the latter is 1 the sole returner IS
+    max(returned suppkey).  One hash aggregation of lineitem replaces
+    two distinct pre-passes plus a left-semi and a left-anti self-join
+    (which expanded every multi-supplier order's pair set).  Rows
+    identical — r12's semi+anti spelling kept exactly the r1 rows whose
+    order satisfies both counts, one per order."""
     li = table(spark, sf_dir, "lineitem")
     o = table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
     s = table(spark, sf_dir, "supplier")
-    l1 = li.select("l_orderkey", "l_suppkey").distinct()
-    r1 = li.filter(F.col("l_returnflag") == "R").select(
-        "l_orderkey", "l_suppkey"
-    ).distinct()
-    other = l1.select(
-        F.col("l_orderkey").alias("o_key"), F.col("l_suppkey").alias("o_supp")
+    # one distinct-pair aggregate (map-side combined — NOT two
+    # countDistincts, whose Expand would triple the scan), then a
+    # dictionary-sized per-order rollup
+    pairs = li.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max(F.when(F.col("l_returnflag") == "R", 1).otherwise(0)).alias("is_ret")
     )
-    other_r = r1.select(
-        F.col("l_orderkey").alias("r_key"), F.col("l_suppkey").alias("r_supp")
+    per_order = pairs.groupBy("l_orderkey").agg(
+        F.count("*").alias("n_supp"),
+        F.sum("is_ret").alias("n_ret"),
+        F.max(F.when(F.col("is_ret") == 1, F.col("l_suppkey"))).alias("l_suppkey"),
     )
-    base = (
-        r1.join(
-            other,
-            (r1.l_orderkey == other.o_key) & (r1.l_suppkey != other.o_supp),
-            "left_semi",
-        )
-        .join(
-            other_r,
-            (r1.l_orderkey == F.col("r_key")) & (r1.l_suppkey != F.col("r_supp")),
-            "left_anti",
-        )
-    )
+    base = per_order.filter(
+        (F.col("n_supp") >= 2) & (F.col("n_ret") == 1)
+    ).select("l_orderkey", "l_suppkey")
     return (
         base.join(o, base.l_orderkey == o.o_orderkey)
         .join(s, base.l_suppkey == s.s_suppkey)
