@@ -86,7 +86,14 @@ def training_shards(spark: SparkSession, corpus: DataFrame) -> DataFrame:
     one row per selected document —
     (doc_id, source, shard, pos, n_tokens, bin), ordered by
     (shard, pos)."""
-    kept = curate_docs_v3(spark, corpus).select("doc_id")
+    # round-13 second pass: surv is consumed twice (the tokenizer chain
+    # and the shard-key chain), and each consumer re-executed the whole
+    # post-s1 v3 selection (WordPiece fold + gates + budget window)
+    # above it.  The kept set is tiny (≤ the per-source budget); a lazy
+    # localCheckpoint folds the v3 chain to one execution per run.
+    kept = curate_docs_v3(spark, corpus).select("doc_id").localCheckpoint(
+        eager=False
+    )
     surv = corpus.join(kept, "doc_id")
     tok = unigram_tokenize(spark, surv.select("doc_id", "text")).select(
         "doc_id", F.col("n_pieces").cast("bigint").alias("n_tokens")
@@ -106,7 +113,7 @@ def training_shards(spark: SparkSession, corpus: DataFrame) -> DataFrame:
     )
     w = W.partitionBy("shard").orderBy("ord_key", "doc_id")
     wsum = w.rowsBetween(W.unboundedPreceding, W.currentRow)
-    return (
+    out = (
         keyed.withColumn("pos", F.row_number().over(w).cast("long"))
         .withColumn("cs", F.sum("n_tokens").over(wsum))
         .select(
@@ -114,8 +121,11 @@ def training_shards(spark: SparkSession, corpus: DataFrame) -> DataFrame:
             F.expr(f"CAST((cs - n_tokens) DIV {SHARD_PACK_BUDGET} "
                    "AS BIGINT)").alias("bin"),
         )
-        .orderBy("shard", "pos")
     )
+    # un-movable sort (the k4/HLL rule): the trailing global sort's
+    # range sampler would re-run the shard window + tokenize joins; the
+    # output is budget-bounded and tiny, so fold it once
+    return out.localCheckpoint(eager=False).orderBy("shard", "pos")
 
 
 _ORACLE = (
