@@ -327,14 +327,14 @@ def curate_docs_v3(spark: SparkSession, docs: DataFrame) -> DataFrame:
         .rowsBetween(W.unboundedPreceding, 0)
     )
     r = s2.withColumn("cum_pieces", F.sum("n_pieces").over(w))
-    return (
-        r.filter(F.col("cum_pieces") <= V3_BUDGET)
-        .select(
-            "doc_id", "source", "ppl_bucket", "n_words", "n_pieces",
-            "n_unk", "cum_pieces",
-        )
-        .orderBy("doc_id")
+    out = r.filter(F.col("cum_pieces") <= V3_BUDGET).select(
+        "doc_id", "source", "ppl_bucket", "n_words", "n_pieces",
+        "n_unk", "cum_pieces",
     )
+    # un-movable sort (the k4/HLL rule): the trailing sort's range
+    # sampler re-runs the budget window + UNK-gate join above the last
+    # exchange; the kept set is budget-bounded, so fold it once
+    return out.localCheckpoint(eager=False).orderBy("doc_id")
 
 
 @register("t54_curation_v3", oracle=_v3_oracle_filled())
