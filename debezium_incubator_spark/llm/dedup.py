@@ -444,7 +444,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             F.lit(_i),
         )
-    return (
+    pairs = (
         a.join(b, ["band_id", "band_val"])
         .filter(F.col("doc_a") < F.col("doc_b"))
         # keep each pair exactly once: at its first shared band
@@ -453,8 +453,11 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("hamming", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))))
         .filter(F.col("hamming") <= SIMHASH_HAMMING_MAX)
         .select("doc_a", "doc_b", "hamming")
-        .orderBy("doc_a", "doc_b")
     )
+    # un-movable sort: the band repartition is the last exchange below
+    # the trailing sort, so the range sampler would re-run the whole m²
+    # bucket expansion; the surviving pair set is small — fold it once
+    return pairs.localCheckpoint(eager=False).orderBy("doc_a", "doc_b")
 
 
 # --- J2-portable: the SAME MinHash-LSH pipeline, oracle-checked ----------

@@ -348,4 +348,6 @@ def t44_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     multilingual recall is pinned by the planted-doc test in
     tests/test_langid.py."""
     d = table(spark, sf_dir, "documents")
-    return language_id(d).orderBy("doc_id")
+    # un-movable sort: the trailing sort's sampler re-runs the per-doc
+    # argmin window above the last exchange; output is one row per doc
+    return language_id(d).localCheckpoint(eager=False).orderBy("doc_id")

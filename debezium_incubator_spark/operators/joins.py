@@ -448,7 +448,7 @@ def join_fuzzy_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("ka") < F.col("kb"))
         .select("blk", F.levenshtein("na", "nb").alias("d"))
     )
-    return (
+    agg = (
         pairs.groupBy("blk")
         .agg(
             F.count("*").alias("n_candidate_pairs"),
@@ -458,8 +458,12 @@ def join_fuzzy_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("blk").alias("block"), "n_candidate_pairs",
                 "n_matches", "sum_lev")
-        .orderBy("block")
     )
+    # un-movable sort: the block repartition doubles as the join AND
+    # agg partitioning, so the trailing sort's sampler would re-run the
+    # whole levenshtein pair expansion; the per-block summary is
+    # KB-scale — fold it once
+    return agg.localCheckpoint(eager=False).orderBy("block")
 
 
 @register(
