@@ -420,7 +420,24 @@ def join_fuzzy_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate pairs come ONLY from shared blocking keys (here a name
     prefix; production uses phonetic codes, sorted-neighborhood keys,
     or LSH buckets), then the expensive edit-distance runs on
-    candidates alone and a threshold picks matches.
+    candidates alone and a threshold picks matches. The join shape
+    lives in :func:`fuzzy_blocked_agg` (the plan-audit seam — the
+    registered form checkpoints it before the trailing sort, which
+    truncates the visible plan)."""
+    # un-movable sort: the block repartition doubles as the join AND
+    # agg partitioning, so the trailing sort's sampler would re-run the
+    # whole levenshtein pair expansion; the per-block summary is
+    # KB-scale — fold it once
+    return (
+        fuzzy_blocked_agg(spark, sf_dir)
+        .localCheckpoint(eager=False)
+        .orderBy("block")
+    )
+
+
+def fuzzy_blocked_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The blocked fuzzy join + per-block summary, unsorted (the shape
+    the plan audit pins: no cartesian, levenshtein on candidates only).
 
     Scale: blocking is the string analog of LSH banding — the pair
     space is quadratic only within a block, never across the corpus,
@@ -448,7 +465,7 @@ def join_fuzzy_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("ka") < F.col("kb"))
         .select("blk", F.levenshtein("na", "nb").alias("d"))
     )
-    agg = (
+    return (
         pairs.groupBy("blk")
         .agg(
             F.count("*").alias("n_candidate_pairs"),
@@ -459,11 +476,6 @@ def join_fuzzy_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("blk").alias("block"), "n_candidate_pairs",
                 "n_matches", "sum_lev")
     )
-    # un-movable sort: the block repartition doubles as the join AND
-    # agg partitioning, so the trailing sort's sampler would re-run the
-    # whole levenshtein pair expansion; the per-block summary is
-    # KB-scale — fold it once
-    return agg.localCheckpoint(eager=False).orderBy("block")
 
 
 @register(

@@ -151,11 +151,16 @@ def test_multimodal_decode_plumbing(spark):
     assert (decoded.n_bytes > 0).all()
 
 
-def test_decode_image_is_stubbed():
+def test_decode_image_refuses_unknown_formats():
+    # round 13: decode_image is REAL (dispatches to the JPEG/PNG/BMP/
+    # PPM/QOI kernels — tests/test_jpeg.py covers the decode paths);
+    # unknown or truncated magics must refuse loudly, never guess.
     from debezium_incubator_spark.llm.multimodal import decode_image
 
-    with pytest.raises(NotImplementedError):
-        decode_image(b"\x89PNG")
+    with pytest.raises(ValueError, match="unrecognized image payload"):
+        decode_image(b"\x89PNG")  # truncated magic: not a real PNG
+    with pytest.raises(ValueError, match="unrecognized image payload"):
+        decode_image(b"GIF89a\x00\x00")
 
 
 def test_multimodal_resize_plumbing(spark):

@@ -454,10 +454,17 @@ def test_new_family_plan_shapes(spark):
     assert "Join" not in pew
     assert pew.count("Exchange hashpartitioning") == 1
 
-    pfz = _plan(q["join_fuzzy_blocked"](spark, SF_SMOKE))
+    # round 13: the registered form checkpoints before its trailing
+    # sort (sampler re-ran the pair expansion), so the join shape is
+    # audited on the unsorted seam and the checkpoint on the query
+    from debezium_incubator_spark.operators.joins import fuzzy_blocked_agg
+
+    pfz = _plan(fuzzy_blocked_agg(spark, SF_SMOKE))
     assert "CartesianProduct" not in pfz
     assert "BroadcastNestedLoopJoin" not in pfz
     assert "levenshtein" in pfz
+    pfzq = _plan(q["join_fuzzy_blocked"](spark, SF_SMOKE))
+    assert "ExistingRDD" in pfzq  # the pre-sort checkpoint
 
     pck = _plan(q["cdc_table_checksum"](spark, SF_SMOKE))
     assert pck.count("HashAggregate") >= 2  # partial + final, exact XOR merge
