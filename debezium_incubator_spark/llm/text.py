@@ -122,9 +122,12 @@ def t6_tfidf_top_term(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = d.select("doc_id", F.explode(tokens()).alias("term"))
     tf = t.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
     df = t.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
-    n = d.count()  # scalar: corpus size (driver-side constant is fine)
-    scored = tf.join(df, "term").withColumn(
-        "tfidf", F.col("tf") * F.log(F.lit(n) / F.col("df"))
+    # corpus size rides a one-row broadcast (t32/t50 shape) instead of a
+    # blocking driver-side count() at plan-build (guide §5.1); ln(N/df)
+    # sees the identical integer ratio either way
+    nrow = d.agg(F.count("*").alias("__n"))
+    scored = tf.join(df, "term").crossJoin(F.broadcast(nrow)).withColumn(
+        "tfidf", F.col("tf") * F.log(F.col("__n") / F.col("df"))
     )
     from pyspark.sql.window import Window as W
 
@@ -1837,8 +1840,9 @@ def t30_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     equi-join of the token stream against the vocab-sized LM table —
     the same join shape as t27's scoring pass (Zipf-hot keys: see the
     t27 docstring's measured skew note — materialize the stats table
-    to enable AQE's skew split); corpus totals and vocab size are
-    control-plane literals. Everything expression-level.
+    to enable AQE's skew split); corpus totals and vocab size ride a
+    one-row broadcast derived from the frequency tables (no driver
+    count() jobs in the query path). Everything expression-level.
 
     Parity: each per-token ln value is a deterministic scalar (ln parity
     per the t27/tfidf/PSI precedent), but the PER-DOC SUM of ~hundreds
@@ -1864,15 +1868,23 @@ def t30_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("tok")
         .agg(F.count("*").alias("gc"))
     )
-    n_raw, v = toks.count(), raw_f.count()          # control-plane
-    n_tgt = toks.filter(F.col("lang") == "en").count()
-    lm = raw_f.join(tgt_f, "tok", "left").select(
+    # Corpus totals and vocab size ride a ONE-ROW broadcast (the t32
+    # corpus-stats / t50 bigram-LM shape) instead of three driver-side
+    # count() jobs at plan-build (guide §5.1): n_raw = Σ rc, v = |vocab|,
+    # n_tgt = Σ gc are exact integer rollups of the frequency tables, so
+    # (n_tgt + v) as double is bit-identical to the old literal.
+    consts = raw_f.agg(
+        F.sum("rc").alias("n_raw"), F.count("*").alias("v")
+    ).crossJoin(
+        tgt_f.agg(F.coalesce(F.sum("gc"), F.lit(0)).alias("n_tgt"))
+    )
+    lm = raw_f.join(tgt_f, "tok", "left").crossJoin(F.broadcast(consts)).select(
         "tok",
         (
             F.log((F.coalesce(F.col("gc"), F.lit(0)).cast("double") + 1)
-                  / F.lit(float(n_tgt + v)))
+                  / (F.col("n_tgt") + F.col("v")).cast("double"))
             - F.log((F.col("rc").cast("double") + 1)
-                    / F.lit(float(n_raw + v)))
+                    / (F.col("n_raw") + F.col("v")).cast("double"))
         ).alias("log_ratio"),
     )
     return (

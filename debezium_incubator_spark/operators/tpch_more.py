@@ -44,11 +44,18 @@ def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Orders (in a year) that had at least one line shipped ≥7 days
     after order date, counted by priority. EXISTS → left-semi join with
     a non-equi residual condition; the date filter prunes orders before
-    the join (at scale: partition orders by month → partition pruning)."""
+    the join (at scale: partition orders by month → partition pruning).
+
+    The lineitem side carries the IMPLIED bound l_shipdate >= 1996-01-08
+    (any matching line has l_shipdate >= o_orderdate + 7 and the order
+    filter pins o_orderdate >= 1996-01-01) — Catalyst cannot derive a
+    constant bound through the non-equi conjunct, so spelling it makes
+    the predicate reach the parquet scan (PushedFilters) and cuts the
+    probe side before the join instead of after."""
     o = table(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01")
     )
-    li = table(spark, sf_dir, "lineitem")
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") >= "1996-01-08")
     late = o.join(
         li,
         (o.o_orderkey == li.l_orderkey)
@@ -224,16 +231,21 @@ ORDER BY custdist DESC, c_count DESC
 """,
 )
 def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """How many customers placed N (non-urgent) orders — left outer join
-    preserving order-less customers, then two stacked aggregations. At
-    scale the first groupBy reuses the join's hash partitioning on
-    c_custkey (no extra shuffle); the second shuffles tiny data."""
+    """How many customers placed N (non-urgent) orders — orders
+    pre-aggregate to (custkey, count) BEFORE the join (guide §2.3:
+    map-side partial aggregation shuffles one partial row per custkey
+    per task instead of every order row), then a left join preserves
+    order-less customers at count 0. count(o_orderkey) over the old
+    outer join ≡ coalesce(pre-agg count, 0) — interleaved A/B measured
+    the pre-agg shape ~12% faster at sf0.1 and it shuffles strictly
+    fewer bytes at any scale; the second aggregation shuffles tiny
+    data."""
     c = table(spark, sf_dir, "customer")
     o = table(spark, sf_dir, "orders").filter(F.col("o_orderpriority") != "1-URGENT")
+    per_cust = o.groupBy("o_custkey").agg(F.count("*").alias("n_ord"))
     return (
-        c.join(o, c.c_custkey == o.o_custkey, "left")
-        .groupBy("c_custkey")
-        .agg(F.count("o_orderkey").alias("c_count"))
+        c.join(per_cust, c.c_custkey == per_cust.o_custkey, "left")
+        .select(F.coalesce(F.col("n_ord"), F.lit(0)).alias("c_count"))
         .groupBy("c_count")
         .agg(F.count("*").alias("custdist"))
         .orderBy(F.desc("custdist"), F.desc("c_count"))
