@@ -85,10 +85,17 @@ def from_cloudevents(
         "type string, datacontenttype string, time string, "
         f"iodebeziumop string, data {data_schema}>"
     )
-    parsed_df = df.withColumn(
-        "__ce_parsed", F.from_json(F.col(ce_col), schema)
-    )
-    parsed = F.col("__ce_parsed")
+    # temp-column name derived from out_col and checked absent: this is
+    # a public seam taking arbitrary frames — a fixed name would
+    # silently clobber a caller column (r13 ADVICE)
+    tmp = f"__{out_col}_ce_parsed"
+    if tmp in df.columns:
+        raise ValueError(
+            f"from_cloudevents: temp column {tmp!r} already exists in "
+            "the input frame — rename it or pass a different out_col"
+        )
+    parsed_df = df.withColumn(tmp, F.from_json(F.col(ce_col), schema))
+    parsed = F.col(tmp)
     gated = F.when(
         parsed["specversion"] == CE_SPECVERSION, parsed
     ).otherwise(
@@ -97,7 +104,7 @@ def from_cloudevents(
             F.coalesce(parsed["specversion"], F.lit("<missing>")),
         ))
     )
-    return parsed_df.withColumn(out_col, gated).drop("__ce_parsed")
+    return parsed_df.withColumn(out_col, gated).drop(tmp)
 
 
 @register(

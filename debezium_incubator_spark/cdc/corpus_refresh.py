@@ -61,6 +61,7 @@ from pyspark.sql import types as T
 from pyspark.sql.window import Window as W
 
 from ..catalog import table
+from ..lineage import cut
 from ..registry import register
 from ..llm.pipeline_v2 import _v3_oracle_filled, curate_docs_v3
 from .envelope import parse_envelope, unwrap
@@ -199,10 +200,14 @@ def cdc_corpus_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         flat, keys=["doc_id"], position=["__pos"]
     ).select("doc_id", "text", "source")
     # round-13: same lineage cut as cdc_training_shards — curate_docs_v3
-    # consumes the corpus several times; the lazy localCheckpoint folds
-    # the change-log→wire→fold→dedup chain once per run (guide §4.4 /
-    # DLQ shared_scan precedent). Rows identical.
-    corpus = dedup_keepers(state).localCheckpoint(eager=False)
+    # consumes the corpus several times; the lazy cut folds the
+    # change-log→wire→fold→dedup chain once per run (guide §4.4 /
+    # DLQ shared_scan precedent). Rows identical. round-14: the frame
+    # is CORPUS-SIZED, so the cut is DISK_ONLY (lineage.py contract —
+    # a MEMORY_AND_DISK checkpoint would pin the corpus in executor
+    # storage memory at scale; recovery posture unchanged:
+    # localCheckpoint is non-fault-tolerant either way).
+    corpus = cut(dedup_keepers(state), "local_disk")
     return curate_docs_v3(spark, corpus)
 
 

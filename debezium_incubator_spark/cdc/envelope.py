@@ -488,6 +488,7 @@ def parse_envelope_dlq(
     row_schema: T.StructType,
     key_schema: T.StructType | None = None,
     shared_scan: bool = False,
+    cut_strategy: str = "local_disk",
 ) -> tuple[DataFrame, DataFrame]:
     """Kafka Connect error handling (``errors.tolerance=all`` +
     ``errors.deadletterqueue.topic.name``): a record whose value fails
@@ -519,7 +520,11 @@ def parse_envelope_dlq(
     materialized parse, executed once (plan shows Scan ExistingRDD ×2,
     from_json ×1; measured 4.9 s → 1.8 s at sf0.1). Batch-only (a
     checkpoint is illegal on streaming frames), so it stays opt-in for
-    callers that consume both routes."""
+    callers that consume both routes.  ``cut_strategy`` sets the
+    WIRE-SIZED materialization's storage/recovery posture (lineage.py
+    contract; default DISK_ONLY — memory-safe at any wire volume)."""
+    from ..lineage import cut
+
     sch = envelope_schema(row_schema).add("_corrupt", T.StringType())
     parsed = raw.select(
         F.col("key"),
@@ -530,7 +535,7 @@ def parse_envelope_dlq(
         ).alias("_v"),
     )
     if shared_scan:
-        parsed = parsed.localCheckpoint(eager=False)
+        parsed = cut(parsed, cut_strategy)
     bad = F.col("value").isNotNull() & F.col("_v._corrupt").isNotNull()
     key_schema = key_schema or DEFAULT_KEY_SCHEMA
     good = parsed.filter(~bad).select(

@@ -42,6 +42,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from ..catalog import table
+from ..lineage import cut
 from ..registry import register
 from .materialize import materialize_latest
 from .oracle_logminer import logminer_commit_ordered
@@ -272,9 +273,10 @@ def cdc_olr_wire(spark: SparkSession, sf_dir: str) -> DataFrame:
     # round-13 (the DLQ shared_scan precedent, guide §4.4): the commit
     # and DML routes are both filters over `parsed`, and Catalyst
     # inlines the whole JSON synth + from_json chain into each — the
-    # wire was built and parsed twice per run. The lazy localCheckpoint
-    # materializes ONE parse; rows identical.
-    parsed = parsed.localCheckpoint(eager=False)
+    # wire was built and parsed twice per run. The lazy cut
+    # materializes ONE parse; rows identical. round-14: the frame is
+    # WIRE-SIZED → DISK_ONLY cut (lineage.py contract).
+    parsed = cut(parsed, "local_disk")
     cm = parsed.where(F.col("__op") == "commit").select(
         "xid", F.col("scn").alias("__commit_scn")
     )

@@ -60,6 +60,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from ..catalog import table
+from ..lineage import cut
 from ..registry import register
 from ..llm.pipeline_v2 import curate_docs_v3, v3_kept_cte_filled
 from ..llm.unigram import oracle_unigram_cte, unigram_tokenize
@@ -185,11 +186,12 @@ def cdc_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     # precedent): training_shards + curate_docs_v3 consume the corpus
     # ~6× and Catalyst inlines the whole change-log→wire→fold→dedup
     # chain into every consumer (measured: 148 parquet scans / 288
-    # JSON codec nodes in the before plan).  The lazy localCheckpoint
-    # folds the CDC state ONCE per run; rows identical.  Measured
-    # ~20 s → ~12 s warm at sf0.1 (with the LM rollup fix compounding).
+    # JSON codec nodes in the before plan).  The lazy cut folds the
+    # CDC state ONCE per run; rows identical.  Measured ~20 s → ~12 s
+    # warm at sf0.1 (with the LM rollup fix compounding).  round-14:
+    # the frame is CORPUS-SIZED → DISK_ONLY cut (lineage.py contract).
     return training_shards(
-        spark, dedup_keepers(state).localCheckpoint(eager=False)
+        spark, cut(dedup_keepers(state), "local_disk")
     )
 
 

@@ -34,6 +34,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import spread, table
+from ..lineage import cut
 from ..exprs import oracle_round4x, round4x_col
 from ..registry import register
 from .bpe import bpe_token_count, oracle_docs_with_counts
@@ -288,12 +289,20 @@ def _v3_oracle_filled(src: str = "documents", with_kw: bool = True) -> str:
     return _v3_oracle(src, with_kw).replace("{T1}", str(PPL_T1_X1E4))
 
 
-def curate_docs_v3(spark: SparkSession, docs: DataFrame) -> DataFrame:
+def curate_docs_v3(spark: SparkSession, docs: DataFrame,
+                   cut_strategy: str = "local_disk") -> DataFrame:
     """The v3 selection pipeline over ANY (doc_id, text, source) frame:
     perplexity gate (LM trained on ``docs`` itself) → WordPiece
     tokenization of survivors → UNK-fraction gate → per-source greedy
     piece budget. Reused by t54 (fixture corpus) and the CDC→corpus
-    refresh capstone (folded latest state)."""
+    refresh capstone (folded latest state).
+
+    ``cut_strategy`` is the storage/recovery posture of the CORPUS-SIZED
+    survivor materialization (lineage.py contract): default
+    ``local_disk`` (executor local disk, non-fault-tolerant — the 100 TB
+    memory-safe spelling); pass ``"parquet"`` for a fault-tolerant
+    scratch tier, ``"local"`` for the bounded-frame MEMORY_AND_DISK
+    form."""
     from pyspark.sql.window import Window as W
 
     from .lm import bigram_lm_scores
@@ -309,11 +318,11 @@ def curate_docs_v3(spark: SparkSession, docs: DataFrame) -> DataFrame:
     # precedent): s1 is consumed three times (the tokenizer's word
     # explode + its distinct-words tier + the s2 join-back), and each
     # consumer would re-execute the LM-train-and-gate join above it.
-    # The lazy localCheckpoint materializes the survivor frame ONCE per
-    # run (batch contexts only — every caller is a registered batch
-    # query or a foreachBatch body).  Rows identical; measured ~1 s off
-    # t54 and compounding in the two CDC capstones that call this.
-    s1 = s1.localCheckpoint(eager=False)
+    # The lazy cut materializes the survivor frame ONCE per run (batch
+    # contexts only — every caller is a registered batch query or a
+    # foreachBatch body).  Rows identical; measured ~1 s off t54 and
+    # compounding in the two CDC capstones that call this.
+    s1 = cut(s1, cut_strategy)
     wp = wordpiece_tokenize(spark, s1)
     s2 = wp.join(
         s1.select("doc_id", "source", "ppl_bucket"), "doc_id"

@@ -236,7 +236,11 @@ def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side partial aggregation shuffles one partial row per custkey
     per task instead of every order row), then a left join preserves
     order-less customers at count 0. count(o_orderkey) over the old
-    outer join ≡ coalesce(pre-agg count, 0) — interleaved A/B measured
+    outer join ≡ coalesce(pre-agg count, 0) — an equivalence that
+    DEPENDS on c_custkey being unique in customer (its TPC-H primary
+    key): duplicate keys would inflate custdist instead of merging
+    under the dropped groupBy(c_custkey) collapse (r13 ADVICE) —
+    interleaved A/B measured
     the pre-agg shape ~12% faster at sf0.1 and it shuffles strictly
     fewer bytes at any scale; the second aggregation shuffles tiny
     data."""
