@@ -400,10 +400,18 @@ def build_scaled_index(spark: SparkSession, sf_dir: str,
                        index_dir: str) -> None:
     """Fold + exact tier, then ``build_ivf_index`` at nlist ∝ n
     (``CELL_TARGET`` vectors per cell) — capped deterministic fit
-    sample + vectorized MLlib assignment, cell-partitioned store."""
+    sample + vectorized MLlib assignment, cell-partitioned store.
+
+    Round-14 (guide §4.4): the fold+exact-tier chain feeds FOUR
+    downstream actions (the sizing count, build_ivf_index's own count,
+    the KMeans fit's internal cache fill, the assignment write) — cut
+    its lineage once so the wire round-trip + two window shuffles run
+    once per build, not four times.  Corpus-sized frame → ``local_disk``
+    (the lineage.py storage contract)."""
+    from ..lineage import cut
     from ..llm.similarity import build_ivf_index
 
-    state = scaled_state(spark, sf_dir)
+    state = cut(scaled_state(spark, sf_dir), "local_disk")
     n = state.count()
     build_ivf_index(state, index_dir, nlist=max(16, n // CELL_TARGET))
 
@@ -699,8 +707,18 @@ def ann_refresh_incremental_foreach_batch(
 
     Batch routing uses the interpreted broadcast fold (O(batch·nlist))
     — right for delta batches; a bulk backfill should go through
-    ``build_ivf_index``'s vectorized MLlib assignment instead."""
+    ``build_ivf_index``'s vectorized MLlib assignment instead.
+
+    Round-14 (guide §4.4 duplicated-evaluation class): the epoch's
+    driver jobs — bucket-count derivation, key-bucket collect, touched
+    collect, members checkpoint, lookup apply — each re-executed the
+    full JSON-parse + net-fold (+ routing crossJoin) lineage from
+    scratch.  ``net`` and ``routed`` are BATCH-sized (delta, never
+    index-sized), so both get a bounded ``lineage.cut`` (``local``)
+    and every consumer reads the materialized blocks instead."""
     import json as _json
+
+    from ..lineage import cut as _cut
 
     from ..streaming.partitioned_state import (
         _atomic_write,
@@ -725,7 +743,7 @@ def ann_refresh_incremental_foreach_batch(
         # net effect per key within the batch (a key can insert, update
         # and delete inside one micro-batch)
         wn = W.partitionBy("vec_id").orderBy(F.desc("__pos"))
-        net = (
+        net = _cut(
             flat.withColumn("__rn", F.row_number().over(wn))
             .filter(F.col("__rn") == 1).drop("__rn")
         )
@@ -734,9 +752,9 @@ def ann_refresh_incremental_foreach_batch(
             target=LOOKUP_BUCKET_TARGET,
         )
         cents = spark.read.parquet(centroids_dir)
-        routed = route_to_cells(
+        routed = _cut(route_to_cells(
             net.filter(F.col("__op") != "d").select("vec_id", "v"), cents
-        )
+        ))
         # the batch's lookup buckets — ONE collect, reused twice: the
         # pre-batch lookup read below and the lookup-tier apply at the
         # end (passing it there skips apply's own distinct job)

@@ -48,7 +48,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import table
+from ..catalog import spread, table
 from ..registry import register
 from .bpe import SEP
 
@@ -85,8 +85,16 @@ def train_bpe_merges(
     """Learn ``n_merges`` BPE merges from ``docs[text_col]`` — the
     distributed twin of ``scripts/gen_bpe_merges.py::train`` (bit-equal
     on the same corpus, test-pinned). Returns the ranked merge list."""
+    # round-14 (guide §2.5 / the repo's spread rule): the corpus scan is
+    # ONE split at bench SFs, and the eager checkpoint below FREEZES that
+    # partitioning for every one of the n_merges full-corpus pair-count
+    # aggregates — each round's split+explode ran on one core.  spread()
+    # round-robins the raw doc rows to full width first (no-op at
+    # production split counts); counts and the (c DESC, a, b) argmax are
+    # exact aggregates with a total-order tie-break, so the learned
+    # merge list is partitioning-invariant.
     state = (
-        docs.filter(F.length(text_col) > 0)
+        spread(docs.filter(F.length(text_col) > 0))
         .select(
             F.regexp_replace(
                 F.col(text_col), "(?s)(.)", f"{SEP}$1{SEP}"

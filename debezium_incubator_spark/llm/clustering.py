@@ -40,15 +40,25 @@ def connected_components(
     star per component centered at the component min. max_iter=25
     covers graphs far beyond 2^25 nodes (rounds grow ~log n);
     exhausting it raises RuntimeError rather than mislabeling."""
+    # round-14 (guide §4.4): the caller's edge funnel (typically the
+    # full shingle/LSH pipeline) used to execute TWICE — once for e's
+    # eager checkpoint and once more for nodes (whose persist() was
+    # released at plan-build time, so the RETURNED labels plan re-ran
+    # the funnel yet again on every action).  One bounded cut of the
+    # raw pair set feeds both; nodes gets its own cut so the final
+    # labels join reads materialized blocks.  Pair/node sets are
+    # bounded frames (lineage.py contract: "local").
+    ep = edges.selectExpr(f"{src} AS x", f"{dst} AS y").localCheckpoint(
+        eager=False
+    )
     nodes = (
-        edges.selectExpr(f"{src} AS doc_id")
-        .unionByName(edges.selectExpr(f"{dst} AS doc_id"))
+        ep.selectExpr("x AS doc_id")
+        .unionByName(ep.selectExpr("y AS doc_id"))
         .distinct()
-        .persist()
+        .localCheckpoint(eager=False)
     )
     e = (
-        edges.selectExpr(f"{src} AS x", f"{dst} AS y")
-        .filter(F.col("x") != F.col("y"))
+        ep.filter(F.col("x") != F.col("y"))
         .select(
             F.greatest("x", "y").alias("u"), F.least("x", "y").alias("v")
         )
@@ -107,7 +117,6 @@ def connected_components(
             "doc_id", F.coalesce("cid", "doc_id").alias("cluster_id")
         )
     )
-    nodes.unpersist()
     return labels
 
 

@@ -103,34 +103,51 @@ def build_pq_index(
     oracle checks. 100 TB posture: m bounded passes for the fits (or one
     pass over a sample), then ONE scan to encode; the codes table is
     m/d·(code width/8) of the vector bytes."""
+    from concurrent.futures import ThreadPoolExecutor
+
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
     spark = source.sparkSession
-    dim = len(source.select("v").first().v)
-    if dim % m != 0:
-        raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
-    dsub = dim // m
-    codebooks: list[list[list[float]]] = []
-    for s in range(m):
-        sub = source.select(
-            array_to_vector(_sub_slice("v", s, dsub)).alias("fv")
+    # round-14 (guide §2.6 + §5): the m per-subspace fits each run
+    # ~maxIter driver-paced jobs over the corpus — persist it for the
+    # build's duration (within-run only, unpersisted below: CacheManager
+    # reuse across invocations cannot happen once released) and OVERLAP
+    # the fits from a thread pool.  Each fit is an independent seeded
+    # KMeans over its own deterministic slice, so concurrent scheduling
+    # cannot change any codebook — only the idle tail between one fit's
+    # sequential iterations is reclaimed.
+    source = source.persist()
+    try:
+        dim = len(source.select("v").first().v)
+        if dim % m != 0:
+            raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
+        dsub = dim // m
+
+        def _fit(s: int) -> list[list[float]]:
+            sub = source.select(
+                array_to_vector(_sub_slice("v", s, dsub)).alias("fv")
+            )
+            model = KMeans(
+                k=ksub, seed=seed + s, maxIter=max_iter,
+                featuresCol="fv", predictionCol="code",
+            ).fit(sub)
+            return [[float(x) for x in c] for c in model.clusterCenters()]
+
+        with ThreadPoolExecutor(max_workers=m) as pool:
+            codebooks: list[list[list[float]]] = list(
+                pool.map(_fit, range(m))
+            )
+        codes = source.select(
+            "vec_id",
+            F.array(*[
+                _argmin_code(_sub_slice("v", s, dsub), codebooks[s])
+                for s in range(m)
+            ]).alias("codes"),
         )
-        model = KMeans(
-            k=ksub, seed=seed + s, maxIter=max_iter,
-            featuresCol="fv", predictionCol="code",
-        ).fit(sub)
-        codebooks.append(
-            [[float(x) for x in c] for c in model.clusterCenters()]
-        )
-    codes = source.select(
-        "vec_id",
-        F.array(*[
-            _argmin_code(_sub_slice("v", s, dsub), codebooks[s])
-            for s in range(m)
-        ]).alias("codes"),
-    )
-    codes.write.mode("overwrite").parquet(f"{index_dir}/codes")
+        codes.write.mode("overwrite").parquet(f"{index_dir}/codes")
+    finally:
+        source.unpersist()
     cb_rows = [
         (s, c, codebooks[s][c])
         for s in range(m) for c in range(ksub)
@@ -322,8 +339,13 @@ def build_ivfpq_index(
     )
     resid.persist()
     try:
-        codebooks: list[list[list[float]]] = []
-        for s in range(m):
+        # round-14 (guide §2.6): the m residual-subspace fits are
+        # independent seeded KMeans jobs over the persisted residuals —
+        # overlap them (see build_pq_index; codebooks are unchanged by
+        # concurrent scheduling)
+        from concurrent.futures import ThreadPoolExecutor
+
+        def _fit(s: int) -> list[list[float]]:
             sub = resid.select(
                 array_to_vector(_sub_slice("r", s, dsub)).alias("fv")
             )
@@ -331,8 +353,11 @@ def build_ivfpq_index(
                 k=ksub, seed=seed + 1 + s, maxIter=max_iter,
                 featuresCol="fv", predictionCol="code",
             ).fit(sub)
-            codebooks.append(
-                [[float(x) for x in c] for c in model.clusterCenters()]
+            return [[float(x) for x in c] for c in model.clusterCenters()]
+
+        with ThreadPoolExecutor(max_workers=m) as pool:
+            codebooks: list[list[list[float]]] = list(
+                pool.map(_fit, range(m))
             )
         codes = resid.select(
             "vec_id",

@@ -106,7 +106,14 @@ def iter_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_nodes = nodes.count()  # control-plane scalar: node-set cardinality
     base = FP * 15 // 100 // n_nodes
     ranks = nodes.select("k", F.lit(FP // n_nodes).cast("bigint").alias("rf"))
-    ew = edges.join(outw, "src").select("src", "dst", "w", "ow")
+    # round-14 (guide §4.4): every iteration's eager checkpoint below
+    # re-executed ``ew``'s FULL five-table star join + two aggregates —
+    # five star joins for one 625-row-max edge table.  One bounded
+    # lineage cut here runs the join once; values are unchanged
+    # (checkpointing is plan-only), which the unrolled-CTE oracle pins.
+    ew = edges.join(outw, "src").select(
+        "src", "dst", "w", "ow"
+    ).localCheckpoint(eager=True)
     for _ in range(ITERS):
         contrib = (
             ranks.join(ew, ranks.k == ew.src)
