@@ -1645,9 +1645,21 @@ def sim_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     MATRIX itself from md5, replays the projection with the identical
     left-fold order, and recomputes prefilter, cut and rerank; hash
     equality pins the whole funnel including the projection
-    arithmetic."""
+    arithmetic.
+
+    Round-14 (r13 verdict #6 profile): without a barrier, CollapseProject
+    folds the 2048-term ``w`` chain INTO every consumer expression
+    (``pcos``, ``wsq``, the prefilter sort key) — and an expression that
+    size falls out of whole-stage codegen into interpreted eval, so each
+    row re-evaluates the mega-expression several times with no CSE.  The
+    ``repartition("vec_id")`` exchange materializes (w, wsq, vsq) ONCE;
+    downstream stages reference them as attributes (small, codegen-able
+    expressions).  It also spreads the single-split scan to full width —
+    the round-9 "exchange materializes the chain" rule; interleaved A/B
+    min-of-6: 3.26 → 2.31 s, rows identical."""
     e = _vectors(spark, sf_dir).withColumn("w", jl_project("v"))
     e = e.withColumn("wsq", norm_sq("w")).withColumn("vsq", norm_sq("v"))
+    e = e.repartition("vec_id")
     q = e.filter(F.col("vec_id") == 0).select(
         F.col("w").alias("qw"), F.col("wsq").alias("qwsq"),
         F.col("v").alias("qv"), F.col("vsq").alias("qvsq"),

@@ -168,6 +168,23 @@ def wordpiece_result_col(w: Column, vmap: Column | None = None) -> Column:
     )
 
 
+#: memo for the standard (w, _vm) fold column — the bpe._fold_col
+#: precedent: building the LMAX-wide greedy-scan step tree costs a few
+#: hundred py4j round trips per call, paid by EVERY wordpiece-family
+#: query build (t52/t54/t55/t60/t48/t49).  Column objects are immutable
+#: and session-independent; VOCAB is a fixed per-process artifact, so a
+#: single-slot memo is content-stable (round 14, r13 verdict #1).
+_RESULT_COL_MEMO: dict = {}
+
+
+def _result_col_std() -> Column:
+    hit = _RESULT_COL_MEMO.get("std")
+    if hit is None:
+        hit = wordpiece_result_col(F.col("w"), F.col("_vm"))
+        _RESULT_COL_MEMO["std"] = hit
+    return hit
+
+
 def wordpiece_tokenize(spark: SparkSession, docs: DataFrame) -> DataFrame:
     """Tokenize a ``(doc_id, text)`` frame: per doc —
     ``n_words, n_pieces, n_unk, tokens_md5`` (md5 of the space-joined
@@ -180,7 +197,7 @@ def wordpiece_tokenize(spark: SparkSession, docs: DataFrame) -> DataFrame:
         .crossJoin(F.broadcast(_vocab_row(spark)))
         .select(
             "w",
-            wordpiece_result_col(F.col("w"), F.col("_vm")).alias("r"),
+            _result_col_std().alias("r"),
         )
         .select("w", F.col("r.pieces").alias("pieces"), F.col("r.ok").alias("ok"))
     )
